@@ -1,0 +1,68 @@
+"""C8 — reward-leap filtering as window functions over the ranked rewards.
+
+Reference (reference exstream/entropy_based_single_reward_feature.py:249-314 and
+script_1.py:16-28):
+
+  * leaps = consecutive differences of the desc-sorted rewards; threshold =
+    max leap (:266-273).
+  * walk the ranking: keep features until a leap equal to the threshold is
+    seen, EXCEPT that a comparison is skipped when the previous reward is
+    exactly 0 (the ``last_distance != 0`` sentinel guard, :298-303) — so if
+    the max leap follows a zero reward the cut point moves to the next
+    occurrence (or nothing is cut).
+  * a single-feature ranking is never filtered (script_1.py:22-26).
+
+Spark: lag/max/min windows over the tiny (ano_key, feature, reward, rank)
+relation — per-anomaly state never leaves the executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def reward_leap_filter(rewards: DataFrame) -> DataFrame:
+    """(ano_key, feature, feature_order, reward, rank) → kept rows only."""
+    w = Window.partitionBy("ano_key").orderBy("rank")
+    w_all = Window.partitionBy("ano_key")
+    df = (
+        rewards.withColumn("prev_reward", F.lag("reward").over(w))
+        .withColumn("leap", F.col("prev_reward") - F.col("reward"))
+        .withColumn("max_leap", F.max("leap").over(w_all))
+        .withColumn("n_features", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "cut_rank",
+            F.min(
+                F.when(
+                    (F.col("leap") == F.col("max_leap"))
+                    & (F.col("prev_reward") != 0),
+                    F.col("rank"),
+                )
+            ).over(w_all),
+        )
+    )
+    kept = df.filter(
+        (F.col("n_features") <= 1)
+        | F.col("cut_rank").isNull()
+        | (F.col("rank") < F.col("cut_rank"))
+    )
+    return kept.select("ano_key", "feature", "feature_order", "reward", "rank")
+
+
+def assemble_explanations(kept: DataFrame) -> DataFrame:
+    """(ano_key) → (ano_key, features array<string> in rank order,
+    feature_orders array<int>).
+
+    The rank-ordered feature list is the reference's explanation value
+    (reference script_1.py:93); integer indices are mapped by the pipeline
+    from the full sliced-column order (reference script_1.py:110-115).
+    """
+    return kept.groupBy("ano_key").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "feature", "feature_order"))
+        ).alias("_s")
+    ).select(
+        "ano_key",
+        F.col("_s.feature").alias("features"),
+        F.col("_s.feature_order").alias("feature_orders"),
+    )

@@ -1,0 +1,163 @@
+"""C4–C7 — entropy-based single-feature reward, fully in window/aggregate SQL.
+
+Reference semantics (reference exstream/entropy_based_single_reward_feature.py):
+
+  reward(f) = class_entropy / segmentation_entropy            (:203-243)
+
+  * class_entropy = p_a·log2(1/p_a) + p_r·log2(1/p_r) from interval row counts
+    (:10-39, log base 2).
+  * segmentation_entropy: sort all (ref ∪ ano) rows of the anomaly by
+    (feature_value, type_data); run-length scan the label sequence summing
+    p_i·ln(1/p_i) per segment **except the final segment, whose term is never
+    added** (:157-200 — verified quirk Q2, SURVEY §2.4) — natural log (Q3).
+
+Quirk Q5 (verified this round, beyond SURVEY §2.4's list): the reference's
+worst-case duplicate shuffle (:42-154) is DEAD CODE. Its duplicate detector
+``sorted_values[feature].drop_duplicates().value_counts()`` (:63-65) counts
+occurrences *after* dropping duplicates, so every count is 1 and the
+``continue`` at :86-88 fires for every value — no rewrite ever happens. The
+shipped pipeline therefore scores segmentation on the (value, type_data)-
+sorted label sequence as-is. We implement BOTH:
+
+  duplicate_mode="sorted"     — reference-exact (default): label = type_data,
+                                sequence ordered by (value, type_data).
+  duplicate_mode="worst_case" — the paper's intended regularization (eq. 3-4)
+                                and what :42-154 *tries* to do, computed in
+                                closed form per row (SURVEY §4.3):
+
+  group size 1          → label = type_data
+  n1 == 0               → 0                     (all-reference run, unchanged)
+  n0 == 0               → 1
+  n0 == n1  (>0)        → r even → 1, r odd → 2
+      (the reference's alternator ``abs(last - i%2 - 1)`` with last=0 — the
+       first label of a duplicate run is always 0 because the sort puts
+       type_data 0 first — emits the literal value 2 on odd positions
+       (:131-134); the '2' labels segment identically to alternating 0s
+       *within* the run but never merge with a neighboring 0/1 run)
+  0 < n0 < n1           → r odd  and r < 2·n0 → 0 else 1      (:103-125)
+  0 < n1 < n0           → r even and r < 2·n1 → 1 else 0
+
+where n0/n1 are the run's class counts and r the within-run position — no
+UDF, no Python loop, whole-stage codegen end to end; one shuffle keyed
+(ano_key, feature, value), one keyed (ano_key, feature).
+
+Input: melted long table (ano_key, type_data, timestamp, feature,
+feature_order, value) from operators.slicing.melt_features.
+Output: (ano_key, feature, feature_order, reward, rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def worst_case_labels(melted: DataFrame, duplicate_mode: str = "sorted") -> DataFrame:
+    """Assign each row its segmentation label and sequence position.
+
+    Adds: r (0-based position within the (ano_key, feature, value) duplicate
+    run, type_data ascending — the reference's sort puts class 0 first within
+    equal values, reference exstream/entropy_based_single_reward_feature.py:224),
+    and label (int; 0, 1, or the reference's literal 2 in worst_case mode).
+    """
+    if duplicate_mode not in ("sorted", "worst_case"):
+        raise ValueError(f"unknown duplicate_mode {duplicate_mode!r}")
+    grp = ["ano_key", "feature", "value"]
+    w_rank = Window.partitionBy(*grp).orderBy("type_data", "timestamp")
+    df = melted.withColumn("r", F.row_number().over(w_rank) - F.lit(1))
+    if duplicate_mode == "sorted":
+        return df.withColumn("label", F.col("type_data"))
+
+    w_grp = Window.partitionBy(*grp)
+    df = (
+        df.withColumn("n1", F.sum("type_data").over(w_grp))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_grp))
+        .withColumn("n0", F.col("cnt") - F.col("n1"))
+    )
+    r, n0, n1, cnt = F.col("r"), F.col("n0"), F.col("n1"), F.col("cnt")
+    label = (
+        F.when(cnt == 1, F.col("type_data"))
+        .when(n1 == 0, F.lit(0))
+        .when(n0 == 0, F.lit(1))
+        .when(n0 == n1, F.when(r % 2 == 0, F.lit(1)).otherwise(F.lit(2)))
+        .when(n0 < n1, F.when((r % 2 == 1) & (r < 2 * n0), F.lit(0)).otherwise(F.lit(1)))
+        .otherwise(F.when((r % 2 == 0) & (r < 2 * n1), F.lit(1)).otherwise(F.lit(0)))
+    )
+    return df.withColumn("label", label).drop("cnt", "n0", "n1")
+
+
+def segmentation_entropy(labeled: DataFrame) -> DataFrame:
+    """(ano_key, feature) → (ano_key, feature, feature_order, seg_ent).
+
+    Run-length segmentation of the label sequence ordered by (value, r),
+    Σ (len/N)·ln(N/len) over all segments EXCEPT the last (quirk Q2 — the
+    reference only emits a segment's term when it sees the *next* boundary,
+    so the final segment never contributes,
+    reference exstream/entropy_based_single_reward_feature.py:181-200).
+    """
+    w_seq = Window.partitionBy("ano_key", "feature").orderBy("value", "r")
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = (
+        labeled.withColumn("prev_label", F.lag("label").over(w_seq))
+        .withColumn(
+            "boundary",
+            F.when(
+                F.col("prev_label").isNull()
+                | (F.col("prev_label") != F.col("label")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("seg_id", F.sum("boundary").over(w_run))
+    )
+    segs = df.groupBy("ano_key", "feature", "seg_id").agg(
+        F.count(F.lit(1)).alias("seg_len"),
+        F.first("feature_order").alias("feature_order"),
+    )
+    w_feat = Window.partitionBy("ano_key", "feature")
+    segs = segs.withColumn("n_total", F.sum("seg_len").over(w_feat)).withColumn(
+        "max_seg", F.max("seg_id").over(w_feat)
+    )
+    p = F.col("seg_len") / F.col("n_total")
+    term = F.when(F.col("seg_id") < F.col("max_seg"), p * F.log(1.0 / p)).otherwise(
+        F.lit(0.0)
+    )
+    return segs.groupBy("ano_key", "feature").agg(
+        F.sum(term).alias("seg_ent"),
+        F.first("feature_order").alias("feature_order"),
+    )
+
+
+def single_feature_rewards(
+    melted: DataFrame, duplicate_mode: str = "sorted"
+) -> DataFrame:
+    """C7 — reward(f) = class_ent / seg_ent per (ano_key, feature), ranked.
+
+    Class entropy (C4) is computed per (ano_key, feature) from the same long
+    table — identical for every feature of a key, but grouping on the same
+    keys as segmentation keeps the join co-partitioned (no extra shuffle).
+
+    rank is row_number over (reward desc, feature_order asc): the reference
+    sorts its dict descending with Python's stable sort, so ties keep the
+    feature column order
+    (reference exstream/entropy_based_single_reward_feature.py:239-241).
+    """
+    seg = segmentation_entropy(worst_case_labels(melted, duplicate_mode))
+    cls = melted.groupBy("ano_key", "feature").agg(
+        F.count(F.when(F.col("type_data") == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("type_data") == 1, 1)).alias("n_ano"),
+    )
+    n = F.col("n_ref") + F.col("n_ano")
+    p_r, p_a = F.col("n_ref") / n, F.col("n_ano") / n
+    cls = cls.withColumn(
+        "class_ent",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_ano") > 0),
+            p_a * F.log2(1.0 / p_a) + p_r * F.log2(1.0 / p_r),
+        ),
+    )
+    rewards = (
+        seg.join(cls, ["ano_key", "feature"])
+        .withColumn("reward", F.col("class_ent") / F.col("seg_ent"))
+        .select("ano_key", "feature", "feature_order", "reward")
+    )
+    w = Window.partitionBy("ano_key").orderBy(F.desc("reward"), F.asc("feature_order"))
+    return rewards.withColumn("rank", F.row_number().over(w))

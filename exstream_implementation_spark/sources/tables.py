@@ -1,0 +1,101 @@
+"""Sources & sinks.
+
+Covers SURVEY §2.1 rows 1-2 (CSV scan/sink — reference utils/get_data.py:20,77
+and script_1.py:275-328) plus the parquet testdata layout from TESTDATA.md.
+
+Scale notes: all readers declare explicit schemas (no inference job), and
+every downstream query filters/projects against the raw scan so Catalyst
+pushes predicates and prunes columns into the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from exstream_implementation_spark.schemas import LABELS_SCHEMA
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the files; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as epoch-nanos long
+    and we add ``ts_sec`` (epoch seconds) for human-scale windowing.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts_sec", (F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_trace_csv(spark: SparkSession, path: str, trace_id: str) -> DataFrame:
+    """CSV trace scan (reference utils/get_data.py:77-79): first column is the
+    integer timestamp index; all other columns double features."""
+    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    first = df.columns[0]
+    df = df.withColumnRenamed(first, "timestamp").withColumn(
+        "timestamp", F.col("timestamp").cast("long")
+    )
+    for c in df.columns:
+        if c != "timestamp":
+            df = df.withColumn(c, F.col(c).cast("double"))
+    return df.withColumn("trace_id", F.lit(trace_id))
+
+
+def read_labels_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Labels CSV (reference utils/get_data.py:20): unnamed first column is the
+    label row index, kept as the explicit ``label_row`` key (FIXTURES §2)."""
+    df = spark.read.option("header", True).csv(path)
+    first = df.columns[0]
+    df = df.withColumnRenamed(first, "label_row")
+    casts = {f.name: f.dataType.simpleString() for f in LABELS_SCHEMA.fields}
+    return df.select(
+        *[F.col(c).cast(casts[c]).alias(c) for c in casts if c in df.columns]
+    )
+
+
+def events_trace(spark: SparkSession, sf_dir: str, bucket_seconds: int = 3600) -> DataFrame:
+    """Derive an EXstream-style metric trace from the ``events`` table: one
+    row per time bucket, one double column per event_type (count & value sum).
+
+    This is the bridge between the driver's testdata and the reference's
+    trace data model (FIXTURES §1) — a groupBy/pivot that shuffles once on
+    the bucket key and scales linearly with event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    bucketed = ev.withColumn(
+        "timestamp", (F.col("ts_sec") / bucket_seconds).cast("long")
+    )
+    wide = (
+        bucketed.groupBy("timestamp")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    cols = [F.col("timestamp")]
+    for t in types:
+        cols.append(F.coalesce(F.col(f"{t}_n").cast("double"), F.lit(0.0)).alias(f"{t}_n"))
+        cols.append(F.coalesce(F.col(f"{t}_sum_value"), F.lit(0.0)).alias(f"{t}_value"))
+    return wide.select(*cols).withColumn("trace_id", F.lit("events"))
