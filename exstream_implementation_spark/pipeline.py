@@ -1,0 +1,235 @@
+"""Full EXstream pipeline — reference script_1.py:118-254 re-expressed as one
+lazy Spark plan.
+
+Stages (reference driver at script_1.py:118-184):
+  slice (C1) → correlation filter (C2) → per-anomaly FP filter (C3) →
+  entropy rewards (C4-C7) → leap filter (C8) → explanation assembly →
+  instability (C9).
+
+Spark-first wins over the reference's 6× eager recomputation
+(reference script_1.py:227-238):
+  * the sliced table is computed once and cached; the main run and the 5
+    instability samples are a UNION tagged ``run_id``, so rewards/leap for
+    all six runs execute as ONE shuffle keyed (run_id, ano_key, feature) —
+    not six sequential pipelines;
+  * sampling is Bernoulli p=0.8 with per-run seeds (the reference's pandas
+    ``sample(frac=0.8)`` draws exactly-80% without replacement and reruns
+    eagerly — statistically equivalent, and FIXTURES §4 notes instability is
+    only statistically comparable across engines anyway);
+  * (run, anomaly) groups that lose an entire class to sampling are dropped
+    (the reference would raise ValueError,
+    reference exstream/entropy_based_single_reward_feature.py:30-34).
+
+Explanation integer indices: the reference maps feature names to positions in
+the sliced frame's column order (reference script_1.py:110-115); features
+precede metadata there, so the index is exactly our ``feature_order``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from exstream_implementation_spark.operators.correlation import (
+    correlated_features_filter,
+)
+from exstream_implementation_spark.operators.fp_filter import false_positive_filter
+from exstream_implementation_spark.operators.leap import (
+    assemble_explanations,
+    reward_leap_filter,
+)
+from exstream_implementation_spark.operators.rewards import single_feature_rewards
+from exstream_implementation_spark.operators.slicing import (
+    melt_features,
+    slice_intervals,
+)
+from exstream_implementation_spark.schemas import feature_columns
+
+
+@dataclass
+class ExplainConfig:
+    cluster: bool = False
+    correlation_threshold: float = 0.6
+    false_positive_filtering: bool = False
+    max_distance: float = 40.0
+    instability_runs: int = 5
+    sample_fraction: float = 0.8
+    duplicate_mode: str = "sorted"  # reference-exact; "worst_case" = paper mode
+    seed: int = 42
+
+
+def _explanations_for(melted: DataFrame, cfg: ExplainConfig, keys=("ano_key",)) -> DataFrame:
+    rewards = single_feature_rewards_keyed(melted, cfg.duplicate_mode, keys)
+    kept = reward_leap_filter_keyed(rewards, keys)
+    return assemble_explanations_keyed(kept, keys)
+
+
+def single_feature_rewards_keyed(melted, duplicate_mode, keys):
+    """rewards partitioned by extra keys (run_id) — wraps operators.rewards
+    by folding the extra key into ano_key, then splitting back."""
+    sep = "\x1f"  # unit separator: cannot occur in ano_key
+    extra = [k for k in keys if k != "ano_key"]
+    if not extra:
+        return single_feature_rewards(melted, duplicate_mode)
+    packed = melted.withColumn(
+        "ano_key", F.concat_ws(sep, *[F.col(k).cast("string") for k in extra], "ano_key")
+    )
+    out = single_feature_rewards(packed, duplicate_mode)
+    parts = F.split(F.col("ano_key"), sep, len(extra) + 1)
+    for i, k in enumerate(extra):
+        out = out.withColumn(k, parts.getItem(i).cast("int"))
+    return out.withColumn("ano_key", parts.getItem(len(extra)))
+
+
+def reward_leap_filter_keyed(rewards, keys):
+    sep = "\x1f"  # unit separator: cannot occur in ano_key
+    extra = [k for k in keys if k != "ano_key"]
+    if not extra:
+        return reward_leap_filter(rewards)
+    packed = rewards.withColumn(
+        "ano_key", F.concat_ws(sep, *[F.col(k).cast("string") for k in extra], "ano_key")
+    )
+    out = reward_leap_filter(packed)
+    parts = F.split(F.col("ano_key"), sep, len(extra) + 1)
+    for i, k in enumerate(extra):
+        out = out.withColumn(k, parts.getItem(i).cast("int"))
+    return out.withColumn("ano_key", parts.getItem(len(extra)))
+
+
+def assemble_explanations_keyed(kept, keys):
+    sep = "\x1f"  # unit separator: cannot occur in ano_key
+    extra = [k for k in keys if k != "ano_key"]
+    if not extra:
+        return assemble_explanations(kept)
+    packed = kept.withColumn(
+        "ano_key", F.concat_ws(sep, *[F.col(k).cast("string") for k in extra], "ano_key")
+    )
+    out = assemble_explanations(packed)
+    parts = F.split(F.col("ano_key"), sep, len(extra) + 1)
+    for i, k in enumerate(extra):
+        out = out.withColumn(k, parts.getItem(i).cast("int"))
+    return out.withColumn("ano_key", parts.getItem(len(extra)))
+
+
+def explain_anomalies(
+    traces: DataFrame, labels: DataFrame, cfg: ExplainConfig | None = None
+) -> DataFrame:
+    """→ (trace_id, ano_id, ano_key, explanation array<int>, exp_size,
+    exp_instability) — the reference's result schema (FIXTURES §4) plus the
+    engine's explicit ano_key."""
+    cfg = cfg or ExplainConfig()
+    features = feature_columns([c for c in traces.columns if c != "timestamp"])
+
+    sliced = slice_intervals(traces, labels).cache()
+
+    # run 0 = main; runs 1..k = instability samples (reference script_1.py:227-238)
+    runs = [sliced.withColumn("run_id", F.lit(0))]
+    for i in range(1, cfg.instability_runs + 1):
+        runs.append(
+            sliced.sample(fraction=cfg.sample_fraction, seed=cfg.seed + i)
+            .withColumn("run_id", F.lit(i))
+        )
+    all_runs = runs[0]
+    for r in runs[1:]:
+        all_runs = all_runs.unionByName(r)
+
+    # C2 per run (the reference re-clusters on each sample): driver loop over
+    # tiny d×d matrices; skipped entirely when cluster=False.
+    if cfg.cluster:
+        per_run_feats = {}
+        for i in range(cfg.instability_runs + 1):
+            src = sliced if i == 0 else runs[i]
+            per_run_feats[i] = correlated_features_filter(
+                src, features, cfg.correlation_threshold, cluster=True
+            )
+        surv_rows = [
+            (i, f) for i, feats in per_run_feats.items() for f in feats
+        ]
+        surv = F.broadcast(
+            sliced.sparkSession.createDataFrame(
+                surv_rows, "run_id int, feature string"
+            )
+        )
+    else:
+        surv = None
+
+    melted = melt_features_with_run(all_runs, features)
+    if surv is not None:
+        melted = melted.join(surv, ["run_id", "feature"], "inner")
+
+    # C3 per run
+    if cfg.false_positive_filtering:
+        sep = "\x1f"  # unit separator: cannot occur in ano_key
+        packed = melted.withColumn(
+            "ano_key", F.concat_ws(sep, F.col("run_id").cast("string"), "ano_key")
+        )
+        fp = false_positive_filter(packed, cfg.max_distance)
+        fp_kept = fp.filter(F.col("kept")).select("ano_key", "feature")
+        melted = (
+            packed.join(fp_kept, ["ano_key", "feature"], "inner")
+            .withColumn("_parts", F.split(F.col("ano_key"), sep, 2))
+            .withColumn("run_id", F.col("_parts").getItem(0).cast("int"))
+            .withColumn("ano_key", F.col("_parts").getItem(1))
+            .drop("_parts")
+        )
+
+    # drop (run, key) groups that lost a class to sampling
+    w_rk = Window.partitionBy("run_id", "ano_key")
+    melted = (
+        melted.withColumn("_n_ano", F.max("type_data").over(w_rk))
+        .withColumn("_n_ref", F.min("type_data").over(w_rk))
+        .filter((F.col("_n_ano") == 1) & (F.col("_n_ref") == 0))
+        .drop("_n_ano", "_n_ref")
+    )
+
+    expl = _explanations_for(melted, cfg, keys=("run_id", "ano_key")).cache()
+
+    main = expl.filter(F.col("run_id") == 0).select(
+        "ano_key",
+        F.col("feature_orders").alias("explanation"),
+        F.size("feature_orders").alias("exp_size"),
+    )
+
+    # C9 — entropy of feature frequency across the sample runs
+    # (reference script_1.py:187-205, log base 2)
+    inst = (
+        expl.filter(F.col("run_id") > 0)
+        .select("run_id", "ano_key", F.explode("features").alias("feature"))
+        .groupBy("ano_key", "feature")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_key = Window.partitionBy("ano_key")
+    inst = (
+        inst.withColumn("total", F.sum("c").over(w_key))
+        .withColumn("p", F.col("c") / F.col("total"))
+        .groupBy("ano_key")
+        .agg(F.sum(-F.col("p") * F.log2("p")).alias("exp_instability"))
+    )
+
+    lbl = labels.select(
+        "trace_id",
+        "ano_id",
+        F.concat_ws("_", "ano_type", "trace_id", "label_row").alias("ano_key"),
+    )
+    return (
+        main.join(inst, "ano_key", "left")
+        .join(F.broadcast(lbl), "ano_key", "inner")
+        .select(
+            "trace_id", "ano_id", "ano_key", "explanation", "exp_size",
+            "exp_instability",
+        )
+    )
+
+
+def melt_features_with_run(all_runs: DataFrame, features: list[str]) -> DataFrame:
+    """melt_features variant that carries run_id through the stack()."""
+    pairs = []
+    for i, f in enumerate(features):
+        pairs.extend([f"'{f}'", str(i), f"`{f}`"])
+    stack_expr = (
+        f"stack({len(features)}, {', '.join(pairs)}) as (feature, feature_order, value)"
+    )
+    return all_runs.select(
+        "run_id", "ano_key", "type_data", "timestamp", F.expr(stack_expr)
+    )

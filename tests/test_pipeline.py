@@ -1,0 +1,104 @@
+"""End-to-end pipeline test on a synthetic fixture (FIXTURES.md §1-§4 shape):
+gaussian baseline, two injected anomalous features, one linear-ramp false
+positive, one near-duplicate pair for clustering. The run-0 explanation is
+cross-checked feature-by-feature against the pure-Python oracle.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.pipeline import ExplainConfig, explain_anomalies
+from tests import oracle_pandas as oracle
+
+FEATURES = ["f_cpu", "f_heap", "f_sched", "f_net", "f_records", "f_uptime", "f_dup"]
+
+
+def build_fixture(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    for trace_id in ("1_1", "1_2"):
+        n = 300
+        base = {
+            "f_cpu": rng.normal(50, 2, n),
+            "f_heap": rng.normal(800, 30, n),
+            "f_sched": rng.normal(10, 1, n),
+            "f_net": rng.normal(5, 0.5, n),
+            "f_records": rng.normal(1000, 40, n),
+            "f_uptime": np.arange(n, dtype=float),
+        }
+        base["f_dup"] = base["f_sched"] + rng.normal(0, 0.01, n)
+        # anomaly: [100, 150] — big shifts in f_sched and f_records
+        base["f_sched"][100:151] += 40.0
+        base["f_records"][100:151] += 2000.0
+        for t in range(n):
+            rows.append(
+                (trace_id, t, *[float(base[f][t]) for f in FEATURES])
+            )
+    traces = spark.createDataFrame(
+        rows,
+        "trace_id string, timestamp long, " + ", ".join(f"{f} double" for f in FEATURES),
+    )
+    labels = spark.createDataFrame(
+        [
+            (0, "1_1", 1, "bursty input", 0, 100, 100, 150),
+            (1, "1_2", 1, "bursty input", 0, 100, 100, 150),
+        ],
+        "label_row int, trace_id string, ano_id int, ano_type string, "
+        "ref_start long, ref_end long, ano_start long, ano_end long",
+    )
+    return traces, labels, rows
+
+
+def oracle_explanation(rows, trace_id):
+    """Pure-python rerun: slice ref [0,100) / ano [100,150], reward per
+    feature, leap filter — returns feature_order list."""
+    t_rows = [r for r in rows if r[0] == trace_id]
+    sliced = [(r[1], r[2:]) for r in t_rows if r[1] < 100 or 100 <= r[1] <= 150]
+    rewards = []
+    for i, f in enumerate(FEATURES):
+        values, labels_ = [], []
+        for ts, vals in sliced:
+            values.append(vals[i])
+            labels_.append(0 if ts < 100 else 1)
+        rewards.append((f, i, oracle.reward(values, labels_, "sorted")))
+    ordered = sorted(rewards, key=lambda t: -t[2])
+    kept = oracle.leap_filter([(f, r) for f, _, r in ordered])
+    by_name = {f: i for f, i, _ in rewards}
+    return [by_name[f] for f in kept]
+
+
+def test_explain_anomalies_matches_oracle(spark):
+    traces, labels, rows = build_fixture(spark)
+    cfg = ExplainConfig(instability_runs=2)
+    out = explain_anomalies(traces, labels, cfg).orderBy("trace_id").collect()
+    assert len(out) == 2
+    for row in out:
+        want = oracle_explanation(rows, row["trace_id"])
+        assert list(row["explanation"]) == want, row["trace_id"]
+        assert row["exp_size"] == len(want)
+        # injected features must be explanatory
+        assert 2 in row["explanation"] and 4 in row["explanation"]
+        assert row["exp_instability"] is not None
+
+
+def test_explain_anomalies_cluster_collapses_duplicate(spark):
+    traces, labels, _ = build_fixture(spark)
+    cfg = ExplainConfig(cluster=True, instability_runs=0)
+    out = explain_anomalies(traces, labels, cfg).collect()
+    for row in out:
+        # f_dup (index 6) is |corr|>0.6 with f_sched (index 2): the cluster
+        # representative is the lower column index, so 6 never appears
+        assert 6 not in row["explanation"]
+        assert 2 in row["explanation"]
+
+
+def test_explain_anomalies_fp_filter_runs(spark):
+    traces, labels, _ = build_fixture(spark)
+    cfg = ExplainConfig(false_positive_filtering=True, instability_runs=0)
+    out = explain_anomalies(traces, labels, cfg).collect()
+    assert len(out) == 2
+    for row in out:
+        assert row["exp_size"] >= 1
