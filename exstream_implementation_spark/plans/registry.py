@@ -1,0 +1,29 @@
+"""Query registry — the t2 correctness surface.
+
+Every entry registers a Spark query fn(spark, sf_dir) -> DataFrame and
+(usually) a DuckDB-runnable ANSI-SQL oracle string over the same parquet
+tables. Column names/aliases are kept IDENTICAL between the two sides — the
+driver sorts columns by name and hash-compares values (BASELINE.json gate).
+
+Floating-point outputs are rounded at the query boundary on BOTH sides so
+that summation-order differences between engines can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,643 @@
+"""SURVEY §2.1 relational operator catalog over the TPC-H-ish testdata.
+
+Each query is the declared Spark mapping of one (or more) §2.1 rows, with a
+DuckDB oracle. Citations point at the reference behavior each row abstracts.
+
+Scale notes common to all: filters/projections sit directly on the parquet
+scan (Catalyst pushes them down — verified via .explain in tests), small
+dimension tables are broadcast, aggregations are partial (map-side combine)
+by construction, and no query collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.plans.registry import query
+from exstream_implementation_spark.sources import load_table
+
+
+# --- §2.1 #1 CSV/parquet scan + #6 projection (reference utils/get_data.py:77,
+#     script_1.py:54-55) -------------------------------------------------------
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45.0
+    """,
+)
+def scan_project(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+# --- §2.1 #3 range-predicate filter (reference utils/get_data.py:85-96; the
+#     asymmetric [start, end) slice) ------------------------------------------
+@query(
+    "filter_range",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) >= 1704499200
+      AND CAST(floor(epoch(ts)) AS BIGINT) <  1705104000
+    """,
+)
+def filter_range(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts_sec") >= 1704499200) & (F.col("ts_sec") < 1705104000)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# --- §2.1 #4 equality filter (reference utils/get_data.py:81) ----------------
+@query(
+    "filter_eq",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def filter_eq(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- §2.1 #5 string-prefix filter (reference utils/get_data.py:44-48) --------
+@query(
+    "filter_prefix",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand FROM part WHERE p_name LIKE 'b%'
+    """,
+)
+def filter_prefix(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("b"))
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+# --- §2.1 #7 drop columns (reference script_1.py:167,250-252) ----------------
+@query(
+    "drop_columns",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    """,
+)
+def drop_columns(spark, sf_dir):
+    return load_table(spark, sf_dir, "supplier").drop("s_acctbal")
+
+
+# --- §2.1 #8 literal/derived columns + key concat
+#     (reference utils/get_data.py:78-79, plot_metrics.ipynb cell 1) ----------
+@query(
+    "derived_columns",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment || '_' || CAST(c_custkey AS VARCHAR) AS seg_key,
+           'batch42' AS source_tag,
+           round(c_acctbal * 2.0, 2) AS boosted_bal
+    FROM customer
+    """,
+)
+def derived_columns(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat_ws("_", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.lit("batch42").alias("source_tag"),
+        F.round(F.col("c_acctbal") * 2.0, 2).alias("boosted_bal"),
+    )
+
+
+# --- §2.1 #9 union all (reference script_1.py:43, utils/get_data.py:103-104) -
+@query(
+    "union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 0 AS type_data FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 1 AS type_data FROM orders
+    WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def union_all(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice", F.lit(0).alias("type_data")
+    )
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("type_data")
+    )
+    return a.unionByName(b)
+
+
+# --- §2.1 #10 inner equi-join, broadcast dims (reference utils/get_data.py:81,
+#     script_1.py:164-166) ----------------------------------------------------
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS nation, r.r_name AS region, c.c_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_acctbal > 5000.0
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "c_acctbal",
+        )
+    )
+
+
+# --- §2.1 #11 positional (row-number) join (reference script_1.py:164-166 —
+#     pd.merge on integer index; here made explicit and deterministic) --------
+@query(
+    "positional_join",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_acctbal,
+                      row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+               FROM customer),
+         s AS (SELECT s_suppkey, s_acctbal,
+                      row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn
+               FROM supplier)
+    SELECT c.rn AS rn, c.c_custkey, s.s_suppkey,
+           round(c.c_acctbal - s.s_acctbal, 2) AS bal_gap
+    FROM c JOIN s ON c.rn = s.rn
+    """,
+)
+def positional_join(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        ),
+    )
+    s = load_table(spark, sf_dir, "supplier").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        ),
+    )
+    return c.join(s, "rn").select(
+        "rn",
+        "c_custkey",
+        "s_suppkey",
+        F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias("bal_gap"),
+    )
+
+
+# --- §2.1 #12 group-by count (reference
+#     exstream/entropy_based_single_reward_feature.py:60) ---------------------
+@query(
+    "groupby_count",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_count(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# --- §2.1 #13 distinct + counts (reference
+#     exstream/entropy_based_single_reward_feature.py:63-70) ------------------
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def distinct_counts(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --- §2.1 #14 distinct keys (reference script_1.py:59) -----------------------
+@query(
+    "distinct_keys",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_keys(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).distinct()
+
+
+# --- §2.1 #15 multi-key sort + #16 rank (reference
+#     entropy_based_single_reward_feature.py:224,239-241) — rank materialized
+#     so the order survives the driver's order-insensitive hash --------------
+@query(
+    "sort_rank_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+      FROM orders
+    ) WHERE price_rank <= 100
+    """,
+)
+def sort_rank_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn(
+            "price_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            ),
+        )
+        .filter(F.col("price_rank") <= 100)
+        .select("o_orderkey", "o_totalprice", "price_rank")
+    )
+
+
+# --- §2.1 #17 lag analytic (reference
+#     entropy_based_single_reward_feature.py:266-271) -------------------------
+@query(
+    "lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY event_id), 2) AS delta
+    FROM events WHERE user_id < 10
+    """,
+)
+def lag_delta(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        )
+    )
+
+
+# --- §2.1 #18 max aggregation (reference
+#     entropy_based_single_reward_feature.py:273) -----------------------------
+@query(
+    "max_agg",
+    oracle="""
+    SELECT user_id, round(max(value), 2) AS max_value,
+           round(min(value), 2) AS min_value
+    FROM events GROUP BY user_id
+    """,
+)
+def max_agg(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+        )
+    )
+
+
+# --- §2.1 #19 top-k-until-leap: the reward-leap cut (C8) expressed over
+#     supplier revenue (reference entropy_based_single_reward_feature.py:293-310)
+@query(
+    "topk_until_leap",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+      FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+      SELECT l_suppkey, rev,
+             row_number() OVER (ORDER BY rev DESC, l_suppkey) AS rnk,
+             lag(rev) OVER (ORDER BY rev DESC, l_suppkey) AS prev_rev
+      FROM revenue
+    ), leaps AS (
+      SELECT *, prev_rev - rev AS leap FROM ranked
+    ), cut AS (
+      SELECT min(rnk) AS cut_rank FROM leaps
+      WHERE leap = (SELECT max(leap) FROM leaps) AND prev_rev <> 0
+    )
+    SELECT l_suppkey, rev, rnk FROM leaps
+    WHERE rnk < (SELECT coalesce(cut_rank, 2147483647) FROM cut)
+    """,
+)
+def topk_until_leap(spark, sf_dir):
+    from pyspark.sql import Window
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
+    w_all = Window.partitionBy()
+    ranked = (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .withColumn("prev_rev", F.lag("rev").over(w))
+        .withColumn("leap", F.col("prev_rev") - F.col("rev"))
+    )
+    ranked = ranked.withColumn("max_leap", F.max("leap").over(w_all)).withColumn(
+        "cut_rank",
+        F.min(
+            F.when(
+                (F.col("leap") == F.col("max_leap")) & (F.col("prev_rev") != 0),
+                F.col("rnk"),
+            )
+        ).over(w_all),
+    )
+    return ranked.filter(
+        F.col("cut_rank").isNull() | (F.col("rnk") < F.col("cut_rank"))
+    ).select("l_suppkey", "rev", "rnk")
+
+
+# --- §2.1 #20 argmin / min-by (reference exstream/false_positive_filtering.py:46)
+@query(
+    "argmin_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey AS poorest_cust, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def argmin_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            F.col("c_custkey").alias("poorest_cust"),
+            "c_acctbal",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_nationkey").orderBy(
+                    "c_acctbal", "poorest_cust"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+
+
+# --- §2.1 #21 conditional counts (reference
+#     entropy_based_single_reward_feature.py:220, script_1.py:198-201) --------
+@query(
+    "conditional_counts",
+    oracle="""
+    SELECT o_custkey,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           count(*) AS n_total
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def conditional_counts(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+# --- §2.1 #22 mean aggregation (reference explore_data.ipynb cell 13) --------
+@query(
+    "mean_agg",
+    oracle="""
+    SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def mean_agg(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- §2.1 #23 row sampling (reference script_1.py:228-229) — deterministic
+#     modular variant so both engines agree exactly; true Bernoulli sampling
+#     lives in pipeline.explain_anomalies -------------------------------------
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE (l_orderkey * 7 + l_linenumber) % 10 < 8
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 10 < 8)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+# --- §2.1 #24 Pearson correlation (reference exstream/correlation_filtering.py:41)
+@query(
+    "corr_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_agg(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+        )
+    )
+
+
+# --- §2.1 #25 scalar math (log2/log/abs/ratio — reference
+#     entropy_based_single_reward_feature.py:35-37,187, script_1.py:201-202) --
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT p_partkey,
+           round(log2(p_retailprice), 6) AS log2_price,
+           round(ln(p_retailprice), 6) AS ln_price,
+           round(abs(p_retailprice - 1500.0), 2) AS abs_dev,
+           round(p_size / (p_retailprice + 1.0), 6) AS size_price_ratio
+    FROM part WHERE p_retailprice > 0
+    """,
+)
+def scalar_math(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    return p.select(
+        "p_partkey",
+        F.round(F.log2("p_retailprice"), 6).alias("log2_price"),
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.round(F.abs(F.col("p_retailprice") - 1500.0), 2).alias("abs_dev"),
+        F.round(F.col("p_size") / (F.col("p_retailprice") + 1.0), 6).alias(
+            "size_price_ratio"
+        ),
+    )
+
+
+# --- §2.1 #26 array length + #29 string split (reference script_1.py:171,
+#     testing.ipynb cells 6,26) -----------------------------------------------
+@query(
+    "array_size_split",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def array_size_split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+        "n_chars",
+    )
+
+
+# --- §2.1 #29 string cleanup (regexp_replace; reference testing.ipynb cell 6)
+@query(
+    "string_cleanup",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(regexp_replace(props, '[{}"]', '', 'g'), '\\s', '', 'g')
+             AS props_clean
+    FROM events WHERE event_id < 1000
+    """,
+)
+def string_cleanup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace("props", '[{}"]', ""), r"\s", ""
+        ).alias("props_clean"),
+    )
+
+
+# --- §2.1 #30 pivot-wide assembly (reference script_1.py:240-248) ------------
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_n
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_wide(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(F.count(F.lit(1)))
+    )
+    for t in ["click", "view", "purchase", "error", "signup"]:
+        out = out.withColumn(f"{t}_n", F.coalesce(F.col(t), F.lit(0))).drop(t)
+    return out
+
+
+# --- §2.1 #27 collect/array assembly (reference script_1.py:240-248 run
+#     accumulation; order pinned by sorting so the hash is stable) ------------
+@query(
+    "collect_sorted_set",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS types_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def collect_sorted_set(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("types_seen")
+        )
+    )
+
+
+# --- §2.1 #28 column-name → index lookup (reference script_1.py:110-115) —
+#     the engine's feature_order mapping, expressed as a queryable relation --
+@query(
+    "column_index_map",
+    oracle="""
+    WITH cols(feature, feature_order) AS (VALUES
+      ('l_orderkey', 0), ('l_partkey', 1), ('l_suppkey', 2), ('l_linenumber', 3),
+      ('l_quantity', 4), ('l_extendedprice', 5), ('l_discount', 6), ('l_tax', 7),
+      ('l_returnflag', 8), ('l_linestatus', 9), ('l_shipdate', 10))
+    SELECT feature, feature_order FROM cols WHERE feature LIKE 'l_l%'
+    """,
+)
+def column_index_map(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = [(c, i) for i, c in enumerate(li.columns)]
+    df = spark.createDataFrame(rows, "feature string, feature_order int")
+    return df.filter(F.col("feature").startswith("l_l"))

@@ -1,0 +1,124 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark at sf0.01 and its oracle SQL on DuckDB
+over the same parquet, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted, floats
+rounded to 9 significant-ish decimals before hashing).
+
+Usage:  PYTHONPATH=/root/repo python tools/check_correctness.py [names...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    from exstream_implementation_spark.plans import ORACLES, QUERIES
+    from exstream_implementation_spark.session import get_spark
+
+    names = sys.argv[1:] or list(QUERIES)
+    spark = get_spark(app_name="check-correctness", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in ORACLES:
+            print(f"WEAK {name}: rows={len(srows)} (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ok_hash = (
+            table_hash(scols, srows) == table_hash(dcols, drows)
+            if ok_cols and ok_count
+            else False
+        )
+        if ok_cols and ok_count and ok_hash:
+            print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(
+                f"FAIL {name}: cols {sorted(scols)} vs {sorted(dcols)} | "
+                f"rows {len(srows)} vs {len(drows)} | hash_ok={ok_hash}"
+            )
+            if ok_cols and ok_count:
+                # show first differing row pair for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ls = sorted("\x1f".join(norm_cell(r[i]) for i in order_s) for r in srows)
+                ld = sorted("\x1f".join(norm_cell(r[i]) for i in order_d) for r in drows)
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        print(f"  spark: {a[:200]}\n  duck : {b[:200]}")
+                        break
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
