@@ -1,38 +1,79 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship: the full EXstream explanation pipeline (slice →
+               correlation filter → entropy rewards → leap filter →
+               instability) over a metric trace derived from the events
+               table.
+``queries``  — one entry per implemented operator from SURVEY.md §2 plus the
+               training-data-pipeline extensions (dedup / similarity / text /
+               multimodal), each returning a DataFrame.
+``oracle_sql`` — matching DuckDB SQL for every oracle-checkable query
+               (column names aligned; floats rounded on both sides).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _flagship(spark: SparkSession, sf_dir: str, instability_runs: int = 5) -> DataFrame:
+    from exstream_implementation_spark.pipeline import (
+        ExplainConfig,
+        explain_anomalies,
+    )
+    from exstream_implementation_spark.session import tune_session
+    from exstream_implementation_spark.sources import events_trace
+
+    tune_session(spark)
+    trace = events_trace(spark, sf_dir, bucket_seconds=3600)
+    tmin, tmax = trace.agg(F.min("timestamp"), F.max("timestamp")).first()
+    span = max(tmax - tmin, 4)
+    labels = spark.createDataFrame(
+        [
+            (0, "events", 1, "bursty input",
+             tmin, tmin + span // 2, tmin + span // 2, tmin + (span * 3) // 4),
+            (1, "events", 2, "stalled input",
+             tmin, tmin + span // 3, tmax - span // 4, tmax),
+        ],
+        "label_row int, trace_id string, ano_id int, ano_type string, "
+        "ref_start long, ref_end long, ano_start long, ano_end long",
+    )
+    cfg = ExplainConfig(instability_runs=instability_runs)
+    out = explain_anomalies(trace, labels, cfg)
+    return out.select(
+        "trace_id", "ano_id", "ano_key", "explanation", "exp_size",
+        F.round("exp_instability", 6).alias("exp_instability"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from exstream_implementation_spark.plans import QUERIES
+    from exstream_implementation_spark.session import tune_session
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    out = {name: wrap(fn) for name, fn in QUERIES.items()}
+    # full pipeline (instability uses seeded Bernoulli sampling — not
+    # SQL-reproducible, so this entry is rows-only checked by design)
+    out["exstream_explain"] = lambda spark, sf_dir: _flagship(spark, sf_dir)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from exstream_implementation_spark.plans import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,78 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full materialization, no
+driver collect). The flagship is the complete EXstream pipeline; the rest
+cover the operator families a 100 TB deployment leans on: scan+agg, windows,
+broadcast join, leap cut, minhash/ngram dedup, ANN, text scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from exstream_implementation_spark.session import get_spark
+    from exstream_implementation_spark.plans import QUERIES
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="exstream-spark-bench")
+
+    bench_queries = [
+        "exstream_rewards",
+        "exstream_leap_cut",
+        "groupby_count",
+        "topk_until_leap",
+        "join_broadcast_dims",
+        "pivot_wide",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "ann_topk_cosine",
+        "text_fingerprint",
+        "text_quality",
+    ]
+
+    timings: dict[str, float] = {}
+
+    def run(name, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: full pipeline
+    t0 = time.time()
+    entrymod._flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings["exstream_explain"] = round(time.time() - t0, 3)
+
+    for name in bench_queries:
+        run(name, QUERIES[name](spark, sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,352 @@
-"""(populated later this round)"""
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Reference-free extensions (BASELINE.json north star): the reference engine
+has no text pipeline, but a 100 TB training-data deployment of this engine
+needs dedup as a first-class operator family.
+
+Cross-engine determinism: every hash is derived from md5 hex (both engines),
+converted to int64 via the leading hex digits — Spark ``conv(substr(md5(x),
+1,k),16,10)`` ≡ DuckDB ``('0x'||substr(md5(x),1,k))::BIGINT`` (verified).
+
+Scale design:
+  * exact dedup — one hash-partitioned groupBy; at 100 TB the shuffle key is
+    the content hash, so data skew only occurs on true duplicates (bounded).
+  * n-gram Jaccard — candidate generation by shared shingle (equi-join on
+    the shingle hash, never a cartesian); frequency-capped shingles would be
+    the next lever at extreme scale.
+  * MinHash+LSH — signatures fold map-side (8 mins per doc in one agg);
+    candidates via equi-join on (band_id, band_hash).
+  * SimHash — 32 conditional sums in a single groupBy; pairing is blocked
+    per ``source`` so the join is keyed, not cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.plans.registry import query
+from exstream_implementation_spark.sources import load_table
+
+N_MINHASH = 8
+HEX15 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def _doc_tokens(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+    )
+
+
+def _doc_grams(spark, sf_dir):
+    """Distinct word-3-gram shingles per doc (0-based Spark array indexing)."""
+    return _doc_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("grams"),
+    )
+
+
+_GRAMS_SQL = """
+  t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+  g AS (SELECT doc_id,
+               list_distinct(list_filter(
+                 list_transform(list_zip(toks, toks[2:], toks[3:]),
+                                x -> x[1] || ' ' || x[2] || ' ' || x[3]),
+                 x -> x IS NOT NULL)) AS grams
+        FROM t)
+"""
+
+
+# --- exact dedup (hash-groupBy) ---------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    grp AS (SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM h GROUP BY content_hash)
+    SELECT h.doc_id, h.content_hash, grp.keep_id,
+           (h.doc_id <> grp.keep_id) AS is_duplicate
+    FROM h JOIN grp USING (content_hash)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    h = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    grp = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return h.join(grp, "content_hash").select(
+        "doc_id",
+        "content_hash",
+        "keep_id",
+        (F.col("doc_id") != F.col("keep_id")).alias("is_duplicate"),
+    )
+
+
+# --- exact dedup after normalization ----------------------------------------
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                        AS content_hash
+               FROM documents)
+    SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM h GROUP BY content_hash
+    """,
+)
+def dedup_exact_normalized(spark, sf_dir):
+    h = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("content_hash"),
+    )
+    return h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# --- n-gram Jaccard near-dup (shared-shingle candidate join) -----------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sized AS (SELECT doc_id, len(grams) AS n_grams FROM g)
+    SELECT p.doc_a, p.doc_b,
+           round(p.n_inter::DOUBLE
+                 / (sa.n_grams + sb.n_grams - p.n_inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sized sa ON sa.doc_id = p.doc_a
+    JOIN sized sb ON sb.doc_id = p.doc_b
+    WHERE p.n_inter::DOUBLE / (sa.n_grams + sb.n_grams - p.n_inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    g = _doc_grams(spark, sf_dir)
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sized = g.select("doc_id", F.size("grams").alias("n_grams"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_inter")
+    )
+    return (
+        pairs.join(sized.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sized.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH banding ---------------------------------------------------
+_MIN_COLS_DUCK = ",\n".join(
+    f"           min(('0x' || substr(md5('{i}:' || gram), 1, 15))::BIGINT) AS h{i}"
+    for i in range(N_MINHASH)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    sig AS (
+      SELECT doc_id,
+{_MIN_COLS_DUCK}
+      FROM e GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id,
+             md5(h0::VARCHAR || '_' || h1::VARCHAR || '_' || h2::VARCHAR || '_' || h3::VARCHAR) AS band_hash
+      FROM sig
+      UNION ALL
+      SELECT doc_id, 1,
+             md5(h4::VARCHAR || '_' || h5::VARCHAR || '_' || h6::VARCHAR || '_' || h7::VARCHAR)
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END
+                + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+                + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+                + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+                + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END
+                + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+                + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END
+                + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) / 8.0, 4)
+             AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    g = _doc_grams(spark, sf_dir)
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"min(cast(conv(substr(md5(concat('{i}:', gram)), 1, 15), 16, 10) as bigint))"
+            ).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    b0 = sig.select(
+        "doc_id",
+        F.lit(0).alias("band_id"),
+        F.md5(F.concat_ws("_", "h0", "h1", "h2", "h3")).alias("band_hash"),
+    )
+    b1 = sig.select(
+        "doc_id",
+        F.lit(1).alias("band_id"),
+        F.md5(F.concat_ws("_", "h4", "h5", "h6", "h7")).alias("band_hash"),
+    )
+    bands = b0.unionByName(b1)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    return (
+        cand.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+# --- SimHash (32-bit, distinct-token weights) --------------------------------
+_SIMHASH_BITS = 32
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+               FROM documents),
+    u AS (SELECT doc_id, ('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT AS h
+          FROM t),
+    bits AS (
+      SELECT doc_id, i.range AS j,
+             sum(CASE WHEN (h >> i.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM u, range({_SIMHASH_BITS}) i
+      GROUP BY doc_id, i.range
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    t = _doc_tokens(spark, sf_dir).select(
+        "doc_id", F.array_distinct("toks").alias("toks")
+    )
+    u = t.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bits = u.groupBy("doc_id").agg(*aggs)
+    simhash = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(_SIMHASH_BITS)
+    )
+    return bits.select("doc_id", simhash.alias("simhash"))
+
+
+# --- SimHash near-dup pairs (source-blocked, Hamming ≤ 8) --------------------
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+               FROM documents),
+    u AS (SELECT doc_id, ('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT AS h
+          FROM t),
+    bits AS (
+      SELECT doc_id, i.range AS j,
+             sum(CASE WHEN (h >> i.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM u, range({_SIMHASH_BITS}) i
+      GROUP BY doc_id, i.range
+    ),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    shs AS (SELECT sh.doc_id, t.source, sh.simhash FROM sh JOIN t USING (doc_id))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM shs a JOIN shs b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    sh = dedup_simhash(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    shs = sh.join(src, "doc_id")
+    a, b = shs.alias("a"), shs.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )

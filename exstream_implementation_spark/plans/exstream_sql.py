@@ -1,1 +1,287 @@
-"""(populated later this round)"""
+"""EXstream core operators (C1, C4, C6, C7, C8) as oracle-checked queries.
+
+These run the engine's REAL operator implementations
+(operators.slicing / operators.rewards / operators.leap) over the events
+table, and pit them against independent DuckDB SQL formulations of the same
+math — class entropy (reference exstream/entropy_based_single_reward_feature.py:10-39),
+segmentation entropy with the dropped-final-segment quirk (:157-200),
+reward ranking (:203-243) and the leap cut (:278-310). A hash match here
+means the distributed window-SQL reformulation reproduces the reference
+semantics exactly on real data, verified by a second engine.
+
+The "anomaly" labeling is synthetic but deterministic: the event time range
+is split so the middle half is the reference interval and the next quarter
+the anomaly interval, per event_type-derived features on an hourly trace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from exstream_implementation_spark.operators.leap import reward_leap_filter
+from exstream_implementation_spark.operators.rewards import (
+    single_feature_rewards,
+    segmentation_entropy,
+    worst_case_labels,
+)
+from exstream_implementation_spark.plans.registry import query
+from exstream_implementation_spark.sources import load_table
+
+EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+# Shared SQL scaffold: hourly per-type event-count trace + interval labels
+# derived from the data's own time range (works at any scale factor).
+_TRACE_SQL = """
+  bounds AS (
+    SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS tmin,
+           max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS tmax
+    FROM events
+  ),
+  iv AS (
+    SELECT tmin AS ref_start,
+           tmin + (tmax - tmin) // 2 AS ref_end,
+           tmin + (tmax - tmin) // 2 AS ano_start,
+           tmin + ((tmax - tmin) * 3) // 4 AS ano_end
+    FROM bounds
+  ),
+  trace AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+           count(CASE WHEN event_type = 'click' THEN 1 END)::DOUBLE AS click_n,
+           count(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE AS view_n,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END)::DOUBLE AS purchase_n,
+           count(CASE WHEN event_type = 'error' THEN 1 END)::DOUBLE AS error_n,
+           count(CASE WHEN event_type = 'signup' THEN 1 END)::DOUBLE AS signup_n
+    FROM events GROUP BY 1
+  ),
+  sliced AS (
+    SELECT t.*, 0 AS type_data FROM trace t, iv
+    WHERE t.bucket >= iv.ref_start AND t.bucket < iv.ref_end
+    UNION ALL
+    SELECT t.*, 1 AS type_data FROM trace t, iv
+    WHERE t.bucket >= iv.ano_start AND t.bucket <= iv.ano_end
+  ),
+  melted AS (
+    SELECT bucket, type_data, 'click_n' AS feature, 0 AS feature_order, click_n AS value FROM sliced
+    UNION ALL
+    SELECT bucket, type_data, 'view_n', 1, view_n FROM sliced
+    UNION ALL
+    SELECT bucket, type_data, 'purchase_n', 2, purchase_n FROM sliced
+    UNION ALL
+    SELECT bucket, type_data, 'error_n', 3, error_n FROM sliced
+    UNION ALL
+    SELECT bucket, type_data, 'signup_n', 4, signup_n FROM sliced
+  )
+"""
+
+_REWARDS_SQL = f"""
+WITH {_TRACE_SQL},
+  seq AS (
+    SELECT feature, feature_order, value, type_data AS label, bucket,
+           row_number() OVER (PARTITION BY feature, value
+                              ORDER BY type_data, bucket) AS r
+    FROM melted
+  ),
+  flagged AS (
+    SELECT *, CASE WHEN lag(label) OVER (PARTITION BY feature
+                                         ORDER BY value, r)
+                   IS DISTINCT FROM label THEN 1 ELSE 0 END AS boundary
+    FROM seq
+  ),
+  segmented AS (
+    SELECT *, sum(boundary) OVER (PARTITION BY feature ORDER BY value, r
+                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+    FROM flagged
+  ),
+  segs AS (
+    SELECT feature, feature_order, seg_id, count(*) AS seg_len
+    FROM segmented GROUP BY feature, feature_order, seg_id
+  ),
+  seg_tot AS (
+    SELECT feature, feature_order, sum(seg_len) AS n_total, max(seg_id) AS max_seg
+    FROM segs GROUP BY feature, feature_order
+  ),
+  seg_ent2 AS (
+    SELECT s.feature, s.feature_order,
+           sum(CASE WHEN s.seg_id < t.max_seg
+                    THEN (s.seg_len::DOUBLE / t.n_total)
+                         * ln(t.n_total::DOUBLE / s.seg_len)
+                    ELSE 0.0 END) AS se
+    FROM segs s JOIN seg_tot t USING (feature, feature_order)
+    GROUP BY s.feature, s.feature_order
+  ),
+  cls AS (
+    SELECT feature,
+           count(CASE WHEN type_data = 0 THEN 1 END)::DOUBLE AS n_ref,
+           count(CASE WHEN type_data = 1 THEN 1 END)::DOUBLE AS n_ano
+    FROM melted GROUP BY feature
+  ),
+  cls_ent AS (
+    SELECT feature,
+           (n_ano / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ano)
+         + (n_ref / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ref) AS ce
+    FROM cls WHERE n_ref > 0 AND n_ano > 0
+  ),
+  rewards AS (
+    SELECT s.feature, s.feature_order, c.ce / s.se AS reward
+    FROM seg_ent2 s JOIN cls_ent c USING (feature)
+  ),
+  ranked AS (
+    SELECT feature, round(reward, 6) AS reward,
+           row_number() OVER (ORDER BY reward DESC, feature_order) AS rank
+    FROM rewards
+  )
+"""
+
+
+def _events_melted(spark, sf_dir) -> DataFrame:
+    """Engine-side construction of the same hourly trace, melted, using the
+    real slicing/melt path shapes (ano_key constant — one synthetic anomaly)."""
+    ev = load_table(spark, sf_dir, "events")
+    trace = (
+        ev.withColumn("bucket", F.expr("ts_sec DIV 3600"))
+        .groupBy("bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    for i, t in enumerate(EVENT_TYPES):
+        trace = trace.withColumn(
+            f"{t}_n", F.coalesce(F.col(t).cast("double"), F.lit(0.0))
+        ).drop(t)
+    b = trace.agg(
+        F.min("bucket").alias("tmin"), F.max("bucket").alias("tmax")
+    )
+    iv = b.select(
+        F.col("tmin").alias("ref_start"),
+        F.expr("tmin + (tmax - tmin) DIV 2").alias("ref_end"),
+        F.expr("tmin + (tmax - tmin) DIV 2").alias("ano_start"),
+        F.expr("tmin + ((tmax - tmin) * 3) DIV 4").alias("ano_end"),
+    )
+    t = trace.crossJoin(F.broadcast(iv))
+    refs = t.filter(
+        (F.col("bucket") >= F.col("ref_start")) & (F.col("bucket") < F.col("ref_end"))
+    ).withColumn("type_data", F.lit(0))
+    anos = t.filter(
+        (F.col("bucket") >= F.col("ano_start")) & (F.col("bucket") <= F.col("ano_end"))
+    ).withColumn("type_data", F.lit(1))
+    sliced = refs.unionByName(anos)
+    pairs = []
+    for i, tname in enumerate(EVENT_TYPES):
+        pairs.extend([f"'{tname}_n'", str(i), f"`{tname}_n`"])
+    stack = (
+        f"stack({len(EVENT_TYPES)}, {', '.join(pairs)}) "
+        "as (feature, feature_order, value)"
+    )
+    return sliced.select(
+        F.lit("events_0").alias("ano_key"),
+        "type_data",
+        F.col("bucket").alias("timestamp"),
+        F.expr(stack),
+    )
+
+
+# --- C4+C6+C7: rewards on a real trace, independently re-derived in SQL -----
+@query(
+    "exstream_rewards",
+    oracle=_REWARDS_SQL + "SELECT feature, reward, rank FROM ranked",
+)
+def exstream_rewards(spark, sf_dir):
+    melted = _events_melted(spark, sf_dir)
+    r = single_feature_rewards(melted)
+    return r.select("feature", F.round("reward", 6).alias("reward"), "rank")
+
+
+# --- C6 alone: segmentation entropy per feature ------------------------------
+@query(
+    "exstream_segmentation_entropy",
+    oracle=_REWARDS_SQL + "SELECT feature, round(se, 6) AS seg_ent FROM seg_ent2",
+)
+def exstream_segmentation_entropy(spark, sf_dir):
+    melted = _events_melted(spark, sf_dir)
+    seg = segmentation_entropy(worst_case_labels(melted, "sorted"))
+    return seg.select("feature", F.round("seg_ent", 6).alias("seg_ent"))
+
+
+# --- C4 alone: class entropy from interval counts ----------------------------
+@query(
+    "exstream_class_entropy",
+    oracle=f"""
+    WITH {_TRACE_SQL},
+    cls AS (
+      SELECT count(CASE WHEN type_data = 0 THEN 1 END)::DOUBLE AS n_ref,
+             count(CASE WHEN type_data = 1 THEN 1 END)::DOUBLE AS n_ano
+      FROM sliced
+    )
+    SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_ano AS BIGINT) AS n_ano,
+           round((n_ano / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ano)
+               + (n_ref / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ref), 6)
+             AS class_ent
+    FROM cls
+    """,
+)
+def exstream_class_entropy(spark, sf_dir):
+    melted = _events_melted(spark, sf_dir).filter(F.col("feature_order") == 0)
+    counts = melted.groupBy().agg(
+        F.count(F.when(F.col("type_data") == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("type_data") == 1, 1)).alias("n_ano"),
+    )
+    n = F.col("n_ref") + F.col("n_ano")
+    p_r, p_a = F.col("n_ref") / n, F.col("n_ano") / n
+    return counts.select(
+        "n_ref",
+        "n_ano",
+        F.round(p_a * F.log2(1.0 / p_a) + p_r * F.log2(1.0 / p_r), 6).alias(
+            "class_ent"
+        ),
+    )
+
+
+# --- C8: leap cut over the real reward ranking -------------------------------
+@query(
+    "exstream_leap_cut",
+    oracle=_REWARDS_SQL
+    + """,
+    leaps AS (
+      SELECT feature, reward, rank,
+             lag(reward) OVER (ORDER BY rank) AS prev_reward
+      FROM ranked
+    ),
+    cut AS (
+      SELECT min(rank) AS cut_rank FROM leaps
+      WHERE (prev_reward - reward) = (SELECT max(prev_reward - reward) FROM leaps)
+        AND prev_reward <> 0
+    )
+    SELECT feature, reward, rank FROM leaps
+    WHERE rank < (SELECT coalesce(cut_rank, 2147483647) FROM cut)
+       OR (SELECT count(*) FROM ranked) <= 1
+    """,
+)
+def exstream_leap_cut(spark, sf_dir):
+    melted = _events_melted(spark, sf_dir)
+    r = single_feature_rewards(melted).withColumn(
+        "reward", F.round("reward", 6)
+    )
+    kept = reward_leap_filter(r)
+    return kept.select("feature", "reward", "rank")
+
+
+# --- C1: interval slicing row parity -----------------------------------------
+@query(
+    "exstream_slice_counts",
+    oracle=f"""
+    WITH {_TRACE_SQL}
+    SELECT type_data, count(*) AS n_rows,
+           CAST(min(bucket) AS BIGINT) AS first_ts,
+           CAST(max(bucket) AS BIGINT) AS last_ts,
+           round(sum(error_n), 2) AS sum_error_n
+    FROM sliced GROUP BY type_data
+    """,
+)
+def exstream_slice_counts(spark, sf_dir):
+    melted = _events_melted(spark, sf_dir)
+    err = melted.filter(F.col("feature") == "error_n")
+    return err.groupBy("type_data").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("timestamp").alias("first_ts"),
+        F.max("timestamp").alias("last_ts"),
+        F.round(F.sum("value"), 2).alias("sum_error_n"),
+    )

@@ -1,1 +1,251 @@
-"""(populated later this round)"""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Brute-force cosine top-k is the exactness baseline; random-hyperplane LSH
+bucketing is the 100 TB scale path (bucket assignment is a map-side
+expression; the search join is keyed on the bucket, never cartesian; at
+cluster scale the bucket id becomes the partitioning/bucketing key so query
+fan-out touches one partition per probed bucket).
+
+Dot products run in double precision as a strict left fold (Spark
+``aggregate`` HOF ≡ DuckDB ``list_dot_product`` on DOUBLE[]), rounded at the
+boundary so both engines hash identically.
+
+The LSH hyperplane weights are md5-derived pseudo-randoms, so both engines
+materialize bit-identical planes with no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.plans.registry import query
+from exstream_implementation_spark.sources import load_table
+
+DIM = 64
+N_PLANES = 4
+N_QUERIES = 5
+TOP_K = 10
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate({a}, cast(0.0 as double),"
+    " (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+)
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"(({_NORM.format(a=a)}) * ({_NORM.format(a=b)}))"
+    )
+
+
+# --- brute-force cosine top-k ------------------------------------------------
+@query(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qemb, e.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cos, 5) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_topk_cosine(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_cosine_expr("qemb", "embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 5).alias("cosine"), "rank"
+        )
+    )
+
+
+# --- LSH bucket assignment (random-hyperplane signs) -------------------------
+def _plane_weight_sql_duck(p: int) -> str:
+    # weight for plane p, dimension j (1-based j in duckdb)
+    return (
+        f"((('0x' || substr(md5('{p}_' || (j.range)::VARCHAR), 1, 8))::BIGINT"
+        " % 2001) - 1000) / 1000.0"
+    )
+
+
+_BUCKET_DUCK = f"""
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    proj AS (
+      SELECT vec_id, p.range AS plane,
+             sum(emb[j.range + 1]
+                 * (((('0x' || substr(md5(p.range::VARCHAR || '_' || j.range::VARCHAR), 1, 8))::BIGINT
+                      % 2001) - 1000) / 1000.0)) AS dot
+      FROM e, range({N_PLANES}) p, range({DIM}) j
+      GROUP BY vec_id, p.range
+    ),
+    buckets AS (
+      SELECT vec_id,
+             sum(CASE WHEN dot > 0 THEN (1 << plane) ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id
+    )
+"""
+
+
+def _buckets_spark(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    weights = spark.range(N_PLANES).select(
+        F.col("id").cast("int").alias("plane"),
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), j -> "
+            "((cast(conv(substr(md5(concat(cast(id as string), '_', cast(j as string))), 1, 8), 16, 10) as bigint)"
+            " % 2001) - 1000) / 1000.0)"
+        ).alias("w"),
+    )
+    proj = e.crossJoin(F.broadcast(weights)).select(
+        "vec_id",
+        "plane",
+        F.expr(
+            "aggregate(zip_with(embedding, w, (x, y) -> cast(x as double) * y),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("dot"),
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(1, plane)")).otherwise(0)
+        ).alias("bucket")
+    )
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH {_BUCKET_DUCK}
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM buckets GROUP BY bucket
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    b = _buckets_spark(spark, sf_dir)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+# --- LSH-bucketed ANN: search only the query's bucket ------------------------
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_BUCKET_DUCK},
+    be AS (SELECT e.vec_id, e.emb, b.bucket FROM e JOIN buckets b USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, emb AS qemb, bucket FROM be
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, be.vec_id AS neighbor_id,
+             list_dot_product(q.qemb, be.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(be.emb, be.emb))) AS cos
+      FROM q JOIN be ON be.bucket = q.bucket AND be.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cos, 5) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    be = e.join(_buckets_spark(spark, sf_dir), "vec_id")
+    q = be.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        q.join(
+            be,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_cosine_expr("qemb", "embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 5).alias("cosine"), "rank"
+        )
+    )
+
+
+# --- embedding near-dup pairs (label-blocked) --------------------------------
+@query(
+    "emb_neardup_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 5) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3
+    """,
+)
+def emb_neardup_cosine(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.expr(_cosine_expr("a.embedding", "b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 5).alias("cosine"),
+        )
+    )

@@ -1,1 +1,201 @@
-"""(populated later this round)"""
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not present in the reference (it processes numeric metric streams only) —
+these are the BASELINE.json north-star extensions: token statistics, quality
+scoring, language-ID heuristics, and document fingerprinting over the
+``documents`` table, each with a DuckDB oracle.
+
+All are single-pass, shuffle-free per-row transforms (tokenize/score) or one
+map-side-combinable aggregation — they scale linearly and keep everything in
+whole-stage codegen (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.plans.registry import query
+from exstream_implementation_spark.sources import load_table
+
+STOP_EN = ["the", "a", "and", "of", "is", "to", "in", "on"]
+LEX = {
+    "en": ["the", "a", "and", "of", "is"],
+    "fr": ["le", "la", "les", "et", "de"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "las", "y", "que"],
+    "zh": ["的", "是", "在", "和", "了"],
+}
+
+
+def _toks(col="text"):
+    return F.split(F.lower(F.col(col)), r"\s+")
+
+
+def _sql_list(words):
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --- token counting ----------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           round(len(array_to_string(toks, ''))::DOUBLE / len(toks), 4)
+             AS mean_tok_len
+    FROM t
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(
+            F.length(F.array_join("toks", "")).cast("double") / F.size("toks"), 4
+        ).alias("mean_tok_len"),
+    )
+
+
+# --- quality scoring (length / punctuation / stopword ratios) ---------------
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({_sql_list(STOP_EN)})))::DOUBLE
+               / len(toks) AS stop_ratio,
+             (length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))::DOUBLE
+               / length(text) AS punct_ratio
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(stop_ratio, 4) AS stop_ratio,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio), 4) AS quality
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    stop_arr = F.array(*[F.lit(w) for w in STOP_EN])
+    d = d.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        (
+            F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / F.size("toks")
+        ).alias("stop_ratio_raw"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[^a-z0-9\s]", ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio_raw"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("stop_ratio_raw", 4).alias("stop_ratio"),
+        F.round("punct_ratio_raw", 4).alias("punct_ratio"),
+        F.round(
+            0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.4 * F.col("stop_ratio_raw")
+            + 0.2 * (1.0 - F.col("punct_ratio_raw")),
+            4,
+        ).alias("quality"),
+    )
+
+
+# --- language ID (stopword-hit heuristic; deterministic priority argmax) -----
+_LANG_SCORES_SQL = ",\n".join(
+    f"           len(list_filter(toks, x -> x IN ({_sql_list(ws)}))) AS s_{lg}"
+    for lg, ws in LEX.items()
+)
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+{_LANG_SCORES_SQL}
+      FROM t
+    )
+    SELECT doc_id, lang AS true_lang,
+           CASE WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
+                WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
+                WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang,
+           s_en, s_fr, s_de, s_es, s_zh
+    FROM s
+    """,
+)
+def text_langid(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    for lg, ws in LEX.items():
+        d = d.withColumn(
+            f"s_{lg}",
+            F.expr(f"size(filter(toks, x -> x IN ({_sql_list(ws)})))"),
+        )
+    pred = (
+        F.when(
+            F.col("s_en") >= F.greatest("s_fr", "s_de", "s_es", "s_zh"), "en"
+        )
+        .when(F.col("s_fr") >= F.greatest("s_de", "s_es", "s_zh"), "fr")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_zh"), "de")
+        .when(F.col("s_es") >= F.col("s_zh"), "es")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        pred.alias("pred_lang"),
+        "s_en", "s_fr", "s_de", "s_es", "s_zh",
+    )
+
+
+# --- document fingerprint (position-weighted rolling hash, md5-derived so
+#     both engines agree bit-for-bit) ----------------------------------------
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+               FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS pos
+          FROM t)
+    SELECT doc_id,
+           sum((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000003)
+               * (((pos - 1) % 64) + 1)) % 2147483647 AS fingerprint
+    FROM u GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    u = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    term = (
+        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint) % 1000003")
+        * ((F.col("pos") % 64) + 1)
+    )
+    return u.groupBy("doc_id").agg(
+        (F.sum(term) % 2147483647).alias("fingerprint")
+    )
