@@ -1,0 +1,34 @@
+"""M6 — Structured Streaming layer.
+
+The reference processes *recorded* streams in batch (SURVEY §2.2: no streaming
+loop anywhere in script_1.py); the paper's online CEP setting (exstream.pdf
+§6.3) is unimplemented there.  This package realizes it Spark-natively:
+
+- ``events_stream``      file-based streaming source over the events parquet
+- ``windowed_features``  watermarked tumbling/sliding window feature aggs
+- ``reference_profile`` / ``score_against_profile``
+                         stream-static broadcast join + z-score anomaly flag
+- ``online_segmentation_entropy``
+                         applyInPandasWithState port of C6's run-length scan
+
+All transforms are written against the unified DataFrame API, so each also
+works on a batch frame — tests exercise both paths and assert they agree.
+"""
+
+from exstream_implementation_spark.streaming.source import events_stream
+from exstream_implementation_spark.streaming.features import windowed_features
+from exstream_implementation_spark.streaming.scoring import (
+    reference_profile,
+    score_against_profile,
+)
+from exstream_implementation_spark.streaming.stateful import (
+    online_segmentation_entropy,
+)
+
+__all__ = [
+    "events_stream",
+    "windowed_features",
+    "reference_profile",
+    "score_against_profile",
+    "online_segmentation_entropy",
+]

@@ -1,0 +1,122 @@
+"""M6 streaming-layer tests: windowed features, stream-static scoring, and the
+stateful online segmentation-entropy operator — each streaming result is
+cross-checked against its batch twin (unified-API parity) or a driver-side
+reference implementation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.streaming import (
+    events_stream,
+    online_segmentation_entropy,
+    reference_profile,
+    score_against_profile,
+    windowed_features,
+)
+from exstream_implementation_spark.streaming.source import (
+    events_batch_as_stream_input,
+)
+from exstream_implementation_spark.streaming.stateful import (
+    batch_segmentation_entropy_reference,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def run_stream_to_memory(sdf, name, output_mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sdf.sparkSession.table(name)
+
+
+def rows_as_set(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_windowed_features_stream_matches_batch(spark):
+    batch = windowed_features(events_batch_as_stream_input(spark, SF_DIR))
+    stream = windowed_features(events_stream(spark, SF_DIR))
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    # complete mode emits every window → exact batch parity
+    got_complete = run_stream_to_memory(stream, "wf_complete", "complete")
+    assert rows_as_set(got_complete, cols) == rows_as_set(batch, cols)
+    # append mode only finalizes windows past the watermark → strict subset
+    # (the trailing still-open windows are withheld by design)
+    got_append = run_stream_to_memory(stream, "wf_append", "append")
+    append_rows = rows_as_set(got_append, cols)
+    assert append_rows < rows_as_set(batch, cols)
+    assert len(append_rows) > 0
+
+
+def test_sliding_window_counts(spark):
+    batch = events_batch_as_stream_input(spark, SF_DIR)
+    slid = windowed_features(batch, "2 hours", slide_duration="1 hour")
+    tumb = windowed_features(batch, "1 hour")
+    # every event lands in exactly 2 sliding windows vs 1 tumbling window
+    assert (
+        slid.agg(F.sum("n_events")).first()[0]
+        == 2 * tumb.agg(F.sum("n_events")).first()[0]
+    )
+
+
+def test_stream_static_scoring(spark):
+    batch_wf = windowed_features(events_batch_as_stream_input(spark, SF_DIR))
+    profile = reference_profile(batch_wf)
+    scored_stream = score_against_profile(
+        windowed_features(events_stream(spark, SF_DIR)), profile, z_threshold=1.5
+    )
+    got = run_stream_to_memory(scored_stream, "scored_mem")
+    want = score_against_profile(batch_wf, profile, z_threshold=1.5)
+    cols = ["window_start", "event_type", "z_n", "z_value", "is_anomalous"]
+    # append mode: finalized windows only → non-empty strict subset of batch
+    got_rows = rows_as_set(got, cols)
+    assert got_rows and got_rows < rows_as_set(want, cols)
+    # profile is exhaustive → no null z-scores
+    assert got.filter(F.col("z_n").isNull()).count() == 0
+
+
+def test_online_segmentation_entropy_matches_reference(spark):
+    src = events_stream(spark, SF_DIR).select(
+        F.col("event_type").alias("key"),
+        F.col("ts").alias("seq"),
+        (F.col("value") > 50.0).cast("long").alias("label"),
+    )
+    got = run_stream_to_memory(
+        online_segmentation_entropy(src), "seg_mem", output_mode="update"
+    )
+    # driver-side oracle: same scan per key over ts-sorted labels
+    import pandas as pd  # noqa: F401
+
+    pdf = (
+        events_batch_as_stream_input(spark, SF_DIR)
+        .select("event_type", "ts", (F.col("value") > 50.0).cast("long").alias("label"))
+        .toPandas()
+        .sort_values(["event_type", "ts"])
+    )
+    by_key = {
+        k: batch_segmentation_entropy_reference(g["label"].to_numpy())
+        for k, g in pdf.groupby("event_type")
+    }
+    rows = {r["key"]: r for r in got.collect()}
+    assert set(rows) == set(by_key)
+    for k, want in by_key.items():
+        assert rows[k]["seg_entropy"] == pytest.approx(want, abs=1e-9)
+        assert rows[k]["n_rows"] == (pdf["event_type"] == k).sum()
+
+
+def test_entropy_identity_hand_case():
+    # [0,0,1,1]: one closed segment of len 2, n=4 → (ln4·2 − 2·ln2)/4 = ln2/2
+    assert batch_segmentation_entropy_reference([0, 0, 1, 1]) == pytest.approx(
+        math.log(2) / 2
+    )
+    # all-equal labels: nothing closes → 0.0 (Q2: final segment dropped)
+    assert batch_segmentation_entropy_reference([1, 1, 1]) == 0.0
+    assert batch_segmentation_entropy_reference([]) == 0.0
