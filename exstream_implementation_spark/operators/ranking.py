@@ -1,0 +1,75 @@
+"""Scalable global ordering operators.
+
+``Window.orderBy`` with no partition key moves every row to ONE partition —
+fine at sf0.01, fatal at 100 TB.  These helpers keep global rankings fully
+distributed:
+
+- ``global_row_number``  range-repartition on the sort key, sort within each
+  partition, then offset each partition's local row numbers by the cumulative
+  count of the partitions before it (one tiny driver-side prefix sum over
+  #partitions values — never over rows).
+- ``top_k_ranked``       distributed top-k (per-partition top-k + merge via
+  ``orderBy().limit()``, which Spark plans as TakeOrderedAndProject) followed
+  by a window over only the k survivors.
+
+Reference parity: these replace the eager pandas global sorts/positional
+index the reference relies on (script_1.py:164-166 positional merge;
+entropy_based_single_reward_feature.py:239-241 global reward ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Consecutive 1-based global row numbers in ``order_by`` order, without a
+    single-partition window.
+
+    Plan shape: rangepartition+sort (one shuffle, all partitions), a cheap
+    per-partition count job, then a map-side offset join — the count job reads
+    only partition sizes, so the added cost is one lightweight pass.
+    """
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ordered = df.repartitionByRange(int(n), *order_by).sortWithinPartitions(*order_by)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    # per-partition sizes → driver-side prefix sum (O(#partitions), tiny)
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+        )
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        with_pid.withColumn("__local_rn", F.row_number().over(w_local))
+        .join(offset_df, "__pid")
+        .withColumn(rn_col, (F.col("__offset") + F.col("__local_rn")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )
+
+
+def top_k_ranked(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows with a 1..k rank column.  ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge of k·#partitions
+    rows); the ranking window then runs over k rows only."""
+    topk = df.orderBy(*order_by).limit(k)
+    w = Window.orderBy(*order_by)
+    return topk.withColumn(rank_col, F.row_number().over(w))

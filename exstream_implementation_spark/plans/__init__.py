@@ -12,4 +12,5 @@ from exstream_implementation_spark.plans import (  # noqa: F401,E402
     relational,
     similarity,
     text,
+    windows,
 )

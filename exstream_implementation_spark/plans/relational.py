@@ -184,19 +184,17 @@ def join_broadcast_dims(spark, sf_dir):
     """,
 )
 def positional_join(spark, sf_dir):
-    from pyspark.sql import Window
+    from exstream_implementation_spark.operators.ranking import global_row_number
 
-    c = load_table(spark, sf_dir, "customer").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-        ),
+    # global_row_number keeps the global ordering distributed (range
+    # repartition + partition offsets) instead of a one-partition window
+    c = global_row_number(
+        load_table(spark, sf_dir, "customer"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
     )
-    s = load_table(spark, sf_dir, "supplier").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-        ),
+    s = global_row_number(
+        load_table(spark, sf_dir, "supplier"),
+        [F.desc("s_acctbal"), F.asc("s_suppkey")],
     )
     return c.join(s, "rn").select(
         "rn",
@@ -274,19 +272,16 @@ def distinct_keys(spark, sf_dir):
     """,
 )
 def sort_rank_topk(spark, sf_dir):
-    from pyspark.sql import Window
+    from exstream_implementation_spark.operators.ranking import top_k_ranked
 
-    return (
-        load_table(spark, sf_dir, "orders")
-        .withColumn(
-            "price_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-            ),
-        )
-        .filter(F.col("price_rank") <= 100)
-        .select("o_orderkey", "o_totalprice", "price_rank")
-    )
+    # distributed top-k (TakeOrderedAndProject) — the ranking window only ever
+    # sees the 100 survivors, not the whole table
+    return top_k_ranked(
+        load_table(spark, sf_dir, "orders"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=100,
+        rank_col="price_rank",
+    ).select("o_orderkey", "o_totalprice", "price_rank")
 
 
 # --- §2.1 #17 lag analytic (reference
@@ -360,7 +355,7 @@ def max_agg(spark, sf_dir):
     """,
 )
 def topk_until_leap(spark, sf_dir):
-    from pyspark.sql import Window
+    from exstream_implementation_spark.operators.ranking import global_row_number
 
     rev = (
         load_table(spark, sf_dir, "lineitem")
@@ -370,25 +365,29 @@ def topk_until_leap(spark, sf_dir):
             .alias("rev")
         )
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
-    w_all = Window.partitionBy()
-    ranked = (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .withColumn("prev_rev", F.lag("rev").over(w))
-        .withColumn("leap", F.col("prev_rev") - F.col("rev"))
+    # distributed leap cut: global rank without a one-partition window, lag as
+    # a rank-shift self-join, scalar cuts broadcast back — every stage keeps
+    # the post-agg (per-supplier) cardinality partitioned
+    ranked = global_row_number(
+        rev, [F.desc("rev"), F.asc("l_suppkey")], rn_col="rnk"
     )
-    ranked = ranked.withColumn("max_leap", F.max("leap").over(w_all)).withColumn(
-        "cut_rank",
-        F.min(
-            F.when(
-                (F.col("leap") == F.col("max_leap")) & (F.col("prev_rev") != 0),
-                F.col("rnk"),
-            )
-        ).over(w_all),
+    prev = ranked.select(
+        (F.col("rnk") + 1).alias("rnk"), F.col("rev").alias("prev_rev")
     )
-    return ranked.filter(
-        F.col("cut_rank").isNull() | (F.col("rnk") < F.col("cut_rank"))
-    ).select("l_suppkey", "rev", "rnk")
+    leaps = ranked.join(prev, "rnk", "left").withColumn(
+        "leap", F.col("prev_rev") - F.col("rev")
+    )
+    max_leap = leaps.agg(F.max("leap").alias("max_leap"))
+    cut = (
+        leaps.crossJoin(F.broadcast(max_leap))
+        .filter((F.col("leap") == F.col("max_leap")) & (F.col("prev_rev") != 0))
+        .agg(F.min("rnk").alias("cut_rank"))
+    )
+    return (
+        leaps.crossJoin(F.broadcast(cut))
+        .filter(F.col("cut_rank").isNull() | (F.col("rnk") < F.col("cut_rank")))
+        .select("l_suppkey", "rev", "rnk")
+    )
 
 
 # --- §2.1 #20 argmin / min-by (reference exstream/false_positive_filtering.py:46)

@@ -1,0 +1,136 @@
+"""Event-time window queries — batch twins of the M6 streaming transforms.
+
+The streaming layer (``streaming/``) runs these same transforms unbounded;
+registering the batch twins here puts the window semantics under the DuckDB
+oracle gate (the driver can't hash-check an unbounded stream).
+
+Scale notes: ``F.window`` is a plain projection (bucket arithmetic) before the
+grouping shuffle — no WindowExec involved; the aggregation is partial-agg +
+one shuffle on (window, key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.plans.registry import query
+
+
+def _batch_events(spark, sf_dir):
+    from exstream_implementation_spark.streaming.source import (
+        events_batch_as_stream_input,
+    )
+
+    return events_batch_as_stream_input(spark, sf_dir)
+
+
+# --- tumbling window feature aggregation (streaming/features.py twin) --------
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    from exstream_implementation_spark.streaming import windowed_features
+
+    wf = windowed_features(_batch_events(spark, sf_dir), "1 hour")
+    return wf.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
+
+
+# --- sliding window (2h window, 1h slide): each event lands in 2 windows ----
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH hours AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s, value
+      FROM events
+    ), assigned AS (
+      SELECT hour_s - 3600 AS window_start_s, value FROM hours
+      UNION ALL
+      SELECT hour_s AS window_start_s, value FROM hours
+    )
+    SELECT window_start_s, count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM assigned GROUP BY window_start_s
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    ev = _batch_events(spark, sf_dir)
+    win = F.window("event_time", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("win.start").alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- stream-static scoring twin (streaming/scoring.py): z-scores of each
+#     window against the global per-type profile ------------------------------
+@query(
+    "events_window_zscores",
+    oracle="""
+    WITH wf AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+             event_type, count(*) AS n_events, sum(value) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), prof AS (
+      SELECT event_type,
+             avg(n_events) AS mu_n, coalesce(stddev_pop(n_events), 0) AS sigma_n,
+             avg(sum_value) AS mu_value,
+             coalesce(stddev_pop(sum_value), 0) AS sigma_value
+      FROM wf GROUP BY event_type
+    )
+    SELECT wf.window_start_s, wf.event_type,
+           round((wf.n_events - prof.mu_n) / (prof.sigma_n + 1e-12), 6) AS z_n,
+           round((wf.sum_value - prof.mu_value) / (prof.sigma_value + 1e-12), 6)
+             AS z_value
+    FROM wf JOIN prof USING (event_type)
+    """,
+)
+def events_window_zscores(spark, sf_dir):
+    from exstream_implementation_spark.streaming import (
+        reference_profile,
+        score_against_profile,
+    )
+
+    # unrounded twin of windowed_features so z-scores match duckdb exactly
+    ev = _batch_events(spark, sf_dir)
+    wf = (
+        ev.groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    scored = score_against_profile(wf, reference_profile(wf))
+    return scored.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "z_n",
+        "z_value",
+    )
