@@ -39,7 +39,13 @@ def _doc_tokens(spark, sf_dir):
 
 
 def _doc_grams(spark, sf_dir):
-    """Distinct word-3-gram shingles per doc (0-based Spark array indexing)."""
+    """Distinct word-3-gram shingles per doc (0-based Spark array indexing).
+
+    Persisted: every dedup query branches over this table several times, and
+    Spark's CacheManager plan-matching lets ALL dedup queries in a session
+    share the single cached copy (#docs rows of gram arrays — the standard
+    materialized shingle table of a corpus-dedup pass, ≪ corpus text size).
+    """
     return _doc_tokens(spark, sf_dir).select(
         "doc_id",
         F.array_distinct(
@@ -48,7 +54,7 @@ def _doc_grams(spark, sf_dir):
                 " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
             )
         ).alias("grams"),
-    )
+    ).persist()
 
 
 _GRAMS_SQL = """
@@ -164,8 +170,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # --- MinHash + LSH banding ---------------------------------------------------
+# two md5s per gram (plain + salted) = 64 hex chars, split into 8 independent
+# 32-bit hashes — 4× cheaper than salting md5 once per hash function
 _MIN_COLS_DUCK = ",\n".join(
-    f"           min(('0x' || substr(md5('{i}:' || gram), 1, 15))::BIGINT) AS h{i}"
+    f"           min(('0x' || substr(md5(gram) || md5('x' || gram), {1 + 8 * i}, 8))::BIGINT) AS h{i}"
     for i in range(N_MINHASH)
 )
 
@@ -213,14 +221,18 @@ _MIN_COLS_DUCK = ",\n".join(
 def dedup_minhash_lsh(spark, sf_dir):
     g = _doc_grams(spark, sf_dir)
     e = g.select("doc_id", F.explode("grams").alias("gram"))
-    sig = e.groupBy("doc_id").agg(
+    # signatures feed 4 branches (2 band projections via self-join + sa/sb);
+    # persist so the md5 fold over every gram runs once, not 6×
+    sig = e.withColumn(
+        "mh", F.concat(F.md5("gram"), F.md5(F.concat(F.lit("x"), "gram")))
+    ).groupBy("doc_id").agg(
         *[
             F.expr(
-                f"min(cast(conv(substr(md5(concat('{i}:', gram)), 1, 15), 16, 10) as bigint))"
+                f"min(cast(conv(substr(mh, {1 + 8 * i}, 8), 16, 10) as bigint))"
             ).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
-    )
+    ).persist()
     b0 = sig.select(
         "doc_id",
         F.lit(0).alias("band_id"),
@@ -334,7 +346,8 @@ def dedup_simhash(spark, sf_dir):
 def dedup_simhash_pairs(spark, sf_dir):
     sh = dedup_simhash(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    shs = sh.join(src, "doc_id")
+    # both sides of the blocked self-join read this — persist to hash once
+    shs = sh.join(src, "doc_id").persist()
     a, b = shs.alias("a"), shs.alias("b")
     hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (

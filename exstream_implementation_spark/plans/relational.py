@@ -46,9 +46,14 @@ def scan_project(spark, sf_dir):
     """,
 )
 def filter_range(spark, sf_dir):
+    # predicate on the RAW ts column (epoch nanos), not the derived ts_sec —
+    # a filter on a computed column can't push down into the parquet scan,
+    # which at scale means reading the whole table instead of pruned row
+    # groups; rescaling the bounds instead keeps pushdown intact
     ev = load_table(spark, sf_dir, "events")
     return ev.filter(
-        (F.col("ts_sec") >= 1704499200) & (F.col("ts_sec") < 1705104000)
+        (F.col("ts") >= 1704499200 * 1_000_000_000)
+        & (F.col("ts") < 1705104000 * 1_000_000_000)
     ).select("event_id", "user_id", "event_type", "value")
 
 

@@ -1,0 +1,119 @@
+"""Physical-plan shape guards — the scale contract.
+
+Correct rows at sf0.01 say nothing about 100 TB; these tests pin the plan
+properties that make the catalog survive a 1000-executor scale-up:
+parquet filter pushdown + column pruning, broadcast joins for dimensions,
+distributed top-k (TakeOrderedAndProject), and the absence of
+single-partition window exchanges in the hot paths.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_str(df, mode="formatted"):
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_scan_project_pushdown_and_pruning(spark):
+    plan = plan_str(QUERIES["scan_project"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: the scan schema must not include unprojected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_filter_range_pushdown(spark):
+    plan = plan_str(QUERIES["filter_range"](spark, SF_DIR))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
+
+
+def test_dimension_joins_are_broadcast(spark):
+    plan = plan_str(QUERIES["join_broadcast_dims"](spark, SF_DIR), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_global_window(spark):
+    plan = plan_str(QUERIES["sort_rank_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_single_partition_window_in_catalog_hot_paths(spark):
+    """No query over a fact table may plan `Exchange SinglePartition` feeding
+    a Window — the one-partition sort that breaks at scale.  (Scalar-aggregate
+    single partitions over already-reduced data are fine.)"""
+    for name in ["scan_project", "groupby_count", "pivot_wide", "lag_delta",
+                 "positional_join", "sort_rank_topk", "dedup_minhash_lsh",
+                 "ann_topk_cosine", "text_quality", "events_tumbling_window"]:
+        plan = plan_str(QUERIES[name](spark, SF_DIR), mode="simple")
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window" in line and "windowed" not in line:
+                below = "\n".join(lines[i : i + 6])
+                assert "SinglePartition" not in below, (name, below)
+
+
+def test_groupby_has_partial_aggregation(spark):
+    # map-side combine: two HashAggregate levels around one exchange
+    plan = plan_str(QUERIES["groupby_count"](spark, SF_DIR), mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_exstream_rewards_windows_are_keyed(spark):
+    """The C6/C7 reward computation must partition every window by
+    (ano_key, feature) — never a global sort.  (The catalog's single-anomaly
+    query constant-folds ano_key to one partition, so build a genuine
+    multi-anomaly melted frame here.)"""
+    from exstream_implementation_spark.operators.rewards import (
+        single_feature_rewards,
+    )
+
+    rows = [
+        (f"ano_{a}", td, t, f"f{i}", i, float((a + 1) * (i + 1) * t % 7))
+        for a in range(3)
+        for td in (0, 1)
+        for t in range(5)
+        for i in range(4)
+    ]
+    melted = spark.createDataFrame(
+        rows,
+        "ano_key string, type_data int, timestamp long, feature string, "
+        "feature_order int, value double",
+    )
+    plan = plan_str(single_feature_rewards(melted), mode="simple")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(ano_key" in plan
+
+
+def test_global_row_number_stays_distributed(spark):
+    from exstream_implementation_spark.operators.ranking import global_row_number
+
+    df = global_row_number(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+    )
+    plan = plan_str(df, mode="simple")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_ranks_are_consecutive_and_ordered(spark):
+    from exstream_implementation_spark.operators.ranking import global_row_number
+
+    df = global_row_number(
+        spark.read.parquet(f"{SF_DIR}/supplier.parquet"),
+        [F.desc("s_acctbal"), F.asc("s_suppkey")],
+    )
+    rows = df.orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
+    bals = [r["s_acctbal"] for r in rows]
+    assert bals == sorted(bals, reverse=True)
