@@ -24,6 +24,10 @@ from exstream_implementation_spark.streaming.scoring import (
 from exstream_implementation_spark.streaming.stateful import (
     online_segmentation_entropy,
 )
+from exstream_implementation_spark.streaming.explain_trigger import (
+    explain_flagged,
+    start_online_explainer,
+)
 
 __all__ = [
     "events_stream",
@@ -31,4 +35,6 @@ __all__ = [
     "reference_profile",
     "score_against_profile",
     "online_segmentation_entropy",
+    "explain_flagged",
+    "start_online_explainer",
 ]

@@ -120,3 +120,36 @@ def test_entropy_identity_hand_case():
     # all-equal labels: nothing closes → 0.0 (Q2: final segment dropped)
     assert batch_segmentation_entropy_reference([1, 1, 1]) == 0.0
     assert batch_segmentation_entropy_reference([]) == 0.0
+
+
+def test_online_explanation_trigger(spark):
+    """Paper §6.3 loop: scored stream → flagged windows → foreachBatch runs
+    the batch explainer; trigger→explanation must land well under the paper's
+    30 s target at this scale."""
+    import time
+
+    from exstream_implementation_spark.sources import events_trace
+    from exstream_implementation_spark.streaming import (
+        events_stream,
+        reference_profile,
+        score_against_profile,
+        start_online_explainer,
+        windowed_features,
+    )
+
+    batch_wf = windowed_features(events_batch_as_stream_input(spark, SF_DIR))
+    profile = reference_profile(batch_wf)
+    scored = score_against_profile(
+        windowed_features(events_stream(spark, SF_DIR)), profile, z_threshold=3.0
+    )
+    trace = events_trace(spark, SF_DIR, bucket_seconds=3600)
+    sink = []
+    t0 = time.time()
+    q = start_online_explainer(spark, scored, trace, sink)
+    q.awaitTermination(120)
+    elapsed = time.time() - t0
+    assert sink, "no explanations produced — threshold too high for fixture?"
+    for _batch_id, row in sink:
+        assert row["trace_id"] == "events"
+        assert row["exp_size"] == len(row["explanation"]) >= 1
+    assert elapsed < 30, f"trigger→explanation took {elapsed:.1f}s (paper: <30s)"
