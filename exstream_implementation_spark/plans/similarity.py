@@ -214,6 +214,127 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+# --- IVF-flat ANN: coarse-quantize into cells, search the query's cell -------
+# Centroids are a deterministic subset of the vectors (every CENTROID_STRIDE-th
+# vec_id) — no RNG, so both engines build the identical index.  At 100 TB the
+# assignment is one broadcast pass (centroid list ≪ data), the cell id becomes
+# the table's partitioning key, and a query touches one partition (nprobe=1).
+CENTROID_STRIDE = 50
+
+
+def _ivf_assign_spark(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.expr(_cosine_expr("embedding", "cemb")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+
+
+_IVF_DUCK = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+              WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+      SELECT vec_id, emb, centroid_id AS cell FROM (
+        SELECT e.vec_id, e.emb, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.emb, c.cemb)
+                          / (sqrt(list_dot_product(e.emb, e.emb))
+                             * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+                          c.centroid_id) AS r
+        FROM e, cents c
+      ) WHERE r = 1
+    )
+"""
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH {_IVF_DUCK}
+    SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM assign GROUP BY cell
+    """,
+)
+def ann_ivf_cells(spark, sf_dir):
+    return (
+        _ivf_assign_spark(spark, sf_dir)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_DUCK},
+    q AS (SELECT vec_id AS query_id, emb AS qemb, cell FROM assign
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qemb, a.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(a.emb, a.emb))) AS cos
+      FROM q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cos, 5) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    # assignment feeds both the query side and the candidate side
+    assign = _ivf_assign_spark(spark, sf_dir).persist()
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = (
+        q.join(
+            assign,
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_cosine_expr("qemb", "embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 5).alias("cosine"), "rank"
+        )
+    )
+
+
 # --- embedding near-dup pairs (label-blocked) --------------------------------
 @query(
     "emb_neardup_cosine",

@@ -5,4 +5,5 @@ from exstream_implementation_spark.sources.tables import (  # noqa: F401
     read_labels_csv,
     read_trace_csv,
     register_views,
+    write_results,
 )

@@ -73,6 +73,30 @@ def read_labels_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_results(
+    df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
+) -> None:
+    """Result sink (reference script_1.py:275-328 writes 4 result CSVs).
+
+    Parquet is the default at scale (columnar, splittable, statistics for
+    pushdown on re-read); CSV kept for reference-format parity.  Arrays
+    (the ``explanation`` column) are serialized to a string for CSV since
+    the format has no nested types — matching the reference, which writes
+    python list reprs into its CSVs (testing.ipynb cell 6 parses them back).
+    """
+    writer = df
+    if fmt == "csv":
+        for f in df.schema.fields:
+            if f.dataType.typeName() == "array":
+                writer = writer.withColumn(f.name, F.to_json(f.name))
+        w = writer.write.mode("overwrite").option("header", True)
+    else:
+        w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
+
+
 def events_trace(spark: SparkSession, sf_dir: str, bucket_seconds: int = 3600) -> DataFrame:
     """Derive an EXstream-style metric trace from the ``events`` table: one
     row per time bucket, one double column per event_type (count & value sum).

@@ -1,0 +1,64 @@
+"""Source/sink coverage (SURVEY §2.1 rows 1-2): CSV trace+labels scan with the
+reference's layout (first unnamed column = index), and result sinks round-trip
+through both parquet and CSV (arrays JSON-encoded for CSV, as the reference's
+list-repr columns are)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.sources import (
+    read_labels_csv,
+    read_trace_csv,
+    write_results,
+)
+
+
+@pytest.fixture()
+def csv_fixture(tmp_path):
+    trace = tmp_path / "1_1.csv"
+    trace.write_text(
+        ",m_cpu,m_heap\n0,1.5,100\n1,2.5,200\n2,3.5,300\n"
+    )
+    labels = tmp_path / "labels.csv"
+    labels.write_text(
+        ",trace_id,ano_id,ano_type,ref_start,ref_end,ano_start,ano_end\n"
+        "0,1_1,1,bursty input,0,2,2,2\n"
+    )
+    return str(trace), str(labels)
+
+
+def test_read_trace_csv(spark, csv_fixture):
+    trace_path, _ = csv_fixture
+    df = read_trace_csv(spark, trace_path, trace_id="1_1")
+    rows = df.orderBy("timestamp").collect()
+    assert [r["timestamp"] for r in rows] == [0, 1, 2]
+    assert rows[0]["m_cpu"] == 1.5 and rows[2]["m_heap"] == 300.0
+    assert all(r["trace_id"] == "1_1" for r in rows)
+    assert dict(df.dtypes)["m_heap"] == "double"
+
+
+def test_read_labels_csv(spark, csv_fixture):
+    _, labels_path = csv_fixture
+    df = read_labels_csv(spark, labels_path)
+    row = df.first()
+    assert row["label_row"] == 0 and row["trace_id"] == "1_1"
+    assert (row["ref_start"], row["ref_end"]) == (0, 2)
+    assert (row["ano_start"], row["ano_end"]) == (2, 2)
+
+
+def test_write_results_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1_1", 1, [2, 4], 2), ("1_2", 2, [0], 1)],
+        "trace_id string, ano_id int, explanation array<int>, exp_size int",
+    )
+    pq = str(tmp_path / "out_parquet")
+    write_results(df, pq, fmt="parquet", partition_by=["trace_id"])
+    back = spark.read.parquet(pq)
+    assert back.count() == 2
+    assert sorted(r["explanation"] for r in back.collect()) == [[0], [2, 4]]
+
+    cs = str(tmp_path / "out_csv")
+    write_results(df, cs, fmt="csv")
+    back_csv = spark.read.option("header", True).csv(cs)
+    got = {r["trace_id"]: r["explanation"] for r in back_csv.collect()}
+    assert got["1_1"] == "[2,4]"  # arrays JSON-encoded for the flat format
