@@ -127,7 +127,9 @@ def segmentation_entropy(labeled: DataFrame) -> DataFrame:
 
 
 def single_feature_rewards(
-    melted: DataFrame, duplicate_mode: str = "sorted"
+    melted: DataFrame,
+    duplicate_mode: str = "sorted",
+    reward_round: int | None = None,
 ) -> DataFrame:
     """C7 — reward(f) = class_ent / seg_ent per (ano_key, feature), ranked.
 
@@ -139,6 +141,10 @@ def single_feature_rewards(
     sorts its dict descending with Python's stable sort, so ties keep the
     feature column order
     (reference exstream/entropy_based_single_reward_feature.py:239-241).
+
+    ``reward_round``: round rewards to N decimals BEFORE ranking — the
+    cross-engine determinism boundary (float summation order differs between
+    engines, and the downstream leap filter compares rewards for equality).
     """
     seg = segmentation_entropy(worst_case_labels(melted, duplicate_mode))
     cls = melted.groupBy("ano_key", "feature").agg(
@@ -154,9 +160,12 @@ def single_feature_rewards(
             p_a * F.log2(1.0 / p_a) + p_r * F.log2(1.0 / p_r),
         ),
     )
+    reward = F.col("class_ent") / F.col("seg_ent")
+    if reward_round is not None:
+        reward = F.round(reward, reward_round)
     rewards = (
         seg.join(cls, ["ano_key", "feature"])
-        .withColumn("reward", F.col("class_ent") / F.col("seg_ent"))
+        .withColumn("reward", reward)
         .select("ano_key", "feature", "feature_order", "reward")
     )
     w = Window.partitionBy("ano_key").orderBy(F.desc("reward"), F.asc("feature_order"))

@@ -57,25 +57,30 @@ class ExplainConfig:
     sample_fraction: float = 0.8
     duplicate_mode: str = "sorted"  # reference-exact; "worst_case" = paper mode
     seed: int = 42
+    # round rewards to N decimals before ranking/leap (cross-engine float
+    # determinism boundary); None = full precision
+    reward_round: int | None = None
 
 
 def _explanations_for(melted: DataFrame, cfg: ExplainConfig, keys=("ano_key",)) -> DataFrame:
-    rewards = single_feature_rewards_keyed(melted, cfg.duplicate_mode, keys)
+    rewards = single_feature_rewards_keyed(
+        melted, cfg.duplicate_mode, keys, cfg.reward_round
+    )
     kept = reward_leap_filter_keyed(rewards, keys)
     return assemble_explanations_keyed(kept, keys)
 
 
-def single_feature_rewards_keyed(melted, duplicate_mode, keys):
+def single_feature_rewards_keyed(melted, duplicate_mode, keys, reward_round=None):
     """rewards partitioned by extra keys (run_id) — wraps operators.rewards
     by folding the extra key into ano_key, then splitting back."""
     sep = "\x1f"  # unit separator: cannot occur in ano_key
     extra = [k for k in keys if k != "ano_key"]
     if not extra:
-        return single_feature_rewards(melted, duplicate_mode)
+        return single_feature_rewards(melted, duplicate_mode, reward_round)
     packed = melted.withColumn(
         "ano_key", F.concat_ws(sep, *[F.col(k).cast("string") for k in extra], "ano_key")
     )
-    out = single_feature_rewards(packed, duplicate_mode)
+    out = single_feature_rewards(packed, duplicate_mode, reward_round)
     parts = F.split(F.col("ano_key"), sep, len(extra) + 1)
     for i, k in enumerate(extra):
         out = out.withColumn(k, parts.getItem(i).cast("int"))

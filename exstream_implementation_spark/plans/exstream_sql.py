@@ -264,6 +264,188 @@ def exstream_leap_cut(spark, sf_dir):
     return kept.select("feature", "reward", "rank")
 
 
+# --- FLAGSHIP (deterministic core): slice → rewards → leap → assembly over
+#     the full 10-feature events trace with TWO anomalies, end-to-end against
+#     one independent DuckDB formulation.  Only the instability metric (seeded
+#     Bernoulli sampling) is excluded — that stays rows-only checked. --------
+EVENT_TYPES_FULL = EVENT_TYPES  # click, view, purchase, error, signup
+
+_FULL_TRACE_DUCK = """
+  trace AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+{cols}
+    FROM events GROUP BY 1
+  ),
+  bounds AS (SELECT min(bucket) AS tmin, max(bucket) AS tmax FROM trace),
+  sp AS (SELECT tmin, tmax, greatest(tmax - tmin, 4) AS span FROM bounds),
+  labels AS (
+    SELECT 0 AS label_row, 1 AS ano_id, 'bursty input' AS ano_type,
+           tmin AS ref_start, tmin + span // 2 AS ref_end,
+           tmin + span // 2 AS ano_start, tmin + (span * 3) // 4 AS ano_end
+    FROM sp
+    UNION ALL
+    SELECT 1, 2, 'stalled input', tmin, tmin + span // 3,
+           tmax - span // 4, tmax
+    FROM sp
+  ),
+  keyed AS (
+    SELECT t.*, l.label_row, l.ano_id,
+           l.ano_type || '_events_' || l.label_row AS ano_key, 0 AS type_data
+    FROM trace t JOIN labels l
+      ON t.bucket >= l.ref_start AND t.bucket < l.ref_end
+    UNION ALL
+    SELECT t.*, l.label_row, l.ano_id,
+           l.ano_type || '_events_' || l.label_row AS ano_key, 1
+    FROM trace t JOIN labels l
+      ON t.bucket >= l.ano_start AND t.bucket <= l.ano_end
+  ),
+  melted AS (
+{melts}
+  )
+""".format(
+    cols=",\n".join(
+        f"           count(CASE WHEN event_type = '{t}' THEN 1 END)::DOUBLE"
+        f" AS {t}_n,\n"
+        f"           coalesce(round(sum(value) FILTER (event_type = '{t}'), 6),"
+        f" 0.0) AS {t}_value"
+        for t in EVENT_TYPES
+    ),
+    melts="\n    UNION ALL\n".join(
+        f"    SELECT ano_key, ano_id, type_data, bucket, '{t}_{kind}' AS feature,"
+        f" {2 * i + (0 if kind == 'n' else 1)} AS feature_order,"
+        f" {t}_{kind} AS value FROM keyed"
+        for i, t in enumerate(EVENT_TYPES)
+        for kind in ("n", "value")
+    ),
+)
+
+_FULL_PIPELINE_DUCK = f"""
+WITH {_FULL_TRACE_DUCK},
+  seq AS (
+    SELECT ano_key, ano_id, feature, feature_order, value,
+           type_data AS label, bucket,
+           row_number() OVER (PARTITION BY ano_key, feature, value
+                              ORDER BY type_data, bucket) AS r
+    FROM melted
+  ),
+  flagged AS (
+    SELECT *, CASE WHEN lag(label) OVER (PARTITION BY ano_key, feature
+                                         ORDER BY value, r)
+                   IS DISTINCT FROM label THEN 1 ELSE 0 END AS boundary
+    FROM seq
+  ),
+  segmented AS (
+    SELECT *, sum(boundary) OVER (PARTITION BY ano_key, feature
+                                  ORDER BY value, r
+                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+    FROM flagged
+  ),
+  segs AS (
+    SELECT ano_key, ano_id, feature, feature_order, seg_id, count(*) AS seg_len
+    FROM segmented GROUP BY ano_key, ano_id, feature, feature_order, seg_id
+  ),
+  seg_tot AS (
+    SELECT ano_key, feature, sum(seg_len) AS n_total, max(seg_id) AS max_seg
+    FROM segs GROUP BY ano_key, feature
+  ),
+  seg_ent AS (
+    SELECT s.ano_key, s.ano_id, s.feature, s.feature_order,
+           sum(CASE WHEN s.seg_id < t.max_seg
+                    THEN (s.seg_len::DOUBLE / t.n_total)
+                         * ln(t.n_total::DOUBLE / s.seg_len)
+                    ELSE 0.0 END) AS se
+    FROM segs s JOIN seg_tot t USING (ano_key, feature)
+    GROUP BY s.ano_key, s.ano_id, s.feature, s.feature_order
+  ),
+  cls AS (
+    SELECT ano_key, feature,
+           count(CASE WHEN type_data = 0 THEN 1 END)::DOUBLE AS n_ref,
+           count(CASE WHEN type_data = 1 THEN 1 END)::DOUBLE AS n_ano
+    FROM melted GROUP BY ano_key, feature
+  ),
+  cls_ent AS (
+    SELECT ano_key, feature,
+           (n_ano / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ano)
+         + (n_ref / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ref) AS ce
+    FROM cls WHERE n_ref > 0 AND n_ano > 0
+  ),
+  rewards AS (
+    -- rewards rounded to 6 BEFORE ranking: the cross-engine determinism
+    -- boundary (the leap filter compares rewards for equality; unrounded
+    -- doubles differ between engines in the last ulp)
+    SELECT s.ano_key, s.ano_id, s.feature, s.feature_order,
+           round(c.ce / s.se, 6) AS reward
+    FROM seg_ent s JOIN cls_ent c USING (ano_key, feature)
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY ano_key
+                                 ORDER BY reward DESC, feature_order) AS rank
+    FROM rewards
+  ),
+  leaps AS (
+    SELECT *, lag(reward) OVER (PARTITION BY ano_key ORDER BY rank)
+                AS prev_reward
+    FROM ranked
+  ),
+  stats AS (
+    SELECT ano_key, max(prev_reward - reward) AS max_leap,
+           count(*) AS n_features
+    FROM leaps GROUP BY ano_key
+  ),
+  cut AS (
+    SELECT l.ano_key, min(l.rank) AS cut_rank
+    FROM leaps l JOIN stats s USING (ano_key)
+    WHERE (l.prev_reward - l.reward) = s.max_leap AND l.prev_reward <> 0
+    GROUP BY l.ano_key
+  ),
+  kept AS (
+    SELECT l.* FROM leaps l
+    JOIN stats s USING (ano_key)
+    LEFT JOIN cut c USING (ano_key)
+    WHERE s.n_features <= 1 OR c.cut_rank IS NULL OR l.rank < c.cut_rank
+  )
+SELECT 'events' AS trace_id, ano_id, ano_key,
+       list(feature_order ORDER BY rank) AS explanation,
+       count(*) AS exp_size
+FROM kept GROUP BY ano_id, ano_key
+"""
+
+
+@query("exstream_explain_det", oracle=_FULL_PIPELINE_DUCK)
+def exstream_explain_det(spark, sf_dir):
+    """The flagship pipeline with instability off — oracle-checked end to end
+    (slice C1 → rewards C4/C6/C7 → leap C8 → assembly)."""
+    from exstream_implementation_spark.pipeline import (
+        ExplainConfig,
+        explain_anomalies,
+    )
+    from exstream_implementation_spark.sources import events_trace
+
+    trace = events_trace(spark, sf_dir, bucket_seconds=3600)
+    tmin, tmax = trace.agg(F.min("timestamp"), F.max("timestamp")).first()
+    span = max(tmax - tmin, 4)
+    labels = trace.sparkSession.createDataFrame(
+        [
+            (0, "events", 1, "bursty input",
+             tmin, tmin + span // 2, tmin + span // 2, tmin + (span * 3) // 4),
+            (1, "events", 2, "stalled input",
+             tmin, tmin + span // 3, tmax - span // 4, tmax),
+        ],
+        "label_row int, trace_id string, ano_id int, ano_type string, "
+        "ref_start long, ref_end long, ano_start long, ano_end long",
+    )
+    out = explain_anomalies(
+        trace, labels, ExplainConfig(instability_runs=0, reward_round=6)
+    )
+    return out.select(
+        "trace_id",
+        "ano_id",
+        "ano_key",
+        F.col("explanation").cast("array<int>").alias("explanation"),
+        F.col("exp_size").cast("long").alias("exp_size"),
+    )
+
+
 # --- C1: interval slicing row parity -----------------------------------------
 @query(
     "exstream_slice_counts",
