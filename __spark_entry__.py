@@ -29,7 +29,10 @@ def _flagship(spark: SparkSession, sf_dir: str, instability_runs: int = 5) -> Da
     from exstream_implementation_spark.sources import events_trace
 
     tune_session(spark)
-    trace = events_trace(spark, sf_dir, bucket_seconds=3600)
+    # cache the post-pivot trace (~#buckets rows): the bounds probe below and
+    # the pipeline's slice both read it — without this the 1M-row events scan
+    # + pivot would run twice
+    trace = events_trace(spark, sf_dir, bucket_seconds=3600).cache()
     tmin, tmax = trace.agg(F.min("timestamp"), F.max("timestamp")).first()
     span = max(tmax - tmin, 4)
     labels = spark.createDataFrame(

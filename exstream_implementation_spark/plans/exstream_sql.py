@@ -421,7 +421,8 @@ def exstream_explain_det(spark, sf_dir):
     )
     from exstream_implementation_spark.sources import events_trace
 
-    trace = events_trace(spark, sf_dir, bucket_seconds=3600)
+    # cached: the bounds probe and the pipeline both read the pivoted trace
+    trace = events_trace(spark, sf_dir, bucket_seconds=3600).cache()
     tmin, tmax = trace.agg(F.min("timestamp"), F.max("timestamp")).first()
     span = max(tmax - tmin, 4)
     labels = trace.sparkSession.createDataFrame(
@@ -443,6 +444,99 @@ def exstream_explain_det(spark, sf_dir):
         "ano_key",
         F.col("explanation").cast("array<int>").alias("explanation"),
         F.col("exp_size").cast("long").alias("exp_size"),
+    )
+
+
+# --- C2: correlation clustering — connected components of |corr| > τ over
+#     the 10 trace features, deterministic lexicographic-min representative
+#     (the reference's set.pop() at correlation_filtering.py:61 is arbitrary;
+#     SURVEY §7 M2 documents the deterministic divergence).  DuckDB oracle
+#     computes the same components via recursive-CTE transitive closure. ----
+_CORR_TAU = 0.5
+
+_TRACE10_MELT_DUCK = """
+  trace AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+{cols}
+    FROM events GROUP BY 1
+  ),
+  tmelted AS (
+{melts}
+  )
+""".format(
+    cols=",\n".join(
+        f"           count(CASE WHEN event_type = '{t}' THEN 1 END)::DOUBLE"
+        f" AS {t}_n,\n"
+        f"           coalesce(round(sum(value) FILTER (event_type = '{t}'), 6),"
+        f" 0.0) AS {t}_value"
+        for t in EVENT_TYPES
+    ),
+    melts="\n    UNION ALL\n".join(
+        f"    SELECT bucket, '{t}_{kind}' AS feature, {t}_{kind} AS value"
+        f" FROM trace"
+        for t in EVENT_TYPES
+        for kind in ("n", "value")
+    ),
+)
+
+
+@query(
+    "corr_cluster_reps",
+    oracle=f"""
+    WITH RECURSIVE {_TRACE10_MELT_DUCK},
+    pairs AS (
+      SELECT a.feature AS fa, b.feature AS fb, corr(a.value, b.value) AS c
+      FROM tmelted a JOIN tmelted b
+        ON a.bucket = b.bucket AND a.feature < b.feature
+      GROUP BY a.feature, b.feature
+    ),
+    edges AS (
+      SELECT fa, fb FROM pairs WHERE abs(c) > {_CORR_TAU}
+      UNION ALL
+      SELECT fb, fa FROM pairs WHERE abs(c) > {_CORR_TAU}
+    ),
+    feats AS (SELECT DISTINCT feature FROM tmelted),
+    reach(feature, reached) AS (
+      SELECT feature, feature FROM feats
+      UNION
+      SELECT r.feature, e.fb FROM reach r JOIN edges e ON e.fa = r.reached
+    )
+    SELECT feature, min(reached) AS rep,
+           count(*) AS component_size
+    FROM reach GROUP BY feature
+    """,
+)
+def corr_cluster_reps(spark, sf_dir):
+    from exstream_implementation_spark.operators.correlation import (
+        correlated_feature_clusters,
+    )
+    from exstream_implementation_spark.sources import events_trace
+
+    trace = events_trace(spark, sf_dir, bucket_seconds=3600)
+    feats = [c for c in trace.columns if c not in ("timestamp", "trace_id")]
+    # single-pass pairwise corr: d(d-1)/2 corr aggregates in ONE job over the
+    # trace (SURVEY §4.1) — the only driver-side data is the tiny d×d matrix
+    aggs = [
+        F.corr(feats[i], feats[j]).alias(f"{i}|{j}")
+        for i in range(len(feats))
+        for j in range(i + 1, len(feats))
+    ]
+    row = trace.agg(*aggs).first()
+    d = len(feats)
+    corr = [[float("nan")] * d for _ in range(d)]
+    for i in range(d):
+        corr[i][i] = 1.0
+        for j in range(i + 1, d):
+            v = row[f"{i}|{j}"]
+            corr[i][j] = corr[j][i] = float("nan") if v is None else v
+    clusters = correlated_feature_clusters(corr, feats, _CORR_TAU)
+    out = []
+    for cl in clusters:
+        rep = min(cl)  # lexicographic — matches the oracle's min(reached)
+        for f in cl:
+            out.append((f, rep, len(cl)))
+    return trace.sparkSession.createDataFrame(
+        out, "feature string, rep string, component_size long"
     )
 
 
