@@ -82,6 +82,57 @@ def events_sliding_window(spark, sf_dir):
     )
 
 
+# --- session windows (per-user, 30-minute inactivity gap) --------------------
+# Spark's session_window start = first event, end = last event + gap; the
+# oracle reproduces that with the classic lag/flag/cumsum sessionization.
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                                 ORDER BY ts_s) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sess AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts_s) AS session_start_s,
+           max(ts_s) + 1800 AS session_end_s,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_session_windows(spark, sf_dir):
+    ev = _batch_events(spark, sf_dir)
+    # truncate event_time to whole seconds so both engines bucket identically
+    ev = ev.withColumn(
+        "event_time_s", F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000))
+    )
+    return (
+        ev.groupBy(
+            F.session_window("event_time_s", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").alias("session_start_s"),
+            F.unix_timestamp("win.end").alias("session_end_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # --- stream-static scoring twin (streaming/scoring.py): z-scores of each
 #     window against the global per-type profile ------------------------------
 @query(
