@@ -230,6 +230,36 @@ def groupby_count(spark, sf_dir):
     )
 
 
+# --- skew-resilient variant of #12: two-phase salted aggregation over a
+#     3-distinct-value key (the hottest possible skew) — result must be
+#     IDENTICAL to the direct group-by the oracle runs -------------------------
+@query(
+    "groupby_salted_skew",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def groupby_salted_skew(spark, sf_dir):
+    from exstream_implementation_spark.operators.skew import salted_agg
+
+    out = salted_agg(
+        load_table(spark, sf_dir, "lineitem"),
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("sum", F.count(F.lit(1))),
+            "sum_price": ("sum", F.sum("l_extendedprice")),
+            "max_qty": ("max", F.max("l_quantity")),
+        },
+        salt_col=F.col("l_orderkey"),
+    )
+    return out.select(
+        "l_returnflag", "n", F.round("sum_price", 2).alias("sum_price"), "max_qty"
+    )
+
+
 # --- §2.1 #13 distinct + counts (reference
 #     exstream/entropy_based_single_reward_feature.py:63-70) ------------------
 @query(

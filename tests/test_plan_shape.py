@@ -117,3 +117,12 @@ def test_ranks_are_consecutive_and_ordered(spark):
     assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
     bals = [r["s_acctbal"] for r in rows]
     assert bals == sorted(bals, reverse=True)
+
+
+def test_salted_agg_two_phase_shape(spark):
+    # hot-key spreading: exchange on (key, salt) then on key — both hash, no
+    # single giant reducer per hot key
+    plan = plan_str(QUERIES["groupby_salted_skew"](spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "l_returnflag, __salt" in plan.replace("#", " ").replace("L", "") or \
+        "__salt" in plan
