@@ -61,6 +61,43 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+# --- BPE-ish subword token counting ------------------------------------------
+# GPT-2-style pre-tokenization approximated without lookarounds (so the Java
+# and RE2 regex engines match): optional leading space + letter run / digit
+# run / punctuation run.  The count is the usual first-order estimate of
+# post-BPE token counts for data budgeting.
+_BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe,
+             len(regexp_split_to_array(lower(text), '\\s+')) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, n_bpe, n_words,
+           round(n_bpe::DOUBLE / n_words, 4) AS bpe_per_word
+    FROM t
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias(
+            "n_bpe"
+        ),
+        F.size(_toks()).alias("n_words"),
+    )
+    return d.withColumn(
+        "bpe_per_word",
+        F.round(F.col("n_bpe").cast("double") / F.col("n_words"), 4),
+    )
+
+
 # --- quality scoring (length / punctuation / stopword ratios) ---------------
 @query(
     "text_quality",
