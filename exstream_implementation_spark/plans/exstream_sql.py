@@ -190,6 +190,91 @@ def exstream_rewards(spark, sf_dir):
     return r.select("feature", F.round("reward", 6).alias("reward"), "rank")
 
 
+# --- C4+C5+C7: rewards in worst-case duplicate mode (the paper's intended
+#     regularization, eq. 3-4 — dead code in the reference, quirk Q5; our
+#     closed-form labels from operators/rewards.py re-derived in SQL) ---------
+_REWARDS_WC_SQL = f"""
+WITH {_TRACE_SQL},
+  seq AS (
+    SELECT feature, feature_order, value, type_data, bucket,
+           row_number() OVER (PARTITION BY feature, value
+                              ORDER BY type_data, bucket) - 1 AS r,
+           sum(type_data) OVER (PARTITION BY feature, value) AS n1,
+           count(*) OVER (PARTITION BY feature, value) AS cnt
+    FROM melted
+  ),
+  labeled AS (
+    SELECT *, cnt - n1 AS n0,
+           CASE WHEN cnt = 1 THEN type_data
+                WHEN n1 = 0 THEN 0
+                WHEN cnt - n1 = 0 THEN 1
+                WHEN cnt - n1 = n1 THEN CASE WHEN r % 2 = 0 THEN 1 ELSE 2 END
+                WHEN cnt - n1 < n1 THEN
+                  CASE WHEN r % 2 = 1 AND r < 2 * (cnt - n1) THEN 0 ELSE 1 END
+                ELSE CASE WHEN r % 2 = 0 AND r < 2 * n1 THEN 1 ELSE 0 END
+           END AS label
+    FROM seq
+  ),
+  flagged AS (
+    SELECT *, CASE WHEN lag(label) OVER (PARTITION BY feature
+                                         ORDER BY value, r)
+                   IS DISTINCT FROM label THEN 1 ELSE 0 END AS boundary
+    FROM labeled
+  ),
+  segmented AS (
+    SELECT *, sum(boundary) OVER (PARTITION BY feature ORDER BY value, r
+                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+    FROM flagged
+  ),
+  segs AS (
+    SELECT feature, feature_order, seg_id, count(*) AS seg_len
+    FROM segmented GROUP BY feature, feature_order, seg_id
+  ),
+  seg_tot AS (
+    SELECT feature, feature_order, sum(seg_len) AS n_total, max(seg_id) AS max_seg
+    FROM segs GROUP BY feature, feature_order
+  ),
+  seg_ent2 AS (
+    SELECT s.feature, s.feature_order,
+           sum(CASE WHEN s.seg_id < t.max_seg
+                    THEN (s.seg_len::DOUBLE / t.n_total)
+                         * ln(t.n_total::DOUBLE / s.seg_len)
+                    ELSE 0.0 END) AS se
+    FROM segs s JOIN seg_tot t USING (feature, feature_order)
+    GROUP BY s.feature, s.feature_order
+  ),
+  cls AS (
+    SELECT feature,
+           count(CASE WHEN type_data = 0 THEN 1 END)::DOUBLE AS n_ref,
+           count(CASE WHEN type_data = 1 THEN 1 END)::DOUBLE AS n_ano
+    FROM melted GROUP BY feature
+  ),
+  cls_ent AS (
+    SELECT feature,
+           (n_ano / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ano)
+         + (n_ref / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ref) AS ce
+    FROM cls WHERE n_ref > 0 AND n_ano > 0
+  ),
+  rewards AS (
+    SELECT s.feature, s.feature_order, c.ce / s.se AS reward
+    FROM seg_ent2 s JOIN cls_ent c USING (feature)
+  ),
+  ranked AS (
+    SELECT feature, round(reward, 6) AS reward,
+           row_number() OVER (ORDER BY reward DESC, feature_order) AS rank
+    FROM rewards
+  )
+SELECT feature, reward, rank FROM ranked
+"""
+
+
+@query("exstream_rewards_worstcase", oracle=_REWARDS_WC_SQL)
+def exstream_rewards_worstcase(spark, sf_dir):
+    melted = _events_melted(spark, sf_dir)
+    r = single_feature_rewards(melted, duplicate_mode="worst_case")
+    return r.select("feature", F.round("reward", 6).alias("reward"), "rank")
+
+
 # --- C6 alone: segmentation entropy per feature ------------------------------
 @query(
     "exstream_segmentation_entropy",

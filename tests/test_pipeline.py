@@ -102,3 +102,16 @@ def test_explain_anomalies_fp_filter_runs(spark):
     assert len(out) == 2
     for row in out:
         assert row["exp_size"] >= 1
+
+
+def test_instability_log2k_identity(spark):
+    """Verified reference quirk (SURVEY C9): k identical size-k explanations
+    give entropy log2(k), not 0 — frequency is uniform over the k features.
+    sample_fraction=1.0 makes every instability run identical to the main
+    run, so exp_instability must equal log2(exp_size) exactly."""
+    traces, labels, _ = build_fixture(spark)
+    cfg = ExplainConfig(instability_runs=3, sample_fraction=1.0)
+    for row in explain_anomalies(traces, labels, cfg).collect():
+        assert row["exp_instability"] == pytest.approx(
+            math.log2(row["exp_size"]), abs=1e-12
+        )
