@@ -81,6 +81,52 @@ def count_matches(query: np.ndarray, ts: np.ndarray, max_distance: float) -> int
     return count
 
 
+def distance_profile_stats(
+    melted: DataFrame,
+    max_distance: float = 40.0,
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Oracle-checkable projection of C3: per (ano_key, feature), statistics
+    of the full z-normalized distance profile (pattern = the anomaly's
+    reference slice, series = pooled references — quirk Q4 orientation)
+    WITHOUT the greedy exclusion-zone match selection, which is inherently
+    sequential and stays golden-tested.  Distances are rounded before the
+    threshold compare so the FFT path and a naive O(n·m) SQL evaluation agree.
+    """
+    refs = melted.filter(F.col("type_data") == 0).select(
+        "ano_key", "timestamp", "feature", "value"
+    )
+    out_schema = (
+        "ano_key string, feature string, n_below long, min_dist double, "
+        "n_windows long"
+    )
+
+    def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ano_key", "timestamp"])
+        pooled = pdf["value"].to_numpy(dtype=np.float64)
+        feature = pdf["feature"].iloc[0]
+        rows = []
+        for key, grp in pdf.groupby("ano_key", sort=True):
+            pattern = grp["value"].to_numpy(dtype=np.float64)
+            d = mass_distance_profile(pattern, pooled)
+            dr = np.round(d, round_decimals)
+            rows.append(
+                (
+                    key,
+                    feature,
+                    int((dr <= max_distance).sum()),
+                    float(np.round(d.min(), round_decimals)),
+                    int(d.size),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["ano_key", "feature", "n_below", "min_dist", "n_windows"],
+        )
+
+    return refs.groupBy("feature").applyInPandas(per_feature, out_schema)
+
+
 def false_positive_filter(
     melted: DataFrame,
     max_distance: float = 40.0,

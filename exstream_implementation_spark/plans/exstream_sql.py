@@ -496,17 +496,13 @@ FROM kept GROUP BY ano_id, ano_key
 """
 
 
-@query("exstream_explain_det", oracle=_FULL_PIPELINE_DUCK)
-def exstream_explain_det(spark, sf_dir):
-    """The flagship pipeline with instability off — oracle-checked end to end
-    (slice C1 → rewards C4/C6/C7 → leap C8 → assembly)."""
-    from exstream_implementation_spark.pipeline import (
-        ExplainConfig,
-        explain_anomalies,
-    )
+def _two_anomaly_setup(spark, sf_dir):
+    """Cached 10-feature events trace + the two deterministic labels shared
+    by exstream_explain_det and the C3 profile query (mirrors the `labels`
+    CTE of _FULL_TRACE_DUCK exactly)."""
     from exstream_implementation_spark.sources import events_trace
 
-    # cached: the bounds probe and the pipeline both read the pivoted trace
+    # cached: the bounds probe and the downstream query both read the pivot
     trace = events_trace(spark, sf_dir, bucket_seconds=3600).cache()
     tmin, tmax = trace.agg(F.min("timestamp"), F.max("timestamp")).first()
     span = max(tmax - tmin, 4)
@@ -520,6 +516,19 @@ def exstream_explain_det(spark, sf_dir):
         "label_row int, trace_id string, ano_id int, ano_type string, "
         "ref_start long, ref_end long, ano_start long, ano_end long",
     )
+    return trace, labels
+
+
+@query("exstream_explain_det", oracle=_FULL_PIPELINE_DUCK)
+def exstream_explain_det(spark, sf_dir):
+    """The flagship pipeline with instability off — oracle-checked end to end
+    (slice C1 → rewards C4/C6/C7 → leap C8 → assembly)."""
+    from exstream_implementation_spark.pipeline import (
+        ExplainConfig,
+        explain_anomalies,
+    )
+
+    trace, labels = _two_anomaly_setup(spark, sf_dir)
     out = explain_anomalies(
         trace, labels, ExplainConfig(instability_runs=0, reward_round=6)
     )
@@ -530,6 +539,87 @@ def exstream_explain_det(spark, sf_dir):
         F.col("explanation").cast("array<int>").alias("explanation"),
         F.col("exp_size").cast("long").alias("exp_size"),
     )
+
+
+# --- C3: z-normalized subsequence distance profile (the MASS/FFT math inside
+#     operators/fp_filter.py) vs a naive O(n·m) SQL evaluation.  Pattern = an
+#     anomaly's reference slice, series = pooled references (quirk Q4); the
+#     greedy exclusion-zone match counting is sequential and stays
+#     golden-tested — this pins the numeric core cross-engine. ---------------
+_FP_MAX_DIST = 40.0
+
+_FP_PROFILE_DUCK = f"""
+WITH {_FULL_TRACE_DUCK},
+  refs AS (
+    SELECT ano_key, feature, bucket, value FROM melted WHERE type_data = 0
+  ),
+  pattern AS (
+    SELECT ano_key, feature, value,
+           row_number() OVER (PARTITION BY ano_key, feature
+                              ORDER BY bucket) AS k
+    FROM refs
+  ),
+  pooled AS (
+    SELECT feature, value,
+           row_number() OVER (PARTITION BY feature
+                              ORDER BY ano_key, bucket) AS q
+    FROM refs
+  ),
+  msize AS (
+    SELECT ano_key, feature, count(*) AS m, avg(value) AS qm,
+           coalesce(stddev_pop(value), 0) AS qs
+    FROM pattern GROUP BY ano_key, feature
+  ),
+  nsize AS (SELECT feature, count(*) AS n FROM pooled GROUP BY feature),
+  win AS (
+    SELECT pt.ano_key, pt.feature, pl.q - pt.k AS o,
+           pt.value AS pv, pl.value AS tv
+    FROM pattern pt
+    JOIN msize USING (ano_key, feature)
+    JOIN nsize USING (feature)
+    JOIN pooled pl ON pl.feature = pt.feature
+     AND pl.q - pt.k BETWEEN 0 AND n - m
+  ),
+  wstats AS (
+    SELECT ano_key, feature, o, sum(pv * tv) AS dot, avg(tv) AS mu,
+           coalesce(stddev_pop(tv), 0) AS sigma
+    FROM win GROUP BY ano_key, feature, o
+  ),
+  dist AS (
+    SELECT w.ano_key, w.feature,
+           CASE WHEN s.qs = 0 AND w.sigma = 0 THEN 0.0
+                WHEN s.qs = 0 OR w.sigma = 0 THEN sqrt(s.m)
+                ELSE sqrt(greatest(
+                       2 * s.m * (1 - (w.dot - s.m * s.qm * w.mu)
+                                      / (s.m * s.qs * w.sigma)), 0))
+           END AS d
+    FROM wstats w JOIN msize s USING (ano_key, feature)
+  )
+SELECT ano_key, feature,
+       count(CASE WHEN round(d, 4) <= {_FP_MAX_DIST} THEN 1 END) AS n_below,
+       round(min(d), 4) AS min_dist,
+       count(*) AS n_windows
+FROM dist GROUP BY ano_key, feature
+"""
+
+
+@query("exstream_fp_profile", oracle=_FP_PROFILE_DUCK)
+def exstream_fp_profile(spark, sf_dir):
+    from exstream_implementation_spark.operators.fp_filter import (
+        distance_profile_stats,
+    )
+    from exstream_implementation_spark.operators.slicing import (
+        melt_features,
+        slice_intervals,
+    )
+    from exstream_implementation_spark.schemas import feature_columns
+
+    trace, labels = _two_anomaly_setup(spark, sf_dir)
+    melted = melt_features(
+        slice_intervals(trace, labels),
+        feature_columns([c for c in trace.columns if c != "timestamp"]),
+    )
+    return distance_profile_stats(melted, _FP_MAX_DIST, round_decimals=4)
 
 
 # --- C2: correlation clustering — connected components of |corr| > τ over
