@@ -115,3 +115,58 @@ def test_instability_log2k_identity(spark):
         assert row["exp_instability"] == pytest.approx(
             math.log2(row["exp_size"]), abs=1e-12
         )
+
+
+def test_many_anomalies_parallel_matches_oracle(spark):
+    """20 anomalies across 5 traces run as ONE keyed plan; every explanation
+    must match the per-anomaly python oracle loop."""
+    rng = np.random.default_rng(99)
+    feats = ["g0", "g1", "g2", "g3"]
+    rows, labels_rows = [], []
+    for tnum in range(5):
+        trace_id = f"t{tnum}"
+        n = 200
+        cols = {f: rng.normal(0, 1, n) for f in feats}
+        for k in range(4):  # 4 anomalies per trace
+            a0, a1 = 40 * k + 20, 40 * k + 35
+            shift_feat = feats[(tnum + k) % len(feats)]
+            cols[shift_feat][a0 : a1 + 1] += 8.0 + k
+            labels_rows.append(
+                (len(labels_rows), trace_id, k + 1, "bursty input",
+                 0, 20, a0, a1)
+            )
+        for t in range(n):
+            rows.append((trace_id, t, *[float(cols[f][t]) for f in feats]))
+    traces = spark.createDataFrame(
+        rows,
+        "trace_id string, timestamp long, "
+        + ", ".join(f"{f} double" for f in feats),
+    )
+    labels = spark.createDataFrame(
+        labels_rows,
+        "label_row int, trace_id string, ano_id int, ano_type string, "
+        "ref_start long, ref_end long, ano_start long, ano_end long",
+    )
+    out = explain_anomalies(traces, labels, ExplainConfig(instability_runs=0))
+    got = {(r["trace_id"], r["ano_id"]): list(r["explanation"]) for r in out.collect()}
+    assert len(got) == 20
+    by_trace = {}
+    for r in rows:
+        by_trace.setdefault(r[0], []).append(r)
+    for (lr, trace_id, ano_id, _, r0, r1, a0, a1) in labels_rows:
+        t_rows = by_trace[trace_id]
+        rewards = []
+        for i, f in enumerate(feats):
+            values, labs = [], []
+            for row in t_rows:
+                ts = row[1]
+                if r0 <= ts < r1:
+                    values.append(row[2 + i]); labs.append(0)
+                elif a0 <= ts <= a1:
+                    values.append(row[2 + i]); labs.append(1)
+            rewards.append((f, i, oracle.reward(values, labs, "sorted")))
+    # keyed tie-break: ordered desc by reward, stable on feature order
+        ordered = sorted(rewards, key=lambda t: -t[2])
+        kept = oracle.leap_filter([(f, rw) for f, _, rw in ordered])
+        want = [dict((f, i) for f, i, _ in rewards)[f] for f in kept]
+        assert got[(trace_id, ano_id)] == want, (trace_id, ano_id)

@@ -153,3 +153,30 @@ def test_online_explanation_trigger(spark):
         assert row["trace_id"] == "events"
         assert row["exp_size"] == len(row["explanation"]) >= 1
     assert elapsed < 30, f"trigger→explanation took {elapsed:.1f}s (paper: <30s)"
+
+
+def test_session_window_streaming_matches_batch(spark):
+    """session_window works unbounded too: with a watermark, closed sessions
+    stream out in append mode as a subset of the batch sessionization."""
+    batch = events_batch_as_stream_input(spark, SF_DIR)
+    stream = events_stream(spark, SF_DIR).withWatermark("event_time", "2 hours")
+
+    def sessions(df):
+        return (
+            df.groupBy(
+                F.session_window("event_time", "30 minutes").alias("win"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("win.start").alias("session_start"), "user_id", "n_events"
+            )
+        )
+
+    got = run_stream_to_memory(sessions(stream), "sess_mem", "append")
+    got_rows = rows_as_set(got, ["session_start", "user_id", "n_events"])
+    want_rows = rows_as_set(
+        sessions(batch), ["session_start", "user_id", "n_events"]
+    )
+    assert got_rows and got_rows <= want_rows
+    # nearly everything closes before end-of-stream at this watermark
+    assert len(got_rows) > 0.9 * len(want_rows)
