@@ -170,3 +170,22 @@ def test_many_anomalies_parallel_matches_oracle(spark):
         kept = oracle.leap_filter([(f, rw) for f, _, rw in ordered])
         want = [dict((f, i) for f, i, _ in rewards)[f] for f in kept]
         assert got[(trace_id, ano_id)] == want, (trace_id, ano_id)
+
+
+def test_rf_crosscheck_ranks_injected_features(spark):
+    """C10 diagnostic (reference testing.ipynb cells 53-56): RandomForest
+    importances must rank the injected anomalous features (f_sched=2,
+    f_records=4) above the noise features."""
+    from exstream_implementation_spark.diagnostics import rf_feature_importances
+    from exstream_implementation_spark.operators.slicing import slice_intervals
+
+    traces, labels, _ = build_fixture(spark)
+    sliced = slice_intervals(traces, labels)
+    imps = rf_feature_importances(sliced, FEATURES).collect()
+    # f_uptime (the linear ramp) separates the intervals by time alone — the
+    # designed false positive that RF cannot tell apart from real signal,
+    # which is exactly why the reference pipeline adds C3 FP filtering
+    top3 = {r["feature"] for r in imps[:3]}
+    assert {"f_sched", "f_records", "f_uptime"} >= top3
+    assert {"f_sched", "f_records"} & top3
+    assert abs(sum(r["importance"] for r in imps) - 1.0) < 1e-6
