@@ -41,6 +41,16 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize — decode + PIL.Image.resize on a real cluster."""
+    raise NotImplementedError("media codecs absent; see decode_image")
+
+
+def sample_video_frames(payload: bytes, fps: float) -> list:
+    """Real frame sampling — ffmpeg/pyav on a real cluster."""
+    raise NotImplementedError("media codecs absent; see decode_image")
+
+
 def _fake_feature(payload: bytes, k: int) -> float:
     """Deterministic stand-in feature: md5(md5(payload) + '_k') scaled to
     [0, 1). Mirrors the SQL formula in plans.multimodal exactly."""
@@ -72,5 +82,46 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     lambda p, k=k: _fake_feature(bytes(p), k)
                 )
             yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema)
+
+
+N_FRAMES = 4
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling plumbing: one input row → N_FRAMES output rows, the
+    variable-cardinality mapInPandas shape a real video frame sampler has.
+    The "frames" are deterministic equal byte chunks (remainder dropped) with
+    an md5 content hash — swap the chunking for ffmpeg keyframe extraction on
+    a real cluster; the Spark contract (schema, batching, fan-out) is what
+    this exercises, and the md5 math keeps it oracle-checkable in SQL.
+    """
+    schema = f"{id_col} long, frame_idx int, frame_bytes int, frame_hash string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                q = len(data) // N_FRAMES
+                if q == 0:
+                    continue
+                for k in range(N_FRAMES):
+                    chunk = data[k * q : (k + 1) * q]
+                    ids.append(did)
+                    idxs.append(k)
+                    sizes.append(len(chunk))
+                    # hash the hex encoding: DuckDB's md5 is VARCHAR-only, so
+                    # the oracle can reproduce this without blob md5 support
+                    hashes.append(hashlib.md5(chunk.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema)

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from exstream_implementation_spark.operators.multimodal import (
     attach_payload,
     extract_features,
+    sample_frames,
     FEATURE_DIM,
+    N_FRAMES,
 )
 from exstream_implementation_spark.plans.registry import query
 from exstream_implementation_spark.sources import load_table
@@ -55,3 +57,26 @@ _FEATS_DUCK = ",\n".join(
 def mm_fake_features(spark, sf_dir):
     d = attach_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(d)
+
+
+# --- frame sampling: 1 row in → N_FRAMES rows out through mapInPandas --------
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) // {N_FRAMES} AS q
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, k.range::INT AS frame_idx, q::INT AS frame_bytes,
+             md5(substring(hx, 2 * k.range * q + 1, 2 * q)) AS frame_hash
+      FROM p, range({N_FRAMES}) k
+      WHERE q > 0
+    )
+    SELECT doc_id, frame_idx, frame_bytes, frame_hash FROM frames
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    d = attach_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(d)
