@@ -1,0 +1,41 @@
+"""Public operator API — the reusable building blocks behind the pipeline and
+query catalog."""
+
+from exstream_implementation_spark.operators.bucketing import (  # noqa: F401
+    read_bucketed,
+    write_bucketed,
+)
+from exstream_implementation_spark.operators.correlation import (  # noqa: F401
+    correlated_feature_clusters,
+    correlated_features_filter,
+    correlation_matrix,
+)
+from exstream_implementation_spark.operators.fp_filter import (  # noqa: F401
+    count_matches,
+    distance_profile_stats,
+    false_positive_filter,
+    mass_distance_profile,
+)
+from exstream_implementation_spark.operators.leap import (  # noqa: F401
+    assemble_explanations,
+    reward_leap_filter,
+)
+from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
+    attach_payload,
+    extract_features,
+    sample_frames,
+)
+from exstream_implementation_spark.operators.ranking import (  # noqa: F401
+    global_row_number,
+    top_k_ranked,
+)
+from exstream_implementation_spark.operators.rewards import (  # noqa: F401
+    segmentation_entropy,
+    single_feature_rewards,
+    worst_case_labels,
+)
+from exstream_implementation_spark.operators.skew import salted_agg  # noqa: F401
+from exstream_implementation_spark.operators.slicing import (  # noqa: F401
+    melt_features,
+    slice_intervals,
+)

@@ -180,3 +180,17 @@ def test_session_window_streaming_matches_batch(spark):
     assert got_rows and got_rows <= want_rows
     # nearly everything closes before end-of-stream at this watermark
     assert len(got_rows) > 0.9 * len(want_rows)
+
+
+def test_streaming_exact_dedup(spark):
+    """Stateful streaming dedup: dropDuplicates on a watermarked stream — the
+    streaming twin of the dedup_exact batch query (state = one key per id
+    within the watermark horizon)."""
+    stream = events_stream(spark, SF_DIR).withWatermark("event_time", "1 hour")
+    deduped = stream.dropDuplicates(["event_id"])
+    got = run_stream_to_memory(
+        deduped.select("event_id"), "dedup_mem", "append"
+    )
+    batch = events_batch_as_stream_input(spark, SF_DIR)
+    assert got.count() == batch.select("event_id").distinct().count()
+    assert got.distinct().count() == got.count()
