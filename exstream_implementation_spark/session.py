@@ -52,4 +52,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # a host session may carry the 200-partition default — size to the suite
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+    )
     return spark

@@ -165,7 +165,7 @@ def test_many_anomalies_parallel_matches_oracle(spark):
                 elif a0 <= ts <= a1:
                     values.append(row[2 + i]); labs.append(1)
             rewards.append((f, i, oracle.reward(values, labs, "sorted")))
-    # keyed tie-break: ordered desc by reward, stable on feature order
+        # tie-break: ordered desc by reward, stable on feature order
         ordered = sorted(rewards, key=lambda t: -t[2])
         kept = oracle.leap_filter([(f, rw) for f, _, rw in ordered])
         want = [dict((f, i) for f, i, _ in rewards)[f] for f in kept]
@@ -189,3 +189,25 @@ def test_rf_crosscheck_ranks_injected_features(spark):
     assert {"f_sched", "f_records", "f_uptime"} >= top3
     assert {"f_sched", "f_records"} & top3
     assert abs(sum(r["importance"] for r in imps) - 1.0) < 1e-6
+
+
+def test_degenerate_labels_dropped_not_crashed(spark):
+    """Intervals that slice to an empty class must drop that anomaly from the
+    output (the reference raises ValueError instead,
+    entropy_based_single_reward_feature.py:30-34 — documented divergence)."""
+    traces, _, _ = build_fixture(spark)
+    labels = spark.createDataFrame(
+        [
+            # valid anomaly
+            (0, "1_1", 1, "bursty input", 0, 100, 100, 150),
+            # anomaly interval beyond the trace: ano class empty
+            (1, "1_1", 2, "bursty input", 0, 100, 5000, 6000),
+            # empty reference interval
+            (2, "1_1", 3, "bursty input", 50, 50, 100, 150),
+        ],
+        "label_row int, trace_id string, ano_id int, ano_type string, "
+        "ref_start long, ref_end long, ano_start long, ano_end long",
+    )
+    out = explain_anomalies(traces, labels, ExplainConfig(instability_runs=0)).collect()
+    assert [r["ano_id"] for r in out] == [1]
+    assert len(out[0]["explanation"]) >= 1
