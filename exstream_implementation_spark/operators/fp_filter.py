@@ -23,6 +23,12 @@ Ordering note: the pooled series concatenates per-anomaly reference slices.
 The reference's order is os.listdir file order (nondeterministic!); we order
 by (ano_key, timestamp) — deterministic, differing only in windows that
 straddle slice boundaries.
+
+Scale bound: each applyInPandas group holds ONE feature's pooled reference
+series — sized by (#labeled anomalies × reference-window length), i.e. by
+the label catalog, not by raw data volume; the 100 TB trace never pools.
+If labels ever grow pathological, MASS is chunkable (split the series with
+m-1 overlap and union the profiles) — not needed at the reference's scale.
 """
 
 from __future__ import annotations
