@@ -25,26 +25,15 @@ def _flagship(spark: SparkSession, sf_dir: str, instability_runs: int = 5) -> Da
         ExplainConfig,
         explain_anomalies,
     )
+    from exstream_implementation_spark.plans.exstream_sql import (
+        _two_anomaly_setup,
+    )
     from exstream_implementation_spark.session import tune_session
-    from exstream_implementation_spark.sources import events_trace
 
     tune_session(spark)
-    # cache the post-pivot trace (~#buckets rows): the bounds probe below and
-    # the pipeline's slice both read it — without this the 1M-row events scan
-    # + pivot would run twice
-    trace = events_trace(spark, sf_dir, bucket_seconds=3600).cache()
-    tmin, tmax = trace.agg(F.min("timestamp"), F.max("timestamp")).first()
-    span = max(tmax - tmin, 4)
-    labels = spark.createDataFrame(
-        [
-            (0, "events", 1, "bursty input",
-             tmin, tmin + span // 2, tmin + span // 2, tmin + (span * 3) // 4),
-            (1, "events", 2, "stalled input",
-             tmin, tmin + span // 3, tmax - span // 4, tmax),
-        ],
-        "label_row int, trace_id string, ano_id int, ano_type string, "
-        "ref_start long, ref_end long, ano_start long, ano_end long",
-    )
+    # trace is cached post-pivot; labels are derived in-plan from its bounds
+    # (no driver-side probe), so the whole flagship is one lazy graph
+    trace, labels = _two_anomaly_setup(spark, sf_dir)
     cfg = ExplainConfig(instability_runs=instability_runs)
     out = explain_anomalies(trace, labels, cfg)
     return out.select(

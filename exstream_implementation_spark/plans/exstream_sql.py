@@ -498,25 +498,38 @@ FROM kept GROUP BY ano_id, ano_key
 
 def _two_anomaly_setup(spark, sf_dir):
     """Cached 10-feature events trace + the two deterministic labels shared
-    by exstream_explain_det and the C3 profile query (mirrors the `labels`
-    CTE of _FULL_TRACE_DUCK exactly)."""
+    by exstream_explain_det, the C3 profile query, and __spark_entry__'s
+    flagship (mirrors the `labels` CTE of _FULL_TRACE_DUCK exactly).
+
+    The labels are derived IN-PLAN from the trace's min/max bucket — no
+    driver-side bounds probe, so the whole pipeline stays one lazy graph."""
     from exstream_implementation_spark.sources import events_trace
 
-    # cached: the bounds probe and the downstream query both read the pivot
     trace = events_trace(spark, sf_dir, bucket_seconds=3600).cache()
-    tmin, tmax = trace.agg(F.min("timestamp"), F.max("timestamp")).first()
-    span = max(tmax - tmin, 4)
-    labels = trace.sparkSession.createDataFrame(
-        [
-            (0, "events", 1, "bursty input",
-             tmin, tmin + span // 2, tmin + span // 2, tmin + (span * 3) // 4),
-            (1, "events", 2, "stalled input",
-             tmin, tmin + span // 3, tmax - span // 4, tmax),
-        ],
-        "label_row int, trace_id string, ano_id int, ano_type string, "
-        "ref_start long, ref_end long, ano_start long, ano_end long",
+    bounds = trace.agg(
+        F.min("timestamp").alias("tmin"), F.max("timestamp").alias("tmax")
+    ).withColumn("span", F.greatest(F.col("tmax") - F.col("tmin"), F.lit(4)))
+    l0 = bounds.select(
+        F.lit(0).alias("label_row"),
+        F.lit("events").alias("trace_id"),
+        F.lit(1).alias("ano_id"),
+        F.lit("bursty input").alias("ano_type"),
+        F.col("tmin").alias("ref_start"),
+        F.expr("tmin + span DIV 2").alias("ref_end"),
+        F.expr("tmin + span DIV 2").alias("ano_start"),
+        F.expr("tmin + (span * 3) DIV 4").alias("ano_end"),
     )
-    return trace, labels
+    l1 = bounds.select(
+        F.lit(1).alias("label_row"),
+        F.lit("events").alias("trace_id"),
+        F.lit(2).alias("ano_id"),
+        F.lit("stalled input").alias("ano_type"),
+        F.col("tmin").alias("ref_start"),
+        F.expr("tmin + span DIV 3").alias("ref_end"),
+        F.expr("tmax - span DIV 4").alias("ano_start"),
+        F.col("tmax").alias("ano_end"),
+    )
+    return trace, l0.unionByName(l1)
 
 
 @query("exstream_explain_det", oracle=_FULL_PIPELINE_DUCK)
