@@ -1,0 +1,92 @@
+"""Property tests (hypothesis) for the driver-side numeric cores, plus
+one-shot Spark equivalence checks for the distributed operators."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.streaming.stateful import (
+    _entropy,
+    _scan,
+    batch_segmentation_entropy_reference,
+)
+
+
+def naive_seg_entropy_dropping_last(labels):
+    """Brute-force C6 with quirk Q2: run-length segments, last term dropped."""
+    if not labels:
+        return 0.0
+    segs, cur = [], 1
+    for a, b in zip(labels, labels[1:]):
+        if a == b:
+            cur += 1
+        else:
+            segs.append(cur)
+            cur = 1
+    # final segment intentionally NOT appended (Q2)
+    n = len(labels)
+    return sum((l / n) * math.log(n / l) for l in segs)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2), max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_scan_entropy_matches_naive(labels):
+    assert batch_segmentation_entropy_reference(labels) == pytest_approx(
+        naive_seg_entropy_dropping_last(labels)
+    )
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2), min_size=0, max_size=120),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_scan_is_chunking_invariant(labels, n_chunks):
+    """Feeding the same sequence in any number of chunks must give the same
+    state — the property that makes the operator correct across micro-batches."""
+    whole = _scan(labels, (0, 0, 0.0, 0, -1, 0))
+    st_ = (0, 0, 0.0, 0, -1, 0)
+    k = max(1, len(labels) // n_chunks)
+    for i in range(0, len(labels), k):
+        st_ = _scan(labels[i : i + k], st_)
+    assert st_[0] == whole[0] and st_[3] == whole[3]
+    assert _entropy(st_[0], st_[1], st_[2]) == pytest_approx(
+        _entropy(whole[0], whole[1], whole[2])
+    )
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, abs=1e-12)
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from exstream_implementation_spark.operators.skew import salted_agg
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("k"),
+        F.col("id").alias("sub"),
+        (F.col("id") * 7 % 101).cast("double").alias("v"),
+    )
+    got = salted_agg(
+        df,
+        keys=["k"],
+        aggs={
+            "n": ("sum", F.count(F.lit(1))),
+            "s": ("sum", F.sum("v")),
+            "mx": ("max", F.max("v")),
+            "mn": ("min", F.min("v")),
+        },
+        salt_col=F.col("sub"),
+        n_salts=13,
+    )
+    want = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.max("v").alias("mx"),
+        F.min("v").alias("mn"),
+    )
+    as_map = lambda d: {r["k"]: (r["n"], r["s"], r["mx"], r["mn"]) for r in d.collect()}
+    assert as_map(got) == as_map(want)
