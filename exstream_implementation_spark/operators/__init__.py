@@ -5,6 +5,9 @@ from exstream_implementation_spark.operators.bucketing import (  # noqa: F401
     read_bucketed,
     write_bucketed,
 )
+from exstream_implementation_spark.operators.components import (  # noqa: F401
+    connected_components,
+)
 from exstream_implementation_spark.operators.correlation import (  # noqa: F401
     correlated_feature_clusters,
     correlated_features_filter,

@@ -268,6 +268,52 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# --- duplicate clusters: near-dup pairs → connected components ---------------
+# The "keep one doc per duplicate cluster" step: n-gram Jaccard pairs become
+# an undirected graph; distributed min-label propagation
+# (operators/components.py) finds each doc's cluster representative.  Oracle:
+# recursive-CTE transitive closure over the identical pair set.
+@query(
+    "dedup_ngram_components",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sized AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+    dup AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN sized sa ON sa.doc_id = p.doc_a
+      JOIN sized sb ON sb.doc_id = p.doc_b
+      WHERE p.n_inter::DOUBLE / (sa.n_grams + sb.n_grams - p.n_inter) >= 0.5
+    ),
+    undirected AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup
+      UNION ALL SELECT doc_b, doc_a FROM dup
+    ),
+    verts AS (SELECT DISTINCT a AS vertex FROM undirected),
+    reach(vertex, reached) AS (
+      SELECT vertex, vertex FROM verts
+      UNION
+      SELECT r.vertex, u.b FROM reach r JOIN undirected u ON u.a = r.reached
+    )
+    SELECT vertex AS doc_id, min(reached) AS component
+    FROM reach GROUP BY vertex
+    """,
+)
+def dedup_ngram_components(spark, sf_dir):
+    from exstream_implementation_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("vertex").alias("doc_id"), "component")
+
+
 # --- SimHash (32-bit, distinct-token weights) --------------------------------
 _SIMHASH_BITS = 32
 

@@ -126,3 +126,19 @@ def test_salted_agg_two_phase_shape(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "l_returnflag, __salt" in plan.replace("#", " ").replace("L", "") or \
         "__salt" in plan
+
+
+def test_connected_components_hand_graph(spark):
+    from exstream_implementation_spark.operators.components import (
+        connected_components,
+    )
+
+    # two chains and a singleton edge: {1,2,3,4} via 1-2,2-3,3-4; {10,11}; {7,8}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (8, 7)], "src long, dst long"
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
