@@ -521,6 +521,56 @@ def sample_deterministic(spark, sf_dir):
     )
 
 
+# --- beyond-reference relational surface (SURVEY §2.2: the reference has no
+#     joins beyond inner-equi and no order statistics — Spark provides them;
+#     these pin the semantics under the same oracle gate) ---------------------
+@query(
+    "percentiles_exact",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value,
+           round(quantile_cont(value, 0.99), 6) AS p99_value
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_exact(spark, sf_dir):
+    # exact interpolated percentiles (Spark `percentile`, not the approx
+    # sketch) — matches DuckDB quantile_cont bit-for-bit after rounding
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+        )
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           (c.c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders
+    FROM customer c
+    WHERE c.c_acctbal > 9000.0
+    """,
+)
+def join_semi_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0)
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    with_orders = c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).withColumn("has_orders", F.lit(True))
+    without = c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).withColumn("has_orders", F.lit(False))
+    return with_orders.unionByName(without).select(
+        "c_custkey", "c_mktsegment", "has_orders"
+    )
+
+
 # --- §2.1 #24 Pearson correlation (reference exstream/correlation_filtering.py:41)
 @query(
     "corr_agg",
