@@ -571,6 +571,60 @@ def join_semi_anti(spark, sf_dir):
     )
 
 
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_ops(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 200000.0).select("o_custkey")
+    partial = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return urgent.intersect(big).exceptAll(partial.distinct())
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events WHERE event_id < 2000
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id", k.alias("k"), (k % 10).alias("k_bucket")
+    )
+
+
 # --- §2.1 #24 Pearson correlation (reference exstream/correlation_filtering.py:41)
 @query(
     "corr_agg",
