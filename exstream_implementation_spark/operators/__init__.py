@@ -5,6 +5,9 @@ from exstream_implementation_spark.operators.bucketing import (  # noqa: F401
     read_bucketed,
     write_bucketed,
 )
+from exstream_implementation_spark.operators.asof import (  # noqa: F401
+    asof_join_backward,
+)
 from exstream_implementation_spark.operators.components import (  # noqa: F401
     connected_components,
 )

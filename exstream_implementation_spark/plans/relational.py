@@ -572,6 +572,35 @@ def join_semi_anti(spark, sf_dir):
 
 
 @query(
+    "asof_join_events",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 40),
+    r AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase' AND user_id < 40)
+    SELECT l.event_id, l.user_id,
+           round(r.value, 6) AS asof_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    from exstream_implementation_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        left, right, by="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("asof_value", 6).alias("asof_value")
+    )
+
+
+@query(
     "rollup_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
