@@ -142,3 +142,12 @@ def test_connected_components_hand_graph(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
+
+
+def test_asof_join_is_single_shuffle_not_range_join(spark):
+    # the as-of join must plan as union + keyed window (one Exchange on the
+    # key), never a range/theta join that explodes pairs
+    plan = plan_str(QUERIES["asof_join_events"](spark, SF_DIR), mode="simple")
+    assert "Join" not in plan  # no join node at all — union + window instead
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
