@@ -1,0 +1,82 @@
+"""Distributed Lloyd k-means over embedding columns — the trained-centroid
+upgrade of the IVF index (plans/similarity.py uses deterministic stride
+centroids so the oracle can reproduce them; real deployments train).
+
+Spark-first iteration, no MLlib dependency needed for this shape:
+  assign:   crossJoin(broadcast(centroids)) → argmin squared L2 per vector
+            (one map-side pass — centroids are k×dim, always broadcastable)
+  update:   groupBy(cell) → element-wise mean via aggregate() over the
+            posexploded components (one shuffle keyed by cell)
+Each iteration = one job; inertia is monitored for convergence.  This is an
+iterative algorithm (not SQL-expressible) — validated by property tests
+(inertia monotonically non-increasing, partition into k non-empty cells)
+rather than the DuckDB oracle, per the driver contract's weak-check rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - y) *"
+    " (cast(x as double) - y)), cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding) × (cell, cemb) → nearest cell per vector."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "sqdist", F.expr(_SQDIST.format(a="embedding", b="cemb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("sqdist", "cell")
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "embedding", "cell", "sqdist")
+    )
+
+
+def kmeans_train(
+    vecs: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> tuple[DataFrame, list[float]]:
+    """Train k centroids on ``vecs(vec_id, embedding array<float>)``.
+
+    Init: the k lowest vec_ids (deterministic).  Returns (centroids DataFrame
+    ``(cell, cemb array<double>)``, per-iteration inertia history).
+    """
+    centroids = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.expr("transform(embedding, x -> cast(x as double))").alias("cemb"),
+        )
+    )
+    history: list[float] = []
+    for _ in range(max_iter):
+        assigned = _assign(vecs, centroids).persist()
+        inertia = assigned.agg(F.sum("sqdist")).first()[0]
+        # element-wise mean per cell: explode components, mean per (cell, pos)
+        comps = assigned.select(
+            "cell", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        new_centroids = (
+            comps.groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("_s")
+            )
+            .select("cell", F.col("_s.m").alias("cemb"))
+        )
+        assigned.unpersist()
+        centroids = new_centroids
+        history.append(float(inertia))
+        if len(history) >= 2 and history[-2] - history[-1] <= tol * history[-2]:
+            break
+    return centroids, history

@@ -601,6 +601,39 @@ def asof_join_events(spark, sf_dir):
 
 
 @query(
+    "window_frames",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS moving_avg5,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+    FROM events WHERE user_id < 25
+    """,
+)
+def window_frames(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w5 = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-4, 0)
+    wall = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w5), 6).alias("moving_avg5"),
+            F.round(F.sum("value").over(wall), 6).alias("running_sum"),
+        )
+    )
+
+
+@query(
     "rollup_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,

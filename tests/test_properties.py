@@ -90,3 +90,23 @@ def test_salted_agg_equals_plain_groupby(spark):
     )
     as_map = lambda d: {r["k"]: (r["n"], r["s"], r["mx"], r["mn"]) for r in d.collect()}
     assert as_map(got) == as_map(want)
+
+
+def test_kmeans_inertia_decreases_and_partitions(spark):
+    from exstream_implementation_spark.operators.kmeans import (
+        _assign,
+        kmeans_train,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids, history = kmeans_train(vecs, k=6, max_iter=5)
+    # Lloyd's algorithm: inertia is monotonically non-increasing
+    assert all(a >= b - 1e-9 for a, b in zip(history, history[1:])), history
+    assert len(history) >= 2 and history[-1] < history[0]
+    # every vector lands in exactly one of ≤ k cells
+    assigned = _assign(vecs, centroids)
+    assert assigned.count() == vecs.count()
+    n_cells = assigned.select("cell").distinct().count()
+    assert 1 < n_cells <= 6
