@@ -314,6 +314,74 @@ def dedup_ngram_components(spark, sf_dir):
     return cc.select(F.col("vertex").alias("doc_id"), "component")
 
 
+# --- corpus dedup report: the one-row summary a curation run publishes ------
+@query(
+    "dedup_summary",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sized AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+    dup AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN sized sa ON sa.doc_id = p.doc_a
+      JOIN sized sb ON sb.doc_id = p.doc_b
+      WHERE p.n_inter::DOUBLE / (sa.n_grams + sb.n_grams - p.n_inter) >= 0.5
+    ),
+    undirected AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup
+      UNION ALL SELECT doc_b, doc_a FROM dup
+    ),
+    verts AS (SELECT DISTINCT a AS vertex FROM undirected),
+    reach(vertex, reached) AS (
+      SELECT vertex, vertex FROM verts
+      UNION
+      SELECT r.vertex, u.b FROM reach r JOIN undirected u ON u.a = r.reached
+    ),
+    comp AS (SELECT vertex, min(reached) AS component FROM reach GROUP BY vertex),
+    totals AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.n_docs,
+           (SELECT count(*) FROM dup) AS n_dup_pairs,
+           (SELECT count(DISTINCT component) FROM comp) AS n_clusters,
+           (SELECT count(*) FROM comp) AS n_docs_in_clusters,
+           t.n_docs - (SELECT count(*) FROM comp)
+             + (SELECT count(DISTINCT component) FROM comp) AS n_docs_after
+    FROM totals t
+    """,
+)
+def dedup_summary(spark, sf_dir):
+    from exstream_implementation_spark.operators.components import (
+        connected_components,
+    )
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    n_pairs = pairs.count()
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    stats = comp.agg(
+        F.countDistinct("component").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs_in_clusters"),
+    ).first()
+    rows = [
+        (
+            n_docs,
+            n_pairs,
+            stats["n_clusters"],
+            stats["n_docs_in_clusters"],
+            n_docs - stats["n_docs_in_clusters"] + stats["n_clusters"],
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_docs long, n_dup_pairs long, n_clusters long, "
+        "n_docs_in_clusters long, n_docs_after long",
+    )
+
+
 # --- SimHash (32-bit, distinct-token weights) --------------------------------
 _SIMHASH_BITS = 32
 

@@ -194,3 +194,26 @@ def test_streaming_exact_dedup(spark):
     batch = events_batch_as_stream_input(spark, SF_DIR)
     assert got.count() == batch.select("event_id").distinct().count()
     assert got.distinct().count() == got.count()
+
+
+def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
+    """writeStream → parquet sink with checkpoint, read back and reconcile —
+    the durable-output path a production deployment uses."""
+    out = str(tmp_path / "wf_out")
+    ckpt = str(tmp_path / "wf_ckpt")
+    wf = windowed_features(events_stream(spark, SF_DIR))
+    q = (
+        wf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    batch = windowed_features(events_batch_as_stream_input(spark, SF_DIR))
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    # append mode: finalized windows only — subset of batch, non-empty
+    got = rows_as_set(back, cols)
+    assert got and got < rows_as_set(batch, cols)
