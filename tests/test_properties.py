@@ -110,3 +110,54 @@ def test_kmeans_inertia_decreases_and_partitions(spark):
     assert assigned.count() == vecs.count()
     n_cells = assigned.select("cell").distinct().count()
     assert 1 < n_cells <= 6
+
+
+def test_mass_profile_and_greedy_matches_bruteforce():
+    """C3 numeric core: the FFT distance profile and the stumpy-style greedy
+    exclusion count must match a naive O(n·m) implementation on random data."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.fp_filter import (
+        count_matches,
+        mass_distance_profile,
+    )
+
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        n = int(rng.integers(20, 200))
+        m = int(rng.integers(4, max(5, n // 3)))
+        ts = rng.normal(0, 1, n)
+        if trial % 4 == 0:  # plant a near-match
+            q = ts[5 : 5 + m].copy() + rng.normal(0, 0.01, m)
+        elif trial % 4 == 1:  # constant query (degenerate)
+            q = np.full(m, 3.14)
+        else:
+            q = rng.normal(0, 1, m)
+        got = mass_distance_profile(q, ts)
+        # naive z-normalized distances
+        want = np.empty(n - m + 1)
+        qm, qs = q.mean(), q.std()
+        for i in range(n - m + 1):
+            w = ts[i : i + m]
+            ws = w.std()
+            if qs == 0:
+                want[i] = 0.0 if ws == 0 else np.sqrt(m)
+            elif ws == 0:
+                want[i] = np.sqrt(m)
+            else:
+                zq = (q - qm) / qs
+                zw = (w - w.mean()) / ws
+                want[i] = np.sqrt(((zq - zw) ** 2).sum())
+        assert np.allclose(got, want, atol=1e-6), trial
+        # greedy count parity for a mid-range threshold
+        thresh = float(np.percentile(want, 30))
+        d = want.copy()
+        excl = int(np.ceil(m / 4))
+        expect = 0
+        while True:
+            i = int(np.argmin(d))
+            if not (d[i] <= thresh):
+                break
+            expect += 1
+            d[max(0, i - excl) : i + excl + 1] = np.inf
+        assert count_matches(q, ts, thresh) == expect, trial
