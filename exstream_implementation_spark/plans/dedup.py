@@ -25,15 +25,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.plans.registry import query
-from exstream_implementation_spark.sources import load_table
+from exstream_implementation_spark.sources import (
+    load_documents_parallel,
+    load_table,
+)
 
 N_MINHASH = 8
 HEX15 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
 def _doc_tokens(spark, sf_dir):
+    # parallel load: shingle/minhash work is CPU-bound per doc
     return (
-        load_table(spark, sf_dir, "documents")
+        load_documents_parallel(spark, sf_dir)
         .select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
     )
 

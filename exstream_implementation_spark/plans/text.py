@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.plans.registry import query
-from exstream_implementation_spark.sources import load_table
+from exstream_implementation_spark.sources import (
+    load_documents_parallel,
+    load_table,
+)
 
 STOP_EN = ["the", "a", "and", "of", "is", "to", "in", "on"]
 LEX = {
@@ -50,7 +53,7 @@ def _sql_list(words):
     """,
 )
 def text_token_stats(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     return d.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -84,7 +87,7 @@ _BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
     """,
 )
 def text_bpe_tokens(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = load_documents_parallel(spark, sf_dir)
     d = d.select(
         "doc_id",
         F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias(
@@ -124,7 +127,7 @@ def text_bpe_tokens(spark, sf_dir):
     """,
 )
 def text_quality(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     stop_arr = F.array(*[F.lit(w) for w in STOP_EN])
     d = d.select(
         "doc_id",
@@ -187,7 +190,7 @@ _LANG_SCORES_SQL = ",\n".join(
     """,
 )
 def text_langid(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     for lg, ws in LEX.items():
         d = d.withColumn(
             f"s_{lg}",
@@ -227,7 +230,7 @@ def text_langid(spark, sf_dir):
     """,
 )
 def text_fingerprint(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     u = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     term = (
         F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint) % 1000003")

@@ -73,6 +73,19 @@ def read_labels_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def load_documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, guaranteed enough partitions for CPU-heavy per-doc
+    work (tokenize/shingle/hash).  The testdata ships one parquet file → one
+    partition → single-threaded compute; repartition ONLY when the scan
+    under-splits (at production scale the corpus is many files and this is a
+    no-op — no gratuitous full-corpus shuffle)."""
+    df = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target, "doc_id")
+    return df
+
+
 def write_results(
     df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
 ) -> None:
