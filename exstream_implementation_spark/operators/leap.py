@@ -21,10 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def reward_leap_filter(rewards: DataFrame) -> DataFrame:
-    """(ano_key, feature, feature_order, reward, rank) → kept rows only."""
-    w = Window.partitionBy("ano_key").orderBy("rank")
-    w_all = Window.partitionBy("ano_key")
+def reward_leap_filter(
+    rewards: DataFrame, keys: tuple[str, ...] = ("ano_key",)
+) -> DataFrame:
+    """(*keys, feature, feature_order, reward, rank) → kept rows only."""
+    w = Window.partitionBy(*keys).orderBy("rank")
+    w_all = Window.partitionBy(*keys)
     df = (
         rewards.withColumn("prev_reward", F.lag("reward").over(w))
         .withColumn("leap", F.col("prev_reward") - F.col("reward"))
@@ -46,23 +48,25 @@ def reward_leap_filter(rewards: DataFrame) -> DataFrame:
         | F.col("cut_rank").isNull()
         | (F.col("rank") < F.col("cut_rank"))
     )
-    return kept.select("ano_key", "feature", "feature_order", "reward", "rank")
+    return kept.select(*keys, "feature", "feature_order", "reward", "rank")
 
 
-def assemble_explanations(kept: DataFrame) -> DataFrame:
-    """(ano_key) → (ano_key, features array<string> in rank order,
+def assemble_explanations(
+    kept: DataFrame, keys: tuple[str, ...] = ("ano_key",)
+) -> DataFrame:
+    """(*keys) → (*keys, features array<string> in rank order,
     feature_orders array<int>).
 
     The rank-ordered feature list is the reference's explanation value
     (reference script_1.py:93); integer indices are mapped by the pipeline
     from the full sliced-column order (reference script_1.py:110-115).
     """
-    return kept.groupBy("ano_key").agg(
+    return kept.groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(F.struct("rank", "feature", "feature_order"))
         ).alias("_s")
     ).select(
-        "ano_key",
+        *keys,
         F.col("_s.feature").alias("features"),
         F.col("_s.feature_order").alias("feature_orders"),
     )

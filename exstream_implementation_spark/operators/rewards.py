@@ -51,7 +51,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def worst_case_labels(melted: DataFrame, duplicate_mode: str = "sorted") -> DataFrame:
+def worst_case_labels(
+    melted: DataFrame,
+    duplicate_mode: str = "sorted",
+    keys: tuple[str, ...] = ("ano_key",),
+) -> DataFrame:
     """Assign each row its segmentation label and sequence position.
 
     Adds: r (0-based position within the (ano_key, feature, value) duplicate
@@ -61,7 +65,7 @@ def worst_case_labels(melted: DataFrame, duplicate_mode: str = "sorted") -> Data
     """
     if duplicate_mode not in ("sorted", "worst_case"):
         raise ValueError(f"unknown duplicate_mode {duplicate_mode!r}")
-    grp = ["ano_key", "feature", "value"]
+    grp = [*keys, "feature", "value"]
     w_rank = Window.partitionBy(*grp).orderBy("type_data", "timestamp")
     df = melted.withColumn("r", F.row_number().over(w_rank) - F.lit(1))
     if duplicate_mode == "sorted":
@@ -85,8 +89,10 @@ def worst_case_labels(melted: DataFrame, duplicate_mode: str = "sorted") -> Data
     return df.withColumn("label", label).drop("cnt", "n0", "n1")
 
 
-def segmentation_entropy(labeled: DataFrame) -> DataFrame:
-    """(ano_key, feature) → (ano_key, feature, feature_order, seg_ent).
+def segmentation_entropy(
+    labeled: DataFrame, keys: tuple[str, ...] = ("ano_key",)
+) -> DataFrame:
+    """(*keys, feature) → (*keys, feature, feature_order, seg_ent).
 
     Run-length segmentation of the label sequence ordered by (value, r),
     Σ (len/N)·ln(N/len) over all segments EXCEPT the last (quirk Q2 — the
@@ -94,7 +100,7 @@ def segmentation_entropy(labeled: DataFrame) -> DataFrame:
     so the final segment never contributes,
     reference exstream/entropy_based_single_reward_feature.py:181-200).
     """
-    w_seq = Window.partitionBy("ano_key", "feature").orderBy("value", "r")
+    w_seq = Window.partitionBy(*keys, "feature").orderBy("value", "r")
     w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df = (
         labeled.withColumn("prev_label", F.lag("label").over(w_seq))
@@ -108,11 +114,11 @@ def segmentation_entropy(labeled: DataFrame) -> DataFrame:
         )
         .withColumn("seg_id", F.sum("boundary").over(w_run))
     )
-    segs = df.groupBy("ano_key", "feature", "seg_id").agg(
+    segs = df.groupBy(*keys, "feature", "seg_id").agg(
         F.count(F.lit(1)).alias("seg_len"),
         F.first("feature_order").alias("feature_order"),
     )
-    w_feat = Window.partitionBy("ano_key", "feature")
+    w_feat = Window.partitionBy(*keys, "feature")
     segs = segs.withColumn("n_total", F.sum("seg_len").over(w_feat)).withColumn(
         "max_seg", F.max("seg_id").over(w_feat)
     )
@@ -120,7 +126,7 @@ def segmentation_entropy(labeled: DataFrame) -> DataFrame:
     term = F.when(F.col("seg_id") < F.col("max_seg"), p * F.log(1.0 / p)).otherwise(
         F.lit(0.0)
     )
-    return segs.groupBy("ano_key", "feature").agg(
+    return segs.groupBy(*keys, "feature").agg(
         F.sum(term).alias("seg_ent"),
         F.first("feature_order").alias("feature_order"),
     )
@@ -130,6 +136,7 @@ def single_feature_rewards(
     melted: DataFrame,
     duplicate_mode: str = "sorted",
     reward_round: int | None = None,
+    keys: tuple[str, ...] = ("ano_key",),
 ) -> DataFrame:
     """C7 — reward(f) = class_ent / seg_ent per (ano_key, feature), ranked.
 
@@ -146,8 +153,8 @@ def single_feature_rewards(
     cross-engine determinism boundary (float summation order differs between
     engines, and the downstream leap filter compares rewards for equality).
     """
-    seg = segmentation_entropy(worst_case_labels(melted, duplicate_mode))
-    cls = melted.groupBy("ano_key", "feature").agg(
+    seg = segmentation_entropy(worst_case_labels(melted, duplicate_mode, keys), keys)
+    cls = melted.groupBy(*keys, "feature").agg(
         F.count(F.when(F.col("type_data") == 0, 1)).alias("n_ref"),
         F.count(F.when(F.col("type_data") == 1, 1)).alias("n_ano"),
     )
@@ -164,9 +171,9 @@ def single_feature_rewards(
     if reward_round is not None:
         reward = F.round(reward, reward_round)
     rewards = (
-        seg.join(cls, ["ano_key", "feature"])
+        seg.join(cls, [*keys, "feature"])
         .withColumn("reward", reward)
-        .select("ano_key", "feature", "feature_order", "reward")
+        .select(*keys, "feature", "feature_order", "reward")
     )
-    w = Window.partitionBy("ano_key").orderBy(F.desc("reward"), F.asc("feature_order"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("reward"), F.asc("feature_order"))
     return rewards.withColumn("rank", F.row_number().over(w))

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from exstream_implementation_spark.operators.correlation import (
     correlated_features_filter,
@@ -63,58 +63,14 @@ class ExplainConfig:
 
 
 def _explanations_for(melted: DataFrame, cfg: ExplainConfig, keys=("ano_key",)) -> DataFrame:
-    rewards = single_feature_rewards_keyed(
-        melted, cfg.duplicate_mode, keys, cfg.reward_round
+    """rewards → leap → assembly, all partitioned by *keys (run_id, ano_key):
+    the operators take the composite key natively, so the six instability runs
+    ride the same shuffles as the main run."""
+    rewards = single_feature_rewards(
+        melted, cfg.duplicate_mode, cfg.reward_round, keys=keys
     )
-    kept = reward_leap_filter_keyed(rewards, keys)
-    return assemble_explanations_keyed(kept, keys)
-
-
-def single_feature_rewards_keyed(melted, duplicate_mode, keys, reward_round=None):
-    """rewards partitioned by extra keys (run_id) — wraps operators.rewards
-    by folding the extra key into ano_key, then splitting back."""
-    sep = "\x1f"  # unit separator: cannot occur in ano_key
-    extra = [k for k in keys if k != "ano_key"]
-    if not extra:
-        return single_feature_rewards(melted, duplicate_mode, reward_round)
-    packed = melted.withColumn(
-        "ano_key", F.concat_ws(sep, *[F.col(k).cast("string") for k in extra], "ano_key")
-    )
-    out = single_feature_rewards(packed, duplicate_mode, reward_round)
-    parts = F.split(F.col("ano_key"), sep, len(extra) + 1)
-    for i, k in enumerate(extra):
-        out = out.withColumn(k, parts.getItem(i).cast("int"))
-    return out.withColumn("ano_key", parts.getItem(len(extra)))
-
-
-def reward_leap_filter_keyed(rewards, keys):
-    sep = "\x1f"  # unit separator: cannot occur in ano_key
-    extra = [k for k in keys if k != "ano_key"]
-    if not extra:
-        return reward_leap_filter(rewards)
-    packed = rewards.withColumn(
-        "ano_key", F.concat_ws(sep, *[F.col(k).cast("string") for k in extra], "ano_key")
-    )
-    out = reward_leap_filter(packed)
-    parts = F.split(F.col("ano_key"), sep, len(extra) + 1)
-    for i, k in enumerate(extra):
-        out = out.withColumn(k, parts.getItem(i).cast("int"))
-    return out.withColumn("ano_key", parts.getItem(len(extra)))
-
-
-def assemble_explanations_keyed(kept, keys):
-    sep = "\x1f"  # unit separator: cannot occur in ano_key
-    extra = [k for k in keys if k != "ano_key"]
-    if not extra:
-        return assemble_explanations(kept)
-    packed = kept.withColumn(
-        "ano_key", F.concat_ws(sep, *[F.col(k).cast("string") for k in extra], "ano_key")
-    )
-    out = assemble_explanations(packed)
-    parts = F.split(F.col("ano_key"), sep, len(extra) + 1)
-    for i, k in enumerate(extra):
-        out = out.withColumn(k, parts.getItem(i).cast("int"))
-    return out.withColumn("ano_key", parts.getItem(len(extra)))
+    kept = reward_leap_filter(rewards, keys=keys)
+    return assemble_explanations(kept, keys=keys)
 
 
 def explain_anomalies(
@@ -128,23 +84,35 @@ def explain_anomalies(
 
     sliced = slice_intervals(traces, labels).cache()
 
-    # run 0 = main; runs 1..k = instability samples (reference script_1.py:227-238)
-    runs = [sliced.withColumn("run_id", F.lit(0))]
-    for i in range(1, cfg.instability_runs + 1):
-        runs.append(
-            sliced.sample(fraction=cfg.sample_fraction, seed=cfg.seed + i)
-            .withColumn("run_id", F.lit(i))
+    # run 0 = main; runs 1..k = instability samples (reference
+    # script_1.py:227-238).  One exploded run dimension over the cached slice
+    # — NOT a 6-way union: the sliced subtree appears once in the plan (6×
+    # smaller analysis/codegen) and the scan executes once.  Sampling is
+    # deterministic Bernoulli via xxhash64(row key, run) — statistically
+    # equivalent to the reference's pandas sample(frac) (FIXTURES §4:
+    # instability is only statistically comparable across engines).
+    n_runs = cfg.instability_runs
+    keep_threshold = int(cfg.sample_fraction * 1_000_000)
+    all_runs = sliced.select(
+        F.col("*"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_runs))).alias("run_id"),
+    ).filter(
+        (F.col("run_id") == 0)
+        | (
+            F.pmod(
+                F.xxhash64("ano_key", "timestamp", F.col("run_id") + F.lit(cfg.seed)),
+                F.lit(1_000_000),
+            )
+            < F.lit(keep_threshold)
         )
-    all_runs = runs[0]
-    for r in runs[1:]:
-        all_runs = all_runs.unionByName(r)
+    )
 
     # C2 per run (the reference re-clusters on each sample): driver loop over
     # tiny d×d matrices; skipped entirely when cluster=False.
     if cfg.cluster:
         per_run_feats = {}
         for i in range(cfg.instability_runs + 1):
-            src = sliced if i == 0 else runs[i]
+            src = sliced if i == 0 else all_runs.filter(F.col("run_id") == i)
             per_run_feats[i] = correlated_features_filter(
                 src, features, cfg.correlation_threshold, cluster=True
             )
@@ -158,6 +126,18 @@ def explain_anomalies(
         )
     else:
         surv = None
+
+    # drop (run, key) groups that lost a class to sampling — computed on the
+    # WIDE table (rows/|features| of the melted size) and applied as a tiny
+    # broadcast join, not a window over the melted table (saves a full-width
+    # shuffle; a (run, ano_key) pair list is O(runs × anomalies) ≪ data).
+    valid = (
+        all_runs.groupBy("run_id", "ano_key")
+        .agg(F.max("type_data").alias("_mx"), F.min("type_data").alias("_mn"))
+        .filter((F.col("_mx") == 1) & (F.col("_mn") == 0))
+        .select("run_id", "ano_key")
+    )
+    all_runs = all_runs.join(F.broadcast(valid), ["run_id", "ano_key"], "inner")
 
     melted = melt_features_with_run(all_runs, features)
     if surv is not None:
@@ -179,15 +159,6 @@ def explain_anomalies(
             .drop("_parts")
         )
 
-    # drop (run, key) groups that lost a class to sampling
-    w_rk = Window.partitionBy("run_id", "ano_key")
-    melted = (
-        melted.withColumn("_n_ano", F.max("type_data").over(w_rk))
-        .withColumn("_n_ref", F.min("type_data").over(w_rk))
-        .filter((F.col("_n_ano") == 1) & (F.col("_n_ref") == 0))
-        .drop("_n_ano", "_n_ref")
-    )
-
     expl = _explanations_for(melted, cfg, keys=("run_id", "ano_key")).cache()
 
     main = expl.filter(F.col("run_id") == 0).select(
@@ -198,18 +169,21 @@ def explain_anomalies(
 
     # C9 — entropy of feature frequency across the sample runs
     # (reference script_1.py:187-205, log base 2)
+    # H = -Σ p·log2 p  =  log2(T) - (Σ c·log2 c)/T — two chained groupBys on
+    # already co-partitioned keys, no window pass (the second agg input is one
+    # row per (ano_key, feature), trivially small).
     inst = (
         expl.filter(F.col("run_id") > 0)
         .select("run_id", "ano_key", F.explode("features").alias("feature"))
         .groupBy("ano_key", "feature")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w_key = Window.partitionBy("ano_key")
-    inst = (
-        inst.withColumn("total", F.sum("c").over(w_key))
-        .withColumn("p", F.col("c") / F.col("total"))
         .groupBy("ano_key")
-        .agg(F.sum(-F.col("p") * F.log2("p")).alias("exp_instability"))
+        .agg(
+            (
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+            ).alias("exp_instability")
+        )
     )
 
     lbl = labels.select(
