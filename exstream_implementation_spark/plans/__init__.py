@@ -6,6 +6,7 @@ from exstream_implementation_spark.plans.registry import (  # noqa: F401
 
 # importing the catalogs populates the registry
 from exstream_implementation_spark.plans import (  # noqa: F401,E402
+    analytics,
     dedup,
     exstream_sql,
     multimodal,

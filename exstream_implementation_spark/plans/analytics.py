@@ -1,0 +1,303 @@
+"""Analytical showcase queries — TPC-H-pattern plans over the testdata star
+schema, plus multi-level grouping (cube / grouping sets) and higher-order
+array functions.
+
+The reference's only aggregation surface is SURVEY §2.1 rows 12-22; these
+queries compose those same primitives at the shapes a warehouse user actually
+runs (pricing summary, join-heavy revenue rollups, HAVING-gated join-backs),
+proving the §2.2 "free from Spark" claim with oracle-gated evidence.
+
+Float determinism: money aggregates are computed as EXACT decimal sums
+(per-row values are 2-4 decimal digits by construction, so the decimal cast
+is lossless), then cast to double and rounded at the query boundary —
+summation order can't flip the hash (registry docstring).
+
+Scale notes: every plan aggregates before joining where semantics allow,
+broadcasts dimension tables (region/nation/customer ≪ fact tables), and
+keeps all expressions in whole-stage codegen (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.plans.registry import query
+from exstream_implementation_spark.sources import load_table
+
+
+# --- TPC-H Q1 pattern: full-scan pricing summary (§2.1 rows 12/21/22
+#     composed; reference's only aggregates are per-interval counts/means,
+#     e.g. explore_data.ipynb cell 13) ----------------------------------------
+@query(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                         AS sum_qty,
+           round(cast(sum(cast(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+                                                             AS sum_base_price,
+           round(cast(sum(cast(l_extendedprice AS DECIMAL(14,2))
+                          * cast(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE), 2)
+                                                             AS sum_disc_price,
+           round(avg(l_quantity), 4)                         AS avg_qty,
+           round(avg(l_discount), 4)                         AS avg_disc,
+           count(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    price_dec = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc_dec = (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(price_dec).cast("double"), 2).alias("sum_base_price"),
+        F.round(F.sum(price_dec * disc_dec).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --- TPC-H Q3 pattern: shipping-priority top-k revenue (broadcast the
+#     filtered customer dim into the orders⋈lineitem join) --------------------
+@query(
+    "tpch_q3_toprevenue",
+    oracle="""
+    SELECT l_orderkey,
+           round(cast(sum(cast(l_extendedprice AS DECIMAL(14,2))
+                          * cast(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE), 2)
+                                                             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_toprevenue(spark, sf_dir):
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 pattern: local-supplier revenue per nation (two broadcast dim
+#     chains meeting on the fact table) ---------------------------------------
+@query(
+    "tpch_q5_nation_revenue",
+    oracle="""
+    SELECT n_name,
+           round(cast(sum(cast(l_extendedprice AS DECIMAL(14,2))
+                          * cast(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE), 2)
+                                                             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_nation_revenue(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey))
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+    )
+
+
+# --- TPC-H Q18 pattern: HAVING-gated join-back (large-quantity orders) -------
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    # aggregate FIRST, join after: the HAVING filter shrinks the fact-side
+    # key set before any join, so the join-back input is tiny at any scale
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+# --- cube: all 4 grouping levels of (returnflag, linestatus) in one pass
+#     (§2.2 scope row "grouping sets/cube/rollup" — rollup_agg covers rollup;
+#     this covers cube + grouping_id) -----------------------------------------
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid", "n", "sum_qty",
+        )
+    )
+
+
+# --- explicit grouping sets: mixed-granularity panel in one shuffle ----------
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT coalesce(o_orderpriority, '<all>') AS priority,
+           coalesce(o_orderstatus, '<all>')  AS status,
+           count(*) AS n,
+           round(cast(sum(cast(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return orders.sparkSession.sql(
+        """
+        SELECT coalesce(o_orderpriority, '<all>') AS priority,
+               coalesce(o_orderstatus, '<all>')  AS status,
+               count(*) AS n,
+               round(cast(sum(cast(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+                   AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --- higher-order array functions: transform / filter / aggregate over a
+#     per-order quantity vector (Spark lambda exprs ⇄ DuckDB list lambdas);
+#     the reference's array surface is only len()/indexing
+#     (reference script_1.py:110-115,171) -------------------------------------
+@query(
+    "array_higher_order",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_linenumber) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qtys) AS n_lines,
+           round(list_sum(list_transform(qtys, q -> q * 2)), 2) AS doubled_sum,
+           len(list_filter(qtys, q -> q > 25)) AS n_heavy,
+           round(list_max(qtys), 2) AS max_qty
+    FROM per_order
+    WHERE l_orderkey % 100 = 7
+    """,
+)
+def array_higher_order(spark, sf_dir):
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 7)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "l_quantity"))
+            ).alias("_s")
+        )
+        .select("l_orderkey", F.col("_s.l_quantity").alias("qtys"))
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_lines"),
+        F.round(
+            F.aggregate(
+                F.transform("qtys", lambda q: q * 2),
+                F.lit(0.0),
+                lambda acc, q: acc + q,
+            ),
+            2,
+        ).alias("doubled_sum"),
+        F.size(F.filter("qtys", lambda q: q > 25)).alias("n_heavy"),
+        F.round(F.array_max("qtys"), 2).alias("max_qty"),
+    )
