@@ -52,7 +52,13 @@ def mass_distance_profile(query: np.ndarray, ts: np.ndarray) -> np.ndarray:
     csum2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
     mu = (csum[m:] - csum[:-m]) / m
     var = (csum2[m:] - csum2[:-m]) / m - mu * mu
-    sigma = np.sqrt(np.maximum(var, 0.0))
+    # constant-window detection must be tolerance-based, not var == 0: the
+    # single-pass cumsum variance cancels catastrophically, and its rounding
+    # noise depends on the window's absolute offset in the series (so an
+    # exact-zero test would make chunked and whole-series profiles disagree
+    # on degenerate windows)
+    const_win = var <= 1e-9 * np.maximum(mu * mu, 1.0)
+    sigma = np.sqrt(np.maximum(np.where(const_win, 0.0, var), 0.0))
     # sliding dot product via FFT
     size = 1 << int(np.ceil(np.log2(n + m)))
     qt = np.fft.irfft(np.fft.rfft(ts, size) * np.fft.rfft(query[::-1], size), size)

@@ -370,3 +370,73 @@ def emb_neardup_cosine(spark, sf_dir):
             F.round(cos, 5).alias("cosine"),
         )
     )
+
+
+# --- distributed MASS: exact z-normalized distance profile of an hourly
+#     event-count series against a 24-hour pattern, computed CHUNKED (the
+#     arbitrary-length-series scale path for C3's subsequence matching,
+#     reference exstream/false_positive_filtering.py:36-46; exactness of the
+#     chunking is property-tested in tests/test_properties.py) ----------------
+_MASS_M = 24
+
+_MASS_DUCK = f"""
+WITH hourly AS (
+  SELECT cast(floor(epoch(ts)/3600) AS BIGINT) AS hr,
+         cast(count(*) AS DOUBLE) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+series AS (
+  SELECT row_number() OVER (ORDER BY hr) - 1 AS seq, value FROM hourly
+),
+nn AS (SELECT count(*) AS n FROM series),
+pat AS (SELECT seq AS k, value AS pv FROM series WHERE seq < {_MASS_M}),
+ps AS (SELECT avg(pv) AS qm, coalesce(stddev_pop(pv), 0) AS qs FROM pat),
+win AS (
+  SELECT s.seq - p.k AS start, p.pv AS pv, s.value AS tv
+  FROM series s JOIN pat p
+    ON s.seq - p.k BETWEEN 0 AND (SELECT n FROM nn) - {_MASS_M}
+),
+st AS (
+  SELECT start, sum(pv * tv) AS dot, avg(tv) AS mu,
+         coalesce(stddev_pop(tv), 0) AS sigma
+  FROM win GROUP BY start
+)
+SELECT start,
+       round(CASE WHEN qs = 0 AND sigma = 0 THEN 0.0
+                  WHEN qs = 0 OR sigma = 0 THEN sqrt({_MASS_M}.0)
+                  ELSE sqrt(greatest(2 * {_MASS_M} * (1 - (dot - {_MASS_M} * qm * mu)
+                                 / ({_MASS_M} * qs * sigma)), 0.0))
+             END, 4) AS dist
+FROM st, ps
+"""
+
+
+@query("mass_profile_chunked", oracle=_MASS_DUCK)
+def mass_profile_chunked(spark, sf_dir):
+    from exstream_implementation_spark.operators.mass_distributed import (
+        mass_profile_distributed,
+    )
+    from exstream_implementation_spark.operators.ranking import global_row_number
+
+    # cache the tiny hourly aggregate: the ranking offsets, the pattern fetch
+    # and the profile pass would each re-scan events otherwise
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy((F.col("ts_sec") / 3600).cast("long").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .cache()
+    )
+    series = global_row_number(hourly, [F.asc("hr")]).withColumn(
+        "seq", F.col("rn") - 1
+    )
+    # the pattern is a bounded m-row parameter fetch (m=24), not a data
+    # collect — at scale it arrives as user input, exactly as stumpy's
+    # `match(pattern, ts)` signature does
+    pattern = [
+        r["value"]
+        for r in series.filter(F.col("seq") < _MASS_M).orderBy("seq").collect()
+    ]
+    return mass_profile_distributed(
+        series, pattern, chunk_size=256, round_decimals=4
+    )

@@ -161,3 +161,39 @@ def test_mass_profile_and_greedy_matches_bruteforce():
             expect += 1
             d[max(0, i - excl) : i + excl + 1] = np.inf
         assert count_matches(q, ts, thresh) == expect, trial
+
+
+def test_chunked_mass_equals_whole_series(spark):
+    """Chunking with (m-1)-overlap reproduces one-shot MASS on the full
+    series for every chunk size (up to FFT rounding: the per-chunk transform
+    size differs from the whole-series one, so distances agree to ~1e-7, not
+    bitwise)."""
+    import numpy as np
+    import pytest
+
+    from exstream_implementation_spark.operators.fp_filter import (
+        mass_distance_profile,
+    )
+    from exstream_implementation_spark.operators.mass_distributed import (
+        mass_profile_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    n, m = 200, 7
+    ts = np.round(rng.normal(size=n) * 10, 3)
+    # include a constant stretch to hit the degenerate sigma=0 branch
+    ts[50:70] = 5.0
+    pattern = ts[30:30 + m]
+    expect = mass_distance_profile(pattern, ts)
+
+    series = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(ts)], "seq long, value double"
+    )
+    for chunk_size in (m, 16, 50, 200, 1000):
+        got_rows = mass_profile_distributed(
+            series, pattern, chunk_size=chunk_size
+        ).collect()
+        got = {r["start"]: r["dist"] for r in got_rows}
+        assert len(got) == n - m + 1, chunk_size
+        for s in range(n - m + 1):
+            assert got[s] == pytest.approx(expect[s], abs=1e-6), (chunk_size, s)
