@@ -10,6 +10,8 @@ loop anywhere in script_1.py); the paper's online CEP setting (exstream.pdf
                          stream-static broadcast join + z-score anomaly flag
 - ``online_segmentation_entropy``
                          applyInPandasWithState port of C6's run-length scan
+- ``online_moments``     transformWithStateInPandas (Spark 4) lifetime
+                         per-key Welford moments for online z-scoring
 
 All transforms are written against the unified DataFrame API, so each also
 works on a batch frame — tests exercise both paths and assert they agree.
@@ -24,6 +26,7 @@ from exstream_implementation_spark.streaming.scoring import (
 from exstream_implementation_spark.streaming.stateful import (
     online_segmentation_entropy,
 )
+from exstream_implementation_spark.streaming.welford import online_moments
 from exstream_implementation_spark.streaming.explain_trigger import (
     explain_flagged,
     start_online_explainer,
@@ -35,6 +38,7 @@ __all__ = [
     "reference_profile",
     "score_against_profile",
     "online_segmentation_entropy",
+    "online_moments",
     "explain_flagged",
     "start_online_explainer",
 ]
