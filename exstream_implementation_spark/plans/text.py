@@ -239,3 +239,54 @@ def text_fingerprint(spark, sf_dir):
     return u.groupBy("doc_id").agg(
         (F.sum(term) % 2147483647).alias("fingerprint")
     )
+
+
+# --- Python UDTF surface (§2.2 scope row "UDAF/UDTF: absent" — Spark 4
+#     provides table functions natively): fixed-size token chunking, the
+#     context-window splitter every LLM training-data pipeline needs.
+#     Row-wise Python is acceptable here: chunking is inherently per-row
+#     string work, and the UDTF fans out via LATERAL inside the plan (no
+#     driver loop, shards with the scan partitions). ---------------------------
+CHUNK_TOKS = 32
+
+
+@query(
+    "udtf_token_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 10 = 3
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(cast(ceil(len(t)/{CHUNK_TOKS}.0) AS BIGINT))) AS i
+      FROM toks
+    )
+    SELECT doc_id, cast(i AS INT) AS chunk_idx,
+           array_to_string(t[i*{CHUNK_TOKS}+1 : i*{CHUNK_TOKS}+{CHUNK_TOKS}], ' ')
+               AS chunk_text,
+           cast(least(len(t) - i*{CHUNK_TOKS}, {CHUNK_TOKS}) AS INT) AS n_toks
+    FROM idx
+    """,
+)
+def udtf_token_chunks(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_toks int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(0, len(toks), CHUNK_TOKS):
+                c = toks[i : i + CHUNK_TOKS]
+                yield i // CHUNK_TOKS, " ".join(c), len(c)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 3
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_toks
+        FROM _udtf_docs d, LATERAL chunk_doc(d.text) c
+        """
+    )
