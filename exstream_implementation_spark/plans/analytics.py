@@ -301,3 +301,41 @@ def array_higher_order(spark, sf_dir):
         F.size(F.filter("qtys", lambda q: q > 25)).alias("n_heavy"),
         F.round(F.array_max("qtys"), 2).alias("max_qty"),
     )
+
+
+# --- approximate aggregates (HLL++ distinct, GK percentile sketch): the
+#     estimates themselves are engine-specific, so the oracle-gated contract
+#     is the ERROR BOUND, not the raw value — the query emits the estimate/
+#     exact ratio (resp. the exact percent-rank of the approximate median)
+#     rounded to one decimal, which hash-matches the oracle's constant iff
+#     the sketch stayed within ±5% — a real cross-engine assertion, honest
+#     about approximation. At 100 TB these sketches are the only viable
+#     distinct/percentile path (fixed memory, one pass, mergeable). ----------
+@query(
+    "approx_aggs",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_n,
+           CAST(1.0 AS DOUBLE) AS adc_ratio,
+           CAST(0.5 AS DOUBLE) AS amed_rank
+    FROM events
+    """,
+)
+def approx_aggs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    est = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("adc"),
+        F.count_distinct("user_id").alias("exact_n"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("amed"),
+    )
+    return (
+        ev.join(F.broadcast(est))
+        .agg(
+            F.first("exact_n").alias("exact_n"),
+            F.round(F.first("adc") / F.first("exact_n"), 1).alias("adc_ratio"),
+            F.round(
+                F.count(F.when(F.col("value") <= F.col("amed"), 1))
+                / F.count(F.lit(1)),
+                1,
+            ).alias("amed_rank"),
+        )
+    )
