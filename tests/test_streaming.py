@@ -262,3 +262,48 @@ def test_transform_with_state_welford_matches_batch(spark):
         assert last[k]["n"] == w["n"]
         assert last[k]["mean"] == pytest.approx(w["mean"], rel=1e-9)
         assert last[k]["std_pop"] == pytest.approx(w["std_pop"], rel=1e-9)
+
+
+def _attribution_join(views, clicks):
+    """view→click attribution: clicks within 30 min after a view by the same
+    user — the canonical stream-stream interval join (state pruned by both
+    watermarks + the time bound)."""
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("v_time"))
+        & (F.col("c_time") <= F.col("v_time") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("v_user", "v_time", "c_time", "v_id", "c_id")
+
+
+def _split_views_clicks(src):
+    views = src.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_time").alias("v_time"),
+        F.col("event_id").alias("v_id"),
+    )
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_time").alias("c_time"),
+        F.col("event_id").alias("c_id"),
+    )
+    return views, clicks
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Inner stream-stream joins emit on match (watermarks only bound state),
+    so a full availableNow replay must reproduce the batch join exactly."""
+    src = events_stream(spark, SF_DIR)
+    views, clicks = _split_views_clicks(src)
+    joined = _attribution_join(
+        views.withWatermark("v_time", "1 hour"),
+        clicks.withWatermark("c_time", "1 hour"),
+    )
+    got = run_stream_to_memory(joined, "ssj_mem")
+
+    bviews, bclicks = _split_views_clicks(events_batch_as_stream_input(spark, SF_DIR))
+    want = _attribution_join(bviews, bclicks)
+    cols = ["v_user", "v_time", "c_time", "v_id", "c_id"]
+    assert rows_as_set(got, cols) == rows_as_set(want, cols)
+    assert got.count() > 0
