@@ -481,3 +481,168 @@ def dedup_simhash_pairs(spark, sf_dir):
             hamming.alias("hamming"),
         )
     )
+
+
+# --- END-TO-END corpus curation: the full training-data pass in ONE lazy
+#     plan — quality gate → exact dedup (normalized hash) → near-dup
+#     clustering (3-gram Jaccard ≥ 0.5 → connected components, min-id
+#     representative) → context-chunk accounting. Every stage is an operator
+#     gated elsewhere in this catalog; this entry proves they COMPOSE.
+#     Scale path: quality+hash are map-side; the exact-dedup groupBy and the
+#     gram self-join shrink monotonically (each stage only drops rows), and
+#     components run on the tiny duplicate-pair graph, not the corpus. ------
+_CURATION_DUCK = """
+WITH RECURSIVE
+  q0 AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(lower(text), '\\s+') AS toks
+    FROM documents
+  ),
+  q AS (
+    SELECT doc_id, text, len(toks) AS n_tokens,
+           len(list_filter(toks, x -> x IN
+             ('the','a','and','of','is','to','in','on')))::DOUBLE
+             / len(toks) AS stop_ratio
+    FROM q0
+  ),
+  qual AS (
+    SELECT doc_id, text, n_tokens FROM q
+    WHERE n_tokens >= 20 AND stop_ratio >= 0.02
+  ),
+  h AS (
+    SELECT doc_id, text, n_tokens,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+    FROM qual
+  ),
+  ex AS (
+    SELECT h.* FROM h
+    JOIN (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY ch) k
+      ON h.ch = k.ch AND h.doc_id = k.keep_id
+  ),
+  t AS (SELECT doc_id, n_tokens,
+               regexp_split_to_array(lower(text), '\\s+') AS toks FROM ex),
+  g AS (SELECT doc_id, n_tokens,
+               list_distinct(list_filter(
+                 list_transform(list_zip(toks, toks[2:], toks[3:]),
+                                x -> x[1] || ' ' || x[2] || ' ' || x[3]),
+                 x -> x IS NOT NULL)) AS grams
+        FROM t),
+  e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+  pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ),
+  sized AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+  dup AS (
+    SELECT p.doc_a, p.doc_b FROM pairs p
+    JOIN sized sa ON sa.doc_id = p.doc_a
+    JOIN sized sb ON sb.doc_id = p.doc_b
+    WHERE p.n_inter::DOUBLE / (sa.n_grams + sb.n_grams - p.n_inter) >= 0.5
+  ),
+  undirected AS (
+    SELECT doc_a AS a, doc_b AS b FROM dup
+    UNION ALL SELECT doc_b, doc_a FROM dup
+  ),
+  verts AS (SELECT DISTINCT a AS vertex FROM undirected),
+  reach(vertex, reached) AS (
+    SELECT vertex, vertex FROM verts
+    UNION
+    SELECT r.vertex, u.b FROM reach r JOIN undirected u ON u.a = r.reached
+  ),
+  comp AS (SELECT vertex, min(reached) AS component FROM reach GROUP BY vertex)
+SELECT x.doc_id, x.n_tokens,
+       cast(ceil(x.n_tokens / 32.0) AS BIGINT) AS n_chunks
+FROM ex x LEFT JOIN comp c ON c.vertex = x.doc_id
+WHERE c.vertex IS NULL OR c.component = x.doc_id
+"""
+
+
+@query("corpus_curation", oracle=_CURATION_DUCK)
+def corpus_curation(spark, sf_dir):
+    from exstream_implementation_spark.operators.components import (
+        connected_components,
+    )
+
+    stop_arr = F.array(
+        *[F.lit(w) for w in ("the", "a", "and", "of", "is", "to", "in", "on")]
+    )
+    d = load_documents_parallel(spark, sf_dir).select(
+        "doc_id", "text", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    d = d.select(
+        "doc_id",
+        "text",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        (
+            F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+            / F.size("toks")
+        ).alias("stop_ratio"),
+    )
+    qual = d.filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio") >= 0.02))
+    h = qual.select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("ch"),
+    )
+    keep = h.groupBy("ch").agg(F.min("doc_id").alias("keep_id"))
+    ex = (
+        h.join(keep, "ch")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "toks", "n_tokens")
+        .persist()
+    )
+    grams = ex.select(
+        "doc_id",
+        "n_tokens",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("grams"),
+    ).persist()
+    e = grams.select("doc_id", F.explode("grams").alias("gram"))
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sized = grams.select("doc_id", F.size("grams").alias("n_grams"))
+    dup = (
+        pairs.join(
+            sized.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_grams", "ga"
+            ),
+            "doc_a",
+        )
+        .join(
+            sized.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_grams", "gb"
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_inter") / (F.col("ga") + F.col("gb") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(dup, src="doc_a", dst="doc_b")
+    final = ex.join(comp, ex.doc_id == comp.vertex, "left").filter(
+        F.col("vertex").isNull() | (F.col("component") == F.col("doc_id"))
+    )
+    return final.select(
+        "doc_id",
+        "n_tokens",
+        F.ceil(F.col("n_tokens") / 32.0).cast("long").alias("n_chunks"),
+    )
