@@ -24,6 +24,7 @@ from exstream_implementation_spark.streaming.scoring import (
     score_against_profile,
 )
 from exstream_implementation_spark.streaming.stateful import (
+    online_feature_rewards,
     online_segmentation_entropy,
 )
 from exstream_implementation_spark.streaming.welford import online_moments
@@ -38,6 +39,7 @@ __all__ = [
     "reference_profile",
     "score_against_profile",
     "online_segmentation_entropy",
+    "online_feature_rewards",
     "online_moments",
     "explain_flagged",
     "start_online_explainer",

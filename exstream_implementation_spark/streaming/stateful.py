@@ -126,3 +126,85 @@ def batch_segmentation_entropy_reference(labels) -> float:
     including Q2 (final segment dropped)."""
     st = _scan(labels, (0, 0, 0.0, 0, -1, 0))
     return _entropy(st[0], st[1], st[2])
+
+
+REWARD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("n_ano", LongType()),
+        StructField("class_entropy", DoubleType()),
+        StructField("seg_entropy", DoubleType()),
+        StructField("reward", DoubleType()),
+    ]
+)
+
+REWARD_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("closed_len", LongType()),
+        StructField("closed_llnl", DoubleType()),
+        StructField("closed_segs", LongType()),
+        StructField("cur_label", LongType()),
+        StructField("cur_len", LongType()),
+        StructField("n_ano", LongType()),
+    ]
+)
+
+
+def online_feature_rewards(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "seq",
+    label_col: str = "label",
+) -> DataFrame:
+    """Online C7: per-key reward = class_entropy / segmentation_entropy over
+    the ARRIVAL-ORDERED label sequence, maintained incrementally forever.
+
+    Semantic note (vs batch ``operators.rewards``): batch C7 sorts the rows by
+    feature VALUE before segmenting (reference
+    exstream/entropy_based_single_reward_feature.py:224) — an inherently
+    offline step, since any later row can land anywhere in the sort. The
+    online variant segments in event-time order, which is the paper's online
+    monitoring framing (exstream.pdf §6.3): a feature whose label runs are
+    long in time (few alternations) separates the classes well *as the stream
+    evolves*. Class entropy (C4, log2) is order-free, so it is exact.
+    State per key is O(1): the C6 tuple plus the anomaly-row count.
+    """
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        st = state.get if state.exists else (0, 0, 0.0, 0, -1, 0, 0)
+        c6, n_ano = st[:6], st[6]
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            labs = pdf[label_col].to_numpy()
+            c6 = _scan(labs, c6)
+            n_ano += int((labs == 1).sum())
+        state.update((*c6, n_ano))
+        n = c6[0]
+        seg = _entropy(c6[0], c6[1], c6[2])
+        if 0 < n_ano < n:
+            p_a = n_ano / n
+            p_r = 1.0 - p_a
+            cls = -p_a * math.log2(p_a) - p_r * math.log2(p_r)
+        else:
+            cls = 0.0
+        reward = cls / seg if seg > 0 else 0.0
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_rows": [n],
+                "n_ano": [n_ano],
+                "class_entropy": [cls],
+                "seg_entropy": [seg],
+                "reward": [reward],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=REWARD_OUTPUT_SCHEMA,
+        stateStructType=REWARD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

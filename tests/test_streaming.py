@@ -307,3 +307,47 @@ def test_stream_stream_interval_join_matches_batch(spark):
     cols = ["v_user", "v_time", "c_time", "v_id", "c_id"]
     assert rows_as_set(got, cols) == rows_as_set(want, cols)
     assert got.count() > 0
+
+
+def test_online_feature_rewards_matches_driver_oracle(spark):
+    """Online C7 (arrival-ordered segmentation + exact class entropy): the
+    streamed lifetime reward must equal a driver-side recomputation over the
+    same event-time ordering."""
+    import math
+
+    from exstream_implementation_spark.streaming.stateful import (
+        online_feature_rewards,
+    )
+
+    src = events_stream(spark, SF_DIR).select(
+        F.col("event_type").alias("key"),
+        F.col("ts").alias("seq"),
+        (F.col("value") > 50.0).cast("long").alias("label"),
+    )
+    got = run_stream_to_memory(
+        online_feature_rewards(src), "rewards_mem", output_mode="update"
+    )
+    rows = {r["key"]: r for r in got.orderBy("n_rows").collect()}
+
+    pdf = (
+        events_batch_as_stream_input(spark, SF_DIR)
+        .select("event_type", "ts", (F.col("value") > 50.0).cast("long").alias("label"))
+        .toPandas()
+        .sort_values(["event_type", "ts"])
+    )
+    for k, g in pdf.groupby("event_type"):
+        labs = g["label"].to_numpy()
+        seg = batch_segmentation_entropy_reference(labs)
+        n, n_ano = len(labs), int(labs.sum())
+        p_a = n_ano / n
+        cls = (
+            -p_a * math.log2(p_a) - (1 - p_a) * math.log2(1 - p_a)
+            if 0 < n_ano < n
+            else 0.0
+        )
+        r = rows[k]
+        assert r["n_rows"] == n and r["n_ano"] == n_ano
+        assert r["seg_entropy"] == pytest.approx(seg, abs=1e-9)
+        assert r["class_entropy"] == pytest.approx(cls, abs=1e-9)
+        want_reward = cls / seg if seg > 0 else 0.0
+        assert r["reward"] == pytest.approx(want_reward, rel=1e-9)
