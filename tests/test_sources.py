@@ -62,3 +62,39 @@ def test_write_results_roundtrip(spark, tmp_path):
     back_csv = spark.read.option("header", True).csv(cs)
     got = {r["trace_id"]: r["explanation"] for r in back_csv.collect()}
     assert got["1_1"] == "[2,4]"  # arrays JSON-encoded for the flat format
+
+
+def test_write_results_jsonl_roundtrip(spark, tmp_path):
+    """JSONL (spark json = one object per line) — the training-data
+    interchange format; arrays survive natively."""
+    df = spark.createDataFrame(
+        [("t1", 1, [2, 6, 0]), ("t2", 2, [1])],
+        "trace_id string, ano_id int, explanation array<int>",
+    )
+    path = str(tmp_path / "out_jsonl")
+    write_results(df, path, fmt="json")
+    back = spark.read.schema(df.schema).json(path)
+    got = {
+        (r["trace_id"], r["ano_id"], tuple(r["explanation"]))
+        for r in back.collect()
+    }
+    assert got == {("t1", 1, (2, 6, 0)), ("t2", 2, (1,))}
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Partitioned result layout must let a reader skip partitions: the scan
+    of one trace_id reads only that directory (PartitionFilters, not a full
+    scan + filter) — the property that makes 100 TB outputs re-queryable."""
+    df = spark.createDataFrame(
+        [("t%d" % (i % 5), i, float(i)) for i in range(100)],
+        "trace_id string, ano_id int, score double",
+    )
+    path = str(tmp_path / "out_part")
+    write_results(df, path, fmt="parquet", partition_by=["trace_id"])
+    back = spark.read.parquet(path).filter(F.col("trace_id") == "t3")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = back._jdf.queryExecution().explainString(jmode)
+    assert "PartitionFilters" in plan and "t3" in plan
+    assert back.count() == 20
