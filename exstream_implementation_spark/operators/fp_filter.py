@@ -143,18 +143,27 @@ def false_positive_filter(
     melted: DataFrame,
     max_distance: float = 40.0,
     keep_threshold: int = 5,
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """melted long table → (ano_key, feature, feature_order, n_matches, kept).
+    """melted long table → (*keys, ano_key, feature, feature_order,
+    n_matches, kept).
 
     ``kept`` replicates the reference's rule: n_matches ≤ keep_threshold, with
     the fewest-matches fallback when an anomaly would keep nothing.
+
+    ``keys`` are extra grouping columns (e.g. ``run_id`` for the instability
+    re-runs): pooling happens per (*keys, feature) — each run pools ONLY its
+    own sampled references, exactly as the reference's per-run pipeline
+    re-execution does (reference script_1.py:227-238).
     """
     refs = melted.filter(F.col("type_data") == 0).select(
-        "ano_key", "timestamp", "feature", "feature_order", "value"
+        *keys, "ano_key", "timestamp", "feature", "feature_order", "value"
     )
 
+    key_schema = "".join(f"{k} int, " for k in keys)
     out_schema = (
-        "feature string, feature_order int, ano_key string, n_matches long"
+        f"{key_schema}feature string, feature_order int, ano_key string, "
+        "n_matches long"
     )
 
     def per_feature(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -162,29 +171,33 @@ def false_positive_filter(
         pooled = pdf["value"].to_numpy(dtype=np.float64)
         feature = pdf["feature"].iloc[0]
         order = int(pdf["feature_order"].iloc[0])
+        extra = tuple(int(pdf[k].iloc[0]) for k in keys)
         rows = []
         for key, grp in pdf.groupby("ano_key", sort=True):
             pattern = grp["value"].to_numpy(dtype=np.float64)
             n = count_matches(pattern, pooled, max_distance)
-            rows.append((feature, order, key, n))
+            rows.append((*extra, feature, order, key, n))
         return pd.DataFrame(
-            rows, columns=["feature", "feature_order", "ano_key", "n_matches"]
+            rows,
+            columns=[*keys, "feature", "feature_order", "ano_key", "n_matches"],
         )
 
-    counts = refs.groupBy("feature").applyInPandas(per_feature, out_schema)
+    counts = refs.groupBy(*keys, "feature").applyInPandas(per_feature, out_schema)
 
-    w_key = Window.partitionBy("ano_key")
+    w_key = Window.partitionBy(*keys, "ano_key")
     counts = counts.withColumn(
         "kept_primary", (F.col("n_matches") <= F.lit(keep_threshold)).cast("int")
     )
     counts = counts.withColumn("any_kept", F.max("kept_primary").over(w_key))
     # fallback: argmin n_matches, ties by column order (np.argmin = first
     # occurrence, reference exstream/false_positive_filtering.py:46)
-    w_min = Window.partitionBy("ano_key").orderBy("n_matches", "feature_order")
+    w_min = Window.partitionBy(*keys, "ano_key").orderBy(
+        "n_matches", "feature_order"
+    )
     counts = counts.withColumn("min_rank", F.row_number().over(w_min))
     return counts.withColumn(
         "kept",
         F.when(F.col("any_kept") == 1, F.col("kept_primary") == 1).otherwise(
             F.col("min_rank") == 1
         ),
-    ).select("ano_key", "feature", "feature_order", "n_matches", "kept")
+    ).select(*keys, "ano_key", "feature", "feature_order", "n_matches", "kept")

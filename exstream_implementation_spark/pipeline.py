@@ -143,20 +143,13 @@ def explain_anomalies(
     if surv is not None:
         melted = melted.join(surv, ["run_id", "feature"], "inner")
 
-    # C3 per run
+    # C3 per run: each run pools only its own sampled references (the
+    # reference re-runs the whole pipeline per sample, script_1.py:227-238)
     if cfg.false_positive_filtering:
-        sep = "\x1f"  # unit separator: cannot occur in ano_key
-        packed = melted.withColumn(
-            "ano_key", F.concat_ws(sep, F.col("run_id").cast("string"), "ano_key")
-        )
-        fp = false_positive_filter(packed, cfg.max_distance)
-        fp_kept = fp.filter(F.col("kept")).select("ano_key", "feature")
-        melted = (
-            packed.join(fp_kept, ["ano_key", "feature"], "inner")
-            .withColumn("_parts", F.split(F.col("ano_key"), sep, 2))
-            .withColumn("run_id", F.col("_parts").getItem(0).cast("int"))
-            .withColumn("ano_key", F.col("_parts").getItem(1))
-            .drop("_parts")
+        fp = false_positive_filter(melted, cfg.max_distance, keys=("run_id",))
+        fp_kept = fp.filter(F.col("kept")).select("run_id", "ano_key", "feature")
+        melted = melted.join(
+            F.broadcast(fp_kept), ["run_id", "ano_key", "feature"], "inner"
         )
 
     expl = _explanations_for(melted, cfg, keys=("run_id", "ano_key")).cache()

@@ -104,6 +104,24 @@ def test_explain_anomalies_fp_filter_runs(spark):
         assert row["exp_size"] >= 1
 
 
+def test_fp_filter_pools_per_run(spark):
+    """Per-run reference pooling (reference re-runs the pipeline per sample,
+    script_1.py:227-238): with sample_fraction=1.0 every run's pool equals
+    the main run's, so FP filtering must keep identical features per run and
+    exp_instability collapses to log2(exp_size). A pooled-across-runs bug
+    triples the haystack and breaks the identity."""
+    traces, labels, _ = build_fixture(spark)
+    cfg = ExplainConfig(
+        false_positive_filtering=True, instability_runs=2, sample_fraction=1.0
+    )
+    out = explain_anomalies(traces, labels, cfg).collect()
+    assert len(out) == 2
+    for row in out:
+        assert row["exp_instability"] == pytest.approx(
+            math.log2(row["exp_size"]), abs=1e-12
+        )
+
+
 def test_instability_log2k_identity(spark):
     """Verified reference quirk (SURVEY C9): k identical size-k explanations
     give entropy log2(k), not 0 — frequency is uniform over the k features.
