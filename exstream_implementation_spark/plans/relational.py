@@ -841,3 +841,65 @@ def column_index_map(spark, sf_dir):
     rows = [(c, i) for i, c in enumerate(li.columns)]
     df = spark.createDataFrame(rows, "feature string, feature_order int")
     return df.filter(F.col("feature").startswith("l_l"))
+
+
+# --- binned interval join: the SCALE path for C1-style range predicates when
+#     the interval side is too big to broadcast (reference utils/get_data.py:
+#     83-100 slices by interval; slicing.slice_intervals broadcasts labels).
+#     Each interval spans < 2 buckets of width W, so exploding intervals into
+#     covered buckets turns the range join into an EQUALITY join on
+#     (user, bucket) + a cheap residual filter — hash-shuffle both sides,
+#     no broadcast, no nested-loop pair explosion, skew-safe under AQE. ------
+_INC_W = 21600  # 6-hour incident window
+
+
+@query(
+    "interval_join_binned",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id, event_type,
+                       cast(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events),
+         i AS (SELECT user_id, event_id AS incident_id, sec AS t0
+               FROM ev WHERE event_type = 'error'),
+         c AS (SELECT user_id, event_id AS click_id, sec
+               FROM ev WHERE event_type = 'click')
+    SELECT i.user_id, i.incident_id, c.click_id, c.sec AS click_sec
+    FROM i JOIN c ON c.user_id = i.user_id
+     AND c.sec >= i.t0 AND c.sec < i.t0 + {_INC_W}
+    """,
+)
+def interval_join_binned(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_sec"
+    )
+    inc = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_sec").alias("t0"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_sec").alias("click_sec"),
+    )
+    w = F.lit(_INC_W)
+    inc_b = inc.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.col("t0") / w).cast("long"),
+                    ((F.col("t0") + w - 1) / w).cast("long"),
+                )
+            )
+        ),
+    )
+    clk_b = clk.withColumn("bucket", (F.col("click_sec") / w).cast("long"))
+    return (
+        inc_b.join(clk_b, ["user_id", "bucket"])
+        .filter(
+            (F.col("click_sec") >= F.col("t0"))
+            & (F.col("click_sec") < F.col("t0") + w)
+        )
+        .select("user_id", "incident_id", "click_id", "click_sec")
+    )

@@ -180,3 +180,13 @@ def test_cube_single_expand_pass(spark):
     plan = plan_str(QUERIES["cube_agg"](spark, SF_DIR), mode="simple")
     assert plan.count("Expand") == 1
     assert "Union" not in plan
+
+
+def test_interval_join_binned_is_hash_join(spark):
+    """The binned range join must plan as an equality join (hash/SMJ on
+    (user, bucket)) — never BroadcastNestedLoopJoin or CartesianProduct."""
+    plan = plan_str(QUERIES["interval_join_binned"](spark, SF_DIR), mode="simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan  # AQE may broadcast the small side at sf0.01
+    )
