@@ -903,3 +903,62 @@ def interval_join_binned(spark, sf_dir):
         )
         .select("user_id", "incident_id", "click_id", "click_sec")
     )
+
+
+# --- native unpivot (the engine's melt — operators/slicing.melt_features
+#     uses stack() for the same reshape; reference melts implicitly by
+#     iterating feature columns, entropy_based_single_reward_feature.py:222) --
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+             l_extendedprice AS price, l_discount AS disc
+      FROM lineitem WHERE l_orderkey % 500 = 9
+    )
+    SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
+    FROM wide UNPIVOT (val FOR metric IN (qty, price, disc))
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    wide = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 500 == 9)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("disc"),
+        )
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"], ["qty", "price", "disc"],
+        "metric", "val",
+    ).select("l_orderkey", "l_linenumber", "metric", F.round("val", 4).alias("val"))
+
+
+# --- distribution ranking functions (ntile / percent_rank / cume_dist),
+#     partitioned per nation so the window never plans a global sort ---------
+@query(
+    "ntile_distribution",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def ntile_distribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
