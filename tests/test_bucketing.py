@@ -78,3 +78,51 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
         .first()
     )
     assert tuple(got) == tuple(plain)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew story beyond salting (groupby_salted_skew): for JOINS we rely on
+    AQE's skew-join rule — a hot key's oversized reduce partition is split at
+    runtime by mapper ranges. Two operational preconditions this test pins
+    (both bit us): the upstream stage needs MULTIPLE mappers (a split's unit
+    is one mapper's output — a single-file scan gives one mapper and nothing
+    can split), and the skew thresholds must sit below the hot partition's
+    COMPRESSED shuffle size."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(
+            "/root/testdata/sf0.01/lineitem.parquet"
+        ).repartition(16)
+        # 10x volume, 90% of rows on join key 0
+        fact = li.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rep"),
+            F.when(F.col("l_orderkey") % 10 < 9, 0)
+            .otherwise(F.col("l_orderkey") % 1000)
+            .alias("k"),
+            "l_quantity",
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = fact.join(dim, "k").select(
+            (F.col("l_quantity") + F.col("w")).alias("x")
+        )
+        assert len(joined.collect()) == 600_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
