@@ -351,3 +351,52 @@ def test_online_feature_rewards_matches_driver_oracle(spark):
         assert r["class_entropy"] == pytest.approx(cls, abs=1e-9)
         want_reward = cls / seg if seg > 0 else 0.0
         assert r["reward"] == pytest.approx(want_reward, rel=1e-9)
+
+
+def test_checkpointed_restart_is_exactly_once(spark, tmp_path):
+    """Kill a checkpointed file-source→file-sink stream mid-replay, restart
+    it, drain: the output must equal the input exactly — no loss, no
+    duplicates. This is the operational contract that makes the streaming
+    layer production-usable (checkpoint + idempotent sink = exactly-once)."""
+    from exstream_implementation_spark.streaming.source import (
+        EVENTS_STREAM_SCHEMA,
+        events_batch_as_stream_input,
+    )
+
+    src_dir, out_dir, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    ev = events_batch_as_stream_input(spark, SF_DIR).drop("event_time")
+    ev.repartition(4).write.parquet(src_dir)
+    n_total = ev.count()
+
+    def start():
+        sdf = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    # stop between micro-batches (one file per batch): whatever committed
+    # stays; the restart must resume from the checkpoint, not from scratch
+    import time
+
+    while not q.recentProgress and q.isActive:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    q2.awaitTermination(120)
+
+    got = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(out_dir)
+    assert got.count() == n_total
+    assert got.select("event_id").distinct().count() == n_total
