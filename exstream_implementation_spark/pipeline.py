@@ -9,13 +9,15 @@ Stages (reference driver at script_1.py:118-184):
 Spark-first wins over the reference's 6× eager recomputation
 (reference script_1.py:227-238):
   * the sliced table is computed once and cached; the main run and the 5
-    instability samples are a UNION tagged ``run_id``, so rewards/leap for
-    all six runs execute as ONE shuffle keyed (run_id, ano_key, feature) —
-    not six sequential pipelines;
-  * sampling is Bernoulli p=0.8 with per-run seeds (the reference's pandas
-    ``sample(frac=0.8)`` draws exactly-80% without replacement and reruns
-    eagerly — statistically equivalent, and FIXTURES §4 notes instability is
-    only statistically comparable across engines anyway);
+    instability samples are an EXPLODED ``run_id`` dimension over it, so
+    rewards/leap for all six runs execute as ONE shuffle keyed
+    (run_id, ano_key, feature) — not six sequential pipelines, and the
+    sliced subtree appears once in the plan;
+  * sampling is deterministic Bernoulli p=0.8 via xxhash64 per (row, run)
+    (the reference's pandas ``sample(frac=0.8)`` draws exactly-80% without
+    replacement and reruns eagerly — statistically equivalent, and FIXTURES
+    §4 notes instability is only statistically comparable across engines
+    anyway);
   * (run, anomaly) groups that lose an entire class to sampling are dropped
     (the reference would raise ValueError,
     reference exstream/entropy_based_single_reward_feature.py:30-34).
@@ -205,3 +207,40 @@ def melt_features_with_run(all_runs: DataFrame, features: list[str]) -> DataFram
     return all_runs.select(
         "run_id", "ano_key", "type_data", "timestamp", F.expr(stack_expr)
     )
+
+
+def run_config_grid(
+    traces: DataFrame,
+    labels: DataFrame,
+    out_dir: str | None = None,
+    fmt: str = "parquet",
+    base: ExplainConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Reference driver parity (reference script_1.py:257-328): run the
+    pipeline in the 2×2 grid {correlation clustering on/off} × {FP filtering
+    on/off}; optionally sink each result table.
+
+    Result keys mirror the reference's four output files:
+    ``explanations`` (plain), ``explanations_cluster``, ``explanations_fpf``,
+    ``explanations_cluster_fpf``. All four share the one cached slice — the
+    reference re-slices the CSVs for every config.
+    """
+    from dataclasses import replace
+
+    from exstream_implementation_spark.sources import write_results
+
+    base = base or ExplainConfig()
+    grid = {
+        "explanations": (False, False),
+        "explanations_cluster": (True, False),
+        "explanations_fpf": (False, True),
+        "explanations_cluster_fpf": (True, True),
+    }
+    out: dict[str, DataFrame] = {}
+    for name, (cluster, fpf) in grid.items():
+        cfg = replace(base, cluster=cluster, false_positive_filtering=fpf)
+        df = explain_anomalies(traces, labels, cfg)
+        out[name] = df
+        if out_dir is not None:
+            write_results(df, f"{out_dir}/{name}", fmt=fmt)
+    return out

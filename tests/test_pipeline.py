@@ -229,3 +229,24 @@ def test_degenerate_labels_dropped_not_crashed(spark):
     out = explain_anomalies(traces, labels, ExplainConfig(instability_runs=0)).collect()
     assert [r["ano_id"] for r in out] == [1]
     assert len(out[0]["explanation"]) >= 1
+
+
+def test_run_config_grid_writes_four_tables(spark, tmp_path):
+    """Reference script_1.py's 2x2 driver grid: four result tables with the
+    reference schema, sunk and re-readable."""
+    from exstream_implementation_spark.pipeline import run_config_grid
+
+    traces, labels, _ = build_fixture(spark)
+    base = ExplainConfig(instability_runs=2)
+    out = run_config_grid(traces, labels, str(tmp_path), base=base)
+    assert set(out) == {
+        "explanations", "explanations_cluster",
+        "explanations_fpf", "explanations_cluster_fpf",
+    }
+    for name in out:
+        back = spark.read.parquet(str(tmp_path / name))
+        assert {
+            "trace_id", "ano_id", "ano_key", "explanation", "exp_size",
+            "exp_instability",
+        } <= set(back.columns)
+        assert back.count() == 2
