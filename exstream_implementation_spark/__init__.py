@@ -11,3 +11,10 @@ multimodal plumbing) a 100 TB deployment needs.
 """
 
 __version__ = "0.1.0"
+
+from exstream_implementation_spark.pipeline import (  # noqa: F401,E402
+    ExplainConfig,
+    explain_anomalies,
+    run_config_grid,
+)
+from exstream_implementation_spark.session import get_spark, tune_session  # noqa: F401,E402

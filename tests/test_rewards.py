@@ -124,3 +124,37 @@ def test_leap_filter_single_feature_kept(spark):
         "ano_key string, feature string, feature_order int, reward double, rank int",
     )
     assert reward_leap_filter(df).count() == 1
+
+
+def test_fuzz_rewards_match_oracle_both_modes(spark):
+    """40 random duplicate-heavy cases per mode, all scored in ONE Spark job
+    each, vs the independent list-comprehension oracle. Values are drawn from
+    a 4-symbol pool so duplicate runs (the C5/C6 hard part) dominate."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260813)
+    cases = {}
+    for i in range(40):
+        n = int(rng.integers(4, 24))
+        values = rng.choice([1.0, 2.0, 3.0, 4.0], size=n)
+        labels = rng.integers(0, 2, size=n)
+        labels[0], labels[-1] = 0, 1  # both classes present
+        cases[f"case_{i}"] = (values.tolist(), labels.tolist())
+
+    for mode in ("sorted", "worst_case"):
+        rows = []
+        for key, (values, labels) in cases.items():
+            for ts, (v, l) in enumerate(zip(values, labels)):
+                rows.append((key, int(l), ts, "f", 0, float(v)))
+        df = spark.createDataFrame(
+            rows,
+            "ano_key string, type_data int, timestamp long, feature string, "
+            "feature_order int, value double",
+        )
+        got = {
+            r["ano_key"]: r["reward"]
+            for r in single_feature_rewards(df, duplicate_mode=mode).collect()
+        }
+        for key, (values, labels) in cases.items():
+            want = oracle.reward(values, labels, mode=mode)
+            assert got[key] == pytest.approx(want, rel=1e-9), (mode, key)
