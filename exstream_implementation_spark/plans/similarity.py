@@ -440,3 +440,81 @@ def mass_profile_chunked(spark, sf_dir):
     return mass_profile_distributed(
         series, pattern, chunk_size=256, round_decimals=4
     )
+
+
+# --- vectorized brute-force cosine top-k: the Arrow/BLAS fast path. The SQL
+#     fold in ann_topk_cosine stays in codegen but folds 64 dims row-by-row;
+#     here each Arrow batch becomes one numpy matmul (batch × dim @ dim × q),
+#     and each batch emits only its LOCAL top-k per query — the classic
+#     map-side prune, so the shuffle carries O(batches · q · k) rows, never
+#     the full n·q score matrix. Ranking uses round(cos, 5) as the sort key
+#     on BOTH engines: BLAS pairwise summation and DuckDB's left fold differ
+#     in the last ulp, and rank must not depend on sub-rounding noise. ------
+@query(
+    "ann_topk_cosine_vectorized",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.qemb, e.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(e.emb, e.emb))), 5) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_topk_cosine_vectorized(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # bounded query-set fetch (q × dim), the ANN search's input parameter
+    qrows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            emat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            en = emat / np.linalg.norm(emat, axis=1, keepdims=True)
+            cos = np.round(en @ qn.T, 5)  # (batch, q)
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            k = min(TOP_K, len(ids))
+            for qi in range(len(qids)):
+                col = np.where(ids == qids[qi], -np.inf, cos[:, qi])
+                # local top-k by (cos desc, neighbor asc): lexsort on
+                # (-cos, id) gives ascending (-cos, id) = the global order
+                order = np.lexsort((ids, -col))[:k]
+                for j in order:
+                    if np.isfinite(col[j]):
+                        out.append((int(qids[qi]), int(ids[j]), float(col[j])))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "cosine"]
+            )
+
+    scored = e.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
