@@ -994,3 +994,37 @@ def topk_per_group(spark, sf_dir):
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+# --- date/time scalar surface (year/quarter/month/dow, date_trunc) and null
+#     semantics (coalesce/nullif) — the remaining scalar-function families a
+#     warehouse user relies on daily ------------------------------------------
+@query(
+    "datetime_null_scalars",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)      AS yr,
+           quarter(o_orderdate)   AS qtr,
+           month(o_orderdate)     AS mon,
+           dayofweek(o_orderdate) + 1 AS dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
+    FROM orders
+    WHERE o_orderkey % 50 = 1
+    """,
+)
+def datetime_null_scalars(spark, sf_dir):
+    # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6 — the
+    # +1 on the oracle side aligns the conventions explicitly
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 1)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")
+        ).alias("status_label"),
+    )
