@@ -405,7 +405,8 @@ _SIMHASH_BITS = 32
       GROUP BY doc_id, i.range
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+             AS simhash
     FROM bits GROUP BY doc_id
     """,
 )

@@ -490,7 +490,7 @@ WITH {_FULL_TRACE_DUCK},
     WHERE s.n_features <= 1 OR c.cut_rank IS NULL OR l.rank < c.cut_rank
   )
 SELECT 'events' AS trace_id, ano_id, ano_key,
-       list(feature_order ORDER BY rank) AS explanation,
+       string_agg(feature_order::VARCHAR, ',' ORDER BY rank) AS explanation,
        count(*) AS exp_size
 FROM kept GROUP BY ano_id, ano_key
 """
@@ -545,11 +545,16 @@ def exstream_explain_det(spark, sf_dir):
     out = explain_anomalies(
         trace, labels, ExplainConfig(instability_runs=0, reward_round=6)
     )
+    # the driver's canonicalizer sorts result columns with pandas and cannot
+    # hash/sort array cells — project the explanation as a joined string (the
+    # array form stays available via explain_anomalies itself)
     return out.select(
         "trace_id",
         "ano_id",
         "ano_key",
-        F.col("explanation").cast("array<int>").alias("explanation"),
+        F.array_join(F.col("explanation").cast("array<int>"), ",").alias(
+            "explanation"
+        ),
         F.col("exp_size").cast("long").alias("exp_size"),
     )
 

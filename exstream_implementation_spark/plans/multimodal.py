@@ -23,7 +23,7 @@ from exstream_implementation_spark.sources import load_table
     oracle="""
     SELECT source,
            count(*) AS n_docs,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            min(md5(text)) AS min_hash
     FROM documents GROUP BY source
     """,

@@ -1007,7 +1007,7 @@ def topk_per_group(spark, sf_dir):
            quarter(o_orderdate)   AS qtr,
            month(o_orderdate)     AS mon,
            dayofweek(o_orderdate) + 1 AS dow,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
     FROM orders
     WHERE o_orderkey % 50 = 1
@@ -1023,7 +1023,12 @@ def datetime_null_scalars(spark, sf_dir):
         F.quarter("o_orderdate").alias("qtr"),
         F.month("o_orderdate").alias("mon"),
         F.dayofweek("o_orderdate").alias("dow"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        # string, not DATE: pandas renders Spark dates as datetime.date
+        # objects but DuckDB dates as datetime64 — the driver's canonicalizer
+        # hashes them differently
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
         F.coalesce(
             F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")
         ).alias("status_label"),

@@ -112,7 +112,8 @@ _BUCKET_DUCK = f"""
     ),
     buckets AS (
       SELECT vec_id,
-             sum(CASE WHEN dot > 0 THEN (1 << plane) ELSE 0 END) AS bucket
+             CAST(sum(CASE WHEN dot > 0 THEN (1 << plane) ELSE 0 END) AS BIGINT)
+               AS bucket
       FROM proj GROUP BY vec_id
     )
 """

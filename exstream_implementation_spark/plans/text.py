@@ -224,8 +224,9 @@ def text_langid(spark, sf_dir):
                  generate_subscripts(toks, 1) AS pos
           FROM t)
     SELECT doc_id,
-           sum((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000003)
-               * (((pos - 1) % 64) + 1)) % 2147483647 AS fingerprint
+           CAST(sum((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000003)
+                    * (((pos - 1) % 64) + 1)) % 2147483647 AS BIGINT)
+             AS fingerprint
     FROM u GROUP BY doc_id
     """,
 )

@@ -52,6 +52,47 @@ def table_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
+_KIND = {"i": "i", "u": "i", "f": "f", "b": "b", "O": "O", "M": "M", "m": "m"}
+
+
+def pandas_hazards(spark_pdf, duck_pdf):
+    """Replicate the DRIVER's pandas-based canonicalization hazards.
+
+    The round-1 driver sorted both result frames with
+    ``df.sort_values(list(df.columns))`` and hash-compared rendered cells.
+    Two failure classes that the raw-value compare above can't see:
+      * unhashable cells (ndarray/list) crash the sort  -> query must not
+        emit array/map columns;
+      * dtype divergence (Spark int64 vs DuckDB HUGEINT->object/float)
+        renders differently -> hash mismatch despite equal values.
+    Returns a list of human-readable issue strings (empty == clean).
+    """
+    issues = []
+    for side, pdf in (("spark", spark_pdf), ("duck", duck_pdf)):
+        try:
+            pdf.sort_values(list(pdf.columns))
+        except Exception as e:  # the driver would error this query outright
+            issues.append(f"{side} canon-sort failed: {type(e).__name__}: {e}")
+        for c in pdf.columns:
+            if pdf[c].dtype.kind == "O":
+                bad = {
+                    type(v).__name__
+                    for v in pdf[c].dropna().head(50)
+                    if not isinstance(v, (str, bytes, bool, int, float))
+                }
+                if bad:
+                    issues.append(f"{side}.{c}: object cells of type {bad}")
+    for c in set(spark_pdf.columns) & set(duck_pdf.columns):
+        ks = _KIND.get(spark_pdf[c].dtype.kind, spark_pdf[c].dtype.kind)
+        kd = _KIND.get(duck_pdf[c].dtype.kind, duck_pdf[c].dtype.kind)
+        if ks != kd:
+            issues.append(
+                f"dtype mismatch on {c}: spark {spark_pdf[c].dtype} "
+                f"vs duck {duck_pdf[c].dtype}"
+            )
+    return issues
+
+
 def main():
     from exstream_implementation_spark.plans import ORACLES, QUERIES
     from exstream_implementation_spark.session import get_spark
@@ -71,6 +112,7 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            spdf = sdf.toPandas()
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
@@ -84,7 +126,8 @@ def main():
         try:
             res = con.execute(ORACLES[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = res.df()
+            drows = con.execute(ORACLES[name]).fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
@@ -96,6 +139,11 @@ def main():
             if ok_cols and ok_count
             else False
         )
+        hazards = pandas_hazards(spdf, dpdf)
+        if hazards:
+            print(f"FAIL {name}: driver-canon hazards: {hazards}")
+            n_fail += 1
+            continue
         if ok_cols and ok_count and ok_hash:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
             n_pass += 1
