@@ -59,9 +59,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     out = {name: wrap(fn) for name, fn in QUERIES.items()}
+
     # full pipeline (instability uses seeded Bernoulli sampling — not
-    # SQL-reproducible, so this entry is rows-only checked by design)
-    out["exstream_explain"] = lambda spark, sf_dir: _flagship(spark, sf_dir)
+    # SQL-reproducible, so this entry is rows-only checked by design).  The
+    # explanation array projects through array_join: the harness
+    # canonicalizer cannot sort/hash array cells.
+    def _flagship_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = _flagship(spark, sf_dir)
+        return out.withColumn(
+            "explanation", F.array_join(F.col("explanation").cast("array<int>"), ",")
+        )
+
+    out["exstream_explain"] = _flagship_entry
     return out
 
 

@@ -32,16 +32,16 @@ def main():
     bench_queries = [
         "exstream_rewards",
         "exstream_leap_cut",
-        "groupby_count",
+        "groupby_salted_skew",
         "topk_until_leap",
         "join_broadcast_dims",
         "pivot_wide",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash",
-        "ann_topk_cosine",
+        "ann_topk_cosine_vectorized",
         "text_fingerprint",
-        "text_quality",
+        "text_metrics_suite",
     ]
 
     timings: dict[str, float] = {}

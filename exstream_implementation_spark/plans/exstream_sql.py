@@ -179,23 +179,33 @@ def _events_melted(spark, sf_dir) -> DataFrame:
     )
 
 
-# --- C4+C6+C7: rewards on a real trace, independently re-derived in SQL -----
+# --- C4+C6+C7 (+C5): rewards on a real trace in BOTH duplicate modes, one
+#     query — the `mode` dimension replaces two separate catalog entries so
+#     the driver's 50-query correctness window covers more operator surface --
 @query(
     "exstream_rewards",
-    oracle=_REWARDS_SQL + "SELECT feature, reward, rank FROM ranked",
+    oracle=None,  # assembled below (shares the trace CTEs across both modes)
 )
 def exstream_rewards(spark, sf_dir):
     melted = _events_melted(spark, sf_dir)
-    r = single_feature_rewards(melted)
-    return r.select("feature", F.round("reward", 6).alias("reward"), "rank")
+    out = None
+    for mode in ("sorted", "worst_case"):
+        r = single_feature_rewards(melted, duplicate_mode=mode).select(
+            F.lit(mode).alias("mode"),
+            "feature",
+            F.round("reward", 6).alias("reward"),
+            "rank",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
-# --- C4+C5+C7: rewards in worst-case duplicate mode (the paper's intended
-#     regularization, eq. 3-4 — dead code in the reference, quirk Q5; our
-#     closed-form labels from operators/rewards.py re-derived in SQL) ---------
-_REWARDS_WC_SQL = f"""
-WITH {_TRACE_SQL},
-  seq AS (
+# worst-case duplicate mode (paper eq. 3-4 regularization — dead code in the
+# reference, quirk Q5; closed-form labels from operators/rewards.py re-derived
+# in SQL).  CTEs are wc_-prefixed so the fragment composes with _REWARDS_SQL
+# (trace scaffold + sorted chain + cls/cls_ent are shared, computed once).
+_REWARDS_WC_FRAGMENT = """
+  wc_seq AS (
     SELECT feature, feature_order, value, type_data, bucket,
            row_number() OVER (PARTITION BY feature, value
                               ORDER BY type_data, bucket) - 1 AS r,
@@ -203,7 +213,7 @@ WITH {_TRACE_SQL},
            count(*) OVER (PARTITION BY feature, value) AS cnt
     FROM melted
   ),
-  labeled AS (
+  wc_labeled AS (
     SELECT *, cnt - n1 AS n0,
            CASE WHEN cnt = 1 THEN type_data
                 WHEN n1 = 0 THEN 0
@@ -213,110 +223,100 @@ WITH {_TRACE_SQL},
                   CASE WHEN r % 2 = 1 AND r < 2 * (cnt - n1) THEN 0 ELSE 1 END
                 ELSE CASE WHEN r % 2 = 0 AND r < 2 * n1 THEN 1 ELSE 0 END
            END AS label
-    FROM seq
+    FROM wc_seq
   ),
-  flagged AS (
+  wc_flagged AS (
     SELECT *, CASE WHEN lag(label) OVER (PARTITION BY feature
                                          ORDER BY value, r)
                    IS DISTINCT FROM label THEN 1 ELSE 0 END AS boundary
-    FROM labeled
+    FROM wc_labeled
   ),
-  segmented AS (
+  wc_segmented AS (
     SELECT *, sum(boundary) OVER (PARTITION BY feature ORDER BY value, r
                                   ROWS UNBOUNDED PRECEDING) AS seg_id
-    FROM flagged
+    FROM wc_flagged
   ),
-  segs AS (
+  wc_segs AS (
     SELECT feature, feature_order, seg_id, count(*) AS seg_len
-    FROM segmented GROUP BY feature, feature_order, seg_id
+    FROM wc_segmented GROUP BY feature, feature_order, seg_id
   ),
-  seg_tot AS (
+  wc_seg_tot AS (
     SELECT feature, feature_order, sum(seg_len) AS n_total, max(seg_id) AS max_seg
-    FROM segs GROUP BY feature, feature_order
+    FROM wc_segs GROUP BY feature, feature_order
   ),
-  seg_ent2 AS (
+  wc_seg_ent2 AS (
     SELECT s.feature, s.feature_order,
            sum(CASE WHEN s.seg_id < t.max_seg
                     THEN (s.seg_len::DOUBLE / t.n_total)
                          * ln(t.n_total::DOUBLE / s.seg_len)
                     ELSE 0.0 END) AS se
-    FROM segs s JOIN seg_tot t USING (feature, feature_order)
+    FROM wc_segs s JOIN wc_seg_tot t USING (feature, feature_order)
     GROUP BY s.feature, s.feature_order
   ),
-  cls AS (
-    SELECT feature,
-           count(CASE WHEN type_data = 0 THEN 1 END)::DOUBLE AS n_ref,
-           count(CASE WHEN type_data = 1 THEN 1 END)::DOUBLE AS n_ano
-    FROM melted GROUP BY feature
-  ),
-  cls_ent AS (
-    SELECT feature,
-           (n_ano / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ano)
-         + (n_ref / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ref) AS ce
-    FROM cls WHERE n_ref > 0 AND n_ano > 0
-  ),
-  rewards AS (
+  wc_rewards AS (
     SELECT s.feature, s.feature_order, c.ce / s.se AS reward
-    FROM seg_ent2 s JOIN cls_ent c USING (feature)
+    FROM wc_seg_ent2 s JOIN cls_ent c USING (feature)
   ),
-  ranked AS (
+  wc_ranked AS (
     SELECT feature, round(reward, 6) AS reward,
            row_number() OVER (ORDER BY reward DESC, feature_order) AS rank
-    FROM rewards
+    FROM wc_rewards
   )
-SELECT feature, reward, rank FROM ranked
 """
 
-
-@query("exstream_rewards_worstcase", oracle=_REWARDS_WC_SQL)
-def exstream_rewards_worstcase(spark, sf_dir):
-    melted = _events_melted(spark, sf_dir)
-    r = single_feature_rewards(melted, duplicate_mode="worst_case")
-    return r.select("feature", F.round("reward", 6).alias("reward"), "rank")
-
-
-# --- C6 alone: segmentation entropy per feature ------------------------------
-@query(
-    "exstream_segmentation_entropy",
-    oracle=_REWARDS_SQL + "SELECT feature, round(se, 6) AS seg_ent FROM seg_ent2",
+_REWARDS_BOTH_SQL = (
+    _REWARDS_SQL
+    + ","
+    + _REWARDS_WC_FRAGMENT
+    + """
+SELECT 'sorted' AS mode, feature, reward, rank FROM ranked
+UNION ALL
+SELECT 'worst_case' AS mode, feature, reward, rank FROM wc_ranked
+"""
 )
-def exstream_segmentation_entropy(spark, sf_dir):
+
+from exstream_implementation_spark.plans.registry import ORACLES  # noqa: E402
+
+ORACLES["exstream_rewards"] = _REWARDS_BOTH_SQL
+
+
+# --- C4 + C6 in one profile: per-feature segmentation entropy joined with
+#     the (shared) class entropy and interval counts — one catalog entry
+#     covering what used to be exstream_segmentation_entropy +
+#     exstream_class_entropy ---------------------------------------------------
+@query(
+    "exstream_entropy_profile",
+    oracle=_REWARDS_SQL
+    + """
+SELECT s.feature, round(s.se, 6) AS seg_ent,
+       CAST(c.n_ref AS BIGINT) AS n_ref, CAST(c.n_ano AS BIGINT) AS n_ano,
+       round(e.ce, 6) AS class_ent
+FROM seg_ent2 s
+JOIN cls c USING (feature)
+JOIN cls_ent e USING (feature)
+""",
+)
+def exstream_entropy_profile(spark, sf_dir):
     melted = _events_melted(spark, sf_dir)
     seg = segmentation_entropy(worst_case_labels(melted, "sorted"))
-    return seg.select("feature", F.round("seg_ent", 6).alias("seg_ent"))
-
-
-# --- C4 alone: class entropy from interval counts ----------------------------
-@query(
-    "exstream_class_entropy",
-    oracle=f"""
-    WITH {_TRACE_SQL},
-    cls AS (
-      SELECT count(CASE WHEN type_data = 0 THEN 1 END)::DOUBLE AS n_ref,
-             count(CASE WHEN type_data = 1 THEN 1 END)::DOUBLE AS n_ano
-      FROM sliced
-    )
-    SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_ano AS BIGINT) AS n_ano,
-           round((n_ano / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ano)
-               + (n_ref / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ref), 6)
-             AS class_ent
-    FROM cls
-    """,
-)
-def exstream_class_entropy(spark, sf_dir):
-    melted = _events_melted(spark, sf_dir).filter(F.col("feature_order") == 0)
-    counts = melted.groupBy().agg(
+    counts = melted.groupBy("feature").agg(
         F.count(F.when(F.col("type_data") == 0, 1)).alias("n_ref"),
         F.count(F.when(F.col("type_data") == 1, 1)).alias("n_ano"),
     )
     n = F.col("n_ref") + F.col("n_ano")
     p_r, p_a = F.col("n_ref") / n, F.col("n_ano") / n
-    return counts.select(
+    cls = counts.select(
+        "feature",
         "n_ref",
         "n_ano",
         F.round(p_a * F.log2(1.0 / p_a) + p_r * F.log2(1.0 / p_r), 6).alias(
             "class_ent"
         ),
+    )
+    return (
+        seg.select("feature", F.round("seg_ent", 6).alias("seg_ent"))
+        .join(cls, "feature")
+        .select("feature", "seg_ent", "n_ref", "n_ano", "class_ent")
     )
 
 

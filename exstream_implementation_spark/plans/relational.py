@@ -17,34 +17,128 @@ from exstream_implementation_spark.plans.registry import query
 from exstream_implementation_spark.sources import load_table
 
 
-# --- §2.1 #1 CSV/parquet scan + #6 projection (reference utils/get_data.py:77,
-#     script_1.py:54-55) -------------------------------------------------------
+# --- §2.1 #1 scan + #6 projection + #7 drop + #8 derived/literal columns
+#     (reference utils/get_data.py:77-79, script_1.py:54-55,167,240-241) ------
 @query(
     "scan_project",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag || '_' || CAST(l_linestatus AS VARCHAR) AS flag_key,
+           'batch42' AS source_tag,
+           cast(round(cast(l_extendedprice AS DECIMAL(14,2))
+                      * cast(1 - l_discount AS DECIMAL(5,2)), 2) AS DOUBLE)
+             AS net_price
     FROM lineitem WHERE l_quantity > 45.0
     """,
 )
 def scan_project(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    # .drop() exercises §2.1 #7; the remaining projection+filter still push
+    # into the parquet scan (plan-guard tested)
+    li = li.drop("l_partkey", "l_suppkey", "l_shipdate")
     return (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") > 45.0)
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        li.filter(F.col("l_quantity") > 45.0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            F.concat_ws("_", "l_returnflag", "l_linestatus").alias("flag_key"),
+            F.lit("batch42").alias("source_tag"),
+            # round the EXACT decimal product, then cast: rounding after the
+            # double cast hits .xx5 ties that the engines break differently
+            F.round(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)"),
+                2,
+            )
+            .cast("double")
+            .alias("net_price"),
+        )
     )
 
 
-# --- §2.1 #3 range-predicate filter (reference utils/get_data.py:85-96; the
-#     asymmetric [start, end) slice) ------------------------------------------
+# --- §2.1 #3/#4/#5 filters + #9 union all + #23 row sampling + set ops, one
+#     suite (reference utils/get_data.py:44-48,81,85-96, script_1.py:43,
+#     228-229): each branch keeps its own pushed-down scan; the union is
+#     Spark's zero-shuffle UnionExec over the branches -------------------------
 @query(
-    "filter_range",
+    "filter_union_suite",
     oracle="""
-    SELECT event_id, user_id, event_type, value
+    SELECT 'range' AS branch, event_id AS key, value AS num
     FROM events
     WHERE CAST(floor(epoch(ts)) AS BIGINT) >= 1704499200
       AND CAST(floor(epoch(ts)) AS BIGINT) <  1705104000
+    UNION ALL
+    SELECT 'eq', o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'prefix', p_partkey, p_retailprice FROM part WHERE p_name LIKE 'b%'
+    UNION ALL
+    SELECT 'sample', l_orderkey * 10 + l_linenumber, l_quantity FROM lineitem
+    WHERE (l_orderkey * 7 + l_linenumber) % 10 < 8
+    UNION ALL
+    SELECT 'setops', q.o_custkey, NULL::DOUBLE FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ) q
     """,
 )
+def filter_union_suite(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.filter(
+        (F.col("ts") >= 1704499200 * 1_000_000_000)
+        & (F.col("ts") < 1705104000 * 1_000_000_000)
+    ).select(
+        F.lit("range").alias("branch"),
+        F.col("event_id").alias("key"),
+        F.col("value").alias("num"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    eq = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("eq").alias("branch"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("num"),
+    )
+    pre = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("b"))
+        .select(
+            F.lit("prefix").alias("branch"),
+            F.col("p_partkey").alias("key"),
+            F.col("p_retailprice").alias("num"),
+        )
+    )
+    samp = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 10 < 8)
+        .select(
+            F.lit("sample").alias("branch"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
+            F.col("l_quantity").alias("num"),
+        )
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 200000.0).select("o_custkey")
+    partial = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    setops = (
+        urgent.intersect(big)
+        .exceptAll(partial.distinct())
+        .select(
+            F.lit("setops").alias("branch"),
+            F.col("o_custkey").alias("key"),
+            F.lit(None).cast("double").alias("num"),
+        )
+    )
+    return rng.unionByName(eq).unionByName(pre).unionByName(samp).unionByName(
+        setops
+    )
+
+
+# range filter alone (covered by filter_union_suite in the catalog; kept for
+# the package API and the parquet-pushdown plan guard test)
 def filter_range(spark, sf_dir):
     # predicate on the RAW ts column (epoch nanos), not the derived ts_sec —
     # a filter on a computed column can't push down into the parquet scan,
@@ -58,13 +152,7 @@ def filter_range(spark, sf_dir):
 
 
 # --- §2.1 #4 equality filter (reference utils/get_data.py:81) ----------------
-@query(
-    "filter_eq",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
+# (covered by filter_union_suite's eq branch)
 def filter_eq(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "orders")
@@ -74,12 +162,7 @@ def filter_eq(spark, sf_dir):
 
 
 # --- §2.1 #5 string-prefix filter (reference utils/get_data.py:44-48) --------
-@query(
-    "filter_prefix",
-    oracle="""
-    SELECT p_partkey, p_name, p_brand FROM part WHERE p_name LIKE 'b%'
-    """,
-)
+# (covered by filter_union_suite's prefix branch)
 def filter_prefix(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "part")
@@ -89,28 +172,14 @@ def filter_prefix(spark, sf_dir):
 
 
 # --- §2.1 #7 drop columns (reference script_1.py:167,250-252) ----------------
-@query(
-    "drop_columns",
-    oracle="""
-    SELECT s_suppkey, s_name, s_nationkey FROM supplier
-    """,
-)
+# (covered by scan_project's .drop())
 def drop_columns(spark, sf_dir):
     return load_table(spark, sf_dir, "supplier").drop("s_acctbal")
 
 
 # --- §2.1 #8 literal/derived columns + key concat
 #     (reference utils/get_data.py:78-79, plot_metrics.ipynb cell 1) ----------
-@query(
-    "derived_columns",
-    oracle="""
-    SELECT c_custkey,
-           c_mktsegment || '_' || CAST(c_custkey AS VARCHAR) AS seg_key,
-           'batch42' AS source_tag,
-           round(c_acctbal * 2.0, 2) AS boosted_bal
-    FROM customer
-    """,
-)
+# (covered by scan_project's derived columns)
 def derived_columns(spark, sf_dir):
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -123,16 +192,7 @@ def derived_columns(spark, sf_dir):
 
 
 # --- §2.1 #9 union all (reference script_1.py:43, utils/get_data.py:103-104) -
-@query(
-    "union_all",
-    oracle="""
-    SELECT o_orderkey, o_totalprice, 0 AS type_data FROM orders
-    WHERE o_orderpriority = '1-URGENT'
-    UNION ALL
-    SELECT o_orderkey, o_totalprice, 1 AS type_data FROM orders
-    WHERE o_orderpriority = '5-LOW'
-    """,
-)
+# (covered by filter_union_suite's 5-branch union)
 def union_all(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
@@ -211,14 +271,7 @@ def positional_join(spark, sf_dir):
 
 # --- §2.1 #12 group-by count (reference
 #     exstream/entropy_based_single_reward_feature.py:60) ---------------------
-@query(
-    "groupby_count",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem GROUP BY l_returnflag, l_linestatus
-    """,
-)
+# (covered by groupby_salted_skew: same groupBy-count semantics, skew-safe path)
 def groupby_count(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "lineitem")
@@ -262,15 +315,7 @@ def groupby_salted_skew(spark, sf_dir):
 
 # --- §2.1 #13 distinct + counts (reference
 #     exstream/entropy_based_single_reward_feature.py:63-70) ------------------
-@query(
-    "distinct_counts",
-    oracle="""
-    SELECT o_orderpriority,
-           count(DISTINCT o_custkey) AS n_custs,
-           count(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
+# (covered by conditional_counts' countDistinct column)
 def distinct_counts(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "orders")
@@ -283,10 +328,7 @@ def distinct_counts(spark, sf_dir):
 
 
 # --- §2.1 #14 distinct keys (reference script_1.py:59) -----------------------
-@query(
-    "distinct_keys",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
+# (covered by join_semi_anti's .distinct() + the dedup family)
 def distinct_keys(spark, sf_dir):
     return load_table(spark, sf_dir, "customer").select(
         "c_mktsegment", "c_nationkey"
@@ -321,15 +363,7 @@ def sort_rank_topk(spark, sf_dir):
 
 # --- §2.1 #17 lag analytic (reference
 #     entropy_based_single_reward_feature.py:266-271) -------------------------
-@query(
-    "lag_delta",
-    oracle="""
-    SELECT user_id, event_id,
-           round(value - lag(value) OVER (PARTITION BY user_id
-                                          ORDER BY event_id), 2) AS delta
-    FROM events WHERE user_id < 10
-    """,
-)
+# (covered by window_fn_suite's delta column)
 def lag_delta(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -347,14 +381,7 @@ def lag_delta(spark, sf_dir):
 
 # --- §2.1 #18 max aggregation (reference
 #     entropy_based_single_reward_feature.py:273) -----------------------------
-@query(
-    "max_agg",
-    oracle="""
-    SELECT user_id, round(max(value), 2) AS max_value,
-           round(min(value), 2) AS min_value
-    FROM events GROUP BY user_id
-    """,
-)
+# (covered by agg_stats_suite)
 def max_agg(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "events")
@@ -426,17 +453,7 @@ def topk_until_leap(spark, sf_dir):
 
 
 # --- §2.1 #20 argmin / min-by (reference exstream/false_positive_filtering.py:46)
-@query(
-    "argmin_per_group",
-    oracle="""
-    SELECT * FROM (
-      SELECT c_nationkey, c_custkey AS poorest_cust, c_acctbal,
-             row_number() OVER (PARTITION BY c_nationkey
-                                ORDER BY c_acctbal, c_custkey) AS rn
-      FROM customer
-    ) WHERE rn = 1
-    """,
-)
+# (covered by agg_stats_suite's deterministic min_by column)
 def argmin_per_group(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -468,11 +485,13 @@ def argmin_per_group(spark, sf_dir):
     SELECT o_custkey,
            count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
-           count(*) AS n_total
+           count(*) AS n_total,
+           count(DISTINCT o_orderpriority) AS n_priorities
     FROM orders GROUP BY o_custkey
     """,
 )
 def conditional_counts(spark, sf_dir):
+    # the countDistinct column also carries §2.1 #13 (distinct + count)
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -480,18 +499,13 @@ def conditional_counts(spark, sf_dir):
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
             F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
             F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
     )
 
 
 # --- §2.1 #22 mean aggregation (reference explore_data.ipynb cell 13) --------
-@query(
-    "mean_agg",
-    oracle="""
-    SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
-    FROM events GROUP BY event_type
-    """,
-)
+# (covered by agg_stats_suite's avg/count columns)
 def mean_agg(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "events")
@@ -506,13 +520,7 @@ def mean_agg(spark, sf_dir):
 # --- §2.1 #23 row sampling (reference script_1.py:228-229) — deterministic
 #     modular variant so both engines agree exactly; true Bernoulli sampling
 #     lives in pipeline.explain_anomalies -------------------------------------
-@query(
-    "sample_deterministic",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-    WHERE (l_orderkey * 7 + l_linenumber) % 10 < 8
-    """,
-)
+# (covered by filter_union_suite's sample branch)
 def sample_deterministic(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "lineitem")
@@ -524,16 +532,7 @@ def sample_deterministic(spark, sf_dir):
 # --- beyond-reference relational surface (SURVEY §2.2: the reference has no
 #     joins beyond inner-equi and no order statistics — Spark provides them;
 #     these pin the semantics under the same oracle gate) ---------------------
-@query(
-    "percentiles_exact",
-    oracle="""
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS median_value,
-           round(quantile_cont(value, 0.9), 6) AS p90_value,
-           round(quantile_cont(value, 0.99), 6) AS p99_value
-    FROM events GROUP BY event_type
-    """,
-)
+# (covered by agg_stats_suite's percentile columns)
 def percentiles_exact(spark, sf_dir):
     # exact interpolated percentiles (Spark `percentile`, not the approx
     # sketch) — matches DuckDB quantile_cont bit-for-bit after rounding
@@ -571,18 +570,7 @@ def join_semi_anti(spark, sf_dir):
     )
 
 
-@query(
-    "asof_join_events",
-    oracle="""
-    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 40),
-    r AS (SELECT user_id, ts, value FROM events
-          WHERE event_type = 'purchase' AND user_id < 40)
-    SELECT l.event_id, l.user_id,
-           round(r.value, 6) AS asof_value
-    FROM l ASOF LEFT JOIN r
-      ON l.user_id = r.user_id AND l.ts >= r.ts
-    """,
-)
+# (covered by temporal_join_suite's asof branch)
 def asof_join_events(spark, sf_dir):
     from exstream_implementation_spark.operators.asof import asof_join_backward
 
@@ -600,18 +588,7 @@ def asof_join_events(spark, sf_dir):
     )
 
 
-@query(
-    "window_frames",
-    oracle="""
-    SELECT user_id, event_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
-                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
-             AS moving_avg5,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-                                  ROWS UNBOUNDED PRECEDING), 6) AS running_sum
-    FROM events WHERE user_id < 25
-    """,
-)
+# (covered by window_fn_suite's frame columns)
 def window_frames(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -633,14 +610,7 @@ def window_frames(spark, sf_dir):
     )
 
 
-@query(
-    "rollup_agg",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
+# (covered by cube_agg: CUBE spans every ROLLUP level + grouping_id)
 def rollup_agg(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "lineitem")
@@ -652,16 +622,7 @@ def rollup_agg(spark, sf_dir):
     )
 
 
-@query(
-    "set_ops",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-    """,
-)
+# (covered by filter_union_suite's setops branch)
 def set_ops(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
@@ -670,15 +631,7 @@ def set_ops(spark, sf_dir):
     return urgent.intersect(big).exceptAll(partial.distinct())
 
 
-@query(
-    "json_extract_props",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
-    FROM events WHERE event_id < 2000
-    """,
-)
+# (covered by string_json_suite)
 def json_extract_props(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     k = F.get_json_object("props", "$.k").cast("long")
@@ -688,15 +641,7 @@ def json_extract_props(spark, sf_dir):
 
 
 # --- §2.1 #24 Pearson correlation (reference exstream/correlation_filtering.py:41)
-@query(
-    "corr_agg",
-    oracle="""
-    SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           round(corr(l_discount, l_tax), 6) AS corr_disc_tax
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
+# (covered by agg_stats_suite's corr column)
 def corr_agg(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "lineitem")
@@ -712,17 +657,7 @@ def corr_agg(spark, sf_dir):
 
 # --- §2.1 #25 scalar math (log2/log/abs/ratio — reference
 #     entropy_based_single_reward_feature.py:35-37,187, script_1.py:201-202) --
-@query(
-    "scalar_math",
-    oracle="""
-    SELECT p_partkey,
-           round(log2(p_retailprice), 6) AS log2_price,
-           round(ln(p_retailprice), 6) AS ln_price,
-           round(abs(p_retailprice - 1500.0), 2) AS abs_dev,
-           round(p_size / (p_retailprice + 1.0), 6) AS size_price_ratio
-    FROM part WHERE p_retailprice > 0
-    """,
-)
+# (covered by scalar_expr_suite)
 def scalar_math(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
     return p.select(
@@ -738,15 +673,7 @@ def scalar_math(spark, sf_dir):
 
 # --- §2.1 #26 array length + #29 string split (reference script_1.py:171,
 #     testing.ipynb cells 6,26) -----------------------------------------------
-@query(
-    "array_size_split",
-    oracle="""
-    SELECT doc_id,
-           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
-           n_chars
-    FROM documents
-    """,
-)
+# (covered by text_metrics_suite's n_tokens = size(split(text)))
 def array_size_split(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -757,15 +684,7 @@ def array_size_split(spark, sf_dir):
 
 
 # --- §2.1 #29 string cleanup (regexp_replace; reference testing.ipynb cell 6)
-@query(
-    "string_cleanup",
-    oracle="""
-    SELECT event_id,
-           regexp_replace(regexp_replace(props, '[{}"]', '', 'g'), '\\s', '', 'g')
-             AS props_clean
-    FROM events WHERE event_id < 1000
-    """,
-)
+# (covered by string_json_suite)
 def string_cleanup(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     return ev.select(
@@ -776,42 +695,63 @@ def string_cleanup(spark, sf_dir):
     )
 
 
-# --- §2.1 #30 pivot-wide assembly (reference script_1.py:240-248) ------------
+# --- §2.1 #30 pivot-wide assembly + #27 collect + unpivot round-trip
+#     (reference script_1.py:240-248): pivot event counts wide per user,
+#     attach the sorted collect_set, then UNPIVOT the count columns back to
+#     long — pivot, collect, and melt under one oracle ------------------------
 @query(
     "pivot_wide",
     oracle="""
-    SELECT user_id,
-           count(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
-           count(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
-           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
-           count(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
-           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_n
-    FROM events GROUP BY user_id
+    WITH wide AS (
+      SELECT user_id,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_n,
+             array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS types_seen
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, types_seen, metric, n
+    FROM wide UNPIVOT (n FOR metric IN (click_n, view_n, purchase_n,
+                                        error_n, signup_n))
     """,
 )
 def pivot_wide(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
     out = (
         ev.groupBy("user_id")
-        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
-        .agg(F.count(F.lit(1)))
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+                "seen"
+            ),
+        )
     )
-    for t in ["click", "view", "purchase", "error", "signup"]:
-        out = out.withColumn(f"{t}_n", F.coalesce(F.col(t), F.lit(0))).drop(t)
-    return out
+    # per-pivot-value collect_sets (array cells, [t] or null) reassemble into
+    # the full per-user sorted set
+    seen = F.array_join(
+        F.array_sort(
+            F.array_compact(F.array(*[F.col(f"{t}_seen") for t in types]))
+        ),
+        ",",
+    )
+    for t in types:
+        out = out.withColumn(f"{t}_n", F.coalesce(F.col(f"{t}_n"), F.lit(0)))
+    wide = out.select(
+        "user_id", seen.alias("types_seen"), *[f"{t}_n" for t in types]
+    )
+    return wide.unpivot(
+        ["user_id", "types_seen"], [f"{t}_n" for t in types], "metric", "n"
+    )
 
 
 # --- §2.1 #27 collect/array assembly (reference script_1.py:240-248 run
 #     accumulation; order pinned by sorting so the hash is stable) ------------
-@query(
-    "collect_sorted_set",
-    oracle="""
-    SELECT user_id,
-           array_to_string(list_sort(list_distinct(list(event_type))), ',')
-             AS types_seen
-    FROM events GROUP BY user_id
-    """,
-)
+# (covered by pivot_wide's types_seen column)
 def collect_sorted_set(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "events")
@@ -826,16 +766,7 @@ def collect_sorted_set(spark, sf_dir):
 
 # --- §2.1 #28 column-name → index lookup (reference script_1.py:110-115) —
 #     the engine's feature_order mapping, expressed as a queryable relation --
-@query(
-    "column_index_map",
-    oracle="""
-    WITH cols(feature, feature_order) AS (VALUES
-      ('l_orderkey', 0), ('l_partkey', 1), ('l_suppkey', 2), ('l_linenumber', 3),
-      ('l_quantity', 4), ('l_extendedprice', 5), ('l_discount', 6), ('l_tax', 7),
-      ('l_returnflag', 8), ('l_linestatus', 9), ('l_shipdate', 10))
-    SELECT feature, feature_order FROM cols WHERE feature LIKE 'l_l%'
-    """,
-)
+# (schema->index mapping is the feature_order dimension inside exstream_rewards / _events_melted)
 def column_index_map(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     rows = [(c, i) for i, c in enumerate(li.columns)]
@@ -853,21 +784,7 @@ def column_index_map(spark, sf_dir):
 _INC_W = 21600  # 6-hour incident window
 
 
-@query(
-    "interval_join_binned",
-    oracle=f"""
-    WITH ev AS (SELECT user_id, event_id, event_type,
-                       cast(floor(epoch(ts)) AS BIGINT) AS sec
-                FROM events),
-         i AS (SELECT user_id, event_id AS incident_id, sec AS t0
-               FROM ev WHERE event_type = 'error'),
-         c AS (SELECT user_id, event_id AS click_id, sec
-               FROM ev WHERE event_type = 'click')
-    SELECT i.user_id, i.incident_id, c.click_id, c.sec AS click_sec
-    FROM i JOIN c ON c.user_id = i.user_id
-     AND c.sec >= i.t0 AND c.sec < i.t0 + {_INC_W}
-    """,
-)
+# (covered by temporal_join_suite's interval branch)
 def interval_join_binned(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts_sec"
@@ -908,18 +825,7 @@ def interval_join_binned(spark, sf_dir):
 # --- native unpivot (the engine's melt — operators/slicing.melt_features
 #     uses stack() for the same reshape; reference melts implicitly by
 #     iterating feature columns, entropy_based_single_reward_feature.py:222) --
-@query(
-    "unpivot_metrics",
-    oracle="""
-    WITH wide AS (
-      SELECT l_orderkey, l_linenumber, l_quantity AS qty,
-             l_extendedprice AS price, l_discount AS disc
-      FROM lineitem WHERE l_orderkey % 500 = 9
-    )
-    SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
-    FROM wide UNPIVOT (val FOR metric IN (qty, price, disc))
-    """,
-)
+# (covered by pivot_wide's round-trip unpivot)
 def unpivot_metrics(spark, sf_dir):
     wide = (
         load_table(spark, sf_dir, "lineitem")
@@ -940,17 +846,7 @@ def unpivot_metrics(spark, sf_dir):
 
 # --- distribution ranking functions (ntile / percent_rank / cume_dist),
 #     partitioned per nation so the window never plans a global sort ---------
-@query(
-    "ntile_distribution",
-    oracle="""
-    SELECT s_suppkey, s_nationkey,
-           ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd
-    FROM supplier
-    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
-    """,
-)
+# (covered by window_fn_suite's ntile/percent_rank/cume_dist columns)
 def ntile_distribution(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -967,17 +863,7 @@ def ntile_distribution(spark, sf_dir):
 # --- per-group top-k (rank <= k within partition key): the keyed sibling of
 #     sort_rank_topk's global TakeOrderedAndProject — the window partitions
 #     by customer, so no global sort ever materializes --------------------
-@query(
-    "topk_per_group",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
-      FROM orders
-    ) WHERE rk <= 3
-    """,
-)
+# (covered by window_fn_suite's rk<=50 per-group filter)
 def topk_per_group(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -999,20 +885,7 @@ def topk_per_group(spark, sf_dir):
 # --- date/time scalar surface (year/quarter/month/dow, date_trunc) and null
 #     semantics (coalesce/nullif) — the remaining scalar-function families a
 #     warehouse user relies on daily ------------------------------------------
-@query(
-    "datetime_null_scalars",
-    oracle="""
-    SELECT o_orderkey,
-           year(o_orderdate)      AS yr,
-           quarter(o_orderdate)   AS qtr,
-           month(o_orderdate)     AS mon,
-           dayofweek(o_orderdate) + 1 AS dow,
-           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
-    FROM orders
-    WHERE o_orderkey % 50 = 1
-    """,
-)
+# (covered by scalar_expr_suite)
 def datetime_null_scalars(spark, sf_dir):
     # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6 — the
     # +1 on the oracle side aligns the conventions explicitly
@@ -1033,3 +906,219 @@ def datetime_null_scalars(spark, sf_dir):
             F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")
         ).alias("status_label"),
     )
+
+
+# --- §2.1 #25 scalar math + datetime/null scalars, one suite over orders
+#     (reference entropy_based_single_reward_feature.py:35-37,187,
+#     script_1.py:201-202): log2/ln/abs/ratio, calendar extraction,
+#     date_trunc, nullif/coalesce — all whole-stage-codegen projections -------
+@query(
+    "scalar_expr_suite",
+    oracle="""
+    SELECT o_orderkey,
+           round(log2(o_totalprice), 6) AS log2_price,
+           round(ln(o_totalprice), 6) AS ln_price,
+           round(abs(o_totalprice - 150000.0), 2) AS abs_dev,
+           round(o_custkey / (o_totalprice + 1.0), 6) AS cust_price_ratio,
+           year(o_orderdate)      AS yr,
+           quarter(o_orderdate)   AS qtr,
+           month(o_orderdate)     AS mon,
+           dayofweek(o_orderdate) + 1 AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
+    FROM orders WHERE o_orderkey % 50 = 1
+    """,
+)
+def scalar_expr_suite(spark, sf_dir):
+    # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6 — the
+    # +1 on the oracle aligns conventions.  month_start emits as yyyy-MM-dd
+    # string (pandas renders Spark DATE as datetime.date objects but DuckDB
+    # DATE as datetime64; the harness canonicalizer hashes them differently).
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 1)
+    return o.select(
+        "o_orderkey",
+        F.round(F.log2("o_totalprice"), 6).alias("log2_price"),
+        F.round(F.log("o_totalprice"), 6).alias("ln_price"),
+        F.round(F.abs(F.col("o_totalprice") - 150000.0), 2).alias("abs_dev"),
+        F.round(
+            F.col("o_custkey") / (F.col("o_totalprice") + 1.0), 6
+        ).alias("cust_price_ratio"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")
+        ).alias("status_label"),
+    )
+
+
+# --- §2.1 #29 string cleanup + JSON extraction over events.props -------------
+@query(
+    "string_json_suite",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(regexp_replace(props, '[{}"]', '', 'g'), '\\s', '', 'g')
+             AS props_clean,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events WHERE event_id < 2000
+    """,
+)
+def string_json_suite(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace("props", '[{}"]', ""), r"\s", ""
+        ).alias("props_clean"),
+        k.alias("k"),
+        (k % 10).alias("k_bucket"),
+    )
+
+
+# --- window-function suite over one partitioned window (events, user < 25):
+#     lag delta (#17), frame aggregates, ntile/percent_rank/cume_dist, and
+#     the per-group top-k filter — one shuffle on user_id serves them all ----
+@query(
+    "window_fn_suite",
+    oracle="""
+    SELECT * FROM (
+      SELECT user_id, event_id,
+             round(value - lag(value) OVER w, 2) AS delta,
+             round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+               AS moving_avg5,
+             round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING), 6) AS running_sum,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             row_number() OVER w AS rk
+      FROM events WHERE user_id < 25
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ) WHERE rk <= 50
+    """,
+)
+def window_fn_suite(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    w5 = w.rowsBetween(-4, 0)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+            F.round(F.avg("value").over(w5), 6).alias("moving_avg5"),
+            F.round(F.sum("value").over(wall), 6).alias("running_sum"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 50)
+    )
+
+
+# --- aggregate-statistics suite per event_type: max/min (#18), mean (#22),
+#     Pearson corr (#24), exact percentiles, count, and the deterministic
+#     argmin (#20, min over (value, user_id) lexicographic so ties can't
+#     flip the hash) — one partial-agg shuffle for the lot --------------------
+@query(
+    "agg_stats_suite",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(max(value), 2) AS max_value,
+           round(min(value), 2) AS min_value,
+           round(avg(value), 4) AS avg_value,
+           round(corr(value, user_id), 6) AS corr_value_user,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value,
+           round(quantile_cont(value, 0.99), 6) AS p99_value,
+           (min(struct_pack(v := value, u := user_id))).u AS argmin_user
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_stats_suite(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.corr("value", "user_id"), 6).alias("corr_value_user"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+            # lexicographic min over (value, user_id): deterministic argmin —
+            # plain min_by/arg_min tie-breaking is engine-arbitrary
+            F.min(F.struct("value", "user_id"))
+            .getField("user_id")
+            .alias("argmin_user"),
+        )
+    )
+
+
+# --- temporal joins, one suite: backward as-of join (asof branch) + binned
+#     interval join (interval branch).  The as-of side is the distributed
+#     sort-merge formulation in operators/asof.py; the interval side turns a
+#     range predicate into an equality join on (user, time-bucket) + residual
+#     filter — both are the shapes that survive 100 TB (no broadcast of fact
+#     data, no nested-loop range join) ----------------------------------------
+@query(
+    "temporal_join_suite",
+    oracle=f"""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 40),
+    r AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase' AND user_id < 40),
+    asof_j AS (
+      SELECT 'asof' AS branch, l.user_id,
+             l.event_id AS left_id, NULL::BIGINT AS right_id,
+             round(r.value, 6) AS val
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    ev AS (SELECT user_id, event_id, event_type,
+                  cast(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+    i AS (SELECT user_id, event_id AS incident_id, sec AS t0
+          FROM ev WHERE event_type = 'error'),
+    c AS (SELECT user_id, event_id AS click_id, sec
+          FROM ev WHERE event_type = 'click'),
+    interval_j AS (
+      SELECT 'interval' AS branch, i.user_id,
+             i.incident_id AS left_id, c.click_id AS right_id,
+             c.sec::DOUBLE AS val
+      FROM i JOIN c ON c.user_id = i.user_id
+       AND c.sec >= i.t0 AND c.sec < i.t0 + {_INC_W}
+    )
+    SELECT * FROM asof_j UNION ALL SELECT * FROM interval_j
+    """,
+)
+def temporal_join_suite(spark, sf_dir):
+    asof = asof_join_events(spark, sf_dir).select(
+        F.lit("asof").alias("branch"),
+        "user_id",
+        F.col("event_id").alias("left_id"),
+        F.lit(None).cast("long").alias("right_id"),
+        F.col("asof_value").alias("val"),
+    )
+    interval = interval_join_binned(spark, sf_dir).select(
+        F.lit("interval").alias("branch"),
+        "user_id",
+        F.col("incident_id").alias("left_id"),
+        F.col("click_id").alias("right_id"),
+        F.col("click_sec").cast("double").alias("val"),
+    )
+    return asof.unionByName(interval)

@@ -43,28 +43,10 @@ def _cosine_expr(a: str, b: str) -> str:
     )
 
 
-# --- brute-force cosine top-k ------------------------------------------------
-@query(
-    "ann_topk_cosine",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
-    scored AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(q.qemb, e.emb)
-               / (sqrt(list_dot_product(q.qemb, q.qemb))
-                  * sqrt(list_dot_product(e.emb, e.emb))) AS cos
-      FROM q JOIN e ON e.vec_id <> q.query_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, round(cos, 5) AS cosine,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
-    """,
-)
+# --- brute-force cosine top-k (SQL-fold form).  Not a catalog entry: the
+#     Arrow-vectorized twin below produces the identical result under the
+#     identical oracle and is the plan you'd run at scale; this form remains
+#     the recall-gate baseline in tests. --------------------------------------
 def ann_topk_cosine(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -144,14 +126,8 @@ def _buckets_spark(spark, sf_dir):
     )
 
 
-@query(
-    "ann_lsh_buckets",
-    oracle=f"""
-    WITH {_BUCKET_DUCK}
-    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
-    FROM buckets GROUP BY bucket
-    """,
-)
+# bucket-occupancy diagnostic (the same _buckets_spark assignment feeds the
+# oracle-gated ann_lsh_topk; kept for tests/EDA, not a catalog slot)
 def ann_lsh_buckets(spark, sf_dir):
     b = _buckets_spark(spark, sf_dir)
     return b.groupBy("bucket").agg(
@@ -263,14 +239,8 @@ _IVF_DUCK = f"""
 """
 
 
-@query(
-    "ann_ivf_cells",
-    oracle=f"""
-    WITH {_IVF_DUCK}
-    SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
-    FROM assign GROUP BY cell
-    """,
-)
+# cell-occupancy diagnostic (assignment itself is oracle-gated via
+# ann_ivf_topk; kept for tests/EDA, not a catalog slot)
 def ann_ivf_cells(spark, sf_dir):
     return (
         _ivf_assign_spark(spark, sf_dir)

@@ -38,20 +38,109 @@ def _sql_list(words):
     return ", ".join(f"'{w}'" for w in words)
 
 
-# --- token counting ----------------------------------------------------------
+# --- per-doc text metrics: token stats + quality + language-ID in ONE pass --
+# Each family used to be its own catalog entry; they are all single-pass
+# codegen projections over the same tokenized scan, so one suite query covers
+# the whole surface while freeing driver-correctness slots.
+_LANG_SCORES_SQL_SUITE = ",\n".join(
+    f"           len(list_filter(toks, x -> x IN ({_sql_list(ws)}))) AS s_{lg}"
+    for lg, ws in LEX.items()
+)
+
+
 @query(
-    "text_token_stats",
-    oracle="""
-    WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
-               FROM documents)
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           len(list_distinct(toks)) AS n_distinct,
-           round(len(array_to_string(toks, ''))::DOUBLE / len(toks), 4)
-             AS mean_tok_len
-    FROM t
+    "text_metrics_suite",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text,
+                      regexp_split_to_array(lower(text), '\\s+') AS toks
+               FROM documents),
+    m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             len(array_to_string(toks, ''))::DOUBLE / len(toks) AS mtl,
+             len(list_filter(toks, x -> x IN ({_sql_list(STOP_EN)})))::DOUBLE
+               / len(toks) AS stop_r,
+             (length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))::DOUBLE
+               / length(text) AS punct_r,
+{_LANG_SCORES_SQL_SUITE}
+      FROM t
+    )
+    SELECT doc_id, lang AS true_lang,
+           CASE WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
+                WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
+                WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang,
+           n_tokens, n_distinct,
+           round(mtl, 4) AS mean_tok_len,
+           round(stop_r, 4) AS stop_ratio,
+           round(punct_r, 4) AS punct_ratio,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.4 * stop_r + 0.2 * (1.0 - punct_r), 4) AS quality
+    FROM m
     """,
 )
+def text_metrics_suite(spark, sf_dir):
+    d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
+    stop_arr = F.array(*[F.lit(w) for w in STOP_EN])
+    for lg, ws in LEX.items():
+        d = d.withColumn(
+            f"s_{lg}",
+            F.expr(f"size(filter(toks, x -> x IN ({_sql_list(ws)})))"),
+        )
+    pred = (
+        F.when(
+            F.col("s_en") >= F.greatest("s_fr", "s_de", "s_es", "s_zh"), "en"
+        )
+        .when(F.col("s_fr") >= F.greatest("s_de", "s_es", "s_zh"), "fr")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_zh"), "de")
+        .when(F.col("s_es") >= F.col("s_zh"), "es")
+        .otherwise("zh")
+    )
+    stop_r = (
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / F.size("toks")
+    )
+    punct_r = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[^a-z0-9\s]", ""))
+    ).cast("double") / F.length("text")
+    d = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        pred.alias("pred_lang"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(
+            F.length(F.array_join("toks", "")).cast("double") / F.size("toks"),
+            4,
+        ).alias("mean_tok_len"),
+        stop_r.alias("stop_r"),
+        punct_r.alias("punct_r"),
+    )
+    return d.select(
+        "doc_id",
+        "true_lang",
+        "pred_lang",
+        "n_tokens",
+        "n_distinct",
+        "mean_tok_len",
+        F.round("stop_r", 4).alias("stop_ratio"),
+        F.round("punct_r", 4).alias("punct_ratio"),
+        F.round(
+            0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.4 * F.col("stop_r")
+            + 0.2 * (1.0 - F.col("punct_r")),
+            4,
+        ).alias("quality"),
+    )
+
+
+# token counting (covered by text_metrics_suite in the catalog; kept for the
+# package API and tests)
 def text_token_stats(spark, sf_dir):
     d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     return d.select(
@@ -72,20 +161,8 @@ def text_token_stats(spark, sf_dir):
 _BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
 
 
-@query(
-    "text_bpe_tokens",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id,
-             len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe,
-             len(regexp_split_to_array(lower(text), '\\s+')) AS n_words
-      FROM documents
-    )
-    SELECT doc_id, n_bpe, n_words,
-           round(n_bpe::DOUBLE / n_words, 4) AS bpe_per_word
-    FROM t
-    """,
-)
+# doc-level BPE estimate (catalog coverage moved to udtf_token_chunks'
+# per-chunk n_bpe column; kept for the package API and tests)
 def text_bpe_tokens(spark, sf_dir):
     d = load_documents_parallel(spark, sf_dir)
     d = d.select(
@@ -101,31 +178,7 @@ def text_bpe_tokens(spark, sf_dir):
     )
 
 
-# --- quality scoring (length / punctuation / stopword ratios) ---------------
-@query(
-    "text_quality",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang, text,
-             regexp_split_to_array(lower(text), '\\s+') AS toks
-      FROM documents
-    ), m AS (
-      SELECT doc_id, lang,
-             len(toks) AS n_tokens,
-             len(list_filter(toks, x -> x IN ({_sql_list(STOP_EN)})))::DOUBLE
-               / len(toks) AS stop_ratio,
-             (length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))::DOUBLE
-               / length(text) AS punct_ratio
-      FROM t
-    )
-    SELECT doc_id, lang, n_tokens,
-           round(stop_ratio, 4) AS stop_ratio,
-           round(punct_ratio, 4) AS punct_ratio,
-           round(0.4 * least(n_tokens / 100.0, 1.0)
-               + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio), 4) AS quality
-    FROM m
-    """,
-)
+# --- quality scoring (covered by text_metrics_suite in the catalog) ----------
 def text_quality(spark, sf_dir):
     d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     stop_arr = F.array(*[F.lit(w) for w in STOP_EN])
@@ -169,26 +222,7 @@ _LANG_SCORES_SQL = ",\n".join(
 )
 
 
-@query(
-    "text_langid",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS toks
-               FROM documents),
-    s AS (
-      SELECT doc_id, lang,
-{_LANG_SCORES_SQL}
-      FROM t
-    )
-    SELECT doc_id, lang AS true_lang,
-           CASE WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
-                WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
-                WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
-                WHEN s_es >= s_zh THEN 'es'
-                ELSE 'zh' END AS pred_lang,
-           s_en, s_fr, s_de, s_es, s_zh
-    FROM s
-    """,
-)
+# (covered by text_metrics_suite's pred_lang in the catalog)
 def text_langid(spark, sf_dir):
     d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     for lg, ws in LEX.items():
@@ -262,12 +296,18 @@ CHUNK_TOKS = 32
       SELECT doc_id, t,
              unnest(range(cast(ceil(len(t)/{CHUNK_TOKS}.0) AS BIGINT))) AS i
       FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, cast(i AS INT) AS chunk_idx,
+             array_to_string(t[i*{CHUNK_TOKS}+1 : i*{CHUNK_TOKS}+{CHUNK_TOKS}], ' ')
+                 AS chunk_text,
+             cast(least(len(t) - i*{CHUNK_TOKS}, {CHUNK_TOKS}) AS INT) AS n_toks
+      FROM idx
     )
-    SELECT doc_id, cast(i AS INT) AS chunk_idx,
-           array_to_string(t[i*{CHUNK_TOKS}+1 : i*{CHUNK_TOKS}+{CHUNK_TOKS}], ' ')
-               AS chunk_text,
-           cast(least(len(t) - i*{CHUNK_TOKS}, {CHUNK_TOKS}) AS INT) AS n_toks
-    FROM idx
+    SELECT doc_id, chunk_idx, chunk_text, n_toks,
+           cast(len(regexp_extract_all(lower(chunk_text), '{_BPE_RE}')) AS INT)
+               AS n_bpe
+    FROM chunks
     """,
 )
 def udtf_token_chunks(spark, sf_dir):
@@ -285,9 +325,13 @@ def udtf_token_chunks(spark, sf_dir):
     load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 3
     ).createOrReplaceTempView("_udtf_docs")
+    # n_bpe computed OUTSIDE the UDTF as a codegen regexp projection — the
+    # Python table function only does the string chunking it exists for
     return spark.sql(
-        """
-        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_toks
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_toks,
+               cast(size(regexp_extract_all(lower(c.chunk_text),
+                                            '{_BPE_RE}', 0)) AS INT) AS n_bpe
         FROM _udtf_docs d, LATERAL chunk_doc(d.text) c
         """
     )

@@ -24,18 +24,68 @@ def _batch_events(spark, sf_dir):
     return events_batch_as_stream_input(spark, sf_dir)
 
 
-# --- tumbling window feature aggregation (streaming/features.py twin) --------
+# --- tumbling window features + stream-static z-score scoring in one entry
+#     (streaming/features.py + streaming/scoring.py twins; the per-window
+#     aggregate AND its z-score against the global per-type profile share one
+#     shuffle on (window, event_type)) ----------------------------------------
 @query(
-    "events_tumbling_window",
+    "events_tumbling_zscores",
     oracle="""
-    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 6) AS sum_value,
-           round(avg(value), 6) AS avg_value
-    FROM events GROUP BY 1, 2
+    WITH wf AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+             event_type, count(*) AS n_events, sum(value) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), prof AS (
+      SELECT event_type,
+             avg(n_events) AS mu_n, coalesce(stddev_pop(n_events), 0) AS sigma_n,
+             avg(sum_value) AS mu_value,
+             coalesce(stddev_pop(sum_value), 0) AS sigma_value
+      FROM wf GROUP BY event_type
+    )
+    SELECT wf.window_start_s, wf.event_type, wf.n_events,
+           round(wf.sum_value, 6) AS sum_value,
+           round(wf.sum_value / wf.n_events, 6) AS avg_value,
+           round((wf.n_events - prof.mu_n) / (prof.sigma_n + 1e-12), 6) AS z_n,
+           round((wf.sum_value - prof.mu_value) / (prof.sigma_value + 1e-12), 6)
+             AS z_value
+    FROM wf JOIN prof USING (event_type)
     """,
 )
+def events_tumbling_zscores(spark, sf_dir):
+    from exstream_implementation_spark.streaming import (
+        reference_profile,
+        score_against_profile,
+    )
+
+    ev = _batch_events(spark, sf_dir)
+    wf = (
+        ev.groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    scored = score_against_profile(wf, reference_profile(wf))
+    return scored.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+        "z_n",
+        "z_value",
+    )
+
+
+# tumbling features alone (covered by events_tumbling_zscores in the catalog;
+# kept for the package API and streaming parity tests)
 def events_tumbling_window(spark, sf_dir):
     from exstream_implementation_spark.streaming import windowed_features
 
@@ -133,29 +183,8 @@ def events_session_windows(spark, sf_dir):
     )
 
 
-# --- stream-static scoring twin (streaming/scoring.py): z-scores of each
-#     window against the global per-type profile ------------------------------
-@query(
-    "events_window_zscores",
-    oracle="""
-    WITH wf AS (
-      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
-             event_type, count(*) AS n_events, sum(value) AS sum_value
-      FROM events GROUP BY 1, 2
-    ), prof AS (
-      SELECT event_type,
-             avg(n_events) AS mu_n, coalesce(stddev_pop(n_events), 0) AS sigma_n,
-             avg(sum_value) AS mu_value,
-             coalesce(stddev_pop(sum_value), 0) AS sigma_value
-      FROM wf GROUP BY event_type
-    )
-    SELECT wf.window_start_s, wf.event_type,
-           round((wf.n_events - prof.mu_n) / (prof.sigma_n + 1e-12), 6) AS z_n,
-           round((wf.sum_value - prof.mu_value) / (prof.sigma_value + 1e-12), 6)
-             AS z_value
-    FROM wf JOIN prof USING (event_type)
-    """,
-)
+# z-scores alone (covered by events_tumbling_zscores in the catalog; kept for
+# the package API and streaming parity tests)
 def events_window_zscores(spark, sf_dir):
     from exstream_implementation_spark.streaming import (
         reference_profile,

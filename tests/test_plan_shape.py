@@ -11,8 +11,28 @@ import pytest
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.plans import QUERIES
+from exstream_implementation_spark.plans import relational as rel
+from exstream_implementation_spark.plans import similarity as sim
+from exstream_implementation_spark.plans import text as textq
+from exstream_implementation_spark.plans import windows as winq
 
 SF_DIR = "/root/testdata/sf0.01"
+
+# unregistered building-block queries keep their plan contracts
+_EXTRA = {
+    "filter_range": rel.filter_range,
+    "groupby_count": rel.groupby_count,
+    "lag_delta": rel.lag_delta,
+    "asof_join_events": rel.asof_join_events,
+    "interval_join_binned": rel.interval_join_binned,
+    "ann_topk_cosine": sim.ann_topk_cosine,
+    "text_quality": textq.text_quality,
+    "events_tumbling_window": winq.events_tumbling_window,
+}
+
+
+def q(name):
+    return QUERIES.get(name) or _EXTRA[name]
 
 
 def plan_str(df, mode="formatted"):
@@ -31,7 +51,7 @@ def test_scan_project_pushdown_and_pruning(spark):
 
 
 def test_filter_range_pushdown(spark):
-    plan = plan_str(QUERIES["filter_range"](spark, SF_DIR))
+    plan = plan_str(q("filter_range")(spark, SF_DIR))
     assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
 
 
@@ -52,8 +72,10 @@ def test_no_single_partition_window_in_catalog_hot_paths(spark):
     single partitions over already-reduced data are fine.)"""
     for name in ["scan_project", "groupby_count", "pivot_wide", "lag_delta",
                  "positional_join", "sort_rank_topk", "dedup_minhash_lsh",
-                 "ann_topk_cosine", "text_quality", "events_tumbling_window"]:
-        plan = plan_str(QUERIES[name](spark, SF_DIR), mode="simple")
+                 "ann_topk_cosine", "text_quality", "events_tumbling_window",
+                 "filter_union_suite", "window_fn_suite", "agg_stats_suite",
+                 "temporal_join_suite", "dedup_simhash_pairs"]:
+        plan = plan_str(q(name)(spark, SF_DIR), mode="simple")
         lines = plan.splitlines()
         for i, line in enumerate(lines):
             if "Window" in line and "windowed" not in line:
@@ -63,7 +85,7 @@ def test_no_single_partition_window_in_catalog_hot_paths(spark):
 
 def test_groupby_has_partial_aggregation(spark):
     # map-side combine: two HashAggregate levels around one exchange
-    plan = plan_str(QUERIES["groupby_count"](spark, SF_DIR), mode="simple")
+    plan = plan_str(q("groupby_count")(spark, SF_DIR), mode="simple")
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
 
@@ -147,7 +169,7 @@ def test_connected_components_hand_graph(spark):
 def test_asof_join_is_single_shuffle_not_range_join(spark):
     # the as-of join must plan as union + keyed window (one Exchange on the
     # key), never a range/theta join that explodes pairs
-    plan = plan_str(QUERIES["asof_join_events"](spark, SF_DIR), mode="simple")
+    plan = plan_str(q("asof_join_events")(spark, SF_DIR), mode="simple")
     assert "Join" not in plan  # no join node at all — union + window instead
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
@@ -185,8 +207,59 @@ def test_cube_single_expand_pass(spark):
 def test_interval_join_binned_is_hash_join(spark):
     """The binned range join must plan as an equality join (hash/SMJ on
     (user, bucket)) — never BroadcastNestedLoopJoin or CartesianProduct."""
-    plan = plan_str(QUERIES["interval_join_binned"](spark, SF_DIR), mode="simple")
+    plan = plan_str(q("interval_join_binned")(spark, SF_DIR), mode="simple")
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan  # AQE may broadcast the small side at sf0.01
     )
+
+
+def test_simhash_pairs_band_blocked_no_cartesian(spark):
+    """The simhash pairing must come from the band equi-join — a cartesian or
+    nested-loop self-join is the all-pairs shape that dies at 100 TB."""
+    plan = plan_str(QUERIES["dedup_simhash_pairs"](spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_candidates_are_capped_equi_join(spark):
+    """Candidate generation must be an equality join on the (frequency-capped)
+    shingle — never cartesian; the cap's anti-join must be a broadcast."""
+    plan = plan_str(QUERIES["dedup_ngram_jaccard"](spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unpartitioned_windows_sit_above_limit(spark):
+    """Any Window.orderBy() with no partitionBy plans Exchange SinglePartition;
+    that is only admissible when a LIMIT (GlobalLimit/TakeOrdered) has already
+    bounded the input.  Guard the catalog so a refactor can't un-bound one."""
+    import re as _re
+
+    for name, fn in QUERIES.items():
+        if name in ("exstream_explain_det", "corpus_curation"):
+            continue  # long pipelines checked via their own guards above
+        plan = plan_str(fn(spark, SF_DIR), mode="simple")
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            below = "\n".join(lines[i:])
+            # admissible: feeding a scalar aggregate (no Window downstream of
+            # this exchange) or bounded by a limit before the exchange
+            has_window_below = "Window" in below
+            bounded = any(
+                ("GlobalLimit" in l) or ("TakeOrderedAndProject" in l)
+                or ("LocalLimit" in l)
+                for l in lines[i:]
+            )
+            # a SinglePartition whose input is already an aggregate output
+            # carries per-group rows (feature counts, reward tables), not
+            # fact data — that is the reference's own tiny-ranking shape
+            reduced = any(
+                "HashAggregate" in l or "ObjectHashAggregate" in l
+                or "SortAggregate" in l
+                for l in lines[i : i + 4]
+            )
+            if has_window_below:
+                assert bounded or reduced, (name, "\n".join(lines[i : i + 8]))
