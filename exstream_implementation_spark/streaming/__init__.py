@@ -32,8 +32,12 @@ from exstream_implementation_spark.streaming.explain_trigger import (
     explain_flagged,
     start_online_explainer,
 )
+from exstream_implementation_spark.streaming.online_scorer import (
+    start_online_reward_scorer,
+)
 
 __all__ = [
+    "start_online_reward_scorer",
     "events_stream",
     "windowed_features",
     "reference_profile",

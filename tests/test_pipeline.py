@@ -250,3 +250,42 @@ def test_run_config_grid_writes_four_tables(spark, tmp_path):
             "exp_instability",
         } <= set(back.columns)
         assert back.count() == 2
+
+
+def test_config_metric_summary_matches_pandas(spark, tmp_path):
+    """plot_metrics.ipynb parity (cells 2-9): per-config mean instability and
+    mean explanation size over the grid outputs, checked against a
+    driver-side pandas mean over the same sinks."""
+    from exstream_implementation_spark.pipeline import ExplainConfig, run_config_grid
+    from exstream_implementation_spark.reporting import (
+        config_metric_summary,
+        summary_from_sinks,
+    )
+    traces, labels, _ = build_fixture(spark)
+    base = ExplainConfig(instability_runs=2)
+    out = run_config_grid(traces, labels, str(tmp_path), base=base)
+    got = {
+        r["config"]: r for r in config_metric_summary(out).collect()
+    }
+    assert set(got) == {
+        "explanations", "explanations_cluster",
+        "explanations_fpf", "explanations_cluster_fpf",
+    }
+    import pandas as pd
+
+    for name, df in out.items():
+        pdf = df.toPandas()
+        assert got[name]["n_anomalies"] == len(pdf)
+        assert got[name]["mean_exp_size"] == pytest.approx(
+            pdf["exp_size"].mean(), abs=1e-6
+        )
+        if pdf["exp_instability"].notna().any():
+            assert got[name]["mean_instability"] == pytest.approx(
+                pdf["exp_instability"].dropna().mean(), abs=1e-6
+            )
+    # sink-reading path agrees with the in-memory path
+    from_sinks = {
+        r["config"]: r for r in summary_from_sinks(spark, str(tmp_path)).collect()
+    }
+    for name in got:
+        assert from_sinks[name]["mean_exp_size"] == got[name]["mean_exp_size"]

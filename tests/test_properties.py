@@ -197,3 +197,34 @@ def test_chunked_mass_equals_whole_series(spark):
         assert len(got) == n - m + 1, chunk_size
         for s in range(n - m + 1):
             assert got[s] == pytest.approx(expect[s], abs=1e-6), (chunk_size, s)
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Retrieval-quality gate: the LSH- and IVF-bucketed ANN paths must keep
+    recall@5 >= 0.9 against the exact brute-force ranking (the oracle hash
+    gate pins exactness on fixed data; this pins QUALITY as data varies)."""
+    from pyspark.sql import functions as F
+
+    from exstream_implementation_spark.plans import similarity as sim
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_topk_cosine(spark, sf_dir)
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    by_q = {}
+    for q, n in exact:
+        by_q.setdefault(q, set()).add(n)
+
+    for name, fn in [("lsh", sim.ann_lsh_topk), ("ivf", sim.ann_ivf_topk)]:
+        approx = {}
+        for r in fn(spark, sf_dir).collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [
+            len(approx.get(q, set()) & wanted) / len(wanted)
+            for q, wanted in by_q.items()
+        ]
+        recall = sum(recalls) / len(recalls)
+        assert recall >= 0.9, f"{name} recall@5 = {recall:.2f} < 0.9"

@@ -400,3 +400,61 @@ def test_checkpointed_restart_is_exactly_once(spark, tmp_path):
     got = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(out_dir)
     assert got.count() == n_total
     assert got.select("event_id").distinct().count() == n_total
+
+
+def test_online_scorer_end_to_end_matches_batch(spark, tmp_path):
+    """Full streaming loop (stateful C7 → leap → assembly in ONE streaming
+    query) converges to the batch pipeline bit-for-bit when each feature's
+    points arrive in the batch engine's (value, type_data, ts) sort order."""
+    from pyspark.sql import Window
+
+    from exstream_implementation_spark.operators.leap import (
+        assemble_explanations,
+        reward_leap_filter,
+    )
+    from exstream_implementation_spark.operators.rewards import (
+        single_feature_rewards,
+    )
+    from exstream_implementation_spark.plans.exstream_sql import _events_melted
+    from exstream_implementation_spark.streaming import (
+        start_online_reward_scorer,
+    )
+
+    melted = _events_melted(spark, SF_DIR)
+
+    # batch side: C7 (sorted mode) → round → C8 → assembly
+    rewards = single_feature_rewards(melted).withColumn(
+        "reward", F.round("reward", 6)
+    )
+    want = {
+        r["ano_key"]: (list(r["features"]), list(r["feature_orders"]))
+        for r in assemble_explanations(reward_leap_filter(rewards)).collect()
+    }
+
+    # stream side: seq = the batch sort order per feature
+    w = Window.partitionBy("ano_key", "feature").orderBy(
+        "value", "type_data", "timestamp"
+    )
+    pts = melted.select(
+        "ano_key",
+        "feature",
+        "feature_order",
+        F.row_number().over(w).alias("seq"),
+        F.col("type_data").cast("long").alias("label"),
+    )
+    src_dir = str(tmp_path / "melted_src")
+    pts.coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(pts.schema).parquet(src_dir)
+    )
+    sink = []
+    q = start_online_reward_scorer(spark, stream, sink)
+    q.awaitTermination(120)
+    assert sink, "online scorer produced no explanations"
+    got = {}
+    for _bid, row in sink:  # last emission per ano_key wins (update stream)
+        got[row["ano_key"]] = (
+            list(row["features"]),
+            list(row["feature_orders"]),
+        )
+    assert got == want

@@ -110,10 +110,11 @@ def main():
         fn = QUERIES[name]
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
+            sdf = fn(spark, SF_DIR).persist()
             scols = sdf.columns
-            spdf = sdf.toPandas()
+            spdf = sdf.toPandas()  # driver-parity dtype view
             srows = [tuple(r) for r in sdf.collect()]
+            sdf.unpersist()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1
