@@ -135,7 +135,13 @@ WITH {_TRACE_SQL},
 
 def _events_melted(spark, sf_dir) -> DataFrame:
     """Engine-side construction of the same hourly trace, melted, using the
-    real slicing/melt path shapes (ano_key constant — one synthetic anomaly)."""
+    real slicing/melt path shapes (ano_key constant — one synthetic anomaly).
+
+    Persisted: four catalog queries (rewards' two modes, the entropy
+    profile, the leap cut) consume this identical subtree — Spark's
+    CacheManager plan-matching shares one cached copy across all of them,
+    so the events scan + pivot executes once per session, not six times.
+    The melted slice is O(buckets × features) at any corpus scale."""
     ev = load_table(spark, sf_dir, "events")
     trace = (
         ev.withColumn("bucket", F.expr("ts_sec DIV 3600"))
@@ -176,7 +182,7 @@ def _events_melted(spark, sf_dir) -> DataFrame:
         "type_data",
         F.col("bucket").alias("timestamp"),
         F.expr(stack),
-    )
+    ).persist()
 
 
 # --- C4+C6+C7 (+C5): rewards on a real trace in BOTH duplicate modes, one
