@@ -61,6 +61,79 @@ def global_row_number(
     )
 
 
+def global_lag(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    rn_col: str = "rn",
+    lag_col: str = "prev",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global row number AND lag(value) in one distributed pass — no
+    single-partition window and no rank-shift self-join.
+
+    lag is computed inside each range partition (rows are already sorted
+    there); the first row of partition p takes its predecessor from
+    partition p-1's LAST row, fetched by a boundary collect of one row per
+    partition (O(#partitions), never O(rows)).  Compared to the
+    rank-then-join-on-(rn+1) formulation this removes a full shuffle of the
+    ranked table — the win that matters when the ranked relation is itself
+    large (e.g. per-key aggregates over a 100 TB fact table).
+    """
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ordered = (
+        df.repartitionByRange(int(n), *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # three consumers: sizes job, boundary job, main pass
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in ordered.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    local = ordered.withColumn(
+        "__local_rn", F.row_number().over(w_local)
+    ).withColumn("__lag", F.lag(value_col).over(w_local))
+    # boundary rows: the last row of each partition (one per partition)
+    size_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(pid, sizes[pid], offsets[pid]) for pid in sorted(sizes)],
+            "__pid int, __cnt long, __offset long",
+        )
+    )
+    boundary = {
+        r["__pid"]: r[value_col]
+        for r in local.join(size_df, "__pid")
+        .filter(F.col("__local_rn") == F.col("__cnt"))
+        .select("__pid", value_col)
+        .collect()
+    }
+    nonempty = sorted(boundary)
+    prev_rows = [
+        (pid, boundary[prev_pid])
+        for prev_pid, pid in zip(nonempty, nonempty[1:])
+    ]
+    vtype = df.schema[value_col].dataType.simpleString()
+    prev_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            prev_rows or [(None, None)], f"__pid int, __bprev {vtype}"
+        )
+    )
+    out = (
+        local.join(size_df, "__pid")
+        .join(prev_df, "__pid", "left")
+        .withColumn(rn_col, (F.col("__offset") + F.col("__local_rn")).cast("long"))
+        .withColumn(lag_col, F.coalesce(F.col("__lag"), F.col("__bprev")))
+        .drop("__pid", "__local_rn", "__lag", "__cnt", "__offset", "__bprev")
+    )
+    return out
+
+
 def top_k_ranked(
     df: DataFrame,
     order_by: list[Column],

@@ -417,7 +417,7 @@ def max_agg(spark, sf_dir):
     """,
 )
 def topk_until_leap(spark, sf_dir):
-    from exstream_implementation_spark.operators.ranking import global_row_number
+    from exstream_implementation_spark.operators.ranking import global_lag
 
     rev = (
         load_table(spark, sf_dir, "lineitem")
@@ -427,18 +427,17 @@ def topk_until_leap(spark, sf_dir):
             .alias("rev")
         )
     )
-    # distributed leap cut: global rank without a one-partition window, lag as
-    # a rank-shift self-join, scalar cuts broadcast back — every stage keeps
+    # distributed leap cut: global rank + lag in ONE range-partitioned pass
+    # (operators/ranking.global_lag — boundary rows stitch partitions, no
+    # rank-shift self-join), scalar cuts broadcast back; every stage keeps
     # the post-agg (per-supplier) cardinality partitioned
-    ranked = global_row_number(
-        rev, [F.desc("rev"), F.asc("l_suppkey")], rn_col="rnk"
-    )
-    prev = ranked.select(
-        (F.col("rnk") + 1).alias("rnk"), F.col("rev").alias("prev_rev")
-    )
-    leaps = ranked.join(prev, "rnk", "left").withColumn(
-        "leap", F.col("prev_rev") - F.col("rev")
-    )
+    leaps = global_lag(
+        rev,
+        [F.desc("rev"), F.asc("l_suppkey")],
+        "rev",
+        rn_col="rnk",
+        lag_col="prev_rev",
+    ).withColumn("leap", F.col("prev_rev") - F.col("rev"))
     max_leap = leaps.agg(F.max("leap").alias("max_leap"))
     cut = (
         leaps.crossJoin(F.broadcast(max_leap))

@@ -263,3 +263,35 @@ def test_unpartitioned_windows_sit_above_limit(spark):
             )
             if has_window_below:
                 assert bounded or reduced, (name, "\n".join(lines[i : i + 8]))
+
+
+def test_global_lag_matches_single_partition_window(spark):
+    """global_lag (range-partitioned lag + boundary stitch) must reproduce
+    the single-partition Window lag exactly, on non-trivially partitioned
+    data, without planning a SinglePartition exchange."""
+    from pyspark.sql import Window
+
+    from exstream_implementation_spark.operators.ranking import global_lag
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    got = global_lag(
+        df, [F.asc("k")], "v", rn_col="rn", lag_col="prev", num_partitions=7
+    )
+    w = Window.orderBy("k")
+    want = df.select(
+        "k", "v",
+        F.row_number().over(w).alias("rn"),
+        F.lag("v").over(w).alias("prev"),
+    )
+    assert rows_sorted(got) == rows_sorted(want)
+    plan = plan_str(got, mode="simple")
+    assert "SinglePartition" not in plan
+
+
+def rows_sorted(df):
+    return sorted(
+        tuple(r) for r in df.select("k", "v", "rn", "prev").collect()
+    )
