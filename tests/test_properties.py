@@ -228,3 +228,44 @@ def test_ann_recall_vs_brute_force(spark):
         ]
         recall = sum(recalls) / len(recalls)
         assert recall >= 0.9, f"{name} recall@5 = {recall:.2f} < 0.9"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=8, deadline=None)
+def test_global_lag_property(rows, nparts):
+    """global_lag == single-partition lag for arbitrary key/value sets and
+    partition counts (boundary stitching has no edge-case holes)."""
+    from pyspark.sql import Window
+
+    from exstream_implementation_spark.operators.ranking import global_lag
+    from exstream_implementation_spark.session import get_spark
+
+    spark = get_spark(app_name="exstream-spark-tests", shuffle_partitions=8)
+    df = spark.createDataFrame(rows, "k int, v double")
+    got = sorted(
+        tuple(r)
+        for r in global_lag(
+            df, [F.asc("k")], "v", num_partitions=nparts
+        ).select("k", "v", "rn", "prev").collect()
+    )
+    w = Window.orderBy("k")
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "k", "v",
+            F.row_number().over(w).alias("rn"),
+            F.lag("v").over(w).alias("prev"),
+        ).collect()
+    )
+    assert got == want

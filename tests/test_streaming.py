@@ -458,3 +458,64 @@ def test_online_scorer_end_to_end_matches_batch(spark, tmp_path):
             list(row["feature_orders"]),
         )
     assert got == want
+
+
+def test_online_scorer_state_survives_across_batches(spark, tmp_path):
+    """Feeding the same points as TWO micro-batches (prefix then suffix per
+    key) must end at the same explanation as one batch — the stateful C7
+    tuples carry across batches; emissions refresh as rewards evolve."""
+    from pyspark.sql import Window
+
+    from exstream_implementation_spark.plans.exstream_sql import _events_melted
+    from exstream_implementation_spark.streaming import (
+        start_online_reward_scorer,
+    )
+
+    melted = _events_melted(spark, SF_DIR)
+    w = Window.partitionBy("ano_key", "feature").orderBy(
+        "value", "type_data", "timestamp"
+    )
+    pts = melted.select(
+        "ano_key",
+        "feature",
+        "feature_order",
+        F.row_number().over(w).alias("seq"),
+        F.col("type_data").cast("long").alias("label"),
+    ).persist()
+    cut = pts.groupBy("feature").agg(
+        (F.max("seq") / 2).cast("long").alias("half")
+    )
+    src_dir = tmp_path / "batches"
+    src_dir.mkdir()
+    # file 1 = each key's first half, file 2 = the rest (lexicographic file
+    # order == processing order for the file streaming source)
+    half = pts.join(F.broadcast(cut), "feature")
+    half.filter(F.col("seq") <= F.col("half")).drop("half").coalesce(
+        1
+    ).write.parquet(str(src_dir / "b=0"))
+    half.filter(F.col("seq") > F.col("half")).drop("half").coalesce(
+        1
+    ).write.parquet(str(src_dir / "b=1"))
+
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/b=*")
+    )
+    sink = []
+    q = start_online_reward_scorer(spark, stream, sink)
+    q.awaitTermination(180)
+    batch_ids = {b for b, _ in sink}
+    assert len(batch_ids) >= 2, f"expected >=2 micro-batches, got {batch_ids}"
+
+    # final state == single-batch run
+    single_dir = str(tmp_path / "single")
+    pts.coalesce(1).write.parquet(single_dir)
+    sink1 = []
+    q1 = start_online_reward_scorer(
+        spark, spark.readStream.schema(pts.schema).parquet(single_dir), sink1
+    )
+    q1.awaitTermination(180)
+    last = {r["ano_key"]: tuple(r["feature_orders"]) for _, r in sink}
+    last1 = {r["ano_key"]: tuple(r["feature_orders"]) for _, r in sink1}
+    assert last == last1
