@@ -98,3 +98,42 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = back._jdf.queryExecution().explainString(jmode)
     assert "PartitionFilters" in plan and "t3" in plan
     assert back.count() == 20
+
+
+def test_cli_grid_reference_layout(spark, tmp_path):
+    """python -m exstream_implementation_spark runs the script_1.py 2x2 grid
+    over the reference's on-disk layout and writes the four result tables."""
+    import random
+
+    from exstream_implementation_spark.__main__ import main
+
+    random.seed(7)
+    data = tmp_path / "data"
+    data.mkdir()
+    lines = [",m_cpu,m_heap"]
+    for t in range(60):
+        base = 5.0 if 30 <= t <= 45 else 1.0
+        lines.append(f"{t},{base + random.random():.3f},{100.0:.3f}")
+    (data / "1_1.csv").write_text("\n".join(lines) + "\n")
+    (data / "labels.csv").write_text(
+        ",trace_id,ano_id,ano_type,ref_start,ref_end,ano_start,ano_end\n"
+        "0,1_1,1,bursty input,0,30,30,45\n"
+    )
+    out = tmp_path / "results"
+    rc = main(
+        [
+            "--data-folder", str(data),
+            "--out-dir", str(out),
+            "--instability-runs", "2",
+            "--fmt", "csv",
+        ]
+    )
+    assert rc == 0
+    for name in (
+        "explanations", "explanations_cluster",
+        "explanations_fpf", "explanations_cluster_fpf",
+    ):
+        back = spark.read.option("header", True).csv(str(out / name))
+        rows = back.collect()
+        assert len(rows) == 1
+        assert rows[0]["trace_id"] == "1_1"
