@@ -295,3 +295,19 @@ def rows_sorted(df):
     return sorted(
         tuple(r) for r in df.select("k", "v", "rn", "prev").collect()
     )
+
+
+def test_no_canon_hostile_output_types_in_catalog(spark):
+    """The grading harness canonicalizes results with pandas: array/map cells
+    are unhashable in its sort, binary renders inconsistently, and DATE
+    becomes datetime.date objects on the Spark side but datetime64 on the
+    DuckDB side.  No registered query may emit any of them (schema-only
+    check — no execution)."""
+    banned = ("array", "map", "binary", "date")
+    for name, fn in QUERIES.items():
+        schema = fn(spark, SF_DIR).schema
+        for f in schema.fields:
+            t = f.dataType.simpleString()
+            assert not any(t.startswith(b) for b in banned), (
+                f"{name}.{f.name} has canon-hostile type {t}"
+            )
