@@ -134,12 +134,20 @@ def _buckets_spark(spark, sf_dir):
             " cast(0.0 as double), (acc, v) -> acc + v)"
         ).alias("dot"),
     )
-    return proj.groupBy("vec_id", "tbl").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.expr("shiftleft(1, plane)")).otherwise(0)
+    # both the candidate side and the query/probe side read this — persist so
+    # the 16-plane projection fold runs once per session
+    return (
+        proj.groupBy("vec_id", "tbl")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") > 0, F.expr("shiftleft(1, plane)")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("bucket")
         )
-        .cast("long")
-        .alias("bucket")
+        .persist()
     )
 
 
