@@ -387,8 +387,42 @@ def dedup_summary(spark, sf_dir):
     )
 
 
-# --- SimHash (32-bit, distinct-token weights) --------------------------------
-_SIMHASH_BITS = 32
+# --- SimHash (64-bit, distinct-token weights), carried as 4×16-bit bands ----
+# 64 bits, not 32: the 10× scale smoke (tools/scale_smoke.py) showed 8-bit
+# bands saturating — band-bucket occupancy grows n/2^bits, so candidate
+# pairs grow n²/2^bits and the band join degrades toward quadratic as the
+# corpus outgrows the band space.  16-bit bands (65 536 values each) keep
+# occupancy — and with it candidate volume — per-bucket-bounded at far
+# larger corpora; the sign bit of a single BIGINT never materializes because
+# the hash lives as its four band values (hex-joined for display).
+_SIMHASH_BITS = 64
+_SIMHASH_BANDS = 4
+_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 16
+_HAMMING_MAX = _SIMHASH_BANDS - 1  # pigeonhole guarantee
+
+# token bit g (0..63): low 32 bits from md5 hex chars 1-8, high 32 from 9-16
+_SH_BITS_DUCK = f"""
+    u AS (SELECT doc_id,
+                 ('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT AS h_lo,
+                 ('0x' || substr(md5(unnest(toks)), 9, 8))::BIGINT AS h_hi
+          FROM t),
+    bits AS (
+      SELECT doc_id, i.range AS g,
+             sum(CASE WHEN ((CASE WHEN i.range < 32 THEN h_lo ELSE h_hi END)
+                            >> (i.range % 32)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM u, range({_SIMHASH_BITS}) i
+      GROUP BY doc_id, i.range
+    ),
+    sh AS (
+      SELECT doc_id,
+{", ".join(
+    f'''             CAST(sum(CASE WHEN g >= {16 * b} AND g < {16 * (b + 1)} AND s > 0
+                      THEN (1::BIGINT << (g % 16)) ELSE 0 END) AS BIGINT) AS b{b}'''
+    for b in range(4)
+)}
+      FROM bits GROUP BY doc_id
+    )
+"""
 
 
 @query(
@@ -397,18 +431,11 @@ _SIMHASH_BITS = 32
     WITH t AS (SELECT doc_id,
                       list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
                FROM documents),
-    u AS (SELECT doc_id, ('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT AS h
-          FROM t),
-    bits AS (
-      SELECT doc_id, i.range AS j,
-             sum(CASE WHEN (h >> i.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM u, range({_SIMHASH_BITS}) i
-      GROUP BY doc_id, i.range
-    )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM bits GROUP BY doc_id
+    {_SH_BITS_DUCK}
+    SELECT doc_id, b0, b1, b2, b3,
+           lower(lpad(hex(b3), 4, '0') || lpad(hex(b2), 4, '0')
+              || lpad(hex(b1), 4, '0') || lpad(hex(b0), 4, '0')) AS simhash_hex
+    FROM sh
     """,
 )
 def dedup_simhash(spark, sf_dir):
@@ -417,73 +444,71 @@ def dedup_simhash(spark, sf_dir):
     )
     u = t.select("doc_id", F.explode("toks").alias("tok")).select(
         "doc_id",
-        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").alias("h"),
+        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").alias(
+            "h_lo"
+        ),
+        F.expr("cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint)").alias(
+            "h_hi"
+        ),
     )
     aggs = [
         F.sum(
-            F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(_SIMHASH_BITS)
+            F.when(
+                F.expr(f"({'h_lo' if g < 32 else 'h_hi'} >> {g % 32}) & 1") == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{g}")
+        for g in range(_SIMHASH_BITS)
     ]
     bits = u.groupBy("doc_id").agg(*aggs)
-    simhash = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        for j in range(_SIMHASH_BITS)
+    band_cols = [
+        sum(
+            F.when(F.col(f"s{16 * b + j}") > 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(16)
+        ).alias(f"b{b}")
+        for b in range(4)
+    ]
+    sh = bits.select("doc_id", *band_cols)
+    hex_parts = [
+        F.lower(F.lpad(F.expr(f"hex(b{b})"), 4, "0")) for b in (3, 2, 1, 0)
+    ]
+    return sh.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.concat(*hex_parts).alias("simhash_hex"),
     )
-    return bits.select("doc_id", simhash.alias("simhash"))
 
 
 # --- SimHash near-dup pairs, BAND-BLOCKED (Hamming ≤ 3 exact) ----------------
-# The 32-bit simhash splits into 4 disjoint 8-bit bands.  Two hashes within
-# Hamming distance 3 differ in at most 3 bands, so by pigeonhole they agree
-# EXACTLY on at least one band — candidates come from a plain equi-join on
-# (band_id, band_value), never an all-pairs self-join.  At 100 TB the band
-# value is the shuffle key (4n rows, ~n/256 per bucket under uniform hashing)
-# and the candidate set is linear-ish in the true near-dup count; the oracle
-# is the INDEPENDENT naive all-pairs formulation, so a hash match proves the
-# banding loses no pair.
-_SIMHASH_BANDS = 4
-_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 8
-_HAMMING_MAX = _SIMHASH_BANDS - 1  # pigeonhole guarantee
-
-
+# Two 64-bit hashes within Hamming distance 3 differ in at most 3 of the 4
+# bands, so by pigeonhole they agree EXACTLY on at least one — candidates
+# come from a plain equi-join on (band_id, band_value), never an all-pairs
+# self-join.  The oracle is the INDEPENDENT naive all-pairs formulation, so
+# a hash match proves the banding loses no pair.
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
     WITH t AS (SELECT doc_id,
                       list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
                FROM documents),
-    u AS (SELECT doc_id, ('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT AS h
-          FROM t),
-    bits AS (
-      SELECT doc_id, i.range AS j,
-             sum(CASE WHEN (h >> i.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM u, range({_SIMHASH_BITS}) i
-      GROUP BY doc_id, i.range
-    ),
-    sh AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
-               AS simhash
-      FROM bits GROUP BY doc_id
-    )
+    {_SH_BITS_DUCK}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        <= {_HAMMING_MAX}
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    sh = dedup_simhash(spark, sf_dir).persist()
+    sh = dedup_simhash(spark, sf_dir).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    ).persist()
     band_structs = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band_id"),
-                F.expr(
-                    f"(simhash >> {b * _BAND_BITS}) & {(1 << _BAND_BITS) - 1}"
-                ).alias("band_val"),
+                F.lit(b).alias("band_id"), F.col(f"b{b}").alias("band_val")
             )
             for b in range(_SIMHASH_BANDS)
         ]
@@ -504,12 +529,14 @@ def dedup_simhash_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    hamming = F.expr("bit_count(sa.simhash ^ sb.simhash)")
+    hamming = sum(
+        F.expr(f"bit_count(sa.b{b} ^ sb.b{b})") for b in range(4)
+    )
     return (
         cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
         .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(hamming <= _HAMMING_MAX)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
 
 

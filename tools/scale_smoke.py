@@ -1,0 +1,147 @@
+"""Scale-linearity smoke: run headline queries at sf0.1 and at an N×
+replicated copy, and report wall-time ratios.
+
+The correctness gate proves the plans RIGHT at sf0.01; this proves the
+plans' cost model — a query whose plan survives scale-up should grow
+sub-linearly to linearly in wall time (fixed per-job overheads amortize),
+while an accidental all-pairs/quadratic shape shows up immediately as a
+ratio ≫ N.
+
+Replication keeps per-query semantics meaningful at N×:
+  * events   — ids and timestamps shift by the replica span, so the trace
+    gets N× longer (more buckets), users get N× more events;
+  * documents — doc_id shifts and every token gets a per-replica prefix, so
+    replica token spaces are disjoint: each replica keeps its own duplicate
+    clusters and cross-replica pairs share nothing (true pairs grow
+    linearly, as in a real corpus of distinct sources);
+  * lineitem — order keys shift; supplier/part keys repeat (per-key groups
+    grow N×, the realistic shape for per-entity aggregates).
+
+Usage:  PYTHONPATH=/root/repo python tools/scale_smoke.py [N]
+Writes the scaled tables under /root/repo/.scale/x{N}/ (gitignored) and
+prints one JSON line {"replication": N, "queries": {name: {t1, tN, ratio}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+BASE = "/root/testdata/sf0.1"
+SCALE_ROOT = "/root/repo/.scale"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+QUERIES_TO_TIME = [
+    "exstream_rewards",
+    "topk_until_leap",
+    "groupby_salted_skew",
+    "agg_stats_suite",
+    "window_fn_suite",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_metrics_suite",
+    "text_fingerprint",
+    "filter_union_suite",
+]
+
+
+def build_scaled(spark, n: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{SCALE_ROOT}/x{n}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    # small dims: straight copies (broadcast sides stay broadcast-sized)
+    for t in TABLES:
+        if t in ("events", "documents", "lineitem"):
+            continue
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    bounds = ev.agg(
+        F.max("event_id").alias("mx_id"),
+        (F.max("ts") - F.min("ts") + 3_600_000_000_000).alias("span"),
+    ).first()
+    scaled = None
+    for i in range(n):
+        rep = ev.select(
+            (F.col("event_id") + i * (bounds["mx_id"] + 1)).alias("event_id"),
+            (F.col("ts") + i * bounds["span"]).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        scaled = rep if scaled is None else scaled.unionByName(rep)
+    scaled.write.parquet(f"{out}/events.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    mx_doc = docs.agg(F.max("doc_id")).first()[0]
+    scaled = None
+    for i in range(n):
+        tagged = F.expr(
+            f"array_join(transform(split(text, '\\\\s+'),"
+            f" x -> concat('r{i}', x)), ' ')"
+        )
+        rep = docs.select(
+            (F.col("doc_id") + i * (mx_doc + 1)).alias("doc_id"),
+            tagged.alias("text"),
+            "lang", "source",
+        ).withColumn("n_chars", F.length("text"))
+        scaled = rep if scaled is None else scaled.unionByName(rep)
+    scaled.write.parquet(f"{out}/documents.parquet")
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    mx_ord = li.agg(F.max("l_orderkey")).first()[0]
+    scaled = None
+    for i in range(n):
+        rep = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + i * (mx_ord + 1)
+        )
+        scaled = rep if scaled is None else scaled.unionByName(rep)
+    scaled.write.parquet(f"{out}/lineitem.parquet")
+    return out
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from exstream_implementation_spark.plans import QUERIES
+    from exstream_implementation_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-smoke")
+    scaled_dir = build_scaled(spark, n)
+
+    def run(name, sf_dir):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 2)
+
+    # warm-up (session init; see bench.py)
+    for name in QUERIES_TO_TIME:
+        run(name, "/root/testdata/sf0.01")
+    spark.catalog.clearCache()
+
+    results = {}
+    for name in QUERIES_TO_TIME:
+        t1 = run(name, BASE)
+        spark.catalog.clearCache()
+        tn = run(name, scaled_dir)
+        spark.catalog.clearCache()
+        results[name] = {
+            "t_base": t1,
+            f"t_x{n}": tn,
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+        }
+    print(json.dumps({"replication": n, "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
