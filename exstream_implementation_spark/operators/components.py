@@ -19,14 +19,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+SMALL_GRAPH_EDGES = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """edges(src, dst) undirected → (vertex, component) where component is
-    the minimum vertex id reachable.  Vertices = everything in edges."""
+    the minimum vertex id reachable.  Vertices = everything in edges.
+
+    Adaptive, like Spark's own broadcast-join decisioning: one cheap count
+    picks the physical strategy.  Below ``small_graph_edges`` the pair graph
+    collects to a driver union-find (near-dup graphs are usually ≪ corpus
+    size — duplicate pairs, not documents) and the result re-parallelizes;
+    above it, the iterative min-label propagation below runs fully
+    distributed.  Both produce the identical min-reachable-id labeling."""
+    n_edges = edges.limit(small_graph_edges + 1).count()
+    if n_edges <= small_graph_edges:
+        pairs = [
+            (r[0], r[1])
+            for r in edges.select(src, dst).collect()
+        ]
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the representative is deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(v, find(v)) for v in parent]
+        vtype = edges.schema[src].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            rows, f"vertex {vtype}, component {vtype}"
+        )
+
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -36,7 +75,7 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
     )
     both = both.persist()
-    labels = labels.persist()
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         # neighbor-min message pass, one shuffle on vertex id
         nbr_min = (
@@ -44,6 +83,12 @@ def connected_components(
             .groupBy(F.col("a").alias("vertex"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # localCheckpoint each round: persist alone keeps the FULL logical
+        # lineage, so iteration i's plan nests all i-1 predecessors —
+        # analysis/optimization memory grows until the driver OOMs on
+        # higher-diameter graphs.  Checkpointing truncates the lineage to
+        # the materialized partitions (the standard iterative-algorithm
+        # pattern; same fix GraphX applies internally).
         new_labels = (
             labels.join(nbr_min, "vertex", "left")
             .select(
@@ -55,11 +100,9 @@ def connected_components(
                     F.coalesce("nbr_component", "component") < F.col("component")
                 ).alias("changed"),
             )
-        ).persist()
+        ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("changed")).limit(1).count()
-        old = labels
         labels = new_labels.drop("changed")
-        old.unpersist()
         if changed == 0:
             break
     both.unpersist()

@@ -311,3 +311,26 @@ def test_no_canon_hostile_output_types_in_catalog(spark):
             assert not any(t.startswith(b) for b in banned), (
                 f"{name}.{f.name} has canon-hostile type {t}"
             )
+
+
+def test_connected_components_strategies_agree(spark):
+    """The adaptive small-graph union-find and the distributed min-label
+    propagation must produce the identical labeling."""
+    from exstream_implementation_spark.operators.components import (
+        connected_components,
+    )
+
+    import random
+
+    random.seed(3)
+    edges = [(random.randrange(200), random.randrange(200)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    small = {
+        (r["vertex"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["vertex"], r["component"])
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert small == dist and small
