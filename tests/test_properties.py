@@ -269,3 +269,43 @@ def test_global_lag_property(rows, nparts):
         ).collect()
     )
     assert got == want
+
+
+def test_sequence_packing_invariants():
+    """FFD packing over real chunk data: every chunk packed exactly once, no
+    sequence over capacity, and fill beats the one-chunk-per-sequence
+    strawman by a wide margin."""
+    from exstream_implementation_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+    from exstream_implementation_spark.plans.text import udtf_token_chunks
+    from exstream_implementation_spark.session import get_spark
+
+    spark = get_spark(app_name="exstream-spark-tests", shuffle_partitions=8)
+    chunks = udtf_token_chunks(spark, "/root/testdata/sf0.01").select(
+        "doc_id", "chunk_idx", "n_toks"
+    )
+    capacity = 64
+    packed = pack_sequences(chunks, capacity, num_groups=8).persist()
+
+    n_chunks = chunks.count()
+    assert packed.count() == n_chunks  # every chunk exactly once
+    assert (
+        packed.select("doc_id", "chunk_idx").distinct().count() == n_chunks
+    )
+    over = packed.groupBy("pack_group", "seq_id").agg(
+        F.sum("n_toks").alias("s"), F.first("seq_fill").alias("fill")
+    )
+    assert over.filter(F.col("s") > capacity).count() == 0
+    assert over.filter(F.col("s") != F.col("fill")).count() == 0
+
+    stats = packing_stats(packed, capacity).first()
+    assert stats["n_sequences"] < n_chunks  # actually packs
+    assert stats["mean_fill"] > 0.5
+
+    # determinism: identical assignment on a rerun
+    again = pack_sequences(chunks, capacity, num_groups=8)
+    a = sorted(tuple(r) for r in packed.collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b
