@@ -35,9 +35,9 @@ def main():
     # A deployed engine is a long-lived session, so steady-state timings are
     # the meaningful ones; the timed region below still includes ALL
     # data-dependent work at the target SF (scans, shuffles, caches).
-    entrymod._flagship(spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    entrymod._flagship(spark, entrymod.SF_SMOKE).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     bench_queries = [
         "exstream_rewards",

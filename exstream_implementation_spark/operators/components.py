@@ -38,12 +38,11 @@ def connected_components(
     size — duplicate pairs, not documents) and the result re-parallelizes;
     above it, the iterative min-label propagation below runs fully
     distributed.  Both produce the identical min-reachable-id labeling."""
-    n_edges = edges.limit(small_graph_edges + 1).count()
-    if n_edges <= small_graph_edges:
-        pairs = [
-            (r[0], r[1])
-            for r in edges.select(src, dst).collect()
-        ]
+    # one job answers the size probe AND supplies the small-graph pairs —
+    # the edges subtree (often a shuffled candidate join) never runs twice
+    probe = edges.select(src, dst).take(small_graph_edges + 1)
+    if len(probe) <= small_graph_edges:
+        pairs = [(r[0], r[1]) for r in probe]
         parent: dict = {}
 
         def find(x):

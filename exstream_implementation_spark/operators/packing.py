@@ -50,14 +50,19 @@ def pack_sequences(
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            g = int(pdf["pack_group"].iloc[0])
             pdf = pdf.sort_values(
                 [toks_col, doc_col, idx_col], ascending=[False, True, True]
             )
             fills: list[int] = []  # current fill per open sequence
             assign: list[int] = []
+            clamped: list[int] = []
             for n in pdf[toks_col].to_numpy():
+                # an oversize chunk occupies a dedicated full sequence; its
+                # emitted n_toks clamps to capacity so sum(n_toks) per
+                # sequence == seq_fill holds unconditionally (a trainer
+                # truncates at the context boundary anyway)
                 n = int(min(n, capacity))
+                clamped.append(n)
                 placed = None
                 for s, fill in enumerate(fills):
                     if fill + n <= capacity:
@@ -74,7 +79,7 @@ def pack_sequences(
                     "seq_id": pd.Series(assign, dtype="int64").to_numpy(),
                     "doc_id": pdf[doc_col].to_numpy(),
                     "chunk_idx": pdf[idx_col].to_numpy(),
-                    "n_toks": pdf[toks_col].to_numpy(),
+                    "n_toks": pd.Series(clamped, dtype="int32").to_numpy(),
                 }
             )
             out["seq_fill"] = out["seq_id"].map(
@@ -82,9 +87,10 @@ def pack_sequences(
             )
             yield out
 
+    # groupBy().applyInPandas hash-partitions on the key itself — no
+    # explicit repartition needed
     return (
         grouped.select("pack_group", doc_col, idx_col, toks_col)
-        .repartition(num_groups, "pack_group")
         .groupBy("pack_group")
         .applyInPandas(lambda key, pdf: next(pack(iter([pdf]))), PACK_SCHEMA)
     )

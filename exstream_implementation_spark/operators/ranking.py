@@ -81,31 +81,33 @@ def global_lag(
     large (e.g. per-key aggregates over a 100 TB fact table).
     """
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ordered = (
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    # one persisted pass carries the sort, the window row numbers AND the
+    # window lag — the sizes job, the boundary job and the caller's
+    # materialization all read this cache (the window never computes twice)
+    local = (
         df.repartitionByRange(int(n), *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()  # three consumers: sizes job, boundary job, main pass
+        .withColumn("__local_rn", F.row_number().over(w_local))
+        .withColumn("__lag", F.lag(value_col).over(w_local))
+        .persist()
     )
     sizes = {
         r["__pid"]: r["cnt"]
-        for r in ordered.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    w_local = Window.partitionBy("__pid").orderBy(*order_by)
-    local = ordered.withColumn(
-        "__local_rn", F.row_number().over(w_local)
-    ).withColumn("__lag", F.lag(value_col).over(w_local))
-    # boundary rows: the last row of each partition (one per partition)
     size_df = F.broadcast(
         df.sparkSession.createDataFrame(
             [(pid, sizes[pid], offsets[pid]) for pid in sorted(sizes)],
             "__pid int, __cnt long, __offset long",
         )
     )
+    # boundary rows: the last row of each partition (one per partition)
     boundary = {
         r["__pid"]: r[value_col]
         for r in local.join(size_df, "__pid")
@@ -124,11 +126,17 @@ def global_lag(
             prev_rows or [(None, None)], f"__pid int, __bprev {vtype}"
         )
     )
+    # the boundary value substitutes ONLY on each partition's first row — a
+    # NULL value_col mid-partition must stay NULL, exactly as Window lag
+    # would report it
+    stitched_lag = F.when(
+        F.col("__local_rn") == 1, F.col("__bprev")
+    ).otherwise(F.col("__lag"))
     out = (
         local.join(size_df, "__pid")
         .join(prev_df, "__pid", "left")
         .withColumn(rn_col, (F.col("__offset") + F.col("__local_rn")).cast("long"))
-        .withColumn(lag_col, F.coalesce(F.col("__lag"), F.col("__bprev")))
+        .withColumn(lag_col, stitched_lag)
         .drop("__pid", "__local_rn", "__lag", "__cnt", "__offset", "__bprev")
     )
     return out

@@ -165,9 +165,12 @@ _BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
 # per-chunk n_bpe column; kept for the package API and tests)
 def text_bpe_tokens(spark, sf_dir):
     d = load_documents_parallel(spark, sf_dir)
+    # F.expr parses a SQL string literal: backslashes double (see
+    # udtf_token_chunks) or \\s degrades to a literal 's'
+    bpe_sql = _BPE_RE.replace("\\", "\\\\")
     d = d.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")).alias(
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{bpe_sql}', 0)")).alias(
             "n_bpe"
         ),
         F.size(_toks()).alias("n_words"),
@@ -326,12 +329,16 @@ def udtf_token_chunks(spark, sf_dir):
         F.col("doc_id") % 10 == 3
     ).createOrReplaceTempView("_udtf_docs")
     # n_bpe computed OUTSIDE the UDTF as a codegen regexp projection — the
-    # Python table function only does the string chunking it exists for
+    # Python table function only does the string chunking it exists for.
+    # Spark SQL string literals consume one level of backslash escaping
+    # (unlike DuckDB's), so the regex's backslashes double here or the
+    # \\s class silently becomes a literal 's'.
+    bpe_sql = _BPE_RE.replace("\\", "\\\\")
     return spark.sql(
         f"""
         SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_toks,
                cast(size(regexp_extract_all(lower(c.chunk_text),
-                                            '{_BPE_RE}', 0)) AS INT) AS n_bpe
+                                            '{bpe_sql}', 0)) AS INT) AS n_bpe
         FROM _udtf_docs d, LATERAL chunk_doc(d.text) c
         """
     )

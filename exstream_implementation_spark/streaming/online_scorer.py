@@ -73,7 +73,7 @@ def start_online_reward_scorer(
             ano_key, feature, forder = r["key"].split(_SEP)
             latest[(ano_key, feature, int(forder))] = r["reward"]
         rows = [
-            (ak, f, fo, round(rw, reward_round) if reward_round else rw)
+            (ak, f, fo, round(rw, reward_round) if reward_round is not None else rw)
             for (ak, f, fo), rw in latest.items()
         ]
         tbl = spark.createDataFrame(

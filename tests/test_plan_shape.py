@@ -334,3 +334,26 @@ def test_connected_components_strategies_agree(spark):
         for r in connected_components(df, small_graph_edges=0).collect()
     }
     assert small == dist and small
+
+
+def test_global_lag_preserves_mid_partition_nulls(spark):
+    """A NULL value mid-partition must surface as the NEXT row's lag (Window
+    semantics) — the boundary stitch may only fire on partition-first rows."""
+    from pyspark.sql import Window
+
+    from exstream_implementation_spark.operators.ranking import global_lag
+
+    rows = [(k, None if k % 5 == 2 else float(k)) for k in range(40)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    got = {
+        r["k"]: r["prev"]
+        for r in global_lag(df, [F.asc("k")], "v", num_partitions=4).collect()
+    }
+    w = Window.orderBy("k")
+    want = {
+        r["k"]: r["prev"]
+        for r in df.select(
+            "k", F.lag("v").over(w).alias("prev")
+        ).collect()
+    }
+    assert got == want

@@ -127,8 +127,14 @@ def main():
         try:
             res = con.execute(ORACLES[name])
             dcols = [d[0] for d in res.description]
-            dpdf = res.df()
-            drows = con.execute(ORACLES[name]).fetchall()
+            # one execution feeds both views: arrow table → pandas (dtype
+            # parity check) and python rows (value hash) — re-running the
+            # oracle would double DuckDB time on the deliberately naive
+            # all-pairs/recursive formulations
+            tbl = res.fetch_arrow_table()
+            dpdf = tbl.to_pandas()
+            col_lists = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            drows = list(zip(*col_lists)) if col_lists else []
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
