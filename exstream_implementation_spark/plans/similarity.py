@@ -615,3 +615,54 @@ def ann_topk_cosine_vectorized(spark, sf_dir):
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --- embedding near-dup pairs, LSH-BLOCKED (the label-free scale path) -------
+# emb_neardup_cosine blocks on the label column — fine when a natural
+# blocking key exists, unavailable for a raw unlabeled corpus.  This variant
+# draws candidates from the multiprobe LSH tables instead (same
+# (table, bucket) equi-join as ann_lsh_topk, no all-pairs self-join) and
+# re-ranks exactly.  Recall vs the brute-force ground truth is pinned in
+# tests/test_properties.py.
+def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    buckets = _buckets_spark(spark, sf_dir)
+    bands = buckets.select("vec_id", "tbl", "bucket")
+    # each vector probes its own bucket + Hamming-1 neighbors in every table
+    probes = bands.select(
+        "vec_id",
+        "tbl",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.expr(f"cast(bucket ^ {1 << b} as long)")
+                        for b in range(N_PLANES)
+                    ],
+                )
+            )
+        ).alias("pbucket"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("b.tbl") == F.col("a.tbl"))
+            & (F.col("b.bucket") == F.col("a.pbucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = F.expr(_cosine_expr("emb_a", "emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cos >= min_cosine)
+        .select("vec_a", "vec_b", F.round(cos, 5).alias("cosine"))
+    )

@@ -309,3 +309,38 @@ def test_sequence_packing_invariants():
     a = sorted(tuple(r) for r in packed.collect())
     b = sorted(tuple(r) for r in again.collect())
     assert a == b
+
+
+def test_emb_neardup_lsh_recall():
+    """The label-free LSH-blocked near-dup pass must recover >= 85% of the
+    true cosine>=0.3 pairs that brute force finds (candidates come from the
+    multiprobe band join, never an all-pairs self-join)."""
+    from pyspark.sql import functions as SF
+
+    from exstream_implementation_spark.plans.similarity import (
+        _cosine_expr,
+        emb_neardup_lsh,
+    )
+    from exstream_implementation_spark.session import get_spark
+    from exstream_implementation_spark.sources import load_table
+
+    spark = get_spark(app_name="exstream-spark-tests", shuffle_partitions=8)
+    sf_dir = "/root/testdata/sf0.01"
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(SF.col("vec_id").alias("vec_a"), SF.col("embedding").alias("emb_a"))
+    b = e.select(SF.col("vec_id").alias("vec_b"), SF.col("embedding").alias("emb_b"))
+    cos = SF.expr(_cosine_expr("emb_a", "emb_b"))
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, SF.col("vec_a") < SF.col("vec_b"))
+        .filter(cos >= 0.3)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in emb_neardup_lsh(spark, sf_dir).collect()
+    }
+    assert got <= truth or not truth  # no false positives (exact re-rank)
+    recall = len(got & truth) / len(truth) if truth else 1.0
+    assert recall >= 0.85, f"lsh near-dup recall {recall:.2f}"
