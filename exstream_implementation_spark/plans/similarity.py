@@ -267,20 +267,40 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 # --- IVF-flat ANN: coarse-quantize into cells, search the query's cell -------
-# Centroids are a deterministic subset of the vectors (every CENTROID_STRIDE-th
-# vec_id) — no RNG, so both engines build the identical index.  At 100 TB the
-# assignment is one broadcast pass (centroid list ≪ data), the cell id becomes
-# the table's partitioning key, and a query touches one partition (nprobe=1).
-CENTROID_STRIDE = 50
+# Centroids are a deterministic subset of the vectors (every stride-th
+# vec_id) — no RNG, so both engines build the identical index.  The stride is
+# DERIVED FROM THE CORPUS SIZE: stride = floor(sqrt(n)) gives #centroids ≈ √n
+# (the textbook IVF balance point — assignment cost n·√n, avg cell size √n),
+# so the broadcast centroid list grows as √n·dim, never linearly.  Both
+# engines compute the stride from count(*), so the index stays
+# oracle-reproducible with no RNG.  At 100 TB the assignment is one broadcast
+# pass (√n centroids ≪ data), the cell id becomes the table's partitioning
+# key, and a query touches nprobe partitions.
+# For production corpora the trained-centroid path (operators/kmeans.py,
+# broadcast k×dim, property-tested) replaces the stride subset — data-aware
+# cells beat a deterministic subset on clustered embeddings; the stride form
+# is the oracle-exact fixture.
+def _centroid_stride(n: int) -> int:
+    import math
+
+    return max(1, math.isqrt(n))
+
+
+def _ivf_parts(spark, sf_dir):
+    """(vectors, centroids) with the √n-derived stride; one cheap
+    parquet-metadata count() fixes the stride for both."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stride = _centroid_stride(e.count())
+    cents = e.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
+    )
+    return e, cents
 
 
 def _ivf_assign_spark(spark, sf_dir):
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
-    )
+    e, cents = _ivf_parts(spark, sf_dir)
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -295,10 +315,11 @@ def _ivf_assign_spark(spark, sf_dir):
     )
 
 
-_IVF_DUCK = f"""
+_IVF_DUCK = """
     e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
-              WHERE vec_id % {CENTROID_STRIDE} = 0),
+              WHERE vec_id % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+                              FROM e) = 0),
     assign AS (
       SELECT vec_id, emb, centroid_id AS cell FROM (
         SELECT e.vec_id, e.emb, c.centroid_id,
@@ -327,11 +348,15 @@ def ann_ivf_cells(spark, sf_dir):
     )
 
 
-# nprobe: how many nearest cells a query searches.  The sf0.01 fixture has
-# only ~10 centroids and near-random embeddings, so hitting recall@5 ≥ 0.9
-# (tests/test_properties.py) takes probing most of them; at corpus scale the
-# centroid count grows ~√n while nprobe stays O(10²), so the probed fraction
-# → 0 and the per-query cost stays bounded by nprobe partitions.
+# nprobe: how many nearest cells a query searches.  The centroid count grows
+# as √n (stride above), while nprobe is a fixed deployment knob, so the
+# probed FRACTION of the corpus → 0 as data grows and per-query cost stays
+# bounded by nprobe partitions.  On near-random embeddings (this testdata)
+# recall is purely probed-fraction-driven, so the recall gate in
+# tests/test_properties.py passes a test-side nprobe covering ~80% of cells —
+# it verifies the probe/union/rank mechanics, not clustering magic; clustered
+# production corpora get their recall from trained centroids
+# (operators/kmeans.py) at small nprobe.
 IVF_NPROBE = 8
 
 
@@ -376,16 +401,14 @@ IVF_NPROBE = 8
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
     """,
 )
-def ann_ivf_topk(spark, sf_dir):
+def ann_ivf_topk(spark, sf_dir, nprobe: int | None = None):
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    e, cents = _ivf_parts(spark, sf_dir)
     # assignment feeds the candidate side; queries rank ALL centroids and
     # probe their nprobe nearest cells
     assign = _ivf_assign_spark(spark, sf_dir).persist()
-    cents = e.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
-    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )
@@ -400,7 +423,7 @@ def ann_ivf_topk(spark, sf_dir):
             F.expr(_cosine_expr("qemb", "cemb")).alias("ccos"),
         )
         .withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= IVF_NPROBE)
+        .filter(F.col("r") <= nprobe)
         .select("query_id", F.col("centroid_id").alias("cell"))
     )
     cand = (
@@ -433,20 +456,12 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # --- embedding near-dup pairs (label-blocked) --------------------------------
-@query(
-    "emb_neardup_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           round(list_dot_product(a.emb, b.emb)
-                 / (sqrt(list_dot_product(a.emb, a.emb))
-                    * sqrt(list_dot_product(b.emb, b.emb))), 5) AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.emb, b.emb)
-          / (sqrt(list_dot_product(a.emb, a.emb))
-             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3
-    """,
-)
+# NOT a catalog entry (demoted in round 3): blocking on `label` looks like a
+# bounded equi-join, but the testdata has only 10 distinct labels, so the
+# candidate set is n²/10 — a quadratic join hiding behind a key that does not
+# grow with the data.  The oracle-gated entry is the LSH-blocked
+# `emb_neardup_lsh` below; this form stays as the small-scale ground truth
+# for its recall gate (tests/test_properties.py).
 def emb_neardup_cosine(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
@@ -623,7 +638,39 @@ def ann_topk_cosine_vectorized(spark, sf_dir):
 # draws candidates from the multiprobe LSH tables instead (same
 # (table, bucket) equi-join as ann_lsh_topk, no all-pairs self-join) and
 # re-ranks exactly.  Recall vs the brute-force ground truth is pinned in
-# tests/test_properties.py.
+# tests/test_properties.py.  The md5-derived buckets are reproduced
+# bit-identically in DuckDB (_BUCKET_DUCK), so the oracle draws the IDENTICAL
+# candidate set and the hash gate stays exact.  Candidate pairs are oriented:
+# the lower vec_id probes (own bucket + Hamming-1 flips), the higher vec_id
+# is matched at its exact buckets — symmetric for H≤1 and half the join volume.
+@query(
+    "emb_neardup_lsh",
+    oracle=f"""
+    WITH {_BUCKET_DUCK},
+    probes AS (
+      SELECT vec_id, tbl, bucket AS pbucket FROM buckets
+      UNION
+      SELECT vec_id, tbl, CAST(xor(bucket, 1 << m.range) AS BIGINT)
+      FROM buckets, range({N_PLANES}) m
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM probes p
+      JOIN buckets b ON b.tbl = p.tbl AND b.bucket = p.pbucket
+      WHERE p.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_dot_product(ea.emb, eb.emb)
+                 / (sqrt(list_dot_product(ea.emb, ea.emb))
+                    * sqrt(list_dot_product(eb.emb, eb.emb))), 5) AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE list_dot_product(ea.emb, eb.emb)
+          / (sqrt(list_dot_product(ea.emb, ea.emb))
+             * sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.3
+    """,
+)
 def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = _buckets_spark(spark, sf_dir)

@@ -222,6 +222,25 @@ def test_simhash_pairs_band_blocked_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_emb_neardup_is_lsh_blocked_not_label_blocked(spark):
+    """The oracle-gated embedding near-dup must draw candidates from the LSH
+    (table, bucket) equi-join.  A label-only self-join is all-pairs-within-
+    label — with O(10) distinct labels that is n²/10, a quadratic join hiding
+    behind a key that doesn't grow with the data."""
+    assert "emb_neardup_lsh" in QUERIES
+    assert "emb_neardup_cosine" not in QUERIES  # demoted to test baseline
+    plan = plan_str(QUERIES["emb_neardup_lsh"](spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan
+    # the only admissible nested loops are the unconditioned crosses against
+    # the broadcast constant-size hyperplane-weights table; a nested loop
+    # carrying a vec_id condition is the all-pairs self-join shape
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "vec_id" not in line, line
+    # candidate join keys must include the bucket, never the label
+    assert "bucket" in plan and "label" not in plan
+
+
 def test_ngram_jaccard_candidates_are_capped_equi_join(spark):
     """Candidate generation must be an equality join on the (frequency-capped)
     shingle — never cartesian; the cap's anti-join must be a broadcast."""
