@@ -89,8 +89,8 @@ def scan_project(spark, sf_dir):
 def filter_union_suite(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     rng = ev.filter(
-        (F.col("ts") >= 1704499200 * 1_000_000_000)
-        & (F.col("ts") < 1705104000 * 1_000_000_000)
+        (F.col("ts") >= F.lit("2024-01-06 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-13 00:00:00").cast("timestamp_ntz"))
     ).select(
         F.lit("range").alias("branch"),
         F.col("event_id").alias("key"),
@@ -140,14 +140,14 @@ def filter_union_suite(spark, sf_dir):
 # range filter alone (covered by filter_union_suite in the catalog; kept for
 # the package API and the parquet-pushdown plan guard test)
 def filter_range(spark, sf_dir):
-    # predicate on the RAW ts column (epoch nanos), not the derived ts_sec —
-    # a filter on a computed column can't push down into the parquet scan,
-    # which at scale means reading the whole table instead of pruned row
-    # groups; rescaling the bounds instead keeps pushdown intact
+    # predicate on the RAW ts column (timestamp_ntz literals), not the derived
+    # ts_sec — a filter on a computed column can't push down into the parquet
+    # scan, which at scale means reading the whole table instead of pruned row
+    # groups; typed literals keep row-group pushdown intact
     ev = load_table(spark, sf_dir, "events")
     return ev.filter(
-        (F.col("ts") >= 1704499200 * 1_000_000_000)
-        & (F.col("ts") < 1705104000 * 1_000_000_000)
+        (F.col("ts") >= F.lit("2024-01-06 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-13 00:00:00").cast("timestamp_ntz"))
     ).select("event_id", "user_id", "event_type", "value")
 
 

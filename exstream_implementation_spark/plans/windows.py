@@ -162,9 +162,7 @@ def events_sliding_window(spark, sf_dir):
 def events_session_windows(spark, sf_dir):
     ev = _batch_events(spark, sf_dir)
     # truncate event_time to whole seconds so both engines bucket identically
-    ev = ev.withColumn(
-        "event_time_s", F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000))
-    )
+    ev = ev.withColumn("event_time_s", F.date_trunc("second", F.col("event_time")))
     return (
         ev.groupBy(
             F.session_window("event_time_s", "30 minutes").alias("win"), "user_id"

@@ -31,15 +31,27 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the files; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as epoch-nanos long
-    and we add ``ts_sec`` (epoch seconds) for human-scale windowing.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (surfaced as
+    epoch-nanos long via ``spark.sql.legacy.parquet.nanosAsLong``) and
+    timestamp[us] (surfaced as TIMESTAMP_NTZ).  We branch on the actual read
+    dtype and always expose ``ts_sec`` (epoch seconds, session TZ pinned UTC)
+    so every downstream plan is encoding-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts_sec", (F.col("ts") / F.lit(1_000_000_000)).cast("long"))
+        df = df.withColumn("ts_sec", ts_seconds(df.schema["ts"].dataType))
     return df
+
+
+def ts_seconds(dtype) -> "F.Column":
+    """Epoch-seconds expression for an events ``ts`` column of either
+    encoding (timestamp/timestamp_ntz, or legacy epoch-nanos long)."""
+    if dtype.typeName().startswith("timestamp"):
+        # ntz→timestamp is identity under UTC session TZ; cast to long is
+        # epoch seconds — stays in codegen, no Python involved
+        return F.col("ts").cast("timestamp").cast("long")
+    return (F.col("ts") / F.lit(1_000_000_000)).cast("long")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

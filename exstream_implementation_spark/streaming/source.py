@@ -16,13 +16,14 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 # explicit schema — a streaming source must not run an inference job
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as epoch-nanos
+        StructField("ts", TimestampNTZType()),  # parquet timestamp[us]
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -61,7 +62,6 @@ def events_batch_as_stream_input(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    # watermarks require TIMESTAMP (not NTZ); session timezone is pinned UTC
-    return df.withColumn(
-        "event_time", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000))
-    )
+    # watermarks require TIMESTAMP (not NTZ); session timezone is pinned UTC,
+    # so the ntz→timestamp cast is an identity relabel (no wall-clock shift)
+    return df.withColumn("event_time", F.col("ts").cast("timestamp"))

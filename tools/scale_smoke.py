@@ -64,16 +64,26 @@ def build_scaled(spark, n: int) -> str:
             continue
         shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
 
+    from exstream_implementation_spark.sources.tables import ts_seconds
+
     ev = spark.read.parquet(f"{BASE}/events.parquet")
+    ts_is_timestamp = ev.schema["ts"].dataType.typeName().startswith("timestamp")
+    sec = ts_seconds(ev.schema["ts"].dataType)
     bounds = ev.agg(
         F.max("event_id").alias("mx_id"),
-        (F.max("ts") - F.min("ts") + 3_600_000_000_000).alias("span"),
+        (F.max(sec) - F.min(sec) + 3600).alias("span_s"),
     ).first()
     scaled = None
     for i in range(n):
+        if ts_is_timestamp:
+            shifted = F.col("ts") + F.expr(
+                f"INTERVAL {i * int(bounds['span_s'])} SECOND"
+            )
+        else:
+            shifted = F.col("ts") + i * int(bounds["span_s"]) * 1_000_000_000
         rep = ev.select(
             (F.col("event_id") + i * (bounds["mx_id"] + 1)).alias("event_id"),
-            (F.col("ts") + i * bounds["span"]).alias("ts"),
+            shifted.alias("ts"),
             "user_id", "event_type", "value", "props",
         )
         scaled = rep if scaled is None else scaled.unionByName(rep)
