@@ -97,6 +97,9 @@ class RewardServingView:
         self.latest: dict[tuple[str, str, int], float] = {}
         # ano_key -> last batch_id that touched it (for LRU eviction)
         self._touched: dict[str, int] = {}
+        # anomalies dropped from the in-memory map whose rewards live only
+        # in the log; re-admission must reload them before emitting
+        self._evicted: set[str] = set()
         if state_dir is not None:
             self._rebuild()
 
@@ -137,12 +140,45 @@ class RewardServingView:
                 )
         finally:
             batch_df.unpersist()
+        # a previously-evicted anomaly touched again: its OTHER features'
+        # rewards exist only in the log — reload them first, else the leap
+        # filter would rank an incomplete reward set and emit a wrong
+        # explanation until the next restart
+        readmitted = {
+            r["key"].split(_SEP, 1)[0] for r in updates
+        } & self._evicted
+        if readmitted:
+            self._reload(readmitted)
+            self._evicted -= readmitted
         for r in updates:
             ano_key, feature, forder = r["key"].split(_SEP)
             self.latest[(ano_key, feature, int(forder))] = r["reward"]
             self._touched[ano_key] = batch_id
         self._evict()
         return True
+
+    def _reload(self, ano_keys: set[str]) -> None:
+        """Restore the journaled latest rewards for specific anomalies (the
+        pruned-scan twin of ``_rebuild``: the log is filtered on the anomaly
+        prefix, so the read stays O(touched history), not O(log))."""
+        try:
+            log = self.spark.read.parquet(self.state_dir)
+        except AnalysisException:
+            return
+        log = log.filter(
+            F.substring_index("key", _SEP, 1).isin(list(ano_keys))
+        )
+        w = Window.partitionBy("key").orderBy(F.desc("batch_id"), F.desc("n_rows"))
+        for r in (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("key", "reward", "batch_id")
+            .collect()
+        ):
+            ano_key, feature, forder = r["key"].split(_SEP)
+            self.latest[(ano_key, feature, int(forder))] = r["reward"]
+            prev = self._touched.get(ano_key, -1)
+            self._touched[ano_key] = max(prev, r["batch_id"])
 
     def _evict(self) -> None:
         if self.max_view_anomalies is None:
@@ -156,6 +192,8 @@ class RewardServingView:
             del self._touched[ak]
         for k in [k for k in self.latest if k[0] in drop]:
             del self.latest[k]
+        if self.state_dir is not None:
+            self._evicted |= drop
 
     def as_rows(self, reward_round: int | None):
         return [

@@ -137,3 +137,45 @@ def test_cli_grid_reference_layout(spark, tmp_path):
         rows = back.collect()
         assert len(rows) == 1
         assert rows[0]["trace_id"] == "1_1"
+
+
+def test_load_table_ts_encoding_agnostic(spark, tmp_path):
+    """The driver has regenerated events.parquet with different ts encodings
+    across rounds (TIMESTAMP(NANOS)-as-long, then timestamp[us]); load_table
+    must derive the same ts_sec from both so a future regeneration can't
+    silently break every events query again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from exstream_implementation_spark.sources.tables import load_table
+
+    secs = [1704067200, 1704070800, 1704074400]  # 2024-01-01T00/01/02:00Z
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["click", "view", "click"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    for sub, ts_arr in [
+        ("us", pa.array([s * 1_000_000 for s in secs], pa.timestamp("us"))),
+        ("ns", pa.array([s * 1_000_000_000 for s in secs], pa.timestamp("ns"))),
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": base["event_id"], "ts": ts_arr, **{
+                k: v for k, v in base.items() if k != "event_id"
+            }}),
+            str(d / "events.parquet"),
+        )
+
+    got_us = {
+        r["event_id"]: r["ts_sec"]
+        for r in load_table(spark, str(tmp_path / "us"), "events").collect()
+    }
+    got_ns = {
+        r["event_id"]: r["ts_sec"]
+        for r in load_table(spark, str(tmp_path / "ns"), "events").collect()
+    }
+    assert got_us == got_ns == {1: secs[0], 2: secs[1], 3: secs[2]}

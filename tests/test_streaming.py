@@ -519,3 +519,127 @@ def test_online_scorer_state_survives_across_batches(spark, tmp_path):
     last = {r["ano_key"]: tuple(r["feature_orders"]) for _, r in sink}
     last1 = {r["ano_key"]: tuple(r["feature_orders"]) for _, r in sink1}
     assert last == last1
+
+
+def _melted_points(spark):
+    from pyspark.sql import Window
+
+    from exstream_implementation_spark.plans.exstream_sql import _events_melted
+
+    melted = _events_melted(spark, SF_DIR)
+    w = Window.partitionBy("ano_key", "feature").orderBy(
+        "value", "type_data", "timestamp"
+    )
+    return melted.select(
+        "ano_key",
+        "feature",
+        "feature_order",
+        F.row_number().over(w).alias("seq"),
+        F.col("type_data").cast("long").alias("label"),
+    )
+
+
+def test_online_scorer_restart_parity(spark, tmp_path):
+    """Kill-and-restart with checkpoint_dir (stateful C7 recovery) +
+    state_dir (serving-view journal rebuild) must end at the same
+    explanations as an uninterrupted run: the restarted query only sees new
+    files, so any key untouched after the restart exists purely in the
+    journal."""
+    from exstream_implementation_spark.streaming import (
+        start_online_reward_scorer,
+    )
+
+    pts = _melted_points(spark).persist()
+    cut = pts.groupBy("feature").agg(
+        (F.max("seq") / 2).cast("long").alias("half")
+    )
+    half = pts.join(F.broadcast(cut), "feature")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    # run 1: only the first half exists; availableNow drains it and stops
+    # (this IS the kill point — driver process state is discarded)
+    half.filter(F.col("seq") <= F.col("half")).drop("half").coalesce(
+        1
+    ).write.parquet(str(src_dir / "b=0"))
+    sink_a = []
+    q = start_online_reward_scorer(
+        spark,
+        spark.readStream.schema(pts.schema).parquet(str(src_dir) + "/b=*"),
+        sink_a,
+        checkpoint_dir=ckpt,
+        state_dir=state,
+    )
+    q.awaitTermination(180)
+    assert sink_a, "first run emitted nothing"
+
+    # run 2: second half lands; fresh query + fresh serving view, same dirs
+    half.filter(F.col("seq") > F.col("half")).drop("half").coalesce(
+        1
+    ).write.parquet(str(src_dir / "b=1"))
+    sink_b = []
+    q2 = start_online_reward_scorer(
+        spark,
+        spark.readStream.schema(pts.schema).parquet(str(src_dir) + "/b=*"),
+        sink_b,
+        checkpoint_dir=ckpt,
+        state_dir=state,
+    )
+    q2.awaitTermination(180)
+    assert sink_b, "restarted run emitted nothing"
+
+    # uninterrupted control run over the full point set
+    single = str(tmp_path / "single")
+    pts.coalesce(1).write.parquet(single)
+    sink_c = []
+    q3 = start_online_reward_scorer(
+        spark, spark.readStream.schema(pts.schema).parquet(single), sink_c
+    )
+    q3.awaitTermination(180)
+    pts.unpersist()
+
+    last_restart = {
+        r["ano_key"]: (tuple(r["features"]), tuple(r["feature_orders"]))
+        for _, r in sink_a + sink_b
+    }
+    last_control = {
+        r["ano_key"]: (tuple(r["features"]), tuple(r["feature_orders"]))
+        for _, r in sink_c
+    }
+    assert last_restart == last_control
+
+
+def test_reward_serving_view_reloads_evicted_anomaly(spark, tmp_path):
+    """LRU-evicted anomaly touched again: its other features' rewards must
+    come back from the journal BEFORE the merged view is served, not only at
+    the next restart — otherwise the leap filter ranks an incomplete set."""
+    from exstream_implementation_spark.streaming.online_scorer import (
+        _SEP,
+        RewardServingView,
+    )
+
+    state = str(tmp_path / "log")
+    view = RewardServingView(spark, state_dir=state, max_view_anomalies=1)
+
+    def batch(rows, bid):
+        df = spark.createDataFrame(
+            [(f"{a}{_SEP}{f}{_SEP}{o}", n, rw) for a, f, o, n, rw in rows],
+            "key string, n_rows long, reward double",
+        )
+        view.apply_batch(df, bid)
+
+    # anomaly A gets two features, then B's activity evicts A
+    batch([("A", "f1", 0, 10, 0.9), ("A", "f2", 1, 10, 0.5)], 0)
+    batch([("B", "g1", 0, 5, 0.7)], 1)
+    assert ("A", "f1", 0) not in view.latest  # A evicted
+    # A touched again with ONLY f2 — f1 must be journal-reloaded
+    batch([("A", "f2", 1, 12, 0.6)], 2)
+    assert view.latest[("A", "f1", 0)] == 0.9
+    assert view.latest[("A", "f2", 1)] == 0.6
+
+    # a fresh view rebuilt from the log agrees on A's full reward set
+    view2 = RewardServingView(spark, state_dir=state)
+    assert view2.latest[("A", "f1", 0)] == 0.9
+    assert view2.latest[("A", "f2", 1)] == 0.6
