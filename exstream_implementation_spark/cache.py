@@ -1,0 +1,70 @@
+"""Tracked persists — bounded cache footprint for long-lived sessions.
+
+Several operators persist a shared subtree (LSH bucket assignments, capped
+shingle edges, the melted-events relation) so sibling consumers inside ONE
+query don't recompute it.  Those caches are useful only while their query's
+result is being materialized; in a long session (the driver's 50-query
+sweep, a notebook) leaving them pinned accumulates executor storage until
+eviction pressure hurts genuinely hot data.
+
+``tracked_persist`` registers every such cache; the query registry releases
+all tracked caches when the NEXT top-level catalog query starts (never
+mid-query — nested catalog calls are depth-guarded), so at most one query's
+working set is ever pinned.  Releasing an unconsumed cache is safe: Spark
+recomputes the subtree on demand; only the sharing is lost.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame
+
+_lock = threading.Lock()
+_tracked: list[DataFrame] = []
+_depth = 0
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for end-of-query release."""
+    df = df.persist()
+    with _lock:
+        _tracked.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked cache; returns how many were released."""
+    with _lock:
+        dfs = _tracked[:]
+        _tracked.clear()
+    n = 0
+    for df in dfs:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
+
+def enter_query() -> None:
+    """Top-level catalog-query entry: drop the previous query's caches."""
+    global _depth
+    with _lock:
+        top = _depth == 0
+        _depth += 1
+    if top:
+        release_tracked()
+
+
+def exit_query() -> None:
+    global _depth
+    with _lock:
+        _depth -= 1
+
+
+def persisted_rdd_count(spark) -> int:
+    """Number of RDDs currently pinned in the context's storage (JVM-side
+    inventory — covers caches made outside this module too)."""
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()

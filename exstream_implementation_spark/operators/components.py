@@ -38,71 +38,78 @@ def connected_components(
     size — duplicate pairs, not documents) and the result re-parallelizes;
     above it, the iterative min-label propagation below runs fully
     distributed.  Both produce the identical min-reachable-id labeling."""
-    # one job answers the size probe AND supplies the small-graph pairs —
-    # the edges subtree (often a shuffled candidate join) never runs twice
-    probe = edges.select(src, dst).take(small_graph_edges + 1)
-    if len(probe) <= small_graph_edges:
-        pairs = [(r[0], r[1]) for r in probe]
-        parent: dict = {}
+    # size probe as a COUNT, not take(n+1): take ships up to n+1 full rows to
+    # the driver even when the graph is huge; limit+count moves only a long.
+    # The edges subtree (often a shuffled candidate join) is persisted across
+    # the probe and the chosen strategy so it still computes once.
+    pinned = edges.select(src, dst).persist()
+    try:
+        n_edges = pinned.limit(small_graph_edges + 1).count()
+        if n_edges <= small_graph_edges:
+            pairs = [(r[0], r[1]) for r in pinned.collect()]
+            parent: dict = {}
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
 
-        for a, b in pairs:
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by MIN id so the representative is deterministic
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        rows = [(v, find(v)) for v in parent]
-        vtype = edges.schema[src].dataType.simpleString()
-        return edges.sparkSession.createDataFrame(
-            rows, f"vertex {vtype}, component {vtype}"
-        )
-
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    labels = (
-        both.select(F.col("a").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
-    )
-    both = both.persist()
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        # neighbor-min message pass, one shuffle on vertex id
-        nbr_min = (
-            both.join(labels, both.b == labels.vertex)
-            .groupBy(F.col("a").alias("vertex"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # localCheckpoint each round: persist alone keeps the FULL logical
-        # lineage, so iteration i's plan nests all i-1 predecessors —
-        # analysis/optimization memory grows until the driver OOMs on
-        # higher-diameter graphs.  Checkpointing truncates the lineage to
-        # the materialized partitions (the standard iterative-algorithm
-        # pattern; same fix GraphX applies internally).
-        new_labels = (
-            labels.join(nbr_min, "vertex", "left")
-            .select(
-                "vertex",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
-                (
-                    F.coalesce("nbr_component", "component") < F.col("component")
-                ).alias("changed"),
+            for a, b in pairs:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id so the representative is deterministic
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            rows = [(v, find(v)) for v in parent]
+            vtype = edges.schema[src].dataType.simpleString()
+            return edges.sparkSession.createDataFrame(
+                rows, f"vertex {vtype}, component {vtype}"
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("changed")).limit(1).count()
-        labels = new_labels.drop("changed")
-        if changed == 0:
-            break
-    both.unpersist()
-    return labels
+
+        both = pinned.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).unionByName(pinned.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        labels = (
+            both.select(F.col("a").alias("vertex"))
+            .distinct()
+            .withColumn("component", F.col("vertex"))
+        )
+        both = both.persist()
+        labels = labels.localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            # neighbor-min message pass, one shuffle on vertex id
+            nbr_min = (
+                both.join(labels, both.b == labels.vertex)
+                .groupBy(F.col("a").alias("vertex"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            # localCheckpoint each round: persist alone keeps the FULL logical
+            # lineage, so iteration i's plan nests all i-1 predecessors —
+            # analysis/optimization memory grows until the driver OOMs on
+            # higher-diameter graphs.  Checkpointing truncates the lineage to
+            # the materialized partitions (the standard iterative-algorithm
+            # pattern; same fix GraphX applies internally).
+            new_labels = (
+                labels.join(nbr_min, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.least(
+                        "component", F.coalesce("nbr_component", "component")
+                    ).alias("component"),
+                    (
+                        F.coalesce("nbr_component", "component")
+                        < F.col("component")
+                    ).alias("changed"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = new_labels.filter(F.col("changed")).limit(1).count()
+            labels = new_labels.drop("changed")
+            if changed == 0:
+                break
+        both.unpersist()
+        return labels
+    finally:
+        pinned.unpersist()

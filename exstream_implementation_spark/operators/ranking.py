@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from exstream_implementation_spark.cache import tracked_persist
+
 
 def global_row_number(
     df: DataFrame,
@@ -91,7 +93,7 @@ def global_lag(
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__local_rn", F.row_number().over(w_local))
         .withColumn("__lag", F.lag(value_col).over(w_local))
-        .persist()
+        .transform(tracked_persist)
     )
     sizes = {
         r["__pid"]: r["cnt"]

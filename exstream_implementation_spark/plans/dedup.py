@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from exstream_implementation_spark.cache import tracked_persist
+
 from exstream_implementation_spark.plans.registry import query
 from exstream_implementation_spark.sources import (
     load_documents_parallel,
@@ -58,7 +60,7 @@ def _doc_grams(spark, sf_dir):
                 " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
             )
         ).alias("grams"),
-    ).persist()
+    ).transform(tracked_persist)
 
 
 _GRAMS_SQL = """
@@ -104,7 +106,7 @@ def _capped_gram_edges(g):
         .filter(F.col("df") > DF_CAP)
         .select("gram")
     )
-    capped = e.join(F.broadcast(hot), "gram", "left_anti").persist()
+    capped = e.join(F.broadcast(hot), "gram", "left_anti").transform(tracked_persist)
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return capped, sizes
 
@@ -273,7 +275,7 @@ def dedup_minhash_lsh(spark, sf_dir):
             ).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
-    ).persist()
+    ).transform(tracked_persist)
     b0 = sig.select(
         "doc_id",
         F.lit(0).alias("band_id"),
@@ -364,7 +366,7 @@ def dedup_summary(spark, sf_dir):
     )
 
     n_docs = load_table(spark, sf_dir, "documents").count()
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").transform(tracked_persist)
     n_pairs = pairs.count()
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     stats = comp.agg(
@@ -504,7 +506,7 @@ def dedup_simhash(spark, sf_dir):
 def dedup_simhash_pairs(spark, sf_dir):
     sh = dedup_simhash(spark, sf_dir).select(
         "doc_id", "b0", "b1", "b2", "b3"
-    ).persist()
+    ).transform(tracked_persist)
     band_structs = F.array(
         *[
             F.struct(
@@ -648,7 +650,7 @@ def corpus_curation(spark, sf_dir):
         h.join(keep, "ch")
         .filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "toks", "n_tokens")
-        .persist()
+        .transform(tracked_persist)
     )
     grams = ex.select(
         "doc_id",
@@ -659,7 +661,7 @@ def corpus_curation(spark, sf_dir):
                 " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
             )
         ).alias("grams"),
-    ).persist()
+    ).transform(tracked_persist)
     e, sized = _capped_gram_edges(grams)
     pairs = (
         e.alias("a")

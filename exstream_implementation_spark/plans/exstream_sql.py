@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from exstream_implementation_spark.cache import tracked_persist
+
 from exstream_implementation_spark.operators.leap import reward_leap_filter
 from exstream_implementation_spark.operators.rewards import (
     single_feature_rewards,
@@ -182,7 +184,7 @@ def _events_melted(spark, sf_dir) -> DataFrame:
         "type_data",
         F.col("bucket").alias("timestamp"),
         F.expr(stack),
-    ).persist()
+    ).transform(tracked_persist)
 
 
 # --- C4+C6+C7 (+C5): rewards on a real trace in BOTH duplicate modes, one

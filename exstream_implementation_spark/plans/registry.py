@@ -11,9 +11,12 @@ that summation-order differences between engines can't flip the hash.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from exstream_implementation_spark import cache
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -21,9 +24,20 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        # each top-level catalog query releases the previous query's tracked
+        # caches (cache.py) — nested catalog calls are depth-guarded so an
+        # outer query's working set is never dropped mid-build
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir, *args, **kwargs):
+            cache.enter_query()
+            try:
+                return fn(spark, sf_dir, *args, **kwargs)
+            finally:
+                cache.exit_query()
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco

@@ -84,6 +84,8 @@ def scan_project(spark, sf_dir):
       EXCEPT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
     ) q
+    UNION ALL
+    SELECT 'csvsink', p_partkey, p_retailprice FROM part WHERE p_name LIKE 'b%'
     """,
 )
 def filter_union_suite(spark, sf_dir):
@@ -132,8 +134,31 @@ def filter_union_suite(spark, sf_dir):
             F.lit(None).cast("double").alias("num"),
         )
     )
-    return rng.unionByName(eq).unionByName(pre).unionByName(samp).unionByName(
-        setops
+    # CSV-sink round-trip arm (§2.1 row 2, reference script_1.py:275-328):
+    # the prefix branch is written through write_results(fmt="csv") and read
+    # back — putting the sink's serialization under the same oracle hash as
+    # the in-memory branches
+    import tempfile
+
+    from exstream_implementation_spark.sources.tables import write_results
+
+    sink_dir = tempfile.mkdtemp(prefix="exstream_csvsink_")
+    write_results(pre.drop("branch"), sink_dir, fmt="csv")
+    csvsink = (
+        spark.read.option("header", True)
+        .csv(sink_dir)
+        .select(
+            F.lit("csvsink").alias("branch"),
+            F.col("key").cast("long").alias("key"),
+            F.col("num").cast("double").alias("num"),
+        )
+    )
+    return (
+        rng.unionByName(eq)
+        .unionByName(pre)
+        .unionByName(samp)
+        .unionByName(setops)
+        .unionByName(csvsink)
     )
 
 

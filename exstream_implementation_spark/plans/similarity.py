@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from exstream_implementation_spark.cache import tracked_persist
+
 from exstream_implementation_spark.plans.registry import query
 from exstream_implementation_spark.sources import load_table
 
@@ -147,7 +149,7 @@ def _buckets_spark(spark, sf_dir):
             .cast("long")
             .alias("bucket")
         )
-        .persist()
+        .transform(tracked_persist)
     )
 
 
@@ -408,7 +410,7 @@ def ann_ivf_topk(spark, sf_dir, nprobe: int | None = None):
     e, cents = _ivf_parts(spark, sf_dir)
     # assignment feeds the candidate side; queries rank ALL centroids and
     # probe their nprobe nearest cells
-    assign = _ivf_assign_spark(spark, sf_dir).persist()
+    assign = _ivf_assign_spark(spark, sf_dir).transform(tracked_persist)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )

@@ -1,0 +1,30 @@
+"""Cache hygiene: every operator-internal persist is tracked and released
+when the next top-level catalog query starts, so a long session (driver
+sweep, notebook) never accumulates stray pinned storage."""
+
+from exstream_implementation_spark import cache
+from exstream_implementation_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tracked_caches_release_between_queries(spark):
+    cache.release_tracked()
+    # a cache-heavy query pins its working set...
+    QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).count()
+    assert cache.persisted_rdd_count(spark) > 0
+    # ...the next top-level query drops it before building its own
+    QUERIES["dedup_simhash_pairs"](spark, SF_DIR).count()
+    n_after_second = cache.persisted_rdd_count(spark)
+    # only the second query's tracked set may remain
+    released = cache.release_tracked()
+    assert released > 0
+    assert cache.persisted_rdd_count(spark) < n_after_second
+
+
+def test_post_suite_inventory_empty(spark):
+    """After an explicit release, nothing tracked stays pinned."""
+    cache.release_tracked()
+    QUERIES["exstream_rewards"](spark, SF_DIR).count()
+    cache.release_tracked()
+    assert cache.persisted_rdd_count(spark) == 0
