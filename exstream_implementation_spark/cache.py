@@ -22,22 +22,32 @@ from pyspark.sql import DataFrame
 
 _lock = threading.Lock()
 _tracked: list[DataFrame] = []
+_pinned: list[DataFrame] = []
 _depth = 0
 
 
-def tracked_persist(df: DataFrame) -> DataFrame:
-    """persist() + register for end-of-query release."""
+def tracked_persist(df: DataFrame, scope: str = "query") -> DataFrame:
+    """persist() + register for release.
+
+    ``scope="query"`` (default): released when the next top-level catalog
+    query starts.  ``scope="session"``: survives across queries — for a hot
+    relation many catalog queries share via CacheManager plan-matching (the
+    melted-events subtree) — but still dropped by ``release_tracked()``, so
+    the post-suite inventory stays empty.  Session-scope entries are bounded:
+    one per distinct source plan, deduplicated JVM-side by plan matching.
+    """
     df = df.persist()
     with _lock:
-        _tracked.append(df)
+        (_pinned if scope == "session" else _tracked).append(df)
     return df
 
 
 def release_tracked() -> int:
-    """Unpersist every tracked cache; returns how many were released."""
+    """Unpersist every tracked cache (both scopes); returns the count."""
     with _lock:
-        dfs = _tracked[:]
+        dfs = _tracked + _pinned
         _tracked.clear()
+        _pinned.clear()
     n = 0
     for df in dfs:
         try:
@@ -49,13 +59,20 @@ def release_tracked() -> int:
 
 
 def enter_query() -> None:
-    """Top-level catalog-query entry: drop the previous query's caches."""
+    """Top-level catalog-query entry: drop the previous query's
+    query-scoped caches (session-scoped ones stay shared)."""
     global _depth
     with _lock:
         top = _depth == 0
         _depth += 1
-    if top:
-        release_tracked()
+        dfs = _tracked[:] if top else []
+        if top:
+            _tracked.clear()
+    for df in dfs:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def exit_query() -> None:

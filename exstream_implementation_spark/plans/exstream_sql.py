@@ -179,12 +179,15 @@ def _events_melted(spark, sf_dir) -> DataFrame:
         f"stack({len(EVENT_TYPES)}, {', '.join(pairs)}) "
         "as (feature, feature_order, value)"
     )
+    # session scope: every exstream query melts the same events subtree, and
+    # CacheManager plan-matching shares one copy — per-query release would
+    # force each of them to re-melt
     return sliced.select(
         F.lit("events_0").alias("ano_key"),
         "type_data",
         F.col("bucket").alias("timestamp"),
         F.expr(stack),
-    ).transform(tracked_persist)
+    ).transform(lambda d: tracked_persist(d, scope="session"))
 
 
 # --- C4+C6+C7 (+C5): rewards on a real trace in BOTH duplicate modes, one

@@ -35,9 +35,15 @@ from exstream_implementation_spark.streaming.explain_trigger import (
 from exstream_implementation_spark.streaming.online_scorer import (
     start_online_reward_scorer,
 )
+from exstream_implementation_spark.streaming.unbounded import (
+    run_unbounded_scorer,
+    synthetic_melted_rate_stream,
+)
 
 __all__ = [
     "start_online_reward_scorer",
+    "run_unbounded_scorer",
+    "synthetic_melted_rate_stream",
     "events_stream",
     "windowed_features",
     "reference_profile",

@@ -643,3 +643,19 @@ def test_reward_serving_view_reloads_evicted_anomaly(spark, tmp_path):
     view2 = RewardServingView(spark, state_dir=state)
     assert view2.latest[("A", "f1", 0)] == 0.9
     assert view2.latest[("A", "f2", 1)] == 0.6
+
+
+def test_unbounded_rate_source_explanation_latency(spark):
+    """The paper's online envelope (exstream.pdf §6.3): with a genuinely
+    unbounded source (rate) and a processing-time trigger, the first
+    explanation must arrive well inside 30 s of query start."""
+    from exstream_implementation_spark.streaming import run_unbounded_scorer
+
+    latency, emissions = run_unbounded_scorer(
+        spark, rows_per_second=500, trigger="1 second", max_wait_s=30.0
+    )
+    assert emissions, "no explanation within the 30 s envelope"
+    assert latency < 30.0
+    _bid, row = emissions[0]
+    assert row["ano_key"] == "rate_0"
+    assert len(row["features"]) >= 1

@@ -48,6 +48,9 @@ QUERIES_TO_TIME = [
     "text_metrics_suite",
     "text_fingerprint",
     "filter_union_suite",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "emb_neardup_lsh",
 ]
 
 
@@ -60,7 +63,7 @@ def build_scaled(spark, n: int) -> str:
     os.makedirs(out)
     # small dims: straight copies (broadcast sides stay broadcast-sized)
     for t in TABLES:
-        if t in ("events", "documents", "lineitem"):
+        if t in ("events", "documents", "lineitem", "embeddings"):
             continue
         shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
 
@@ -104,6 +107,29 @@ def build_scaled(spark, n: int) -> str:
         ).withColumn("n_chars", F.length("text"))
         scaled = rep if scaled is None else scaled.unionByName(rep)
     scaled.write.parquet(f"{out}/documents.parquet")
+
+    # embeddings: vec_id shifts per replica; each replica applies ONE shared
+    # coordinate sign-flip pattern (bits of the replica index).  A uniform
+    # per-replica sign vector cancels in every intra-replica dot product, so
+    # each replica keeps the base corpus's near-dup geometry EXACTLY (true
+    # pairs grow linearly), while distinct sign patterns push replicas into
+    # different orthants (expected cross-replica cosine ~0 — no quadratic
+    # cross-replica pair blowup, the realistic many-distinct-sources shape).
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    mx_vec = emb.agg(F.max("vec_id")).first()[0]
+    scaled = None
+    for i in range(n):
+        rep = emb.select(
+            (F.col("vec_id") + i * (mx_vec + 1)).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (x, j) ->"
+                f" cast(x * (1 - 2 * ((int(floor({i} / pow(2, pmod(j, 5)))))"
+                f" % 2)) AS float))"
+            ).alias("embedding"),
+            "label",
+        )
+        scaled = rep if scaled is None else scaled.unionByName(rep)
+    scaled.write.parquet(f"{out}/embeddings.parquet")
 
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
     mx_ord = li.agg(F.max("l_orderkey")).first()[0]
