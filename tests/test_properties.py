@@ -376,3 +376,17 @@ def test_emb_neardup_lsh_recall():
     assert got <= truth or not truth  # no false positives (exact re-rank)
     recall = len(got & truth) / len(truth) if truth else 1.0
     assert recall >= 0.85, f"lsh near-dup recall {recall:.2f}"
+
+
+def test_adaptive_lsh_planes_contract(spark):
+    """The oracle CTE is generated with the fixed N_PLANES width, so the
+    adaptive count MUST equal the floor at the correctness-gate corpora
+    (sf <= 0.01) and grow with larger corpora (occupancy held ~constant)."""
+    from exstream_implementation_spark.plans import similarity as sim
+
+    sim._PLANES_CACHE.clear()
+    assert sim._active_planes(spark, "/root/testdata/sf0.01") == sim.N_PLANES
+    bigger = sim._active_planes(spark, "/root/testdata/sf0.1")
+    assert bigger > sim.N_PLANES  # 2000 vectors / occ 64 -> 5 planes
+    # memoized: second call must not re-count
+    assert sim._PLANES_CACHE["/root/testdata/sf0.1"] == bigger
