@@ -743,3 +743,53 @@ def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
         .filter(cos >= min_cosine)
         .select("vec_a", "vec_b", F.round(cos, 5).alias("cosine"))
     )
+
+
+# --- SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+#     cluster, then prune near-identical vectors WITHIN each cluster.  Not a
+#     catalog slot (the driver's 50-query correctness budget is full) — API +
+#     pytest-gated against a driver-side brute-force mirror.
+def semantic_dedup(spark, sf_dir, min_cosine: float = 0.85):
+    """(vec_id, keep_id, cell, cosine) — one row per PRUNED vector.
+
+    Clusters are the deterministic √n IVF cells (``_ivf_assign_spark`` —
+    stride-derived centroids, no RNG), so the same partitioning that serves
+    ANN reads serves dedup.  Within a cell, a vector is pruned when a
+    LOWER-id vector in the same cell matches at ``cosine >= min_cosine``;
+    ``keep_id`` is its lowest-id such match (deterministic representative).
+
+    Scale: the self-join is keyed on ``cell`` — with √n cells of ~√n
+    vectors the pair volume is O(n) total, never corpus-quadratic, and the
+    cell id is the natural partitioning key (each task dedups one cell).
+    """
+    from pyspark.sql import Window
+
+    assign = _ivf_assign_spark(spark, sf_dir)
+    a = assign.select(
+        F.col("cell"),
+        F.col("vec_id").alias("keep_cand"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = assign.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = F.expr(_cosine_expr("emb_a", "emb_b"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("keep_cand") < F.col("vec_id"))
+        .select(
+            "cell",
+            "vec_id",
+            "keep_cand",
+            F.round(cos, 5).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("keep_cand"))
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", F.col("keep_cand").alias("keep_id"), "cell", "cosine")
+    )

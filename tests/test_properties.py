@@ -390,3 +390,59 @@ def test_adaptive_lsh_planes_contract(spark):
     assert bigger > sim.N_PLANES  # 2000 vectors / occ 64 -> 5 planes
     # memoized: second call must not re-count
     assert sim._PLANES_CACHE["/root/testdata/sf0.1"] == bigger
+
+
+def test_semantic_dedup_matches_brute_force_mirror(spark):
+    """semantic_dedup (SemDeDup-style: deterministic IVF cells + within-cell
+    prune) must agree exactly with a numpy mirror of the same rule."""
+    import math
+
+    import numpy as np
+
+    from exstream_implementation_spark.plans.similarity import semantic_dedup
+
+    sf_dir = "/root/testdata/sf0.01"
+    min_cos = 0.35  # the 500-vector fixture has ~58 in-cell pairs here
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+
+    # mirror of _ivf_parts/_ivf_assign_spark: stride centroids, max-cos cell
+    stride = max(1, math.isqrt(len(ids)))
+    cent_mask = ids % stride == 0
+    cids, cmat, cnorms = ids[cent_mask], mat[cent_mask], norms[cent_mask]
+    cos_to_c = (mat @ cmat.T) / np.outer(norms, cnorms)
+    # ties broken by ascending centroid id == argmax on first max occurrence
+    cells = cids[np.argmax(np.round(cos_to_c, 12), axis=1)]
+
+    want = {}
+    for ci in np.unique(cells):
+        members = ids[cells == ci]
+        sub = mat[np.isin(ids, members)]
+        subn = norms[np.isin(ids, members)]
+        cos = np.round((sub @ sub.T) / np.outer(subn, subn), 5)
+        for bi, b in enumerate(members):
+            lower = [
+                a
+                for ai, a in enumerate(members)
+                if a < b and cos[ai, bi] >= min_cos
+            ]
+            if lower:
+                keep = min(lower)
+                ai = list(members).index(keep)
+                want[int(b)] = (int(keep), float(cos[ai, bi]))
+
+    got = {
+        r["vec_id"]: (r["keep_id"], r["cosine"])
+        for r in semantic_dedup(spark, sf_dir, min_cosine=min_cos).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no prunes — threshold too high to test"
