@@ -703,3 +703,92 @@ def corpus_curation(spark, sf_dir):
         "n_tokens",
         F.ceil(F.col("n_tokens") / 32.0).cast("long").alias("n_chunks"),
     )
+
+
+# --- benchmark decontamination (API + pytest; catalog slot budget full) ------
+# Standard pretraining hygiene: drop (or flag) training documents that
+# overlap an evaluation benchmark's n-grams.  The benchmark side is tiny by
+# construction, so its shingle set BROADCASTS and the check is one map-side
+# semi-join per document — no shuffle of the corpus, linear at 100 TB.
+def decontaminate(
+    spark,
+    sf_dir,
+    benchmark,
+    max_overlap: float = 0.0,
+):
+    """(doc_id, n_grams, n_contaminated, overlap, contaminated) per corpus doc.
+
+    ``benchmark`` is a DataFrame with a ``text`` column (the eval set).
+    A document's overlap is |its distinct 3-grams ∩ benchmark 3-grams| /
+    |its distinct 3-grams|; ``contaminated`` flags overlap > ``max_overlap``.
+    Empty/short docs (no 3-grams) report overlap 0.0.
+    """
+    grams = _doc_grams(spark, sf_dir)
+    bench_grams = (
+        benchmark.select(F.split(F.lower("text"), r"\s+").alias("toks"))
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 3),"
+                        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    )
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    e = grams.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        e.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    sized = grams.select("doc_id", F.size("grams").alias("n_grams"))
+    out = (
+        sized.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(F.col("n_grams") > 0,
+                   F.round(F.coalesce("n_contaminated", F.lit(0))
+                           / F.col("n_grams"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("overlap"),
+        )
+    )
+    return out.withColumn(
+        "contaminated", F.col("overlap") > F.lit(max_overlap)
+    )
+
+
+# --- deterministic source-mix sampling (API + pytest) ------------------------
+# Pretraining data mixing: per-source sampling rates (e.g. wiki ×2 epochs,
+# web ×0.3) applied as a deterministic hash Bernoulli — reproducible across
+# runs and executors with NO RNG, expressible as a single filter that fuses
+# into the scan (no shuffle, no sort, trivially restartable).
+def sample_mix(
+    df,
+    fractions: dict,
+    key: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """Keep each row of ``df`` with its source's probability.
+
+    ``fractions`` maps key-column values to keep-probabilities in [0, 1];
+    unlisted sources are dropped.  Selection = xxhash64(id, salt) bucketed
+    to [0, 1) — per-row deterministic, independent of partitioning, and a
+    different ``salt`` draws an independent sample.
+    """
+    for src, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {src!r} must be in [0,1]: {frac}")
+    u = (F.abs(F.xxhash64(F.col(id_col), F.lit(salt))) % F.lit(1_000_000)) / F.lit(
+        1_000_000.0
+    )
+    frac_col = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col(key)]
+    return df.filter(frac_col.isNotNull() & (u < frac_col))
