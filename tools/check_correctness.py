@@ -12,12 +12,17 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.01"
+# NOTE: the LSH oracles (ann_lsh_topk, emb_neardup_lsh) are generated with
+# the fixed N_PLANES floor and only hash-match at sf <= 0.01, where the
+# adaptive plane count equals the floor (plans/similarity._active_planes);
+# at sf0.1+ the engine deliberately uses finer tables than the oracle.
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
