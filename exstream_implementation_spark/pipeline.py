@@ -33,6 +33,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from exstream_implementation_spark.cache import tracked_persist
 from exstream_implementation_spark.operators.correlation import (
     correlated_features_filter,
 )
@@ -84,7 +85,7 @@ def explain_anomalies(
     cfg = cfg or ExplainConfig()
     features = feature_columns([c for c in traces.columns if c != "timestamp"])
 
-    sliced = slice_intervals(traces, labels).cache()
+    sliced = slice_intervals(traces, labels).transform(tracked_persist)
 
     # run 0 = main; runs 1..k = instability samples (reference
     # script_1.py:227-238).  One exploded run dimension over the cached slice
@@ -154,7 +155,9 @@ def explain_anomalies(
             F.broadcast(fp_kept), ["run_id", "ano_key", "feature"], "inner"
         )
 
-    expl = _explanations_for(melted, cfg, keys=("run_id", "ano_key")).cache()
+    expl = _explanations_for(melted, cfg, keys=("run_id", "ano_key")).transform(
+        tracked_persist
+    )
 
     main = expl.filter(F.col("run_id") == 0).select(
         "ano_key",

@@ -516,7 +516,9 @@ def _two_anomaly_setup(spark, sf_dir):
     driver-side bounds probe, so the whole pipeline stays one lazy graph."""
     from exstream_implementation_spark.sources import events_trace
 
-    trace = events_trace(spark, sf_dir, bucket_seconds=3600).cache()
+    trace = events_trace(spark, sf_dir, bucket_seconds=3600).transform(
+        lambda d: tracked_persist(d, scope="session")
+    )
     bounds = trace.agg(
         F.min("timestamp").alias("tmin"), F.max("timestamp").alias("tmax")
     ).withColumn("span", F.greatest(F.col("tmax") - F.col("tmin"), F.lit(4)))
