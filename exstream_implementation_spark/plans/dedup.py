@@ -56,8 +56,11 @@ def _doc_grams(spark, sf_dir):
         "doc_id",
         F.array_distinct(
             F.expr(
+                # < 3 tokens: sequence(0, -1) is descending and ANSI mode
+                # turns the out-of-range index into a hard error
+                "CASE WHEN size(toks) < 3 THEN array() ELSE "
                 "transform(sequence(0, size(toks) - 3),"
-                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
             )
         ).alias("grams"),
     ).transform(tracked_persist)
@@ -657,8 +660,11 @@ def corpus_curation(spark, sf_dir):
         "n_tokens",
         F.array_distinct(
             F.expr(
+                # < 3 tokens: sequence(0, -1) is descending and ANSI mode
+                # turns the out-of-range index into a hard error
+                "CASE WHEN size(toks) < 3 THEN array() ELSE "
                 "transform(sequence(0, size(toks) - 3),"
-                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
             )
         ).alias("grams"),
     ).transform(tracked_persist)
@@ -730,8 +736,9 @@ def decontaminate(
             F.explode(
                 F.array_distinct(
                     F.expr(
+                        "CASE WHEN size(toks) < 3 THEN array() ELSE "
                         "transform(sequence(0, size(toks) - 3),"
-                        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
                     )
                 )
             ).alias("gram")

@@ -342,3 +342,82 @@ def udtf_token_chunks(spark, sf_dir):
         FROM _udtf_docs d, LATERAL chunk_doc(d.text) c
         """
     )
+
+
+# --- PII redaction (API + pytest; catalog slot budget full) ------------------
+# Pretraining scrub pass: mask emails / phone numbers / IPv4s / credit-card-
+# shaped digit runs with typed placeholders.  Pure regexp_replace chain —
+# whole-stage codegen, zero Python in the hot path, linear at 100 TB, and
+# trivially extensible per deployment (the pattern list is data, not code).
+PII_PATTERNS = [
+    # (placeholder, regex) — applied in order; earlier masks win overlaps
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("<CARD>", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b"),
+    ("<PHONE>", r"\+?\d[\d -]{7,14}\d"),
+]
+
+
+def redact_pii(df, text_col: str = "text"):
+    """Replace PII-shaped substrings in ``text_col`` with placeholders and
+    count the redactions per row (``n_redacted``)."""
+    out = df.withColumn("__orig_len", F.length(text_col))
+    redacted = F.col(text_col)
+    for placeholder, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, placeholder)
+    out = out.withColumn(text_col, redacted)
+    # count = masked placeholders present after the chain
+    n = F.lit(0)
+    for placeholder, _ in PII_PATTERNS:
+        esc = placeholder.replace("<", "\\<").replace(">", "\\>")
+        n = n + F.size(F.expr(f"regexp_extract_all({text_col}, '{esc}', 0)"))
+    return out.withColumn("n_redacted", n.cast("int")).drop("__orig_len")
+
+
+# --- repetition metrics (Gopher-style quality heuristics; API + pytest) ------
+# Rae et al. 2021 (arXiv:2112.11446) filter documents by repetition: share
+# of duplicate lines and the mass of the most frequent n-gram.  Both are
+# array/higher-order expressions — no shuffle, no UDF; a quality filter at
+# corpus scale is a scan-fused projection + filter.
+def repetition_metrics(df, text_col: str = "text"):
+    """Adds ``dup_line_frac`` (1 - distinct/total lines) and
+    ``top_bigram_share`` (occurrences of the modal word-bigram / total
+    bigrams; 0.0 for docs with < 2 tokens)."""
+    lines = F.split(F.col(text_col), r"\n")
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # guard < 2 tokens: sequence(0, -1) is DESCENDING ([0,-1]) and ANSI mode
+    # makes the out-of-range index a hard error, not a null
+    bigrams = F.expr(
+        f"CASE WHEN size(split(lower({text_col}), '\\\\s+')) < 2 "
+        f"THEN array() ELSE "
+        f"transform(sequence(0, size(split(lower({text_col}), '\\\\s+')) - 2),"
+        f" i -> concat_ws(' ', split(lower({text_col}), '\\\\s+')[i],"
+        f" split(lower({text_col}), '\\\\s+')[i+1])) END"
+    )
+    # modal-bigram count via sort + linear run-length fold — O(d log d) per
+    # doc (a transform×filter counting scan would be O(d²) and hurt on long
+    # documents)
+    top_share = F.expr(
+        "CASE WHEN size(__bigrams) < 1 THEN 0.0 ELSE "
+        "aggregate(array_sort(__bigrams),"
+        " struct(cast(null as string) as prev, 0L as run, 0L as best),"
+        " (acc, x) -> struct(x,"
+        "   if(x <=> acc.prev, acc.run + 1L, 1L),"
+        "   greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),"
+        " acc -> acc.best)"
+        " / cast(size(__bigrams) as double) END"
+    )
+    return (
+        df.withColumn(
+            "dup_line_frac",
+            F.when(
+                F.size(lines) > 0,
+                F.round(
+                    1 - F.size(F.array_distinct(lines)) / F.size(lines), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("__bigrams", bigrams)
+        .withColumn("top_bigram_share", F.round(top_share, 6))
+        .drop("__bigrams")
+    )

@@ -70,3 +70,96 @@ def test_sample_mix_rejects_bad_fraction(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(ValueError):
         sample_mix(docs, {"web": 1.5})
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from exstream_implementation_spark.plans.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org or call +1 415-555-0199"),
+            (2, "server 10.0.42.7 charged 4111 1111 1111 1111 yesterday"),
+            (3, "nothing sensitive here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in rows[1]["text"] and "@" not in rows[1]["text"]
+    assert "<PHONE>" in rows[1]["text"]
+    assert rows[1]["n_redacted"] == 2
+    assert "<IP>" in rows[2]["text"] and "<CARD>" in rows[2]["text"]
+    assert "4111" not in rows[2]["text"]
+    assert rows[3]["text"] == "nothing sensitive here"
+    assert rows[3]["n_redacted"] == 0
+    assert rows[4]["n_redacted"] == 0
+
+
+def test_redact_pii_stays_jvm_side(spark):
+    from exstream_implementation_spark.plans.text import redact_pii
+
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_metrics_hand_cases(spark):
+    from exstream_implementation_spark.plans.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab,ba,ab,ba,ab -> top 3/5
+            (2, "x\nx\nx\ny"),           # 4 lines, 2 distinct -> dup 0.5
+            (3, "unique words only here"),
+            (4, "one"),                  # <2 tokens -> share 0.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert rows[1]["top_bigram_share"] == 0.6
+    assert rows[2]["dup_line_frac"] == 0.5
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["top_bigram_share"] == round(1 / 3, 6)
+    assert rows[4]["top_bigram_share"] == 0.0
+
+
+def test_repetition_metrics_on_corpus(spark):
+    from exstream_implementation_spark.plans.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = repetition_metrics(docs)
+    stats = out.agg(
+        F.min("dup_line_frac"), F.max("dup_line_frac"),
+        F.min("top_bigram_share"), F.max("top_bigram_share"),
+    ).first()
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+    assert 0.0 <= stats[2] <= stats[3] <= 1.0
+
+
+def test_short_docs_survive_gram_paths(spark, tmp_path):
+    """Docs with < 3 tokens must not blow up the shingle transforms under
+    ANSI mode (sequence(0, -1) is descending -> out-of-range index error)."""
+    from exstream_implementation_spark.plans.dedup import (
+        decontaminate,
+        dedup_ngram_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x", "en", "src0", 1),
+            (1, "two words", "en", "src0", 9),
+            (2, "", "en", "src1", 0),
+            (3, "now three tokens here okay", "en", "src1", 26),
+            (4, "now three tokens here okay", "en", "src1", 26),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
+
+    bench = spark.createDataFrame([("x",)], "text string")  # 1-token benchmark
+    out = decontaminate(spark, str(tmp_path), bench).collect()
+    assert len(out) == 5
+    assert all(not r["contaminated"] for r in out)
