@@ -711,7 +711,7 @@ def corpus_curation(spark, sf_dir):
     )
 
 
-# --- benchmark decontamination (API + pytest; catalog slot budget full) ------
+# --- benchmark decontamination -----------------------------------------------
 # Standard pretraining hygiene: drop (or flag) training documents that
 # overlap an evaluation benchmark's n-grams.  The benchmark side is tiny by
 # construction, so its shingle set BROADCASTS and the check is one map-side
@@ -770,28 +770,103 @@ def decontaminate(
     )
 
 
+# Catalog gate: a deterministic ~1% slice of the corpus (doc_id % 97 == 0)
+# stands in for the eval benchmark, so both engines build the identical
+# benchmark gram set with no side-channel fixture.  Threshold 0.1 mirrors
+# real decontamination policy (a stray shared trigram is not contamination;
+# material overlap is).
+_DECON_BENCH_MOD = 97
+_DECON_MAX_OVERLAP = 0.1
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+           WHERE doc_id % {_DECON_BENCH_MOD} = 0),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    hits AS (SELECT e.doc_id, count(*) AS n_contaminated
+             FROM e JOIN bg USING (gram) GROUP BY e.doc_id),
+    sized AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+    scored AS (
+      SELECT s.doc_id, s.n_grams,
+             coalesce(h.n_contaminated, 0) AS n_contaminated,
+             CASE WHEN s.n_grams > 0
+                  THEN round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+                             / s.n_grams, 6)
+                  ELSE 0.0 END AS overlap
+      FROM sized s LEFT JOIN hits h USING (doc_id))
+    SELECT doc_id, n_grams, n_contaminated, overlap,
+           (overlap > {_DECON_MAX_OVERLAP}) AS contaminated
+    FROM scored
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination as a catalog slot: flag corpus docs whose
+    distinct-trigram overlap with the benchmark slice exceeds 10%."""
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+        .select("text")
+    )
+    return decontaminate(
+        spark, sf_dir, bench, max_overlap=_DECON_MAX_OVERLAP
+    )
+
+
 # --- deterministic source-mix sampling (API + pytest) ------------------------
 # Pretraining data mixing: per-source sampling rates (e.g. wiki ×2 epochs,
 # web ×0.3) applied as a deterministic hash Bernoulli — reproducible across
 # runs and executors with NO RNG, expressible as a single filter that fuses
 # into the scan (no shuffle, no sort, trivially restartable).
+def _md5_hex_threshold(frac: float) -> str:
+    """Lexicographic cutoff for a 6-hex-digit md5 prefix: fixed-width
+    lowercase hex compares like the number it encodes, and 'g' sorts above
+    every hex digit, so frac >= 1.0 keeps everything."""
+    if frac >= 1.0:
+        return "g"
+    return format(int(frac * 16**6), "06x")
+
+
 def sample_mix(
     df,
     fractions: dict,
     key: str = "source",
     id_col: str = "doc_id",
     salt: int = 0,
+    method: str = "xxhash64",
 ):
     """Keep each row of ``df`` with its source's probability.
 
     ``fractions`` maps key-column values to keep-probabilities in [0, 1];
-    unlisted sources are dropped.  Selection = xxhash64(id, salt) bucketed
-    to [0, 1) — per-row deterministic, independent of partitioning, and a
-    different ``salt`` draws an independent sample.
+    unlisted sources are dropped.  Selection is a deterministic hash of
+    (id, salt) bucketed to [0, 1) — per-row deterministic, independent of
+    partitioning, and a different ``salt`` draws an independent sample.
+
+    ``method='xxhash64'`` (default) is the production path — one 64-bit JVM
+    hash per row.  ``method='md5'`` selects on the first 6 hex chars of
+    md5(f"{id}:{salt}") compared against a per-source hex cutoff; md5 is
+    bit-identical across engines, which makes the sample oracle-reproducible
+    (the catalog gate) at the cost of a wider hash.
     """
     for src, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {src!r} must be in [0,1]: {frac}")
+    if method == "md5":
+        u_hex = F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+            1,
+            6,
+        )
+        th = F.create_map(
+            *[
+                F.lit(x)
+                for src, frac in fractions.items()
+                for x in (src, _md5_hex_threshold(frac))
+            ]
+        )[F.col(key)]
+        return df.filter(th.isNotNull() & (u_hex < th))
     u = (F.abs(F.xxhash64(F.col(id_col), F.lit(salt))) % F.lit(1_000_000)) / F.lit(
         1_000_000.0
     )
@@ -799,3 +874,34 @@ def sample_mix(
         *[F.lit(x) for kv in fractions.items() for x in kv]
     )[F.col(key)]
     return df.filter(frac_col.isNotNull() & (u < frac_col))
+
+
+# Catalog gate: a graded mix over the testdata's 20 sources (full / half /
+# quarter epochs, tail dropped) with the md5-portable selector, so DuckDB
+# reproduces the EXACT kept set — the gate proves the sampler is a pure
+# function of (doc_id, salt, policy), not of partitioning or engine.
+MIX_POLICY = {
+    **{f"src{i}": 1.0 for i in range(5)},
+    **{f"src{i}": 0.5 for i in range(5, 10)},
+    **{f"src{i}": 0.25 for i in range(10, 15)},
+}
+
+_MIX_VALUES = ", ".join(
+    f"('{src}', '{_md5_hex_threshold(frac)}')" for src, frac in MIX_POLICY.items()
+)
+
+
+@query(
+    "sample_source_mix",
+    oracle=f"""
+    WITH fr(source, cutoff) AS (VALUES {_MIX_VALUES})
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN fr USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':0'), 1, 6) < fr.cutoff
+    """,
+)
+def sample_source_mix(spark, sf_dir):
+    """Deterministic source-mix sample (md5-portable selector) — the kept
+    (doc_id, source) set under the graded policy above."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_mix(d, MIX_POLICY, method="md5")

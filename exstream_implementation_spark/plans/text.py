@@ -344,7 +344,7 @@ def udtf_token_chunks(spark, sf_dir):
     )
 
 
-# --- PII redaction (API + pytest; catalog slot budget full) ------------------
+# --- PII redaction -----------------------------------------------------------
 # Pretraining scrub pass: mask emails / phone numbers / IPv4s / credit-card-
 # shaped digit runs with typed placeholders.  Pure regexp_replace chain —
 # whole-stage codegen, zero Python in the hot path, linear at 100 TB, and
@@ -374,7 +374,54 @@ def redact_pii(df, text_col: str = "text"):
     return out.withColumn("n_redacted", n.cast("int")).drop("__orig_len")
 
 
-# --- repetition metrics (Gopher-style quality heuristics; API + pytest) ------
+# Catalog gate for the redaction chain: the synthetic corpus carries little
+# natural PII, so the query plants one email + one IPv4 per document from the
+# doc_id (both engines construct the identical augmented text) and redacts.
+# The hash gate then proves the four-pattern regexp chain byte-identical
+# between Spark (Java regex) and DuckDB (RE2) on every document.
+_PII_ORACLE_CHAIN = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,\n"
+    "      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),\n"
+    "      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),\n"
+    "      '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b', '<CARD>', 'g'),\n"
+    "      '\\+?\\d[\\d -]{7,14}\\d', '<PHONE>', 'g')"
+)
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+      FROM documents),
+    red AS (SELECT doc_id, {_PII_ORACLE_CHAIN} AS text FROM aug)
+    SELECT doc_id, text,
+           CAST(len(regexp_extract_all(text, '<(EMAIL|IP|CARD|PHONE)>')) AS INT)
+             AS n_redacted
+    FROM red
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrub over the corpus with planted per-doc email + IPv4 markers
+    (deterministic from doc_id) so every row exercises the chain."""
+    d = load_documents_parallel(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(d).select("doc_id", "text", "n_redacted")
+
+
+# --- repetition metrics (Gopher-style quality heuristics) --------------------
 # Rae et al. 2021 (arXiv:2112.11446) filter documents by repetition: share
 # of duplicate lines and the mass of the most frequent n-gram.  Both are
 # array/higher-order expressions — no shuffle, no UDF; a quality filter at
@@ -420,4 +467,42 @@ def repetition_metrics(df, text_col: str = "text"):
         .withColumn("__bigrams", bigrams)
         .withColumn("top_bigram_share", F.round(top_share, 6))
         .drop("__bigrams")
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(text), '\\s+') AS toks,
+                      string_split(text, chr(10)) AS lines
+               FROM documents),
+    bg AS (SELECT doc_id, lines,
+                  list_filter(
+                    list_transform(list_zip(toks, toks[2:]),
+                      x -> CASE WHEN x[2] IS NULL THEN NULL
+                                ELSE x[1] || ' ' || x[2] END),
+                    x -> x IS NOT NULL) AS bigrams
+           FROM t),
+    eb AS (SELECT doc_id, unnest(bigrams) AS b FROM bg),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM eb GROUP BY doc_id, b),
+    top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+            FROM cnt GROUP BY doc_id)
+    SELECT bg.doc_id,
+           round(CASE WHEN len(lines) > 0
+                 THEN 1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                 ELSE 0.0 END, 6) AS dup_line_frac,
+           round(coalesce(CAST(top.top_c AS DOUBLE) / top.n_bg, 0.0), 6)
+             AS top_bigram_share
+    FROM bg LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021) as a catalog slot: the
+    modal-bigram fold and dup-line fraction, hash-gated against a plain
+    unnest/GROUP BY mirror — proves the O(d log d) run-length fold equals
+    the textbook counting formulation."""
+    d = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
+    return repetition_metrics(d).select(
+        "doc_id", "dup_line_frac", "top_bigram_share"
     )

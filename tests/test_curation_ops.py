@@ -72,6 +72,31 @@ def test_sample_mix_rejects_bad_fraction(spark):
         sample_mix(docs, {"web": 1.5})
 
 
+def test_sample_mix_md5_portable_method(spark):
+    """The md5 selector keeps frac=1.0 sources whole, drops frac=0.0, and
+    approximates intermediate rates — mirroring the xxhash64 contract."""
+    from exstream_implementation_spark.plans.dedup import _md5_hex_threshold
+
+    assert _md5_hex_threshold(1.0) == "g"          # above every hex prefix
+    assert _md5_hex_threshold(0.0) == "000000"     # below every hex prefix
+    assert _md5_hex_threshold(0.5) == "800000"
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    fractions = {sources[0]: 1.0, sources[1]: 0.5, sources[2]: 0.0}
+    a = sample_mix(docs, fractions, method="md5")
+    b = sample_mix(docs, fractions, method="md5")
+    got_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    assert got_a == {r["doc_id"] for r in b.select("doc_id").collect()}
+
+    n_full = docs.filter(F.col("source") == sources[0]).count()
+    assert a.filter(F.col("source") == sources[0]).count() == n_full
+    assert a.filter(F.col("source") == sources[2]).count() == 0
+    n_half = docs.filter(F.col("source") == sources[1]).count()
+    kept = a.filter(F.col("source") == sources[1]).count()
+    assert 0.2 * n_half <= kept <= 0.8 * n_half
+
+
 def test_redact_pii_masks_and_counts(spark):
     from exstream_implementation_spark.plans.text import redact_pii
 
