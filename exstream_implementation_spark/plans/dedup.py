@@ -63,7 +63,11 @@ def _doc_grams(spark, sf_dir):
                 " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
             )
         ).alias("grams"),
-    ).transform(tracked_persist)
+        # session scope: five catalog queries (jaccard/minhash/components/
+        # curation/decontaminate) share this one materialized shingle table
+        # via CacheManager plan-matching — query scope would rebuild it per
+        # query in a sweep
+    ).transform(lambda d: tracked_persist(d, scope="session"))
 
 
 _GRAMS_SQL = """
@@ -109,7 +113,11 @@ def _capped_gram_edges(g):
         .filter(F.col("df") > DF_CAP)
         .select("gram")
     )
-    capped = e.join(F.broadcast(hot), "gram", "left_anti").transform(tracked_persist)
+    # session scope: same cross-query sharing as _doc_grams (the capped edge
+    # table is the common input of the jaccard/components/curation family)
+    capped = e.join(F.broadcast(hot), "gram", "left_anti").transform(
+        lambda d: tracked_persist(d, scope="session")
+    )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return capped, sizes
 

@@ -177,7 +177,9 @@ def _buckets_spark(spark, sf_dir):
             .cast("long")
             .alias("bucket")
         )
-        .transform(tracked_persist)
+        # session scope: ann_lsh_topk and emb_neardup_lsh share the one
+        # materialized bucket assignment across catalog queries
+        .transform(lambda d: tracked_persist(d, scope="session"))
     )
 
 
@@ -438,7 +440,10 @@ def ann_ivf_topk(spark, sf_dir, nprobe: int | None = None):
     e, cents = _ivf_parts(spark, sf_dir)
     # assignment feeds the candidate side; queries rank ALL centroids and
     # probe their nprobe nearest cells
-    assign = _ivf_assign_spark(spark, sf_dir).transform(tracked_persist)
+    # session scope: the cell assignment also serves semdedup_prune
+    assign = _ivf_assign_spark(spark, sf_dir).transform(
+        lambda d: tracked_persist(d, scope="session")
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )
@@ -762,7 +767,11 @@ def semantic_dedup(spark, sf_dir, min_cosine: float = 0.85):
     """
     from pyspark.sql import Window
 
-    assign = _ivf_assign_spark(spark, sf_dir)
+    # persisted: the cell self-join reads the assignment from BOTH sides;
+    # session scope shares it with ann_ivf_topk across catalog queries
+    assign = _ivf_assign_spark(spark, sf_dir).transform(
+        lambda d: tracked_persist(d, scope="session")
+    )
     a = assign.select(
         F.col("cell"),
         F.col("vec_id").alias("keep_cand"),
