@@ -344,6 +344,23 @@ def udtf_token_chunks(spark, sf_dir):
     )
 
 
+# No oracle: first-fit-decreasing is an imperative algorithm DuckDB SQL can't
+# replicate — the driver records the weaker rows-only check; the FFD
+# invariants (capacity, fill accounting, determinism) are property-tested in
+# tests/test_properties.py.
+@query("pack_sequences_ffd")
+def pack_sequences_ffd(spark, sf_dir):
+    """Pack the token chunks of every 10th document into fixed 3×CHUNK_TOKS
+    context windows (operators/packing.py) — one row per chunk with its
+    deterministic (pack_group, seq_id) assignment."""
+    from exstream_implementation_spark.operators.packing import pack_sequences
+
+    chunks = udtf_token_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "n_toks"
+    )
+    return pack_sequences(chunks, capacity=3 * CHUNK_TOKS, num_groups=8)
+
+
 # --- PII redaction -----------------------------------------------------------
 # Pretraining scrub pass: mask emails / phone numbers / IPv4s / credit-card-
 # shaped digit runs with typed placeholders.  Pure regexp_replace chain —

@@ -51,6 +51,11 @@ QUERIES_TO_TIME = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_neardup_lsh",
+    "semdedup_prune",
+    "corpus_decontaminate",
+    "text_repetition",
+    "text_pii_redact",
+    "sample_source_mix",
 ]
 
 
