@@ -42,6 +42,12 @@ def tracked_persist(df: DataFrame, scope: str = "query") -> DataFrame:
     return df
 
 
+def session_persist(df: DataFrame) -> DataFrame:
+    """``tracked_persist(df, scope="session")`` — for subtrees shared across
+    catalog queries via CacheManager plan-matching."""
+    return tracked_persist(df, scope="session")
+
+
 def release_tracked() -> int:
     """Unpersist every tracked cache (both scopes); returns the count."""
     with _lock:

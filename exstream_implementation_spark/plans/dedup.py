@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from exstream_implementation_spark.cache import tracked_persist
+from exstream_implementation_spark.cache import session_persist, tracked_persist
 
 from exstream_implementation_spark.plans.registry import query
 from exstream_implementation_spark.sources import (
@@ -67,7 +67,7 @@ def _doc_grams(spark, sf_dir):
         # curation/decontaminate) share this one materialized shingle table
         # via CacheManager plan-matching — query scope would rebuild it per
         # query in a sweep
-    ).transform(lambda d: tracked_persist(d, scope="session"))
+    ).transform(session_persist)
 
 
 _GRAMS_SQL = """
@@ -99,13 +99,19 @@ _CAPPED_EDGES_SQL = f"""
 """
 
 
-def _capped_gram_edges(g):
+def _capped_gram_edges(g, scope: str = "session"):
     """(doc_id, gram) pairs with hot shingles (df > DF_CAP) removed, plus the
     per-doc capped-space gram counts.
 
     The hot-shingle list is tiny by construction (only stop-shingles exceed
     the cap), so it broadcasts and the anti-join stays map-side — no extra
-    shuffle on the big edge table beyond the df aggregation itself."""
+    shuffle on the big edge table beyond the df aggregation itself.
+
+    ``scope``: "session" when the caller's gram table is the shared
+    ``_doc_grams`` plan (jaccard/components reuse the one materialized edge
+    table across catalog queries); callers with a private gram plan
+    (corpus_curation's post-dedup grams) pass "query" so their edge table is
+    released at the next query instead of pinning dead for the session."""
     e = g.select("doc_id", F.explode("grams").alias("gram"))
     hot = (
         e.groupBy("gram")
@@ -113,10 +119,8 @@ def _capped_gram_edges(g):
         .filter(F.col("df") > DF_CAP)
         .select("gram")
     )
-    # session scope: same cross-query sharing as _doc_grams (the capped edge
-    # table is the common input of the jaccard/components/curation family)
     capped = e.join(F.broadcast(hot), "gram", "left_anti").transform(
-        lambda d: tracked_persist(d, scope="session")
+        lambda d: tracked_persist(d, scope=scope)
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return capped, sizes
@@ -676,7 +680,7 @@ def corpus_curation(spark, sf_dir):
             )
         ).alias("grams"),
     ).transform(tracked_persist)
-    e, sized = _capped_gram_edges(grams)
+    e, sized = _capped_gram_edges(grams, scope="query")
     pairs = (
         e.alias("a")
         .join(
@@ -727,8 +731,9 @@ def corpus_curation(spark, sf_dir):
 def decontaminate(
     spark,
     sf_dir,
-    benchmark,
+    benchmark=None,
     max_overlap: float = 0.0,
+    benchmark_grams=None,
 ):
     """(doc_id, n_grams, n_contaminated, overlap, contaminated) per corpus doc.
 
@@ -736,23 +741,33 @@ def decontaminate(
     A document's overlap is |its distinct 3-grams ∩ benchmark 3-grams| /
     |its distinct 3-grams|; ``contaminated`` flags overlap > ``max_overlap``.
     Empty/short docs (no 3-grams) report overlap 0.0.
+
+    ``benchmark_grams`` (alternative to ``benchmark``): a pre-shingled
+    DataFrame with one distinct ``gram`` column — lets a caller whose
+    benchmark is a corpus slice reuse the session-cached shingle table
+    instead of re-tokenizing the text.
     """
+    if (benchmark is None) == (benchmark_grams is None):
+        raise ValueError("pass exactly one of benchmark / benchmark_grams")
     grams = _doc_grams(spark, sf_dir)
-    bench_grams = (
-        benchmark.select(F.split(F.lower("text"), r"\s+").alias("toks"))
-        .select(
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "CASE WHEN size(toks) < 3 THEN array() ELSE "
-                        "transform(sequence(0, size(toks) - 3),"
-                        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
+    if benchmark_grams is not None:
+        bench_grams = benchmark_grams
+    else:
+        bench_grams = (
+            benchmark.select(F.split(F.lower("text"), r"\s+").alias("toks"))
+            .select(
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            "CASE WHEN size(toks) < 3 THEN array() ELSE "
+                            "transform(sequence(0, size(toks) - 3),"
+                            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
+                        )
                     )
-                )
-            ).alias("gram")
+                ).alias("gram")
+            )
+            .distinct()
         )
-        .distinct()
-    )
     e = grams.select("doc_id", F.explode("grams").alias("gram"))
     hits = (
         e.join(F.broadcast(bench_grams), "gram")
@@ -812,14 +827,22 @@ _DECON_MAX_OVERLAP = 0.1
 )
 def corpus_decontaminate(spark, sf_dir):
     """Benchmark decontamination as a catalog slot: flag corpus docs whose
-    distinct-trigram overlap with the benchmark slice exceeds 10%."""
-    bench = (
-        load_table(spark, sf_dir, "documents")
+    distinct-trigram overlap with the benchmark slice exceeds 10%.
+
+    The benchmark is a corpus slice, so its gram set comes from the
+    session-cached shingle table (no second scan + re-tokenize of the
+    documents parquet)."""
+    bench_grams = (
+        _doc_grams(spark, sf_dir)
         .filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
-        .select("text")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
     )
     return decontaminate(
-        spark, sf_dir, bench, max_overlap=_DECON_MAX_OVERLAP
+        spark,
+        sf_dir,
+        benchmark_grams=bench_grams,
+        max_overlap=_DECON_MAX_OVERLAP,
     )
 
 
@@ -858,6 +881,8 @@ def sample_mix(
     bit-identical across engines, which makes the sample oracle-reproducible
     (the catalog gate) at the cost of a wider hash.
     """
+    if method not in ("xxhash64", "md5"):
+        raise ValueError(f"method must be 'xxhash64' or 'md5': {method!r}")
     for src, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {src!r} must be in [0,1]: {frac}")

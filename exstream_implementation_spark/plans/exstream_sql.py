@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from exstream_implementation_spark.cache import tracked_persist
+from exstream_implementation_spark.cache import session_persist
 
 from exstream_implementation_spark.operators.leap import reward_leap_filter
 from exstream_implementation_spark.operators.rewards import (
@@ -187,7 +187,7 @@ def _events_melted(spark, sf_dir) -> DataFrame:
         "type_data",
         F.col("bucket").alias("timestamp"),
         F.expr(stack),
-    ).transform(lambda d: tracked_persist(d, scope="session"))
+    ).transform(session_persist)
 
 
 # --- C4+C6+C7 (+C5): rewards on a real trace in BOTH duplicate modes, one
@@ -516,9 +516,7 @@ def _two_anomaly_setup(spark, sf_dir):
     driver-side bounds probe, so the whole pipeline stays one lazy graph."""
     from exstream_implementation_spark.sources import events_trace
 
-    trace = events_trace(spark, sf_dir, bucket_seconds=3600).transform(
-        lambda d: tracked_persist(d, scope="session")
-    )
+    trace = events_trace(spark, sf_dir, bucket_seconds=3600).transform(session_persist)
     bounds = trace.agg(
         F.min("timestamp").alias("tmin"), F.max("timestamp").alias("tmax")
     ).withColumn("span", F.greatest(F.col("tmax") - F.col("tmin"), F.lit(4)))

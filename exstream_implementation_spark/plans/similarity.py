@@ -20,7 +20,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from exstream_implementation_spark.cache import tracked_persist
+from exstream_implementation_spark.cache import session_persist, tracked_persist
 
 from exstream_implementation_spark.plans.registry import query
 from exstream_implementation_spark.sources import load_table
@@ -179,7 +179,7 @@ def _buckets_spark(spark, sf_dir):
         )
         # session scope: ann_lsh_topk and emb_neardup_lsh share the one
         # materialized bucket assignment across catalog queries
-        .transform(lambda d: tracked_persist(d, scope="session"))
+        .transform(session_persist)
     )
 
 
@@ -441,9 +441,7 @@ def ann_ivf_topk(spark, sf_dir, nprobe: int | None = None):
     # assignment feeds the candidate side; queries rank ALL centroids and
     # probe their nprobe nearest cells
     # session scope: the cell assignment also serves semdedup_prune
-    assign = _ivf_assign_spark(spark, sf_dir).transform(
-        lambda d: tracked_persist(d, scope="session")
-    )
+    assign = _ivf_assign_spark(spark, sf_dir).transform(session_persist)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )
@@ -769,9 +767,7 @@ def semantic_dedup(spark, sf_dir, min_cosine: float = 0.85):
 
     # persisted: the cell self-join reads the assignment from BOTH sides;
     # session scope shares it with ann_ivf_topk across catalog queries
-    assign = _ivf_assign_spark(spark, sf_dir).transform(
-        lambda d: tracked_persist(d, scope="session")
-    )
+    assign = _ivf_assign_spark(spark, sf_dir).transform(session_persist)
     a = assign.select(
         F.col("cell"),
         F.col("vec_id").alias("keep_cand"),

@@ -446,7 +446,10 @@ def text_pii_redact(spark, sf_dir):
 def repetition_metrics(df, text_col: str = "text"):
     """Adds ``dup_line_frac`` (1 - distinct/total lines) and
     ``top_bigram_share`` (occurrences of the modal word-bigram / total
-    bigrams; 0.0 for docs with < 2 tokens)."""
+    bigrams; 0.0 for docs with < 2 tokens).  NULL text scores (0.0, 0.0)
+    like empty text — the oracle's unnest/LEFT JOIN mirror coalesces missing
+    docs to 0.0, so the Spark side must not propagate NULL."""
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     lines = F.split(F.col(text_col), r"\n")
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     # guard < 2 tokens: sequence(0, -1) is DESCENDING ([0,-1]) and ANSI mode

@@ -97,6 +97,38 @@ def test_sample_mix_md5_portable_method(spark):
     assert 0.2 * n_half <= kept <= 0.8 * n_half
 
 
+def test_sample_mix_rejects_unknown_method(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="method"):
+        sample_mix(docs, {"web": 0.5}, method="MD5")
+
+
+def test_decontaminate_requires_exactly_one_benchmark_form(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.limit(1).select("text")
+    with pytest.raises(ValueError, match="exactly one"):
+        decontaminate(spark, SF_DIR)
+    with pytest.raises(ValueError, match="exactly one"):
+        decontaminate(
+            spark, SF_DIR, bench,
+            benchmark_grams=bench.selectExpr("text AS gram"),
+        )
+
+
+def test_repetition_metrics_null_text_scores_zero(spark):
+    """NULL text must score (0.0, 0.0) like empty text — the DuckDB oracle's
+    LEFT JOIN mirror coalesces missing docs to 0.0."""
+    from exstream_implementation_spark.plans.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    for did in (1, 2):
+        assert rows[did]["dup_line_frac"] == 0.0
+        assert rows[did]["top_bigram_share"] == 0.0
+
+
 def test_redact_pii_masks_and_counts(spark):
     from exstream_implementation_spark.plans.text import redact_pii
 
