@@ -376,3 +376,35 @@ def test_global_lag_preserves_mid_partition_nulls(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_sample_source_mix_fuses_into_scan(spark):
+    """The mix sampler must be a single codegen filter over a pruned scan —
+    no shuffle, no Python eval, only (doc_id, source) read."""
+    plan = plan_str(QUERIES["sample_source_mix"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+
+
+def test_text_pii_redact_stays_jvm_side_in_catalog(spark):
+    plan = plan_str(QUERIES["text_pii_redact"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_pair_join_is_cell_equi_join(spark):
+    """The within-cell pair generation must be an equi-join on cell; the only
+    nested-loop join allowed is the bounded broadcast of the √n centroid
+    list in the IVF assignment."""
+    plan = plan_str(QUERIES["semdedup_prune"](spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines() if "Join cell" in l or "Join [cell" in l]
+    assert not any("NestedLoop" in l for l in joins)
+
+
+def test_corpus_decontaminate_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must be the broadcast side of the hits join —
+    the corpus edge table never shuffles for the semi-join."""
+    plan = plan_str(QUERIES["corpus_decontaminate"](spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in plan
