@@ -17,6 +17,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from exstream_implementation_spark import cache
+from exstream_implementation_spark.canon import (  # noqa: F401 — re-export
+    stable_round,
+    stable_round_sql,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1013,15 +1013,16 @@ def string_json_suite(spark, sf_dir):
     oracle="""
     SELECT * FROM (
       SELECT user_id, event_id,
-             round(value - lag(value) OVER w, 2) AS delta,
-             round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
-                                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
-               AS moving_avg5,
-             round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-                                    ROWS UNBOUNDED PRECEDING), 6) AS running_sum,
+             round((value - lag(value) OVER w) + 1e-9, 2) AS delta,
+             round((avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+                   + 1e-9, 6) AS moving_avg5,
+             round((sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING)) + 1e-9, 6)
+               AS running_sum,
              ntile(4) OVER w AS quartile,
-             round(percent_rank() OVER w, 6) AS pr,
-             round(cume_dist() OVER w, 6) AS cd,
+             round((percent_rank() OVER w) + 1e-9, 6) AS pr,
+             round((cume_dist() OVER w) + 1e-9, 6) AS cd,
              row_number() OVER w AS rk
       FROM events WHERE user_id < 25
       WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
@@ -1030,6 +1031,8 @@ def string_json_suite(spark, sf_dir):
 )
 def window_fn_suite(spark, sf_dir):
     from pyspark.sql import Window
+
+    from exstream_implementation_spark.plans.registry import stable_round
 
     w = Window.partitionBy("user_id").orderBy("event_id")
     w5 = w.rowsBetween(-4, 0)
@@ -1040,12 +1043,12 @@ def window_fn_suite(spark, sf_dir):
         .select(
             "user_id",
             "event_id",
-            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
-            F.round(F.avg("value").over(w5), 6).alias("moving_avg5"),
-            F.round(F.sum("value").over(wall), 6).alias("running_sum"),
+            stable_round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+            stable_round(F.avg("value").over(w5), 6).alias("moving_avg5"),
+            stable_round(F.sum("value").over(wall), 6).alias("running_sum"),
             F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            stable_round(F.percent_rank().over(w), 6).alias("pr"),
+            stable_round(F.cume_dist().over(w), 6).alias("cd"),
             F.row_number().over(w).alias("rk"),
         )
         .filter(F.col("rk") <= 50)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from exstream_implementation_spark.canon import stable_round
 from exstream_implementation_spark.plans.registry import query
 
 
@@ -43,11 +44,12 @@ def _batch_events(spark, sf_dir):
       FROM wf GROUP BY event_type
     )
     SELECT wf.window_start_s, wf.event_type, wf.n_events,
-           round(wf.sum_value, 6) AS sum_value,
-           round(wf.sum_value / wf.n_events, 6) AS avg_value,
-           round((wf.n_events - prof.mu_n) / (prof.sigma_n + 1e-12), 6) AS z_n,
-           round((wf.sum_value - prof.mu_value) / (prof.sigma_value + 1e-12), 6)
-             AS z_value
+           round(wf.sum_value + 1e-9, 6) AS sum_value,
+           round((wf.sum_value / wf.n_events) + 1e-9, 6) AS avg_value,
+           round(((wf.n_events - prof.mu_n) / (prof.sigma_n + 1e-12)) + 1e-9, 6)
+             AS z_n,
+           round(((wf.sum_value - prof.mu_value) / (prof.sigma_value + 1e-12))
+                 + 1e-9, 6) AS z_value
     FROM wf JOIN prof USING (event_type)
     """,
 )
@@ -77,8 +79,8 @@ def events_tumbling_zscores(spark, sf_dir):
         F.unix_timestamp("window_start").alias("window_start_s"),
         "event_type",
         "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
-        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+        stable_round(F.col("sum_value"), 6).alias("sum_value"),
+        stable_round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
         "z_n",
         "z_value",
     )
@@ -111,7 +113,8 @@ def events_tumbling_window(spark, sf_dir):
       UNION ALL
       SELECT hour_s AS window_start_s, value FROM hours
     )
-    SELECT window_start_s, count(*) AS n_events, round(sum(value), 6) AS sum_value
+    SELECT window_start_s, count(*) AS n_events,
+           round(sum(value) + 1e-9, 6) AS sum_value
     FROM assigned GROUP BY window_start_s
     """,
 )
@@ -122,7 +125,7 @@ def events_sliding_window(spark, sf_dir):
         ev.groupBy(win.alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            stable_round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
             F.unix_timestamp("win.start").alias("window_start_s"),

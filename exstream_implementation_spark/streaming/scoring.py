@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from exstream_implementation_spark.canon import stable_round
+
 
 def reference_profile(windowed: DataFrame) -> DataFrame:
     """Per-event-type profile from a *batch* windowed-features frame
@@ -42,10 +44,10 @@ def score_against_profile(
         "event_type",
         "n_events",
         "sum_value",
-        F.round((F.col("n_events") - F.col("mu_n")) / (F.col("sigma_n") + eps), 6).alias(
-            "z_n"
-        ),
-        F.round(
+        stable_round(
+            (F.col("n_events") - F.col("mu_n")) / (F.col("sigma_n") + eps), 6
+        ).alias("z_n"),
+        stable_round(
             (F.col("sum_value") - F.col("mu_value")) / (F.col("sigma_value") + eps), 6
         ).alias("z_value"),
     ).withColumn(

@@ -106,9 +106,12 @@ def main():
     spark = get_spark(app_name="check-correctness", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # testdata ships single-file tables; Spark-written replicas (the
+        # scale-smoke dirs) are part-file directories — glob those
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     n_pass = n_fail = n_weak = 0
     for name in names:
