@@ -39,7 +39,16 @@ def global_row_number(
     """
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ordered = df.repartitionByRange(int(n), *order_by).sortWithinPartitions(*order_by)
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    # MUST persist before the sizes job: repartitionByRange SAMPLES the data
+    # to pick range boundaries, so an unpersisted plan can land on DIFFERENT
+    # boundaries when the final job recomputes it — the collected offsets
+    # then belong to a partitioning that no longer exists and row numbers
+    # collide (observed at 15k rows: 58 duplicate rns).  The persist pins
+    # one materialized partitioning that both the sizes job and the output
+    # job read (same discipline as global_lag below).
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).transform(
+        tracked_persist
+    )
     # per-partition sizes → driver-side prefix sum (O(#partitions), tiny)
     sizes = {
         r["__pid"]: r["cnt"]

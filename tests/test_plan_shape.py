@@ -408,3 +408,26 @@ def test_corpus_decontaminate_benchmark_side_broadcasts(spark):
     the corpus edge table never shuffles for the semi-join."""
     plan = plan_str(QUERIES["corpus_decontaminate"](spark, SF_DIR), mode="simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_global_row_number_consecutive_on_heavy_ties(spark):
+    """Regression: repartitionByRange SAMPLES for boundaries, so the sizes
+    job and the output job could land on different partitionings when the
+    plan recomputes — colliding row numbers (observed at 15k rows).  The
+    operator must emit exactly 1..n with no duplicates on a tie-heavy input
+    large enough to engage boundary sampling."""
+    from exstream_implementation_spark.operators.ranking import global_row_number
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),  # heavy ties on the sort key
+    )
+    out = global_row_number(df, [F.desc("v"), F.asc("k")], num_partitions=16)
+    got = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("rn").alias("n_rn"),
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+    ).first()
+    assert (got["n"], got["n_rn"], got["mn"], got["mx"]) == (n, n, 1, n)
