@@ -58,8 +58,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    out = {name: wrap(fn) for name, fn in QUERIES.items()}
-
     # full pipeline (instability uses seeded Bernoulli sampling — not
     # SQL-reproducible, so this entry is rows-only checked by design).  The
     # explanation array projects through array_join: the harness
@@ -70,7 +68,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "explanation", F.array_join(F.col("explanation").cast("array<int>"), ",")
         )
 
-    out["exstream_explain"] = _flagship_entry
+    # the driver checks queries in dict order under a bounded budget — keep
+    # the flagship right behind the exstream family, not at the tail
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in QUERIES.items():
+        out[name] = wrap(fn)
+        if name == "exstream_slice_counts":
+            out["exstream_explain"] = _flagship_entry
+    out.setdefault("exstream_explain", _flagship_entry)
     return out
 
 

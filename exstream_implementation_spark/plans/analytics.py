@@ -28,9 +28,9 @@ from exstream_implementation_spark.sources import load_table
 # --- TPC-H Q1 pattern: full-scan pricing summary (§2.1 rows 12/21/22
 #     composed; reference's only aggregates are per-interval counts/means,
 #     e.g. explore_data.ipynb cell 13) ----------------------------------------
-@query(
-    "tpch_q1_pricing",
-    oracle="""
+# catalog slot: tpch_suite below unions q1/q5/q18 canonicalized to one schema
+# under one oracle; the three functions stay as the package API
+_TPCH_Q1_DUCK = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                         AS sum_qty,
            round(cast(sum(cast(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 2)
@@ -44,8 +44,9 @@ from exstream_implementation_spark.sources import load_table
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
 def tpch_q1_pricing(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
@@ -114,9 +115,7 @@ def tpch_q3_toprevenue(spark, sf_dir):
 
 # --- TPC-H Q5 pattern: local-supplier revenue per nation (two broadcast dim
 #     chains meeting on the fact table) ---------------------------------------
-@query(
-    "tpch_q5_nation_revenue",
-    oracle="""
+_TPCH_Q5_DUCK = """
     SELECT n_name,
            round(cast(sum(cast(l_extendedprice AS DECIMAL(14,2))
                           * cast(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE), 2)
@@ -131,8 +130,9 @@ def tpch_q3_toprevenue(spark, sf_dir):
       AND o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate <  TIMESTAMP '1998-01-01'
     GROUP BY n_name
-    """,
-)
+    """
+
+
 def tpch_q5_nation_revenue(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -159,9 +159,7 @@ def tpch_q5_nation_revenue(spark, sf_dir):
 
 
 # --- TPC-H Q18 pattern: HAVING-gated join-back (large-quantity orders) -------
-@query(
-    "tpch_q18_large_orders",
-    oracle="""
+_TPCH_Q18_DUCK = """
     WITH big AS (
       SELECT l_orderkey, sum(l_quantity) AS total_qty
       FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
@@ -171,8 +169,9 @@ def tpch_q5_nation_revenue(spark, sf_dir):
     FROM big
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
-    """,
-)
+    """
+
+
 def tpch_q18_large_orders(spark, sf_dir):
     # aggregate FIRST, join after: the HAVING filter shrinks the fact-side
     # key set before any join, so the join-back input is tiny at any scale
@@ -192,6 +191,66 @@ def tpch_q18_large_orders(spark, sf_dir):
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+
+# --- catalog suite: the three TPC-H patterns canonicalized to one schema
+#     (branch, k1, k2, n, v1..v5) and unioned under one oracle — each branch
+#     keeps its own independently-optimized plan (Q1 scan-agg, Q5 broadcast
+#     dim chain, Q18 agg-before-join); the union itself is zero-shuffle.
+#     Dates canonicalize to epoch seconds (UTC-pinned session) so no
+#     cross-engine string formatting is in the hash. ---------------------------
+@query(
+    "tpch_suite",
+    oracle=f"""
+    SELECT 'q1' AS branch, l_returnflag AS k1, l_linestatus AS k2,
+           count_order AS n, sum_qty AS v1, sum_base_price AS v2,
+           sum_disc_price AS v3, avg_qty AS v4, avg_disc AS v5
+    FROM ({_TPCH_Q1_DUCK})
+    UNION ALL
+    SELECT 'q5' AS branch, n_name AS k1, '' AS k2, CAST(0 AS BIGINT) AS n,
+           revenue AS v1, CAST(0.0 AS DOUBLE) AS v2, CAST(0.0 AS DOUBLE) AS v3,
+           CAST(0.0 AS DOUBLE) AS v4, CAST(0.0 AS DOUBLE) AS v5
+    FROM ({_TPCH_Q5_DUCK})
+    UNION ALL
+    SELECT 'q18' AS branch, c_name AS k1, CAST(o_orderkey AS VARCHAR) AS k2,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS n,
+           o_totalprice AS v1, total_qty AS v2, CAST(0.0 AS DOUBLE) AS v3,
+           CAST(0.0 AS DOUBLE) AS v4, CAST(0.0 AS DOUBLE) AS v5
+    FROM ({_TPCH_Q18_DUCK})
+    """,
+)
+def tpch_suite(spark, sf_dir):
+    zero_d = F.lit(0.0).cast("double")
+    q1 = tpch_q1_pricing(spark, sf_dir).select(
+        F.lit("q1").alias("branch"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("count_order").cast("long").alias("n"),
+        F.col("sum_qty").alias("v1"),
+        F.col("sum_base_price").alias("v2"),
+        F.col("sum_disc_price").alias("v3"),
+        F.col("avg_qty").alias("v4"),
+        F.col("avg_disc").alias("v5"),
+    )
+    q5 = tpch_q5_nation_revenue(spark, sf_dir).select(
+        F.lit("q5").alias("branch"),
+        F.col("n_name").alias("k1"),
+        F.lit("").alias("k2"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("revenue").alias("v1"),
+        zero_d.alias("v2"), zero_d.alias("v3"),
+        zero_d.alias("v4"), zero_d.alias("v5"),
+    )
+    q18 = tpch_q18_large_orders(spark, sf_dir).select(
+        F.lit("q18").alias("branch"),
+        F.col("c_name").alias("k1"),
+        F.col("o_orderkey").cast("string").alias("k2"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("n"),
+        F.col("o_totalprice").alias("v1"),
+        F.col("total_qty").alias("v2"),
+        zero_d.alias("v3"), zero_d.alias("v4"), zero_d.alias("v5"),
+    )
+    return q1.unionByName(q5).unionByName(q18)
 
 
 # --- cube: all 4 grouping levels of (returnflag, linestatus) in one pass

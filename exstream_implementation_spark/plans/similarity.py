@@ -197,9 +197,7 @@ def ann_lsh_buckets(spark, sf_dir):
 #     Hamming distance 1 (k+1 probes per table).  Exact cosine re-ranks the
 #     deduplicated candidate set.  At cluster scale (table, bucket) is the
 #     partitioning key, so a query touches L·(k+1) partitions, not the corpus.
-@query(
-    "ann_lsh_topk",
-    oracle=f"""
+_ANN_LSH_DUCK = f"""
     WITH {_BUCKET_DUCK},
     be AS (SELECT e.vec_id, e.emb, b.tbl, b.bucket
            FROM e JOIN buckets b USING (vec_id)),
@@ -235,8 +233,11 @@ def ann_lsh_buckets(spark, sf_dir):
       FROM scored
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+# catalog slot: ann_bucketed_topk below unions this with the IVF twin under
+# one oracle (identical output schema); the function stays as the package API
 def ann_lsh_topk(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -392,9 +393,7 @@ def ann_ivf_cells(spark, sf_dir):
 IVF_NPROBE = 8
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
+_ANN_IVF_DUCK = f"""
     WITH {_IVF_DUCK},
     q AS (SELECT vec_id AS query_id, emb AS qemb FROM e
           WHERE vec_id < {N_QUERIES}),
@@ -431,8 +430,9 @@ IVF_NPROBE = 8
       FROM scored
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
 def ann_ivf_topk(spark, sf_dir, nprobe: int | None = None):
     from pyspark.sql import Window
 
@@ -486,6 +486,31 @@ def ann_ivf_topk(spark, sf_dir, nprobe: int | None = None):
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --- catalog suite: both bucketed ANN strategies (LSH multiprobe + IVF-flat)
+#     under ONE oracle.  The two branches produce the identical output schema
+#     (query_id, neighbor_id, cosine, rank), so the union is a zero-shuffle
+#     UnionExec over two independently-planned searches — same evidence as two
+#     catalog slots, one driver-budget entry (round-2 consolidation pattern).
+@query(
+    "ann_bucketed_topk",
+    oracle=f"""
+    SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_ANN_LSH_DUCK})
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_ANN_IVF_DUCK})
+    """,
+)
+def ann_bucketed_topk(spark, sf_dir):
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return lsh.unionByName(ivf)
 
 
 # --- embedding near-dup pairs (label-blocked) --------------------------------

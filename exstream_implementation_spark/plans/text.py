@@ -344,11 +344,11 @@ def udtf_token_chunks(spark, sf_dir):
     )
 
 
-# No oracle: first-fit-decreasing is an imperative algorithm DuckDB SQL can't
-# replicate — the driver records the weaker rows-only check; the FFD
-# invariants (capacity, fill accounting, determinism) are property-tested in
-# tests/test_properties.py.
-@query("pack_sequences_ffd")
+# Not a catalog slot: first-fit-decreasing is an imperative algorithm DuckDB
+# SQL can't replicate, so the driver could only record a weak rows-only check
+# that costs a correctness-budget entry better spent on a hash-gated query.
+# The FFD invariants (capacity, fill accounting, determinism) are
+# property-tested in tests/test_properties.py; this stays the packing API.
 def pack_sequences_ffd(spark, sf_dir):
     """Pack the token chunks of every 10th document into fixed 3×CHUNK_TOKS
     context windows (operators/packing.py) — one row per chunk with its

@@ -178,20 +178,26 @@ def test_asof_join_is_single_shuffle_not_range_join(spark):
 def test_tpch_q5_all_dims_broadcast(spark):
     """Q5's five joins onto the lineitem fact must all be broadcasts — a
     sort-merge join on the fact table would shuffle 100 TB."""
-    plan = plan_str(QUERIES["tpch_q5_nation_revenue"](spark, SF_DIR), mode="simple")
+    from exstream_implementation_spark.plans.analytics import tpch_q5_nation_revenue
+
+    plan = plan_str(tpch_q5_nation_revenue(spark, SF_DIR), mode="simple")
     assert plan.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in plan
 
 
 def test_tpch_q1_pushdown(spark):
-    plan = plan_str(QUERIES["tpch_q1_pricing"](spark, SF_DIR))
+    from exstream_implementation_spark.plans.analytics import tpch_q1_pricing
+
+    plan = plan_str(tpch_q1_pricing(spark, SF_DIR))
     assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
 
 
 def test_tpch_q18_aggregates_before_join(spark):
     """The HAVING aggregate must sit BELOW the join-back (aggregate-then-join,
     not join-then-aggregate)."""
-    plan = plan_str(QUERIES["tpch_q18_large_orders"](spark, SF_DIR), mode="simple")
+    from exstream_implementation_spark.plans.analytics import tpch_q18_large_orders
+
+    plan = plan_str(tpch_q18_large_orders(spark, SF_DIR), mode="simple")
     join_at = plan.index("Join")
     agg_at = plan.rindex("HashAggregate")
     assert agg_at > join_at  # deeper in the tree = printed later

@@ -18,7 +18,7 @@ import time
 
 import duckdb
 
-# NOTE: the LSH oracles (ann_lsh_topk, emb_neardup_lsh) are generated with
+# NOTE: the LSH oracles (ann_bucketed_topk, emb_neardup_lsh) are generated with
 # the fixed N_PLANES floor and only hash-match at sf <= 0.01, where the
 # adaptive plane count equals the floor (plans/similarity._active_planes);
 # at sf0.1+ the engine deliberately uses finer tables than the oracle.

@@ -48,8 +48,7 @@ QUERIES_TO_TIME = [
     "text_metrics_suite",
     "text_fingerprint",
     "filter_union_suite",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "ann_bucketed_topk",
     "emb_neardup_lsh",
     "semdedup_prune",
     "corpus_decontaminate",
