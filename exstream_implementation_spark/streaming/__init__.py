@@ -35,6 +35,13 @@ from exstream_implementation_spark.streaming.explain_trigger import (
 from exstream_implementation_spark.streaming.online_scorer import (
     start_online_reward_scorer,
 )
+from exstream_implementation_spark.streaming.ingest_dedup import (
+    corpus_simhash_index,
+    documents_stream,
+    stream_exact_dedup,
+    stream_neardup_vs_corpus,
+    with_simhash_bands,
+)
 from exstream_implementation_spark.streaming.unbounded import (
     run_unbounded_scorer,
     synthetic_melted_rate_stream,
@@ -53,4 +60,9 @@ __all__ = [
     "online_moments",
     "explain_flagged",
     "start_online_explainer",
+    "documents_stream",
+    "stream_exact_dedup",
+    "stream_neardup_vs_corpus",
+    "corpus_simhash_index",
+    "with_simhash_bands",
 ]

@@ -1,0 +1,220 @@
+"""Streaming-ingest dedup — the dedup family applied at document-arrival time.
+
+A 100 TB training corpus is not built in one batch: documents arrive
+continuously, and admitting a duplicate costs training compute forever after.
+This module runs the same dedup semantics as the batch catalog
+(plans/dedup.py) on a document stream:
+
+- ``with_content_hashes``   raw + whitespace-normalized md5, per row
+- ``with_simhash_bands``    the 64-bit / 4-band SimHash of dedup_simhash,
+                            reformulated as PER-ROW higher-order-function
+                            expressions (no explode, no groupBy) so it runs
+                            on an unbounded stream — and, at batch scale, with
+                            ZERO shuffle (the explode+groupBy formulation
+                            shuffles one row per token)
+- ``stream_exact_dedup``    watermarked dropDuplicatesWithinWatermark on the
+                            normalized content hash — state is one key per
+                            distinct hash inside the watermark horizon, not
+                            the corpus
+- ``corpus_simhash_index``  static (band_id, band_val) → corpus doc index
+- ``stream_neardup_vs_corpus``
+                            stream-static band equi-join + exact Hamming ≤ 3
+                            re-check: every arriving doc is flagged against
+                            the existing corpus without ever scanning it
+                            (the index is partitioned by band value; a doc
+                            probes 4 band keys)
+
+All transforms use the unified DataFrame API, so each also runs on a batch
+frame — tests assert stream availableNow == batch on the same data, and that
+the per-row SimHash is bit-identical to the batch ``dedup_simhash`` bands
+(reference for the semantics: plans/dedup.py:415-496; the reference repo has
+no dedup at all — this is the BASELINE.json north-star extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from exstream_implementation_spark.plans.dedup import (
+    _HAMMING_MAX,
+    _SIMHASH_BANDS,
+    dedup_simhash,
+)
+
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based streaming source over a directory of documents parquet.
+    Explicit schema — a streaming source must not run an inference job."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def with_event_time(
+    df: DataFrame,
+    origin: str = "2024-01-01 00:00:00",
+    docs_per_second: int = 100,
+) -> DataFrame:
+    """Deterministic synthetic arrival time derived from doc_id (tests /
+    replays). Production ingest should use the real arrival timestamp; every
+    downstream transform only needs SOME event-time column to watermark on."""
+    return df.withColumn(
+        "event_time",
+        F.to_timestamp(F.lit(origin))
+        + F.make_interval(secs=F.col("doc_id") / F.lit(docs_per_second)),
+    )
+
+
+def with_content_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Raw + whitespace-normalized md5 (same formulas as dedup_exact) — pure
+    per-row codegen, streaming-safe."""
+    return df.withColumn(
+        "content_hash", F.md5(text_col)
+    ).withColumn(
+        "norm_hash",
+        F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))),
+    )
+
+
+# --- per-row SimHash ---------------------------------------------------------
+# Same bit math as plans.dedup.dedup_simhash (token bit g: low 32 bits from
+# md5 hex chars 1-8, high 32 from 9-16; band b bit j set iff the ±1 vote sum
+# of bit 16b+j is > 0), but computed as one left fold over the token array
+# with a 64-lane accumulator instead of explode → 64 aggregates → groupBy.
+# The fold keeps everything inside whole-stage codegen per row: no shuffle in
+# batch, no state in streaming.
+_SH_HASHES = (
+    "transform(array_distinct({toks}), t -> named_struct("
+    " 'lo', cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint),"
+    " 'hi', cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint)))"
+)
+
+_SH_VOTES = (
+    "aggregate({hs},"
+    " transform(sequence(0, 63), g -> cast(0 as bigint)),"
+    " (acc, h) -> zip_with(acc,"
+    "   transform(sequence(0, 63), g -> CASE WHEN"
+    "     ((CASE WHEN g < 32 THEN h.lo ELSE h.hi END) >> (g % 32)) & 1 = 1"
+    "     THEN cast(1 as bigint) ELSE cast(-1 as bigint) END),"
+    "   (a, d) -> a + d))"
+)
+
+
+def _band_expr(b: int, votes_col: str) -> F.Column:
+    return F.expr(
+        f"aggregate(transform(sequence(0, 15), j -> CASE WHEN"
+        f" element_at({votes_col}, {16 * b} + j + 1) > 0"
+        f" THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),"
+        f" cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def with_simhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append b0..b3 (the 4×16-bit SimHash bands, bit-identical to
+    dedup_simhash) as per-row expressions."""
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    out = df.withColumn(
+        "_sh_votes", F.expr(_SH_VOTES.format(hs=_SH_HASHES.format(toks=toks)))
+    )
+    for b in range(_SIMHASH_BANDS):
+        out = out.withColumn(f"b{b}", _band_expr(b, "_sh_votes"))
+    return out.drop("_sh_votes")
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    key: str = "norm_hash",
+) -> DataFrame:
+    """Admit only the first arrival of each (normalized) content hash.
+
+    dropDuplicatesWithinWatermark bounds the dedup state to hashes seen
+    inside the watermark horizon — the honest streaming contract at scale
+    (cross-horizon re-arrivals are caught by the periodic batch dedup_exact
+    pass, which this stage exists to keep cheap, not replace)."""
+    hashed = with_content_hashes(docs)
+    return hashed.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark([key])
+
+
+def corpus_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static near-dup index over the existing corpus: one row per
+    (band_id, band_val, corpus doc) carrying the full 4-band signature for
+    the exact Hamming re-check.  At scale this table is written partitioned
+    by (band_id, band_val) so a probe touches 4 partitions."""
+    sh = dedup_simhash(spark, sf_dir).select("doc_id", "b0", "b1", "b2", "b3")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"), F.col(f"b{b}").alias("band_val")
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    return sh.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("b0").alias("c0"),
+        F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"),
+        F.col("b3").alias("c3"),
+        F.explode(bands).alias("band"),
+    ).select("band.band_id", "band.band_val", "corpus_doc_id", "c0", "c1", "c2", "c3")
+
+
+def stream_neardup_vs_corpus(
+    docs: DataFrame,
+    index: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Flag arriving documents within Hamming ≤ 3 of any existing corpus doc.
+
+    Candidates come from the (band_id, band_val) equi-join (pigeonhole: two
+    64-bit hashes within distance 3 agree exactly on ≥ 1 of the 4 bands —
+    plans/dedup.py:499), then the exact 64-bit Hamming distance filters.  A
+    pair that agrees on several bands would emit once per agreeing band;
+    dropDuplicatesWithinWatermark collapses it to one flag per
+    (doc, corpus doc) inside the watermark horizon."""
+    sh = with_simhash_bands(docs)
+    probe_bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"), F.col(f"b{b}").alias("band_val")
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    probes = sh.select(
+        "doc_id", "event_time", "b0", "b1", "b2", "b3",
+        F.explode(probe_bands).alias("band"),
+    ).select(
+        "doc_id", "event_time", "b0", "b1", "b2", "b3",
+        "band.band_id", "band.band_val",
+    )
+    hamming = sum(
+        F.expr(f"bit_count(b{b} ^ c{b})") for b in range(_SIMHASH_BANDS)
+    )
+    flagged = (
+        probes.join(index, ["band_id", "band_val"])
+        .filter(F.col("doc_id") != F.col("corpus_doc_id"))
+        .filter(hamming <= _HAMMING_MAX)
+        .select(
+            "doc_id",
+            "event_time",
+            "corpus_doc_id",
+            hamming.cast("int").alias("hamming"),
+        )
+    )
+    if flagged.isStreaming:
+        flagged = flagged.withWatermark(
+            "event_time", watermark
+        ).dropDuplicatesWithinWatermark(["doc_id", "corpus_doc_id"])
+    else:
+        flagged = flagged.dropDuplicates(["doc_id", "corpus_doc_id"])
+    return flagged
