@@ -417,6 +417,55 @@ _SIMHASH_BANDS = 4
 _BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 16
 _HAMMING_MAX = _SIMHASH_BANDS - 1  # pigeonhole guarantee
 
+
+# --- per-row SimHash fold ----------------------------------------------------
+# Token bit g (0..63): low 32 bits from md5 hex chars 1-8, high 32 from 9-16;
+# band b bit j set iff the ±1 vote sum of bit 16b+j is > 0.  Computed as ONE
+# left fold over the distinct-token array with a 64-lane accumulator — no
+# explode, no groupBy.  The alternative (explode to one row per token, 64
+# aggregates, groupBy doc_id) shuffles the corpus token-wise: ~100× the doc
+# count through the exchange at 100 TB.  The fold stays in whole-stage
+# codegen per row (measured faster even single-node) and, because it needs
+# no shuffle or state, it is also the form that runs on an unbounded stream
+# (streaming/ingest_dedup.py).
+_SH_HASHES = (
+    "transform(array_distinct({toks}), t -> named_struct("
+    " 'lo', cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint),"
+    " 'hi', cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint)))"
+)
+
+_SH_VOTES = (
+    "aggregate({hs},"
+    " transform(sequence(0, 63), g -> cast(0 as bigint)),"
+    " (acc, h) -> zip_with(acc,"
+    "   transform(sequence(0, 63), g -> CASE WHEN"
+    "     ((CASE WHEN g < 32 THEN h.lo ELSE h.hi END) >> (g % 32)) & 1 = 1"
+    "     THEN cast(1 as bigint) ELSE cast(-1 as bigint) END),"
+    "   (a, d) -> a + d))"
+)
+
+
+def _band_expr(b: int, votes_col: str) -> F.Column:
+    return F.expr(
+        f"aggregate(transform(sequence(0, 15), j -> CASE WHEN"
+        f" element_at({votes_col}, {16 * b} + j + 1) > 0"
+        f" THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),"
+        f" cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def with_simhash_bands(df, text_col: str = "text"):
+    """Append b0..b3 (4×16-bit SimHash bands) as per-row expressions —
+    shuffle-free, stream-safe, bit-identical to the DuckDB oracle's
+    explode-based formulation (parity pinned in tests/test_ingest_dedup.py)."""
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    out = df.withColumn(
+        "_sh_votes", F.expr(_SH_VOTES.format(hs=_SH_HASHES.format(toks=toks)))
+    )
+    for b in range(_SIMHASH_BANDS):
+        out = out.withColumn(f"b{b}", _band_expr(b, "_sh_votes"))
+    return out.drop("_sh_votes")
+
 # token bit g (0..63): low 32 bits from md5 hex chars 1-8, high 32 from 9-16
 _SH_BITS_DUCK = f"""
     u AS (SELECT doc_id,
@@ -456,37 +505,9 @@ _SH_BITS_DUCK = f"""
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    t = _doc_tokens(spark, sf_dir).select(
-        "doc_id", F.array_distinct("toks").alias("toks")
-    )
-    u = t.select("doc_id", F.explode("toks").alias("tok")).select(
-        "doc_id",
-        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").alias(
-            "h_lo"
-        ),
-        F.expr("cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint)").alias(
-            "h_hi"
-        ),
-    )
-    aggs = [
-        F.sum(
-            F.when(
-                F.expr(f"({'h_lo' if g < 32 else 'h_hi'} >> {g % 32}) & 1") == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"s{g}")
-        for g in range(_SIMHASH_BITS)
-    ]
-    bits = u.groupBy("doc_id").agg(*aggs)
-    band_cols = [
-        sum(
-            F.when(F.col(f"s{16 * b + j}") > 0, F.lit(1 << j).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            for j in range(16)
-        ).alias(f"b{b}")
-        for b in range(4)
-    ]
-    sh = bits.select("doc_id", *band_cols)
+    # per-row fold (no token shuffle); parallel load because the fold is
+    # CPU-bound per doc
+    sh = with_simhash_bands(load_documents_parallel(spark, sf_dir))
     hex_parts = [
         F.lower(F.lpad(F.expr(f"hex(b{b})"), 4, "0")) for b in (3, 2, 1, 0)
     ]

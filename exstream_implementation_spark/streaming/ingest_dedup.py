@@ -39,6 +39,8 @@ from exstream_implementation_spark.plans.dedup import (
     _HAMMING_MAX,
     _SIMHASH_BANDS,
     dedup_simhash,
+    with_simhash_bands,  # noqa: F401 — canonical home is plans.dedup;
+    # re-exported here because it is the stream-safe SimHash form
 )
 
 DOCUMENTS_SCHEMA = (
@@ -80,51 +82,6 @@ def with_content_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
         "norm_hash",
         F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))),
     )
-
-
-# --- per-row SimHash ---------------------------------------------------------
-# Same bit math as plans.dedup.dedup_simhash (token bit g: low 32 bits from
-# md5 hex chars 1-8, high 32 from 9-16; band b bit j set iff the ±1 vote sum
-# of bit 16b+j is > 0), but computed as one left fold over the token array
-# with a 64-lane accumulator instead of explode → 64 aggregates → groupBy.
-# The fold keeps everything inside whole-stage codegen per row: no shuffle in
-# batch, no state in streaming.
-_SH_HASHES = (
-    "transform(array_distinct({toks}), t -> named_struct("
-    " 'lo', cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint),"
-    " 'hi', cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint)))"
-)
-
-_SH_VOTES = (
-    "aggregate({hs},"
-    " transform(sequence(0, 63), g -> cast(0 as bigint)),"
-    " (acc, h) -> zip_with(acc,"
-    "   transform(sequence(0, 63), g -> CASE WHEN"
-    "     ((CASE WHEN g < 32 THEN h.lo ELSE h.hi END) >> (g % 32)) & 1 = 1"
-    "     THEN cast(1 as bigint) ELSE cast(-1 as bigint) END),"
-    "   (a, d) -> a + d))"
-)
-
-
-def _band_expr(b: int, votes_col: str) -> F.Column:
-    return F.expr(
-        f"aggregate(transform(sequence(0, 15), j -> CASE WHEN"
-        f" element_at({votes_col}, {16 * b} + j + 1) > 0"
-        f" THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),"
-        f" cast(0 as bigint), (acc, v) -> acc + v)"
-    )
-
-
-def with_simhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append b0..b3 (the 4×16-bit SimHash bands, bit-identical to
-    dedup_simhash) as per-row expressions."""
-    toks = f"split(lower({text_col}), '\\\\s+')"
-    out = df.withColumn(
-        "_sh_votes", F.expr(_SH_VOTES.format(hs=_SH_HASHES.format(toks=toks)))
-    )
-    for b in range(_SIMHASH_BANDS):
-        out = out.withColumn(f"b{b}", _band_expr(b, "_sh_votes"))
-    return out.drop("_sh_votes")
 
 
 def stream_exact_dedup(

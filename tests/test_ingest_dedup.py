@@ -32,14 +32,59 @@ def run_stream_to_memory(sdf, name, output_mode="append"):
     return sdf.sparkSession.table(name)
 
 
-def test_perrow_simhash_matches_batch_bands(spark):
-    """The fold-based per-row SimHash (no explode, no groupBy) must produce
-    the exact band values of the shuffle-based batch formulation."""
-    docs = load_table(spark, SF_DIR, "documents")
-    mine = with_simhash_bands(docs).select("doc_id", "b0", "b1", "b2", "b3")
-    ref = dedup_simhash(spark, SF_DIR).select("doc_id", "b0", "b1", "b2", "b3")
-    assert mine.exceptAll(ref).count() == 0
-    assert ref.exceptAll(mine).count() == 0
+def _py_simhash_bands(text: str) -> tuple:
+    """Independent pure-Python SimHash oracle (same spec: distinct
+    whitespace tokens of lower(text); bit g from md5 hex chars 1-8 (g<32)
+    resp. 9-16; band b bit j set iff vote sum of bit 16b+j > 0)."""
+    import hashlib
+    import re
+
+    votes = [0] * 64
+    for tok in set(re.split(r"\s+", text.lower())):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        lo, hi = int(h[:8], 16), int(h[8:16], 16)
+        for g in range(64):
+            bit = ((lo if g < 32 else hi) >> (g % 32)) & 1
+            votes[g] += 1 if bit else -1
+    bands = []
+    for b in range(4):
+        v = 0
+        for j in range(16):
+            if votes[16 * b + j] > 0:
+                v |= 1 << j
+        bands.append(v)
+    return tuple(bands)
+
+
+def test_perrow_simhash_matches_python_oracle(spark):
+    """The fold-based per-row SimHash must match an independent pure-Python
+    implementation bit-for-bit (dedup_simhash itself now uses the fold, so
+    this — plus the DuckDB explode-based oracle in the catalog gate — is the
+    independent parity anchor)."""
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 60)
+    got = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in with_simhash_bands(docs)
+        .select("doc_id", "b0", "b1", "b2", "b3")
+        .collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert len(got) == 60
+    for doc_id, text in texts.items():
+        assert got[doc_id] == _py_simhash_bands(text), doc_id
+
+
+def test_catalog_simhash_uses_perrow_fold(spark):
+    """dedup_simhash must carry no per-token explode+groupBy: its only
+    aggregation work is the fold expression, so the plan is shuffle-free up
+    to the (optional) parallel-load repartition."""
+    plan = (
+        dedup_simhash(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" not in plan and "Generate" not in plan
 
 
 def test_perrow_simhash_plan_has_no_shuffle(spark):
