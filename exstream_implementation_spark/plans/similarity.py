@@ -20,7 +20,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from exstream_implementation_spark.cache import session_persist, tracked_persist
+from exstream_implementation_spark.cache import session_persist
 
 from exstream_implementation_spark.plans.registry import query
 from exstream_implementation_spark.sources import load_table
