@@ -74,6 +74,37 @@ def test_perrow_simhash_matches_python_oracle(spark):
         assert got[doc_id] == _py_simhash_bands(text), doc_id
 
 
+def test_perrow_simhash_property_random_texts(spark):
+    """Hypothesis-style sweep over adversarial text shapes (single token,
+    repeated tokens, mixed case, leading/trailing/multiple whitespace,
+    unicode) — the fold must match the pure-Python oracle on every one."""
+    from hypothesis import given, settings, strategies as st
+
+    token = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    texts = st.lists(token, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=6))
+    def check(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in with_simhash_bands(df).collect()
+        }
+        for i, t in enumerate(batch):
+            assert got[i] == _py_simhash_bands(t), repr(t)
+
+    check()
+
+
 def test_catalog_simhash_uses_perrow_fold(spark):
     """dedup_simhash must carry no per-token explode+groupBy: its only
     aggregation work is the fold expression, so the plan is shuffle-free up
