@@ -319,21 +319,24 @@ def _centroid_stride(n: int) -> int:
     return max(1, math.isqrt(n))
 
 
-def _ivf_parts(spark, sf_dir):
-    """(vectors, centroids) with the √n-derived stride; one cheap
-    parquet-metadata count() fixes the stride for both."""
+def _ivf_parts(spark, sf_dir, stride: int | None = None):
+    """(vectors, centroids); one cheap parquet-metadata count() fixes the
+    stride for both.  Default stride √n balances ANN search (assignment
+    n·√n, avg cell √n); callers optimizing for within-cell pairwise work
+    (semantic dedup) pass an explicit stride = target cell size instead."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    stride = _centroid_stride(e.count())
+    if stride is None:
+        stride = _centroid_stride(e.count())
     cents = e.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
     )
     return e, cents
 
 
-def _ivf_assign_spark(spark, sf_dir):
+def _ivf_assign_spark(spark, sf_dir, stride: int | None = None):
     from pyspark.sql import Window
 
-    e, cents = _ivf_parts(spark, sf_dir)
+    e, cents = _ivf_parts(spark, sf_dir, stride=stride)
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -775,24 +778,38 @@ def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
 
 # --- SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
 #     cluster, then prune near-identical vectors WITHIN each cluster.
-def semantic_dedup(spark, sf_dir, min_cosine: float = 0.85):
+def semantic_dedup(
+    spark,
+    sf_dir,
+    min_cosine: float = 0.85,
+    target_cell: int | None = 256,
+):
     """(vec_id, keep_id, cell, cosine) — one row per PRUNED vector.
 
-    Clusters are the deterministic √n IVF cells (``_ivf_assign_spark`` —
-    stride-derived centroids, no RNG), so the same partitioning that serves
-    ANN reads serves dedup.  Within a cell, a vector is pruned when a
-    LOWER-id vector in the same cell matches at ``cosine >= min_cosine``;
-    ``keep_id`` is its lowest-id such match (deterministic representative).
+    Clusters are deterministic IVF cells (stride-derived centroids, no RNG).
+    Within a cell, a vector is pruned when a LOWER-id vector in the same
+    cell matches at ``cosine >= min_cosine``; ``keep_id`` is its lowest-id
+    such match (deterministic representative).
 
-    Scale: the self-join is keyed on ``cell`` — with √n cells of ~√n
-    vectors the pair volume is O(n) total, never corpus-quadratic, and the
-    cell id is the natural partitioning key (each task dedups one cell).
+    Scale — the cell-size knob is the whole cost model.  The self-join is
+    keyed on ``cell``, so pair volume is Σ |cell|²/2.  With the ANN-shared
+    √n cells that is O(n^1.5) total — O(√n) per row, exactly the drift the
+    20× smoke measures — so the PRODUCTION default quantizes to
+    constant-size cells instead: ``target_cell`` vectors per cell
+    (#centroids = n/target_cell), making pair volume O(n·target_cell) —
+    linear, the SemDeDup paper's own regime (cluster count grows with the
+    corpus).  ``target_cell=None`` keeps the √n cells and shares the one
+    session-persisted assignment with ann_ivf_topk — right for oracle-exact
+    fixtures and small corpora, and what the catalog gate pins.
     """
     from pyspark.sql import Window
 
     # persisted: the cell self-join reads the assignment from BOTH sides;
-    # session scope shares it with ann_ivf_topk across catalog queries
-    assign = _ivf_assign_spark(spark, sf_dir).transform(session_persist)
+    # with target_cell=None the session scope shares it with ann_ivf_topk
+    # across catalog queries (a custom stride is its own plan → own cache)
+    assign = _ivf_assign_spark(
+        spark, sf_dir, stride=target_cell
+    ).transform(session_persist)
     a = assign.select(
         F.col("cell"),
         F.col("vec_id").alias("keep_cand"),
@@ -848,5 +865,9 @@ SEMDEDUP_GATE_COSINE = 0.35
     """,
 )
 def semdedup_prune(spark, sf_dir):
-    """SemDeDup pruning as a catalog slot (see ``semantic_dedup``)."""
-    return semantic_dedup(spark, sf_dir, min_cosine=SEMDEDUP_GATE_COSINE)
+    """SemDeDup pruning as a catalog slot (see ``semantic_dedup``).
+    ``target_cell=None``: the oracle CTE quantizes with the √n stride, and
+    the √n assignment is the one shared session-wide with ann_ivf_topk."""
+    return semantic_dedup(
+        spark, sf_dir, min_cosine=SEMDEDUP_GATE_COSINE, target_cell=None
+    )

@@ -392,31 +392,18 @@ def test_adaptive_lsh_planes_contract(spark):
     assert sim._PLANES_CACHE["/root/testdata/sf0.1"] == bigger
 
 
-def test_semantic_dedup_matches_brute_force_mirror(spark):
-    """semantic_dedup (SemDeDup-style: deterministic IVF cells + within-cell
-    prune) must agree exactly with a numpy mirror of the same rule."""
-    import math
-
+def _semdedup_mirror(rows, stride, min_cos):
+    """Numpy mirror of _ivf_parts/_ivf_assign_spark + within-cell prune for
+    an explicit stride: stride-th centroids, max-cos cell, lowest-lower-id
+    representative at cosine >= min_cos."""
     import numpy as np
 
-    from exstream_implementation_spark.plans.similarity import semantic_dedup
-
-    sf_dir = "/root/testdata/sf0.01"
-    min_cos = 0.35  # the 500-vector fixture has ~58 in-cell pairs here
-
-    rows = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", "embedding")
-        .collect()
-    )
     ids = np.array([r["vec_id"] for r in rows])
     mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     norms = np.linalg.norm(mat, axis=1)
 
-    # mirror of _ivf_parts/_ivf_assign_spark: stride centroids, max-cos cell
-    stride = max(1, math.isqrt(len(ids)))
     cent_mask = ids % stride == 0
     cids, cmat, cnorms = ids[cent_mask], mat[cent_mask], norms[cent_mask]
     cos_to_c = (mat @ cmat.T) / np.outer(norms, cnorms)
@@ -439,10 +426,36 @@ def test_semantic_dedup_matches_brute_force_mirror(spark):
                 keep = min(lower)
                 ai = list(members).index(keep)
                 want[int(b)] = (int(keep), float(cos[ai, bi]))
+    return want
 
-    got = {
-        r["vec_id"]: (r["keep_id"], r["cosine"])
-        for r in semantic_dedup(spark, sf_dir, min_cosine=min_cos).collect()
-    }
-    assert got == want
-    assert want, "fixture produced no prunes — threshold too high to test"
+
+def test_semantic_dedup_matches_brute_force_mirror(spark):
+    """semantic_dedup (SemDeDup-style: deterministic IVF cells + within-cell
+    prune) must agree exactly with a numpy mirror of the same rule — on BOTH
+    quantizations: the ANN-shared √n cells (target_cell=None, what the
+    oracle-gated catalog slot runs) and the linear-cost bounded cells
+    (the production default's constant target_cell)."""
+    import math
+
+    from exstream_implementation_spark.plans.similarity import semantic_dedup
+
+    sf_dir = "/root/testdata/sf0.01"
+    min_cos = 0.35  # the 500-vector fixture has ~58 in-cell pairs here
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    sqrt_stride = max(1, math.isqrt(len(rows)))
+    for target_cell, stride in ((None, sqrt_stride), (64, 64)):
+        want = _semdedup_mirror(rows, stride, min_cos)
+        got = {
+            r["vec_id"]: (r["keep_id"], r["cosine"])
+            for r in semantic_dedup(
+                spark, sf_dir, min_cosine=min_cos, target_cell=target_cell
+            ).collect()
+        }
+        assert got == want, f"target_cell={target_cell}"
+        assert want, "fixture produced no prunes — threshold too high to test"
