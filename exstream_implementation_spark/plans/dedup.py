@@ -457,14 +457,34 @@ def _band_expr(b: int, votes_col: str) -> F.Column:
 def with_simhash_bands(df, text_col: str = "text"):
     """Append b0..b3 (4×16-bit SimHash bands) as per-row expressions —
     shuffle-free, stream-safe, bit-identical to the DuckDB oracle's
-    explode-based formulation (parity pinned in tests/test_ingest_dedup.py)."""
+    explode-based formulation (parity pinned in tests/test_ingest_dedup.py).
+
+    NULL-text rows are DROPPED, matching both the oracle (unnest of a NULL
+    token array yields no rows, so the doc never reaches the groupBy) and
+    the old explode-based plan; without the filter the fold would emit the
+    row with NULL bands and break the hash gate on a NULL-bearing corpus."""
     toks = f"split(lower({text_col}), '\\\\s+')"
-    out = df.withColumn(
+    out = df.filter(F.col(text_col).isNotNull()).withColumn(
         "_sh_votes", F.expr(_SH_VOTES.format(hs=_SH_HASHES.format(toks=toks)))
     )
     for b in range(_SIMHASH_BANDS):
         out = out.withColumn(f"b{b}", _band_expr(b, "_sh_votes"))
     return out.drop("_sh_votes")
+
+
+def band_structs(prefix: str = "b") -> F.Column:
+    """array<struct<band_id,band_val>> over the 4 SimHash band columns —
+    the shared explode input for every band-blocked join (batch pairs,
+    corpus index, streaming probes)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.col(f"{prefix}{b}").alias("band_val"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
 
 # token bit g (0..63): low 32 bits from md5 hex chars 1-8, high 32 from 9-16
 _SH_BITS_DUCK = f"""
@@ -543,16 +563,8 @@ def dedup_simhash_pairs(spark, sf_dir):
     sh = dedup_simhash(spark, sf_dir).select(
         "doc_id", "b0", "b1", "b2", "b3"
     ).transform(tracked_persist)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"), F.col(f"b{b}").alias("band_val")
-            )
-            for b in range(_SIMHASH_BANDS)
-        ]
-    )
     bands = sh.select(
-        "doc_id", F.explode(band_structs).alias("band")
+        "doc_id", F.explode(band_structs()).alias("band")
     ).select("doc_id", "band.band_id", "band.band_val")
     cand = (
         bands.alias("a")

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from exstream_implementation_spark.plans.dedup import (
     _HAMMING_MAX,
     _SIMHASH_BANDS,
+    band_structs,
     dedup_simhash,
     with_simhash_bands,  # noqa: F401 — canonical home is plans.dedup;
     # re-exported here because it is the stream-safe SimHash form
@@ -48,12 +49,14 @@ DOCUMENTS_SCHEMA = (
 )
 
 
-def documents_stream(spark: SparkSession, path: str) -> DataFrame:
+def documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-based streaming source over a directory of documents parquet.
     Explicit schema — a streaming source must not run an inference job."""
     return (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
 
@@ -107,21 +110,13 @@ def corpus_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact Hamming re-check.  At scale this table is written partitioned
     by (band_id, band_val) so a probe touches 4 partitions."""
     sh = dedup_simhash(spark, sf_dir).select("doc_id", "b0", "b1", "b2", "b3")
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"), F.col(f"b{b}").alias("band_val")
-            )
-            for b in range(_SIMHASH_BANDS)
-        ]
-    )
     return sh.select(
         F.col("doc_id").alias("corpus_doc_id"),
         F.col("b0").alias("c0"),
         F.col("b1").alias("c1"),
         F.col("b2").alias("c2"),
         F.col("b3").alias("c3"),
-        F.explode(bands).alias("band"),
+        F.explode(band_structs()).alias("band"),
     ).select("band.band_id", "band.band_val", "corpus_doc_id", "c0", "c1", "c2", "c3")
 
 
@@ -139,17 +134,9 @@ def stream_neardup_vs_corpus(
     dropDuplicatesWithinWatermark collapses it to one flag per
     (doc, corpus doc) inside the watermark horizon."""
     sh = with_simhash_bands(docs)
-    probe_bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"), F.col(f"b{b}").alias("band_val")
-            )
-            for b in range(_SIMHASH_BANDS)
-        ]
-    )
     probes = sh.select(
         "doc_id", "event_time", "b0", "b1", "b2", "b3",
-        F.explode(probe_bands).alias("band"),
+        F.explode(band_structs()).alias("band"),
     ).select(
         "doc_id", "event_time", "b0", "b1", "b2", "b3",
         "band.band_id", "band.band_val",

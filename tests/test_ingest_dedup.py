@@ -28,19 +28,25 @@ def run_stream_to_memory(sdf, name, output_mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False (no raise) on timeout — assert it so a
+    # slow run fails loudly instead of reading a half-populated sink
+    assert q.awaitTermination(300), f"stream {name} did not drain in 300s"
     return sdf.sparkSession.table(name)
 
 
 def _py_simhash_bands(text: str) -> tuple:
     """Independent pure-Python SimHash oracle (same spec: distinct
     whitespace tokens of lower(text); bit g from md5 hex chars 1-8 (g<32)
-    resp. 9-16; band b bit j set iff vote sum of bit 16b+j > 0)."""
+    resp. 9-16; band b bit j set iff vote sum of bit 16b+j > 0).
+
+    The split is the ASCII class [ \\t\\n\\x0b\\f\\r] — Java's regex \\s,
+    which is what Spark's split uses — NOT Python's Unicode-aware \\s
+    (U+00A0 etc. are token characters to the engine, and must be here too)."""
     import hashlib
     import re
 
     votes = [0] * 64
-    for tok in set(re.split(r"\s+", text.lower())):
+    for tok in set(re.split(r"[ \t\n\x0b\f\r]+", text.lower())):
         h = hashlib.md5(tok.encode()).hexdigest()
         lo, hi = int(h[:8], 16), int(h[8:16], 16)
         for g in range(64):
@@ -80,9 +86,13 @@ def test_perrow_simhash_property_random_texts(spark):
     unicode) — the fold must match the pure-Python oracle on every one."""
     from hypothesis import given, settings, strategies as st
 
+    # includes U+00A0 (no-break space): a token character to the engine's
+    # ASCII-\s split — the oracle must agree, not split on it
     token = st.text(
         alphabet=st.characters(
-            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F
+            whitelist_categories=("Ll", "Lu", "Nd"),
+            whitelist_characters="\u00a0",
+            max_codepoint=0x24F,
         ),
         min_size=1,
         max_size=8,
@@ -149,7 +159,14 @@ def doc_dir_with_dups(spark, tmp_path):
 
 
 def test_stream_exact_dedup_drops_rearrivals(spark, doc_dir_with_dups):
-    stream = with_event_time(documents_stream(spark, doc_dir_with_dups))
+    # one file per trigger: the originals' file drains in an earlier
+    # microbatch than the re-send file, so state admits originals first —
+    # within a single batch the operator keeps the first row in PROCESSING
+    # order (task/shuffle order, not event time), which would make the
+    # survivor-identity assertion racy
+    stream = with_event_time(
+        documents_stream(spark, doc_dir_with_dups, max_files_per_trigger=1)
+    )
     got = run_stream_to_memory(
         stream_exact_dedup(stream, watermark="1 hour").select(
             "doc_id", "norm_hash"
@@ -162,9 +179,7 @@ def test_stream_exact_dedup_drops_rearrivals(spark, doc_dir_with_dups):
     # one survivor per distinct normalized hash, none of them twice
     assert got.count() == batch.select("norm_hash").distinct().count()
     assert got.select("norm_hash").distinct().count() == got.count()
-    # every re-sent duplicate (doc_id >= 1000) lost to its batch-1 original:
-    # both arrived, only one survived — and originals arrived strictly first
-    # in event time, so the survivor set contains no re-sent id
+    # every re-sent duplicate (doc_id >= 1000) lost to its batch-1 original
     assert got.filter(F.col("doc_id") >= 1000).count() == 0
 
 

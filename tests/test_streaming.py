@@ -33,7 +33,9 @@ def run_stream_to_memory(sdf, name, output_mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False (no raise) on timeout — assert it so a
+    # slow run fails loudly instead of reading a half-populated sink
+    assert q.awaitTermination(300), f"stream {name} did not drain in 300s"
     return sdf.sparkSession.table(name)
 
 

@@ -42,12 +42,15 @@ QUERIES_TO_TIME = [
     "groupby_salted_skew",
     "agg_stats_suite",
     "window_fn_suite",
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "corpus_curation",
     "text_metrics_suite",
     "text_fingerprint",
     "filter_union_suite",
+    "positional_join",
     "ann_bucketed_topk",
     "emb_neardup_lsh",
     "semdedup_prune",
@@ -55,6 +58,12 @@ QUERIES_TO_TIME = [
     "text_repetition",
     "text_pii_redact",
     "sample_source_mix",
+    "events_tumbling_zscores",
+    "events_sliding_window",
+    "events_session_windows",
+    "mass_profile_chunked",
+    "tpch_suite",
+    "multimodal_suite",
 ]
 
 
