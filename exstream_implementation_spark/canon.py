@@ -26,3 +26,17 @@ def stable_round(col, n: int = 6):
 
 def stable_round_sql(expr: str, n: int = 6) -> str:
     return f"round(({expr}) + 1e-9, {n})"
+
+
+def round_half_up(v: float, n: int = 6) -> float:
+    """Driver-side twin of Spark's ``F.round``: HALF_UP on the shortest
+    decimal representation of the double (Java BigDecimal.valueOf ≡ Python
+    ``repr``).  Python's builtin ``round`` is half-EVEN on the binary value
+    and disagrees at exact half boundaries — the same divergence class the
+    stable-round nudge fixes cross-engine.  Use this wherever a Python-side
+    path must reproduce a Spark-side rounding bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(v)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
+    )

@@ -7,11 +7,19 @@ of vertices.  C2's driver-side union-find (operators/correlation.py) is right
 for d≈10 features and wrong here, so this is the scale path: iterative
 min-label propagation as pure DataFrame joins/aggregations.
 
-Each round every vertex takes the min label among itself and its neighbors;
-rounds needed = graph diameter (near-dup clusters are shallow — a handful).
-Each iteration is one shuffle keyed on vertex id; the loop stops when no
-label changes (cheap count on a changed-flag) or at ``max_iter``.  This is
-the standard Spark/GraphX "HashMin" pattern, no GraphFrames dependency.
+Each round every vertex takes the min label among itself and its neighbors,
+then COMPRESSES through the label graph (pointer jumping: label ← label of
+label), so label reach roughly doubles per round and convergence needs
+O(log diameter) iterations, not diameter — the default ``max_iter=20``
+covers diameters up to ~2^20, far beyond any real near-dup graph (plain
+HashMin without the jump needs diameter rounds, and a chain-shaped
+templated-document corpus can exceed any fixed cap).  Each iteration is two
+shuffles keyed on vertex id; the loop stops when no label changes (cheap
+count on a changed-flag).  If ``max_iter`` is exhausted before convergence
+the function RAISES rather than returning silently wrong labels — an
+unconverged labeling splits duplicate clusters and keeps duplicates.
+This is the standard Spark/GraphX "HashMin + pointer jumping" pattern, no
+GraphFrames dependency.
 """
 
 from __future__ import annotations
@@ -79,12 +87,27 @@ def connected_components(
         )
         both = both.persist()
         labels = labels.localCheckpoint(eager=True)
+        converged = False
         for _ in range(max_iter):
             # neighbor-min message pass, one shuffle on vertex id
             nbr_min = (
                 both.join(labels, both.b == labels.vertex)
                 .groupBy(F.col("a").alias("vertex"))
                 .agg(F.min("component").alias("nbr_component"))
+            )
+            stepped = labels.join(nbr_min, "vertex", "left").select(
+                "vertex",
+                F.col("component").alias("old"),
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("mid"),
+            )
+            # pointer jumping: follow the label one more hop (label of
+            # label) so reach doubles per round — labels only ever point at
+            # smaller ids inside the same component, so compression
+            # preserves the min-reachable-id fixpoint
+            lbl = stepped.select(
+                F.col("vertex").alias("cv"), F.col("mid").alias("cc")
             )
             # localCheckpoint each round: persist alone keeps the FULL logical
             # lineage, so iteration i's plan nests all i-1 predecessors —
@@ -93,23 +116,30 @@ def connected_components(
             # the materialized partitions (the standard iterative-algorithm
             # pattern; same fix GraphX applies internally).
             new_labels = (
-                labels.join(nbr_min, "vertex", "left")
+                stepped.join(lbl, stepped.mid == lbl.cv, "left")
                 .select(
                     "vertex",
-                    F.least(
-                        "component", F.coalesce("nbr_component", "component")
-                    ).alias("component"),
+                    F.least("mid", F.coalesce("cc", "mid")).alias("component"),
                     (
-                        F.coalesce("nbr_component", "component")
-                        < F.col("component")
+                        F.least("mid", F.coalesce("cc", "mid"))
+                        < F.col("old")
                     ).alias("changed"),
                 )
             ).localCheckpoint(eager=True)
             changed = new_labels.filter(F.col("changed")).limit(1).count()
             labels = new_labels.drop("changed")
             if changed == 0:
+                converged = True
                 break
         both.unpersist()
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (graph diameter > 2^max_iter is implausible — "
+                "check the input, or raise max_iter); refusing to return "
+                "partially-propagated labels that would silently split "
+                "duplicate clusters"
+            )
         return labels
     finally:
         pinned.unpersist()

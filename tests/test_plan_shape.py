@@ -166,6 +166,40 @@ def test_connected_components_hand_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
 
 
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 64-vertex chain has diameter 63; pointer jumping must converge the
+    distributed path in ~log2(63) rounds, where plain HashMin would need 63
+    and silently truncate at any fixed cap."""
+    from exstream_implementation_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            chain, max_iter=10, small_graph_edges=0
+        ).collect()
+    }
+    assert got == {v: 0 for v in range(64)}
+
+
+def test_connected_components_raises_instead_of_wrong_labels(spark):
+    """Exhausting max_iter before convergence must raise, never return
+    partially-propagated labels (which would split duplicate clusters)."""
+    from exstream_implementation_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2, small_graph_edges=0)
+
+
 def test_asof_join_is_single_shuffle_not_range_join(spark):
     # the as-of join must plan as union + keyed window (one Exchange on the
     # key), never a range/theta join that explodes pairs

@@ -343,6 +343,80 @@ def test_sequence_packing_invariants():
     assert a == b
 
 
+def test_leftmost_fit_tree_equals_naive_first_fit():
+    """The O(log m) segment-tree first-fit must assign EXACTLY like the
+    naive scan-every-open-sequence loop — first (leftmost) fit, not
+    best-fit — across random decreasing-sorted instances."""
+    import random
+
+    from exstream_implementation_spark.operators.packing import _LeftmostFit
+
+    rng = random.Random(7)
+    for trial in range(50):
+        capacity = rng.choice([16, 64, 257])
+        sizes = sorted(
+            (rng.randint(1, capacity) for _ in range(rng.randint(1, 200))),
+            reverse=True,
+        )
+        naive_fills: list[int] = []
+        naive_assign = []
+        for n in sizes:
+            placed = None
+            for s, fill in enumerate(naive_fills):
+                if fill + n <= capacity:
+                    placed = s
+                    break
+            if placed is None:
+                placed = len(naive_fills)
+                naive_fills.append(0)
+            naive_fills[placed] += n
+            naive_assign.append(placed)
+
+        fills: list[int] = []
+        tree = _LeftmostFit()
+        assign = []
+        for n in sizes:
+            placed = tree.leftmost(n)
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+                tree.append(capacity)
+            fills[placed] += n
+            tree.update(placed, capacity - fills[placed])
+            assign.append(placed)
+        assert assign == naive_assign, (trial, capacity)
+        assert fills == naive_fills, (trial, capacity)
+
+
+def test_pack_sequences_string_ids():
+    """The output schema derives from the input: string doc ids (common in
+    dedup pipelines) must pack, keeping the caller's names and types."""
+    from exstream_implementation_spark.operators.packing import pack_sequences
+    from exstream_implementation_spark.session import get_spark
+
+    spark = get_spark(app_name="exstream-spark-tests", shuffle_partitions=8)
+    chunks = spark.createDataFrame(
+        [("url://a", i, 10 + i) for i in range(6)]
+        + [("url://b", i, 30) for i in range(4)],
+        "url string, part long, toks long",
+    )
+    packed = pack_sequences(
+        chunks, capacity=40, num_groups=2, id_cols=("url", "part"),
+        toks_col="toks",
+    )
+    rows = packed.collect()
+    assert len(rows) == 10
+    assert packed.schema["url"].dataType.simpleString() == "string"
+    assert packed.schema["part"].dataType.simpleString() == "bigint"
+    assert packed.schema["toks"].dataType.simpleString() == "bigint"
+    # capacity respected per (group, seq)
+    fills: dict = {}
+    for r in rows:
+        fills.setdefault((r["pack_group"], r["seq_id"]), 0)
+        fills[(r["pack_group"], r["seq_id"])] += r["toks"]
+    assert all(v <= 40 for v in fills.values())
+
+
 def test_emb_neardup_lsh_recall():
     """The label-free LSH-blocked near-dup pass must recover >= 85% of the
     true cosine>=0.3 pairs that brute force finds (candidates come from the

@@ -647,6 +647,110 @@ def test_reward_serving_view_reloads_evicted_anomaly(spark, tmp_path):
     assert view2.latest[("A", "f2", 1)] == 0.6
 
 
+def _view_batch(spark, view, rows, bid):
+    from exstream_implementation_spark.streaming.online_scorer import _SEP
+
+    df = spark.createDataFrame(
+        [(f"{a}{_SEP}{f}{_SEP}{o}", n, rw) for a, f, o, n, rw in rows],
+        "key string, n_rows long, reward double",
+    )
+    return view.apply_batch(df, bid)
+
+
+def test_serving_view_eviction_requires_state_dir(spark):
+    """Evicting without a journal permanently loses rewards — the view must
+    refuse the combination instead of silently serving partial sets."""
+    from exstream_implementation_spark.streaming.online_scorer import (
+        RewardServingView,
+    )
+
+    with pytest.raises(ValueError, match="state_dir"):
+        RewardServingView(spark, state_dir=None, max_view_anomalies=5)
+
+
+def test_serving_view_epoch_beats_stale_batch_ids(spark, tmp_path):
+    """Restart WITHOUT a checkpoint restarts Spark batch ids at 0; the
+    journal's epoch counter must keep the new run's rewards ahead of the
+    old run's higher batch ids."""
+    from exstream_implementation_spark.streaming.online_scorer import (
+        RewardServingView,
+    )
+
+    state = str(tmp_path / "log")
+    run1 = RewardServingView(spark, state_dir=state)
+    _view_batch(spark, run1, [("A", "f1", 0, 10, 0.9)], 57)
+
+    run2 = RewardServingView(spark, state_dir=state)  # "restart", ids reset
+    assert run2.latest[("A", "f1", 0)] == 0.9  # rebuilt from run 1
+    _view_batch(spark, run2, [("A", "f1", 0, 20, 0.4)], 0)  # fresher value
+    assert run2.latest[("A", "f1", 0)] == 0.4
+
+    run3 = RewardServingView(spark, state_dir=state)
+    # without the epoch, run 1's batch_id=57 row would shadow run 2's 0
+    assert run3.latest[("A", "f1", 0)] == 0.4
+
+
+def test_serving_view_rebuild_honors_anomaly_bound(spark, tmp_path):
+    """Rebuild must load only the most recently touched max_view_anomalies
+    anomalies (bounded driver memory), and a touch on an unloaded anomaly
+    must reload its full journaled reward set before serving."""
+    from exstream_implementation_spark.streaming.online_scorer import (
+        RewardServingView,
+    )
+
+    state = str(tmp_path / "log")
+    writer = RewardServingView(spark, state_dir=state)
+    _view_batch(spark, writer, [("A", "f1", 0, 10, 0.9), ("A", "f2", 1, 10, 0.5)], 0)
+    _view_batch(spark, writer, [("B", "g1", 0, 5, 0.7)], 1)
+    _view_batch(spark, writer, [("C", "h1", 0, 5, 0.8)], 2)
+
+    bounded = RewardServingView(spark, state_dir=state, max_view_anomalies=1)
+    assert set(a for a, _, _ in bounded.latest) == {"C"}  # most recent only
+    # touching evicted-at-rebuild A reloads BOTH its journaled features
+    _view_batch(spark, bounded, [("A", "f2", 1, 12, 0.6)], 0)
+    assert bounded.latest[("A", "f1", 0)] == 0.9
+    assert bounded.latest[("A", "f2", 1)] == 0.6
+
+
+def test_serving_view_compaction_bounds_log(spark, tmp_path):
+    """After compact_every appends the journal is rewritten to latest-per-
+    key: file count drops, and a fresh rebuild still serves the newest
+    values."""
+    import glob
+
+    from exstream_implementation_spark.streaming.online_scorer import (
+        RewardServingView,
+    )
+
+    state = str(tmp_path / "log")
+    view = RewardServingView(spark, state_dir=state, compact_every=4)
+    for bid in range(4):
+        _view_batch(spark, view, [("A", "f1", 0, 10 + bid, 0.1 * (bid + 1))], bid)
+    files_after = glob.glob(f"{state}/*.parquet")
+    rows = spark.read.parquet(state).count()
+    assert rows == 1  # latest-per-key only — 4 appended versions compacted
+    assert len(files_after) >= 1
+    rebuilt = RewardServingView(spark, state_dir=state)
+    assert rebuilt.latest[("A", "f1", 0)] == pytest.approx(0.4)
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """canon.round_half_up must agree with F.round on exact half boundaries
+    where Python's builtin round (half-even) diverges."""
+    from exstream_implementation_spark.canon import round_half_up
+
+    values = [0.1234565, 0.1234575, 2.5e-07, 1.0000005, 0.5, -0.1234565]
+    df = spark.createDataFrame([(v,) for v in values], "v double").select(
+        F.round("v", 6).alias("r")
+    )
+    spark_rounded = [r["r"] for r in df.collect()]
+    for v, want in zip(values, spark_rounded):
+        assert round_half_up(v, 6) == want, v
+    # and the builtin is genuinely different somewhere in this list,
+    # otherwise this test pins nothing
+    assert any(round(v, 6) != round_half_up(v, 6) for v in values)
+
+
 def test_unbounded_rate_source_explanation_latency(spark):
     """The paper's online envelope (exstream.pdf §6.3): with a genuinely
     unbounded source (rate) and a processing-time trigger, the first
