@@ -42,23 +42,45 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def mass_distance_profile(query: np.ndarray, ts: np.ndarray) -> np.ndarray:
     """Z-normalized Euclidean distance between ``query`` and every window of
-    ``ts`` (MASS: FFT sliding dot product + rolling moments)."""
+    ``ts`` (MASS: FFT sliding dot product + rolling moments).
+
+    Non-finite values (NaN/inf — nulls in the source become NaN in pandas)
+    are handled stumpy-style: they are zeroed for the computation, windows
+    CONTAINING one get distance +inf (can never match), and a non-finite
+    query yields an all-inf profile — without this, one NaN anywhere in the
+    pooled series poisons the whole FFT and argmin lands on a NaN, silently
+    reporting 0 matches and disabling the false-positive filter entirely.
+    """
     m, n = len(query), len(ts)
     if m > n:
         return np.empty(0)
+    finite_q = np.isfinite(query)
+    if not finite_q.all():
+        return np.full(n - m + 1, np.inf)
+    finite_t = np.isfinite(ts)
+    if not finite_t.all():
+        bad = np.concatenate(([0], np.cumsum(~finite_t)))
+        win_bad = (bad[m:] - bad[:-m]) > 0
+        ts = np.where(finite_t, ts, 0.0)
+    else:
+        win_bad = None
     qm, qs = query.mean(), query.std()
     # rolling mean/std of ts windows
     csum = np.concatenate(([0.0], np.cumsum(ts)))
     csum2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
     mu = (csum[m:] - csum[:-m]) / m
     var = (csum2[m:] - csum2[:-m]) / m - mu * mu
-    # constant-window detection must be tolerance-based, not var == 0: the
-    # single-pass cumsum variance cancels catastrophically, and its rounding
-    # noise depends on the window's absolute offset in the series (so an
-    # exact-zero test would make chunked and whole-series profiles disagree
-    # on degenerate windows)
+    # constant detection must be tolerance-based on BOTH sides, not == 0:
+    # the single-pass cumsum variance cancels catastrophically (and its
+    # rounding noise depends on the window's absolute offset in the series,
+    # so an exact-zero test would make chunked and whole-series profiles
+    # disagree on degenerate windows), and a constant QUERY's std is equally
+    # inexact — e.g. ([0.1]*3).std() is ~1.4e-17, and dividing by it turns
+    # the profile into amplified cancellation noise.  The DuckDB oracles
+    # mirror the same tolerance.
     const_win = var <= 1e-9 * np.maximum(mu * mu, 1.0)
     sigma = np.sqrt(np.maximum(np.where(const_win, 0.0, var), 0.0))
+    q_const = qs * qs <= 1e-9 * max(qm * qm, 1.0)
     # sliding dot product via FFT
     size = 1 << int(np.ceil(np.log2(n + m)))
     qt = np.fft.irfft(np.fft.rfft(ts, size) * np.fft.rfft(query[::-1], size), size)
@@ -68,10 +90,12 @@ def mass_distance_profile(query: np.ndarray, ts: np.ndarray) -> np.ndarray:
         rho = (qt - m * qm * mu) / denom
         d = np.sqrt(np.maximum(2 * m * (1.0 - rho), 0.0))
     # degenerate windows: constant query and/or constant window
-    if qs == 0:
+    if q_const:
         d = np.where(sigma == 0, 0.0, math.sqrt(m))
     else:
         d = np.where(sigma == 0, math.sqrt(m), d)
+    if win_bad is not None:
+        d = np.where(win_bad, np.inf, d)
     return d
 
 
@@ -160,7 +184,11 @@ def false_positive_filter(
         *keys, "ano_key", "timestamp", "feature", "feature_order", "value"
     )
 
-    key_schema = "".join(f"{k} int, " for k in keys)
+    # derive each extra key's type from the input — hardcoding int crashed
+    # string/long keys at Arrow conversion
+    key_schema = "".join(
+        f"{k} {melted.schema[k].dataType.simpleString()}, " for k in keys
+    )
     out_schema = (
         f"{key_schema}feature string, feature_order int, ano_key string, "
         "n_matches long"
@@ -171,7 +199,10 @@ def false_positive_filter(
         pooled = pdf["value"].to_numpy(dtype=np.float64)
         feature = pdf["feature"].iloc[0]
         order = int(pdf["feature_order"].iloc[0])
-        extra = tuple(int(pdf[k].iloc[0]) for k in keys)
+        extra = tuple(
+            v.item() if hasattr(v, "item") else v
+            for v in (pdf[k].iloc[0] for k in keys)
+        )
         rows = []
         for key, grp in pdf.groupby("ano_key", sort=True):
             pattern = grp["value"].to_numpy(dtype=np.float64)

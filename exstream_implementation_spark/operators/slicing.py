@@ -1,12 +1,13 @@
 """C1 — interval slicing as a broadcast range join (SURVEY §2.3 C1).
 
 The reference loops over label rows and boolean-masks each trace in pandas
-(reference utils/get_data.py:83-100). Spark-first: one broadcast join of the
+(reference utils/get_data.py:83-100). Spark-first: ONE broadcast join of the
 big trace table against the tiny labels table on ``trace_id`` plus the
-interval predicate — Catalyst plans a BroadcastHashJoin keyed on trace_id with
-the range condition as a post-join filter, so the 100 TB side is never
-shuffled and parquet scans prune on pushed-down ``trace_id``/``timestamp``
-filters.
+combined interval predicate — Catalyst plans a BroadcastHashJoin keyed on
+trace_id, so the 100 TB side is never shuffled, and the whole table is
+scanned ONCE (the obvious refs-branch ∪ anos-branch formulation reads the
+dominant-cost trace table twice); a row falling in both intervals explodes
+into both class rows.
 
 Interval-bound asymmetry is preserved exactly: reference rows are
 ``[ref_start, ref_end)``, anomaly rows ``[ano_start, ano_end]``
@@ -40,35 +41,57 @@ def slice_intervals(traces: DataFrame, labels: DataFrame) -> DataFrame:
             "ano_end",
         )
     )
-
-    def branch(start_col: str, end_col: str, end_inclusive: bool, type_data: int):
-        ts = F.col("timestamp")
-        upper = ts <= F.col(end_col) if end_inclusive else ts < F.col(end_col)
-        return (
-            traces.join(
-                lbl,
-                (F.col("trace_id") == F.col("l_trace_id"))
-                & (ts >= F.col(start_col))
-                & upper,
-                "inner",
-            )
-            .withColumn("type_data", F.lit(type_data))
-            .drop("l_trace_id", "ref_start", "ref_end", "ano_start", "ano_end")
+    ts = F.col("timestamp")
+    in_ref = (ts >= F.col("ref_start")) & (ts < F.col("ref_end"))
+    in_ano = (ts >= F.col("ano_start")) & (ts <= F.col("ano_end"))
+    sliced = (
+        traces.join(
+            lbl,
+            (F.col("trace_id") == F.col("l_trace_id")) & (in_ref | in_ano),
+            "inner",
         )
-
-    refs = branch("ref_start", "ref_end", end_inclusive=False, type_data=0)
-    anos = branch("ano_start", "ano_end", end_inclusive=True, type_data=1)
-    sliced = refs.unionByName(anos)
+        # one scan, both classes: a row in the ref interval emits 0, in the
+        # ano interval 1, in both (overlapping labels) both rows — identical
+        # relation to the two-branch union at half the table reads
+        .withColumn(
+            "type_data",
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(in_ref, F.lit(0)), F.when(in_ano, F.lit(1))
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ),
+        )
+        .drop("l_trace_id", "ref_start", "ref_end", "ano_start", "ano_end")
+    )
     return sliced.withColumn(
         "ano_key",
         F.concat_ws("_", F.col("ano_type"), F.col("trace_id"), F.col("label_row")),
     ).drop("ano_type", "label_row")
 
 
-def melt_features(sliced: DataFrame, features: list[str]) -> DataFrame:
+def _sql_str(s: str) -> str:
+    """Escape an arbitrary string into a Spark SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_ident(s: str) -> str:
+    """Escape an arbitrary column name into a backquoted SQL identifier."""
+    return "`" + s.replace("`", "``") + "`"
+
+
+def melt_features(
+    sliced: DataFrame,
+    features: list[str],
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Wide sliced table → long form for per-feature parallelism.
 
-    (ano_key, type_data, timestamp, feature, feature_order, value)
+    (*extra_cols, ano_key, type_data, timestamp, feature, feature_order,
+    value); ``extra_cols`` passes additional keys through (e.g. ``run_id``
+    for the instability re-runs).
 
     ``feature_order`` is the feature's position in the trace column order —
     it reproduces the reference's feature-iteration order for deterministic
@@ -77,12 +100,17 @@ def melt_features(sliced: DataFrame, features: list[str]) -> DataFrame:
 
     Implemented with the built-in ``stack`` generator — stays inside
     whole-stage codegen, no Python round-trip, and the row explosion is
-    map-side only (no shuffle).
+    map-side only (no shuffle).  Feature names are escaped into the SQL
+    text (CSV headers are user-supplied; quotes/backticks in a name must
+    not break or misparse the expression).
     """
     pairs = []
     for i, f in enumerate(features):
-        pairs.extend([f"'{f}'", str(i), f"`{f}`"])
-    stack_expr = f"stack({len(features)}, {', '.join(pairs)}) as (feature, feature_order, value)"
+        pairs.extend([_sql_str(f), str(i), _sql_ident(f)])
+    stack_expr = (
+        f"stack({len(features)}, {', '.join(pairs)})"
+        " as (feature, feature_order, value)"
+    )
     return sliced.select(
-        "ano_key", "type_data", "timestamp", F.expr(stack_expr)
+        *extra_cols, "ano_key", "type_data", "timestamp", F.expr(stack_expr)
     )

@@ -83,7 +83,7 @@ def explain_anomalies(
     exp_instability) — the reference's result schema (FIXTURES §4) plus the
     engine's explicit ano_key."""
     cfg = cfg or ExplainConfig()
-    features = feature_columns([c for c in traces.columns if c != "timestamp"])
+    features = feature_columns(traces.columns)
 
     sliced = slice_intervals(traces, labels).transform(tracked_persist)
 
@@ -142,7 +142,7 @@ def explain_anomalies(
     )
     all_runs = all_runs.join(F.broadcast(valid), ["run_id", "ano_key"], "inner")
 
-    melted = melt_features_with_run(all_runs, features)
+    melted = melt_features(all_runs, features, extra_cols=("run_id",))
     if surv is not None:
         melted = melted.join(surv, ["run_id", "feature"], "inner")
 
@@ -196,19 +196,6 @@ def explain_anomalies(
             "trace_id", "ano_id", "ano_key", "explanation", "exp_size",
             "exp_instability",
         )
-    )
-
-
-def melt_features_with_run(all_runs: DataFrame, features: list[str]) -> DataFrame:
-    """melt_features variant that carries run_id through the stack()."""
-    pairs = []
-    for i, f in enumerate(features):
-        pairs.extend([f"'{f}'", str(i), f"`{f}`"])
-    stack_expr = (
-        f"stack({len(features)}, {', '.join(pairs)}) as (feature, feature_order, value)"
-    )
-    return all_runs.select(
-        "run_id", "ano_key", "type_data", "timestamp", F.expr(stack_expr)
     )
 
 

@@ -615,9 +615,16 @@ WITH {_FULL_TRACE_DUCK},
     FROM win GROUP BY ano_key, feature, o
   ),
   dist AS (
+    -- constant detection mirrors the engine's tolerance (fp_filter): an
+    -- exact = 0 test diverges on near-constant data where float noise
+    -- makes one side's variance tiny-but-nonzero
     SELECT w.ano_key, w.feature,
-           CASE WHEN s.qs = 0 AND w.sigma = 0 THEN 0.0
-                WHEN s.qs = 0 OR w.sigma = 0 THEN sqrt(s.m)
+           CASE WHEN s.qs * s.qs <= 1e-9 * greatest(s.qm * s.qm, 1.0)
+                 AND w.sigma * w.sigma <= 1e-9 * greatest(w.mu * w.mu, 1.0)
+                  THEN 0.0
+                WHEN s.qs * s.qs <= 1e-9 * greatest(s.qm * s.qm, 1.0)
+                  OR w.sigma * w.sigma <= 1e-9 * greatest(w.mu * w.mu, 1.0)
+                  THEN sqrt(s.m)
                 ELSE sqrt(greatest(
                        2 * s.m * (1 - (w.dot - s.m * s.qm * w.mu)
                                       / (s.m * s.qs * w.sigma)), 0))
@@ -646,7 +653,7 @@ def exstream_fp_profile(spark, sf_dir):
     trace, labels = _two_anomaly_setup(spark, sf_dir)
     melted = melt_features(
         slice_intervals(trace, labels),
-        feature_columns([c for c in trace.columns if c != "timestamp"]),
+        feature_columns(trace.columns),
     )
     return distance_profile_stats(melted, _FP_MAX_DIST, round_decimals=4)
 

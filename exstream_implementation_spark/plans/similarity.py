@@ -575,8 +575,14 @@ st AS (
   FROM win GROUP BY start
 )
 SELECT start,
-       round(CASE WHEN qs = 0 AND sigma = 0 THEN 0.0
-                  WHEN qs = 0 OR sigma = 0 THEN sqrt({_MASS_M}.0)
+       -- constant detection mirrors the engine's tolerance (fp_filter):
+       -- an exact = 0 test diverges on near-constant data where float
+       -- noise makes one side's variance tiny-but-nonzero
+       round(CASE WHEN qs * qs <= 1e-9 * greatest(qm * qm, 1.0)
+                   AND sigma * sigma <= 1e-9 * greatest(mu * mu, 1.0) THEN 0.0
+                  WHEN qs * qs <= 1e-9 * greatest(qm * qm, 1.0)
+                    OR sigma * sigma <= 1e-9 * greatest(mu * mu, 1.0)
+                    THEN sqrt({_MASS_M}.0)
                   ELSE sqrt(greatest(2 * {_MASS_M} * (1 - (dot - {_MASS_M} * qm * mu)
                                  / ({_MASS_M} * qs * sigma)), 0.0))
              END, 4) AS dist

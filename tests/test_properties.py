@@ -163,6 +163,59 @@ def test_mass_profile_and_greedy_matches_bruteforce():
         assert count_matches(q, ts, thresh) == expect, trial
 
 
+def test_mass_constant_query_with_inexact_mean():
+    """A flat pattern whose float mean is INEXACT (e.g. [0.1]*3: std is
+    ~1.4e-17, not 0) must behave like a constant query — distance 0 to
+    constant windows, sqrt(m) to varying ones — not divide cancellation
+    noise by 1e-17 and produce garbage."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.fp_filter import (
+        count_matches,
+        mass_distance_profile,
+    )
+
+    q = np.array([0.1, 0.1, 0.1])
+    ts = np.concatenate([q, np.random.default_rng(5).normal(1000, 5, 40)])
+    d = mass_distance_profile(q, ts)
+    assert d[0] == 0.0  # its own (constant) window
+    varying = d[4:]  # windows fully inside the noisy region
+    assert np.allclose(varying, np.sqrt(3)), varying[:5]
+    # greedy count: only the constant window(s) at the head can match
+    assert count_matches(q, ts, max_distance=1e-6) == 1
+
+
+def test_mass_nonfinite_values_do_not_poison_profile():
+    """One NaN in the pooled series must only disqualify the windows that
+    contain it (distance +inf) — not NaN the whole FFT profile and make
+    count_matches silently return 0."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.fp_filter import (
+        count_matches,
+        mass_distance_profile,
+    )
+
+    rng = np.random.default_rng(11)
+    ts = rng.normal(0, 1, 60)
+    q = ts[40:48].copy()  # exact sub-slice → distance 0 at offset 40
+    ts_nan = ts.copy()
+    ts_nan[5] = np.nan
+    d = mass_distance_profile(q, ts_nan)
+    m = len(q)
+    covered = np.arange(len(d)) + m > 5  # windows containing index 5
+    touched = (np.arange(len(d)) <= 5) & covered
+    assert np.all(np.isinf(d[touched]))
+    assert np.all(np.isfinite(d[~touched]))
+    assert d[40] < 1e-6
+    # the self-match must still be counted despite the NaN elsewhere
+    assert count_matches(q, ts_nan, max_distance=1.0) >= 1
+    # an all-NaN query can never match anything
+    qq = q.copy()
+    qq[0] = np.nan
+    assert count_matches(qq, ts, max_distance=1e9) == 0
+
+
 def test_chunked_mass_equals_whole_series(spark):
     """Chunking with (m-1)-overlap reproduces one-shot MASS on the full
     series for every chunk size (up to FFT rounding: the per-chunk transform
