@@ -471,3 +471,30 @@ def test_global_row_number_consecutive_on_heavy_ties(spark):
         F.max("rn").alias("mx"),
     ).first()
     assert (got["n"], got["n_rn"], got["mn"], got["mx"]) == (n, n, 1, n)
+
+
+def test_plan_audit_markers_and_rules(spark):
+    """Pin tools/plan_audit.py's formatted-explain parser: marker extraction
+    (joins, exchanges, pushdown) and both hard rules — the bounded-BNLJ
+    allowlist and the aggregate-merge SinglePartition recognizer — on three
+    cheap queries whose plan shapes the suite already guards."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from plan_audit import BNLJ_ALLOW, _explain, _markers
+    finally:
+        sys.path.pop(0)
+
+    # dimension-chain join: broadcasts present, no BNLJ, scans pushed
+    m = _markers(_explain(QUERIES["join_broadcast_dims"](spark, SF_DIR)))
+    assert m["bhj"] >= 2 and m["bnlj"] == 0 and m["cartesian"] == 0
+    assert m["pushed_nonempty"] >= 1
+    # 1-row scalar cross-join: BNLJ present AND allowlisted
+    m = _markers(_explain(QUERIES["approx_aggs"](spark, SF_DIR)))
+    assert m["bnlj"] >= 1 and "approx_aggs" in BNLJ_ALLOW
+    # every SinglePartition exchange must be a global-agg merge step
+    # (sp_unbounded == 0), here and in the scan+agg query
+    assert m["sp_unbounded"] == 0
+    m = _markers(_explain(QUERIES["agg_stats_suite"](spark, SF_DIR)))
+    assert m["sp_unbounded"] == 0 and m["cartesian"] == 0
