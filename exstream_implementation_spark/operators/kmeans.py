@@ -55,6 +55,8 @@ def kmeans_train(
             F.expr("transform(embedding, x -> cast(x as double))").alias("cemb"),
         )
     )
+    spark = vecs.sparkSession
+    cell_type = vecs.schema["vec_id"].dataType.simpleString()
     history: list[float] = []
     for _ in range(max_iter):
         assigned = _assign(vecs, centroids).persist()
@@ -63,7 +65,7 @@ def kmeans_train(
         comps = assigned.select(
             "cell", F.posexplode(F.col("embedding").cast("array<double>"))
         )
-        new_centroids = (
+        new_rows = (
             comps.groupBy("cell", "pos")
             .agg(F.avg("col").alias("m"))
             .groupBy("cell")
@@ -73,9 +75,19 @@ def kmeans_train(
                 ).alias("_s")
             )
             .select("cell", F.col("_s.m").alias("cemb"))
+            # materialize to the driver: centroids are k x dim — broadcast-
+            # sized by construction.  Rebuilding them as a local relation
+            # each iteration cuts the lineage; leaving them lazy stacks
+            # every iteration's plan on the UNPERSISTED previous assignment,
+            # so each materialization recomputes all prior iterations
+            # (O(iter^2) work and unbounded plan depth).
+            .collect()
         )
         assigned.unpersist()
-        centroids = new_centroids
+        centroids = spark.createDataFrame(
+            [(r["cell"], r["cemb"]) for r in new_rows],
+            f"cell {cell_type}, cemb array<double>",
+        )
         history.append(float(inertia))
         if len(history) >= 2 and history[-2] - history[-1] <= tol * history[-2]:
             break
