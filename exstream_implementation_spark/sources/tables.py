@@ -62,15 +62,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 def read_trace_csv(spark: SparkSession, path: str, trace_id: str) -> DataFrame:
     """CSV trace scan (reference utils/get_data.py:77-79): first column is the
     integer timestamp index; all other columns double features."""
-    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    # header-only read, no inferSchema: inference costs a full extra pass
+    # over the file, and every column is explicitly cast right here anyway
+    df = spark.read.option("header", True).csv(path)
     first = df.columns[0]
-    df = df.withColumnRenamed(first, "timestamp").withColumn(
-        "timestamp", F.col("timestamp").cast("long")
+    return df.select(
+        F.col(first).cast("long").alias("timestamp"),
+        *[F.col(c).cast("double").alias(c) for c in df.columns if c != first],
+        F.lit(trace_id).alias("trace_id"),
     )
-    for c in df.columns:
-        if c != "timestamp":
-            df = df.withColumn(c, F.col(c).cast("double"))
-    return df.withColumn("trace_id", F.lit(trace_id))
 
 
 def read_labels_csv(spark: SparkSession, path: str) -> DataFrame:

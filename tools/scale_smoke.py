@@ -64,6 +64,8 @@ QUERIES_TO_TIME = [
     "mass_profile_chunked",
     "tpch_suite",
     "multimodal_suite",
+    # the flagship end-to-end pipeline (resolved via __spark_entry__)
+    "exstream_explain",
 ]
 
 
@@ -72,6 +74,10 @@ def build_scaled(spark, n: int) -> str:
 
     out = f"{SCALE_ROOT}/x{n}"
     if os.path.isdir(out):
+        # deterministic build — an existing replica is identical to what a
+        # rebuild would produce; reuse unless explicitly disabled
+        if os.environ.get("SPARK_GRAFT_SMOKE_REBUILD") != "1":
+            return out
         shutil.rmtree(out)
     os.makedirs(out)
     # small dims: straight copies (broadcast sides stay broadcast-sized)
@@ -165,11 +171,16 @@ def main():
     spark = get_spark(app_name="scale-smoke")
     scaled_dir = build_scaled(spark, n)
 
+    import __spark_entry__ as entrymod
+
     def run(name, sf_dir):
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        fn = (
+            (lambda s, d: entrymod._flagship(s, d))
+            if name == "exstream_explain"
+            else QUERIES[name]
+        )
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 2)
 
     # warm-up (session init; see bench.py)
