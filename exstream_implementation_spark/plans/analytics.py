@@ -12,9 +12,12 @@ Float determinism: money aggregates are computed as EXACT decimal sums
 is lossless), then cast to double and rounded at the query boundary —
 summation order can't flip the hash (registry docstring).
 
-Scale notes: every plan aggregates before joining where semantics allow,
-broadcasts dimension tables (region/nation/customer ≪ fact tables), and
-keeps all expressions in whole-stage codegen (no UDFs).
+Scale notes: every plan aggregates before joining where semantics allow;
+broadcast HINTS go only on the fixed-cardinality dims (region 5 rows,
+nation 25) — customer/orders/supplier scale with SF, so their join strategy
+is left to Catalyst's size-based planning (broadcast while they fit,
+shuffle join at warehouse scale); all expressions stay in whole-stage
+codegen (no UDFs).
 """
 
 from __future__ import annotations
@@ -63,8 +66,8 @@ def tpch_q1_pricing(spark, sf_dir):
     )
 
 
-# --- TPC-H Q3 pattern: shipping-priority top-k revenue (broadcast the
-#     filtered customer dim into the orders⋈lineitem join).  Not a catalog
+# --- TPC-H Q3 pattern: shipping-priority top-k revenue (filtered customer
+#     pre-joined to orders, then onto lineitem).  Not a catalog
 #     entry: its operator surface (broadcast dim chain + agg + global top-k)
 #     is covered by tpch_q5 / tpch_q18 / sort_rank_topk; kept for tests. -----
 _TPCH_Q3_SQL = """
@@ -100,9 +103,13 @@ def tpch_q3_toprevenue(spark, sf_dir):
     revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(5,2)")
+    # orders/customer scale with SF — no broadcast HINT (a forced broadcast
+    # of an SF-scaling relation OOMs at 100 TB).  Catalyst's size-based
+    # planning still broadcasts them while they fit (as at test SFs) and
+    # falls back to a shuffle join when they don't.
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -146,10 +153,14 @@ def tpch_q5_nation_revenue(spark, sf_dir):
     revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(5,2)")
+    # broadcast HINTS only on the fixed-cardinality dims (nation 25 rows,
+    # region 5); customer/orders/supplier scale with SF, so their join
+    # strategy is left to Catalyst's size-based planning — broadcast while
+    # small (as at test SFs), shuffle join at warehouse scale
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp),
+        .join(supp,
               (li.l_suppkey == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey))
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
@@ -183,9 +194,10 @@ def tpch_q18_large_orders(spark, sf_dir):
     )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # customer scales with SF: no broadcast hint (see tpch_q5)
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
             F.round("total_qty", 2).alias("total_qty"),

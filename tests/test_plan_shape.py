@@ -210,13 +210,20 @@ def test_asof_join_is_single_shuffle_not_range_join(spark):
 
 
 def test_tpch_q5_all_dims_broadcast(spark):
-    """Q5's five joins onto the lineitem fact must all be broadcasts — a
-    sort-merge join on the fact table would shuffle 100 TB."""
+    """At test SF, Catalyst's size-based planning must broadcast every Q5
+    join side onto the lineitem fact (the sides are file-stat-small) WITHOUT
+    hints on the SF-scaling relations — only fixed-cardinality nation/region
+    carry a hint, so at 100 TB the customer/orders/supplier joins degrade to
+    shuffle joins instead of a forced-broadcast OOM."""
     from exstream_implementation_spark.plans.analytics import tpch_q5_nation_revenue
 
     plan = plan_str(tpch_q5_nation_revenue(spark, SF_DIR), mode="simple")
     assert plan.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in plan
+    # the hint set is exactly {nation, region}: the optimized logical plan
+    # must carry no ResolvedHint on the SF-scaling sides
+    opt = tpch_q5_nation_revenue(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("ResolvedHint") <= 2
 
 
 def test_tpch_q1_pushdown(spark):
