@@ -99,13 +99,24 @@ _CAPPED_EDGES_SQL = f"""
 """
 
 
+# Broadcast the hot-shingle list only while it is actually broadcast-sized.
+# Zipf head shingles (df > DF_CAP) are few on natural-language corpora, but
+# the worst-case bound is total_edges/DF_CAP — corpus-linear — so a blind
+# broadcast hint is the same OOM class as broadcasting a fact table.
+BROADCAST_HOT_MAX = 1_000_000
+
+
 def _capped_gram_edges(g, scope: str = "session"):
     """(doc_id, gram) pairs with hot shingles (df > DF_CAP) removed, plus the
     per-doc capped-space gram counts.
 
-    The hot-shingle list is tiny by construction (only stop-shingles exceed
-    the cap), so it broadcasts and the anti-join stays map-side — no extra
-    shuffle on the big edge table beyond the df aggregation itself.
+    The hot-shingle list is usually tiny (only stop-shingles exceed the
+    cap), so the anti-join normally broadcasts and stays map-side — no
+    extra shuffle on the big edge table beyond the df aggregation itself.
+    A bounded ``limit(n+1).count()`` probe guards the hint: past
+    BROADCAST_HOT_MAX distinct hot shingles the anti-join falls back to a
+    shuffle on the gram key (the same partitioning the df aggregation
+    already established), which is the correct plan at that size.
 
     ``scope``: "session" when the caller's gram table is the shared
     ``_doc_grams`` plan (jaccard/components reuse the one materialized edge
@@ -118,10 +129,12 @@ def _capped_gram_edges(g, scope: str = "session"):
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > DF_CAP)
         .select("gram")
+        .transform(lambda d: tracked_persist(d, scope=scope))
     )
-    capped = e.join(F.broadcast(hot), "gram", "left_anti").transform(
-        lambda d: tracked_persist(d, scope=scope)
-    )
+    hot_fits = hot.limit(BROADCAST_HOT_MAX + 1).count() <= BROADCAST_HOT_MAX
+    capped = e.join(
+        F.broadcast(hot) if hot_fits else hot, "gram", "left_anti"
+    ).transform(lambda d: tracked_persist(d, scope=scope))
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return capped, sizes
 

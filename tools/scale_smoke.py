@@ -164,6 +164,7 @@ def build_scaled(spark, n: int) -> str:
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or QUERIES_TO_TIME
     sys.path.insert(0, "/root/repo")
     from exstream_implementation_spark.plans import QUERIES
     from exstream_implementation_spark.session import get_spark
@@ -184,12 +185,12 @@ def main():
         return round(time.time() - t0, 2)
 
     # warm-up (session init; see bench.py)
-    for name in QUERIES_TO_TIME:
+    for name in names:
         run(name, "/root/testdata/sf0.01")
     spark.catalog.clearCache()
 
     results = {}
-    for name in QUERIES_TO_TIME:
+    for name in names:
         t1 = run(name, BASE)
         spark.catalog.clearCache()
         tn = run(name, scaled_dir)
