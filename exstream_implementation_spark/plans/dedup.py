@@ -815,8 +815,17 @@ def decontaminate(
             .distinct()
         )
     e = grams.select("doc_id", F.explode("grams").alias("gram"))
+    # real eval benchmarks are MB-sized (≪ 1M distinct 3-grams), so the
+    # semi-join normally broadcasts and the corpus never shuffles; the same
+    # bounded probe as _capped_gram_edges guards against an oversized
+    # "benchmark" (e.g. a corpus slice), degrading to a gram-key shuffle
+    # join instead of a forced-broadcast OOM
+    bench_grams = tracked_persist(bench_grams)
+    bench_fits = (
+        bench_grams.limit(BROADCAST_HOT_MAX + 1).count() <= BROADCAST_HOT_MAX
+    )
     hits = (
-        e.join(F.broadcast(bench_grams), "gram")
+        e.join(F.broadcast(bench_grams) if bench_fits else bench_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
