@@ -61,6 +61,8 @@ def kmeans_train(
     for _ in range(max_iter):
         assigned = _assign(vecs, centroids).persist()
         inertia = assigned.agg(F.sum("sqdist")).first()[0]
+        if inertia is None:  # zero input vectors — fail with a clear message
+            raise ValueError("kmeans_train: input has no vectors")
         # element-wise mean per cell: explode components, mean per (cell, pos)
         comps = assigned.select(
             "cell", F.posexplode(F.col("embedding").cast("array<double>"))

@@ -99,24 +99,17 @@ _CAPPED_EDGES_SQL = f"""
 """
 
 
-# Broadcast the hot-shingle list only while it is actually broadcast-sized.
-# Zipf head shingles (df > DF_CAP) are few on natural-language corpora, but
-# the worst-case bound is total_edges/DF_CAP — corpus-linear — so a blind
-# broadcast hint is the same OOM class as broadcasting a fact table.
-BROADCAST_HOT_MAX = 1_000_000
-
-
 def _capped_gram_edges(g, scope: str = "session"):
     """(doc_id, gram) pairs with hot shingles (df > DF_CAP) removed, plus the
     per-doc capped-space gram counts.
 
     The hot-shingle list is usually tiny (only stop-shingles exceed the
-    cap), so the anti-join normally broadcasts and stays map-side — no
-    extra shuffle on the big edge table beyond the df aggregation itself.
-    A bounded ``limit(n+1).count()`` probe guards the hint: past
-    BROADCAST_HOT_MAX distinct hot shingles the anti-join falls back to a
-    shuffle on the gram key (the same partitioning the df aggregation
-    already established), which is the correct plan at that size.
+    cap) but its worst case is total_edges/DF_CAP — corpus-linear — so the
+    anti-join carries NO broadcast hint: AQE converts it to a broadcast
+    from the hot side's measured runtime size while it fits (keeping the
+    big edge table map-side) and keeps the gram-key shuffle join past the
+    threshold.  Size-adaptive with zero eager driver-side jobs — plan
+    construction stays fully lazy.
 
     ``scope``: "session" when the caller's gram table is the shared
     ``_doc_grams`` plan (jaccard/components reuse the one materialized edge
@@ -129,12 +122,10 @@ def _capped_gram_edges(g, scope: str = "session"):
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > DF_CAP)
         .select("gram")
-        .transform(lambda d: tracked_persist(d, scope=scope))
     )
-    hot_fits = hot.limit(BROADCAST_HOT_MAX + 1).count() <= BROADCAST_HOT_MAX
-    capped = e.join(
-        F.broadcast(hot) if hot_fits else hot, "gram", "left_anti"
-    ).transform(lambda d: tracked_persist(d, scope=scope))
+    capped = e.join(hot, "gram", "left_anti").transform(
+        lambda d: tracked_persist(d, scope=scope)
+    )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return capped, sizes
 
@@ -815,17 +806,14 @@ def decontaminate(
             .distinct()
         )
     e = grams.select("doc_id", F.explode("grams").alias("gram"))
-    # real eval benchmarks are MB-sized (≪ 1M distinct 3-grams), so the
-    # semi-join normally broadcasts and the corpus never shuffles; the same
-    # bounded probe as _capped_gram_edges guards against an oversized
-    # "benchmark" (e.g. a corpus slice), degrading to a gram-key shuffle
-    # join instead of a forced-broadcast OOM
-    bench_grams = tracked_persist(bench_grams)
-    bench_fits = (
-        bench_grams.limit(BROADCAST_HOT_MAX + 1).count() <= BROADCAST_HOT_MAX
-    )
+    # real eval benchmarks are MB-sized (≪ 1M distinct 3-grams) so this join
+    # normally broadcasts and the corpus never shuffles — but the hint is
+    # left to AQE's runtime-size conversion rather than forced, so an
+    # oversized "benchmark" (e.g. a corpus slice) degrades to a gram-key
+    # shuffle join instead of a forced-broadcast OOM, and plan construction
+    # stays lazy (no probe jobs, no persist of a caller-owned frame)
     hits = (
-        e.join(F.broadcast(bench_grams) if bench_fits else bench_grams, "gram")
+        e.join(bench_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )

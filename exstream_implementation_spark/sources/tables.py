@@ -63,11 +63,15 @@ def read_trace_csv(spark: SparkSession, path: str, trace_id: str) -> DataFrame:
     """CSV trace scan (reference utils/get_data.py:77-79): first column is the
     integer timestamp index; all other columns double features."""
     # header-only read, no inferSchema: inference costs a full extra pass
-    # over the file, and every column is explicitly cast right here anyway
+    # over the file, and every column is explicitly cast right here anyway.
+    # The index casts through double first: a float-formatted index ("1.0",
+    # pandas default for a float index) is valid input, but ANSI mode
+    # hard-fails a direct string->long cast on it (double->long truncates,
+    # matching the old inferSchema behavior).
     df = spark.read.option("header", True).csv(path)
     first = df.columns[0]
     return df.select(
-        F.col(first).cast("long").alias("timestamp"),
+        F.col(first).cast("double").cast("long").alias("timestamp"),
         *[F.col(c).cast("double").alias(c) for c in df.columns if c != first],
         F.lit(trace_id).alias("trace_id"),
     )

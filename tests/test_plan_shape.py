@@ -220,10 +220,11 @@ def test_tpch_q5_all_dims_broadcast(spark):
     plan = plan_str(tpch_q5_nation_revenue(spark, SF_DIR), mode="simple")
     assert plan.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in plan
-    # the hint set is exactly {nation, region}: the optimized logical plan
-    # must carry no ResolvedHint on the SF-scaling sides
-    opt = tpch_q5_nation_revenue(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
-    assert opt.count("ResolvedHint") <= 2
+    # the hint set is exactly {nation, region}: the ANALYZED plan (hints are
+    # folded into Join nodes by the optimizer, so the optimized plan never
+    # shows ResolvedHint) must carry no hint on the SF-scaling sides
+    ana = tpch_q5_nation_revenue(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+    assert ana.count("ResolvedHint") == 2, ana.count("ResolvedHint")
 
 
 def test_tpch_q1_pushdown(spark):
@@ -451,10 +452,14 @@ def test_semdedup_pair_join_is_cell_equi_join(spark):
 
 
 def test_corpus_decontaminate_benchmark_side_broadcasts(spark):
-    """The benchmark gram set must be the broadcast side of the hits join —
-    the corpus edge table never shuffles for the semi-join."""
-    plan = plan_str(QUERIES["corpus_decontaminate"](spark, SF_DIR), mode="simple")
-    assert "BroadcastHashJoin" in plan
+    """The benchmark gram set must end up the broadcast side of the hits
+    join — there is deliberately no broadcast HINT (an oversized benchmark
+    must degrade to a shuffle join), so the conversion comes from AQE's
+    runtime size stats and is asserted on the FINAL adaptive plan."""
+    df = QUERIES["corpus_decontaminate"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
 
 
 def test_global_row_number_consecutive_on_heavy_ties(spark):

@@ -73,10 +73,16 @@ def build_scaled(spark, n: int) -> str:
     from pyspark.sql import functions as F
 
     out = f"{SCALE_ROOT}/x{n}"
+    done = f"{out}/_SUCCESS"
     if os.path.isdir(out):
-        # deterministic build — an existing replica is identical to what a
-        # rebuild would produce; reuse unless explicitly disabled
-        if os.environ.get("SPARK_GRAFT_SMOKE_REBUILD") != "1":
+        # deterministic build — a COMPLETE existing replica is identical to
+        # what a rebuild would produce; reuse unless explicitly disabled.
+        # The sentinel guards against reusing a partial replica from an
+        # interrupted build (which would time queries against missing data).
+        if (
+            os.path.exists(done)
+            and os.environ.get("SPARK_GRAFT_SMOKE_REBUILD") != "1"
+        ):
             return out
         shutil.rmtree(out)
     os.makedirs(out)
@@ -159,6 +165,8 @@ def build_scaled(spark, n: int) -> str:
         )
         scaled = rep if scaled is None else scaled.unionByName(rep)
     scaled.write.parquet(f"{out}/lineitem.parquet")
+    with open(f"{out}/_SUCCESS", "w") as fh:
+        fh.write("")
     return out
 
 
@@ -176,11 +184,7 @@ def main():
 
     def run(name, sf_dir):
         t0 = time.time()
-        fn = (
-            (lambda s, d: entrymod._flagship(s, d))
-            if name == "exstream_explain"
-            else QUERIES[name]
-        )
+        fn = entrymod._flagship if name == "exstream_explain" else QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 2)
 
