@@ -179,3 +179,15 @@ def test_load_table_ts_encoding_agnostic(spark, tmp_path):
         for r in load_table(spark, str(tmp_path / "ns"), "events").collect()
     }
     assert got_us == got_ns == {1: secs[0], 2: secs[1], 3: secs[2]}
+
+
+def test_read_trace_csv_float_formatted_index(spark, tmp_path):
+    """A pandas float index renders as "0.0","1.0",... — ANSI mode
+    hard-fails a direct string→long cast on those, so the reader must cast
+    through double (matching the old inferSchema behavior)."""
+    p = tmp_path / "2_1.csv"
+    p.write_text(",m_a\n0.0,1.5\n1.0,2.5\n2.0,3.5\n")
+    df = read_trace_csv(spark, str(p), trace_id="2_1")
+    rows = df.orderBy("timestamp").collect()
+    assert [r["timestamp"] for r in rows] == [0, 1, 2]
+    assert dict(df.dtypes)["timestamp"] == "bigint"
