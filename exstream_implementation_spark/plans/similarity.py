@@ -491,6 +491,79 @@ def ann_ivf_topk(spark, sf_dir, nprobe: int | None = None):
     )
 
 
+# --- trained-centroid IVF: the production upgrade of the stride index -------
+# Not a catalog slot: Lloyd iteration is not SQL-expressible (same rationale
+# as FFD packing), so the oracle-exact stride form above carries the hash
+# gate while this carries the deployment path — data-aware cells from
+# operators/kmeans.py, searched with the same probe/union/re-rank mechanics.
+# Quality is pinned by the recall gate in tests/test_properties.py;
+# determinism by construction (lowest-vec_id init, no RNG anywhere).
+def ann_ivf_trained_topk(
+    spark, sf_dir, k: int | None = None, nprobe: int | None = None,
+    max_iter: int = 5,
+):
+    """IVF-flat top-5 over kmeans-trained centroids.
+
+    Assignment and query-cell ranking both use the TRAINING metric (squared
+    L2) so cells are searched under the geometry they were built with; the
+    final candidate re-rank is exact cosine, matching the other ANN paths'
+    output contract (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    from exstream_implementation_spark.operators.kmeans import (
+        _SQDIST,
+        _assign,
+        kmeans_train,
+    )
+
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if k is None:
+        k = _centroid_stride(e.count())  # ≈ √n cells, like the stride index
+    cents, _ = kmeans_train(e, k=k, max_iter=max_iter)
+    cents = F.broadcast(cents)  # k×dim by construction — always broadcastable
+    assign = _assign(e, cents).select("vec_id", "cell")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("sqdist"), F.asc("cell"))
+    qcells = (
+        q.crossJoin(cents)
+        .withColumn("sqdist", F.expr(_SQDIST.format(a="qemb", b="cemb")))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        F.broadcast(qcells)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    nb = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(_cosine_expr("qemb", "nemb")), 5).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # --- catalog suite: both bucketed ANN strategies (LSH multiprobe + IVF-flat)
 #     under ONE oracle.  The two branches produce the identical output schema
 #     (query_id, neighbor_id, cosine, rank), so the union is a zero-shuffle

@@ -289,6 +289,11 @@ def test_ann_recall_vs_brute_force(spark):
     for name, fn in [
         ("lsh", sim.ann_lsh_topk),
         ("ivf", lambda s, d: sim.ann_ivf_topk(s, d, nprobe=ivf_nprobe)),
+        # trained-centroid IVF (operators/kmeans.py wired end-to-end): same
+        # probed-fraction logic — ~80% of the ≈√n trained cells
+        ("ivf_trained", lambda s, d: sim.ann_ivf_trained_topk(
+            s, d, nprobe=math.ceil(0.8 * sim._centroid_stride(n)), max_iter=3
+        )),
     ]:
         approx = {}
         for r in fn(spark, sf_dir).collect():
