@@ -526,3 +526,58 @@ def text_repetition(spark, sf_dir):
     return repetition_metrics(d).select(
         "doc_id", "dup_line_frac", "top_bigram_share"
     )
+
+
+# --- HTML/boilerplate cleanup (C4-style, Raffel et al. 2020 §2.2) ------------
+# Web-scraped pretraining text arrives with markup and navigation junk; the
+# standard scrub is: drop script/style blocks, strip tags, decode the common
+# entities, then keep only "sentence-like" lines (terminal punctuation and a
+# minimum word count).  All of it is regexp_replace / split / filter chains —
+# whole-stage codegen, zero Python, linear at 100 TB.  API + pytest (the
+# catalog is at the driver's 50-entry budget; the transform composes from the
+# same oracle-proven regexp machinery as text_pii_redact).
+_HTML_ENTITIES = [
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+]
+
+
+def strip_html(df, text_col: str = "text"):
+    """Remove script/style blocks, all tags, and decode common entities;
+    collapses runs of spaces/tabs (newlines survive for line filtering)."""
+    out = F.col(text_col)
+    # (?s): dot matches newlines so multi-line blocks drop whole
+    out = F.regexp_replace(out, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, ch)
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    return df.withColumn(text_col, F.trim(out))
+
+
+def c4_line_filter(df, text_col: str = "text", min_words: int = 3):
+    """Keep only lines that end in terminal punctuation and carry at least
+    ``min_words`` whitespace words (the C4 heuristic); emits the cleaned
+    text plus (n_lines_in, n_lines_kept) accounting."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r"[.!?\"']$")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= F.lit(min_words)),
+    )
+    return (
+        df.withColumn("n_lines_in", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn(
+            text_col,
+            F.array_join(F.transform(kept, F.trim), "\n"),
+        )
+    )
+
+
+def clean_web_text(df, text_col: str = "text", min_words: int = 3):
+    """strip_html → c4_line_filter, the full web-scrape scrub as one lazy
+    plan (compose with redact_pii / repetition_metrics for the whole
+    C4/Gopher-style quality pass)."""
+    return c4_line_filter(strip_html(df, text_col), text_col, min_words)

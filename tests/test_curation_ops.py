@@ -220,3 +220,56 @@ def test_short_docs_survive_gram_paths(spark, tmp_path):
     out = decontaminate(spark, str(tmp_path), bench).collect()
     assert len(out) == 5
     assert all(not r["contaminated"] for r in out)
+
+
+def test_strip_html_removes_markup_and_decodes_entities(spark):
+    from exstream_implementation_spark.plans.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><head><style>p { color: red }</style></head>"
+                "<body><p>Hello &amp; welcome.</p>"
+                "<script>var x = '<p>not text</p>';</script>"
+                "<div>Second   line&nbsp;here.</div></body></html>"),
+            (2, "plain text, no markup."),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
+    assert got[1] == "Hello & welcome. Second line here."
+    assert got[2] == "plain text, no markup."
+
+
+def test_c4_line_filter_keeps_sentence_like_lines(spark):
+    from exstream_implementation_spark.plans.text import c4_line_filter
+
+    text = "\n".join(
+        [
+            "This is a real sentence.",       # kept
+            "Home | About | Contact",          # dropped: no terminal punct
+            "Menu",                            # dropped: too short, no punct
+            "Buy now!",                        # dropped: < 3 words
+            "Another proper line, it ends?",   # kept
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    row = c4_line_filter(df).first()
+    assert row["n_lines_in"] == 5 and row["n_lines_kept"] == 2
+    assert row["text"] == "This is a real sentence.\nAnother proper line, it ends?"
+
+
+def test_clean_web_text_composes(spark):
+    from pyspark.sql import functions as F
+
+    from exstream_implementation_spark.plans.text import clean_web_text
+
+    df = spark.createDataFrame(
+        [(1, "<h1>Title</h1>\nA sentence that clearly survives cleanup.\n"
+             "<a href='/'>nav</a>")],
+        "doc_id int, text string",
+    )
+    row = clean_web_text(df).first()
+    assert row["text"] == "A sentence that clearly survives cleanup."
+    # the whole scrub must stay JVM-side: no Python eval nodes in the plan
+    plan = clean_web_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
