@@ -4,7 +4,10 @@ The correctness gate proves the answers RIGHT; the scale smoke proves the
 cost curve; this audits the PLANS — the thing that actually decides whether
 a query survives a 1000-executor / 100 TB deployment.  For every catalog
 query it captures `explain("formatted")` WITHOUT executing, extracts the
-scale-relevant markers, and enforces hard rules:
+scale-relevant markers, and enforces hard rules.  (Capture itself runs no
+actions; a few queries execute small bounded side jobs during CONSTRUCTION
+— e.g. filter_union_suite's csv-sink round-trip arm writes its fixture —
+but the audited relation is never materialized.)  Hard rules:
 
   * no CartesianProduct anywhere;
   * no BroadcastNestedLoopJoin except on an explicit allowlist (each entry
