@@ -1,0 +1,92 @@
+"""Z-order (Morton) layout — multi-column data clustering for stat pruning.
+
+A plain sort clusters parquet row groups on the LEADING column only: min/max
+stats prune filters on that column, while every other column's stats span the
+full range (no skipping).  Interleaving the bits of several columns' bucket
+ids gives a space-filling-curve key whose ranges are rectangles in value
+space — after range-partitioning + sorting on it, every participating
+column's per-file min/max span shrinks to ~range/2^(bits_eff), so filters on
+ANY of the columns skip row groups.  This is the standard lakehouse layout
+lever (Delta/Iceberg `OPTIMIZE ZORDER BY`) rebuilt on plain Spark + parquet.
+
+Spark-first: bucket ids come from equal-width quantization against global
+min/max (ONE tiny agg job, broadcast as literals — no per-column ranking
+window, no extra shuffle); the interleave is a pure codegen bit expression;
+the layout write is one range-repartition shuffle.  Equal-width (not
+equal-depth) quantization is the deliberate trade: it needs only min/max,
+and heavy skew — where equal-width degrades — is better handled upstream by
+partitioning on the skewed column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    key_col: str = "__zkey",
+) -> DataFrame:
+    """Adds a Morton key interleaving ``bits`` bucket bits per column.
+
+    Total key width = bits * len(cols) (must fit a long: <= 60).  Numeric
+    columns only; NULLs map to bucket 0.
+    """
+    if bits * len(cols) > 60:
+        raise ValueError("zorder_key: bits * len(cols) must be <= 60")
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    n_buckets = 1 << bits
+    bucket_exprs: list[Column] = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx == mn:  # all-NULL or constant column: bucket 0
+            bucket_exprs.append(F.lit(0).cast("long"))
+            continue
+        span = float(mx) - float(mn)
+        b = F.floor(
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            / F.lit(span)
+            * n_buckets
+        ).cast("long")
+        bucket_exprs.append(
+            F.coalesce(F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)),
+                       F.lit(0))
+        )
+    # interleave: output bit (j*k + i) = bit j of column i's bucket
+    k = len(cols)
+    key = F.lit(0).cast("long")
+    for i, b in enumerate(bucket_exprs):
+        for j in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(b, j).bitwiseAND(F.lit(1)), j * k + i
+            )
+    return df.withColumn(key_col, key)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` parquet clustered on the Z-curve of ``cols``: range
+    partition on the Morton key (one shuffle), sort within partitions, drop
+    the key.  Readers filtering on any of ``cols`` then skip files/row
+    groups via parquet min/max stats."""
+    n = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    keyed = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -126,3 +126,56 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_shrinks_per_file_span_on_both_columns(spark, tmp_path):
+    """The point of Z-ordering: after the layout write, EVERY clustered
+    column's per-file min/max span is a small fraction of its full range
+    (a plain x-sort leaves y spanning ~the full range in every file), so
+    parquet stats prune filters on either column."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from exstream_implementation_spark.operators.zorder import write_zordered
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.hash("id") % 10_000).cast("double").alias("x"),
+        (F.hash(F.col("id") + 1) % 10_000).cast("double").alias("y"),
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, ["x", "y"], bits=8, num_files=16)
+
+    def mean_span(path, col):
+        spans, full_min, full_max = [], None, None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmn = fmx = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fmn = s.min if fmn is None else min(fmn, s.min)
+                        fmx = s.max if fmx is None else max(fmx, s.max)
+            if fmn is None:
+                continue
+            spans.append(fmx - fmn)
+            full_min = fmn if full_min is None else min(full_min, fmn)
+            full_max = fmx if full_max is None else max(full_max, fmx)
+        return (sum(spans) / len(spans)) / (full_max - full_min)
+
+    # plain x-sorted baseline: y stats are useless (span ≈ full range)
+    spath = str(tmp_path / "xsorted")
+    df.repartitionByRange(16, F.col("x")).sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(spath)
+    assert mean_span(spath, "x") < 0.2          # leading col clusters...
+    assert mean_span(spath, "y") > 0.8          # ...the other does not
+
+    # z-ordered: BOTH columns cluster (16 files over an 8-bit 2-D curve:
+    # each file covers ~1/16 of the curve → expected per-axis span ~1/4)
+    assert mean_span(zpath, "x") < 0.5
+    assert mean_span(zpath, "y") < 0.5
