@@ -36,9 +36,21 @@ def zorder_key(
     """
     if bits * len(cols) > 60:
         raise ValueError("zorder_key: bits * len(cols) must be <= 60")
+
+    # non-finite values (NaN/±Inf — common in metric features) must be
+    # nulled BEFORE anything else: NaN would be the F.max (it sorts
+    # greatest), poisoning every bucket's span, and floor(NaN).cast(long)
+    # throws under Spark 4's default ANSI mode.  Nulled rows land in
+    # bucket 0 like NULLs.
+    inf = F.lit(float("inf"))
+
+    def finite(c):
+        cd = F.col(c).cast("double")
+        return F.when(~F.isnan(cd) & (F.abs(cd) != inf), cd)
+
     stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
+        *[F.min(finite(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(finite(c)).alias(f"mx_{c}") for c in cols],
     ).first()
     n_buckets = 1 << bits
     bucket_exprs: list[Column] = []
@@ -49,9 +61,7 @@ def zorder_key(
             continue
         span = float(mx) - float(mn)
         b = F.floor(
-            (F.col(c).cast("double") - F.lit(float(mn)))
-            / F.lit(span)
-            * n_buckets
+            (finite(c) - F.lit(float(mn))) / F.lit(span) * n_buckets
         ).cast("long")
         bucket_exprs.append(
             F.coalesce(F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)),

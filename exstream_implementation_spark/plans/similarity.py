@@ -277,6 +277,18 @@ def ann_lsh_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )
+    return _rerank_candidates(cand, q, e)
+
+
+def _rerank_candidates(cand, q, e, k: int = 5):
+    """Exact-cosine re-rank — the shared tail of every bucketed ANN path
+    (LSH multiprobe, stride IVF, trained IVF): candidates join back to the
+    broadcast query vectors (bounded by N_QUERIES) and the corpus
+    embeddings, score exact cosine, keep the top-k per query.  One
+    definition so the output contract (rounding, tie-break, k) cannot
+    silently diverge between paths."""
+    from pyspark.sql import Window
+
     nb = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb")
     )
@@ -294,7 +306,7 @@ def ann_lsh_topk(spark, sf_dir):
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
@@ -469,26 +481,7 @@ def ann_ivf_topk(spark, sf_dir, nprobe: int | None = None):
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    nb = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb")
-    )
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(nb, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.expr(_cosine_expr("qemb", "nemb")), 5).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rerank_candidates(cand, q, e)
 
 
 # --- trained-centroid IVF: the production upgrade of the stride index -------
@@ -542,26 +535,7 @@ def ann_ivf_trained_topk(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    nb = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb")
-    )
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(nb, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.expr(_cosine_expr("qemb", "nemb")), 5).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rerank_candidates(cand, q, e)
 
 
 # --- catalog suite: both bucketed ANN strategies (LSH multiprobe + IVF-flat)

@@ -536,17 +536,27 @@ def text_repetition(spark, sf_dir):
 # whole-stage codegen, zero Python, linear at 100 TB.  API + pytest (the
 # catalog is at the driver's 50-entry budget; the transform composes from the
 # same oracle-proven regexp machinery as text_pii_redact).
+# &amp; must decode LAST: decoding it first turns a double-escaped entity
+# ("&amp;lt;", which displays as "&lt;") into "&lt;" and then a second rule
+# corrupts it to "<" — silent damage to any page quoting escaped markup.
 _HTML_ENTITIES = [
-    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&lt;", "<"), ("&gt;", ">"),
     ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+    ("&amp;", "&"),
 ]
 
 
 def strip_html(df, text_col: str = "text"):
-    """Remove script/style blocks, all tags, and decode common entities;
-    collapses runs of spaces/tabs (newlines survive for line filtering)."""
+    """Remove comments, script/style blocks, all tags, and decode common
+    entities; collapses runs of spaces/tabs (newlines survive for line
+    filtering).  Known limit: an attribute VALUE containing a literal '>'
+    truncates that one tag early (full HTML parsing needs a real parser —
+    out of scope for a regexp scrub)."""
     out = F.col(text_col)
-    # (?s): dot matches newlines so multi-line blocks drop whole
+    # (?s): dot matches newlines so multi-line blocks drop whole.  Comments
+    # go FIRST — '<!-- nav > home -->' would otherwise leak ' home -->' past
+    # the generic tag pass.
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
     out = F.regexp_replace(out, r"(?is)<script[^>]*>.*?</script>", " ")
     out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")

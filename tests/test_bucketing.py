@@ -179,3 +179,20 @@ def test_zorder_layout_shrinks_per_file_span_on_both_columns(spark, tmp_path):
     # each file covers ~1/16 of the curve → expected per-axis span ~1/4)
     assert mean_span(zpath, "x") < 0.5
     assert mean_span(zpath, "y") < 0.5
+
+
+def test_zorder_tolerates_nan_inf_null(spark, tmp_path):
+    """Non-finite metric values must not poison the span (NaN is F.max) or
+    crash the ANSI long cast; they land in bucket 0 like NULLs."""
+    from pyspark.sql import functions as F
+
+    from exstream_implementation_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 100.0), (3, float("nan")), (4, float("inf")), (5, None)],
+        "id int, x double",
+    ).withColumn("y", F.col("id").cast("double"))
+    out = {r["id"]: r["__zkey"] for r in zorder_key(df, ["x", "y"], bits=4).collect()}
+    assert len(out) == 5
+    # finite rows still spread across buckets: min-x row < max-x row keys
+    assert out[1] < out[2]

@@ -273,3 +273,21 @@ def test_clean_web_text_composes(spark):
     # the whole scrub must stay JVM-side: no Python eval nodes in the plan
     plan = clean_web_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_strip_html_double_escaped_entities_and_comments(spark):
+    """&amp; decodes LAST (a double-escaped '&amp;lt;' displays as '&lt;'
+    and must not corrupt to '<'); HTML comments — including ones containing
+    '>' — strip whole."""
+    from exstream_implementation_spark.plans.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "Use &amp;lt; for a literal less-than."),
+            (2, "<!-- nav menu > home -->Real sentence here."),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
+    assert got[1] == "Use &lt; for a literal less-than."
+    assert got[2] == "Real sentence here."
