@@ -591,3 +591,61 @@ def test_semantic_dedup_matches_brute_force_mirror(spark):
         }
         assert got == want, f"target_cell={target_cell}"
         assert want, "fixture produced no prunes — threshold too high to test"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: the union+carry-forward as-of join must agree with pandas
+    merge_asof(direction='backward') on randomized keyed series — including
+    equal-timestamp matches, left rows before any right row, and keys
+    present on only one side.  (The catalog oracle pins fixed data; this
+    pins the SEMANTICS as data varies.)"""
+    import numpy as np
+    import pandas as pd
+
+    import pytest
+
+    from exstream_implementation_spark.operators.asof import asof_join_backward
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        n_l, n_r = int(rng.integers(20, 120)), int(rng.integers(5, 80))
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n_l),
+                "lts": rng.integers(0, 500, n_l),
+                "lval": rng.normal(size=n_l).round(3),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, 6, n_r),  # key 5 only on the right
+                "rts": rng.integers(0, 500, n_r),
+                "payload": rng.normal(size=n_r).round(3),
+            }
+        )
+        # merge_asof is undefined across duplicate (k, rts): collapse to the
+        # LAST row per (k, rts), matching the operator's documented tiebreak
+        right = right.sort_values(["k", "rts"]).groupby(["k", "rts"], as_index=False).last()
+
+        ldf = spark.createDataFrame(left.assign(row=np.arange(n_l)))
+        rdf = spark.createDataFrame(right)
+        got = {
+            r["row"]: r["asof_payload"]
+            for r in asof_join_backward(
+                ldf, rdf, by="k", left_ts="lts", right_ts="rts",
+                payload_cols=["payload"],
+            ).collect()
+        }
+
+        want_df = pd.merge_asof(
+            left.assign(row=np.arange(n_l)).sort_values("lts"),
+            right.rename(columns={"rts": "lts"}).sort_values("lts"),
+            on="lts", by="k", direction="backward",
+        )
+        want = dict(zip(want_df["row"], want_df["payload"]))
+        for row in range(n_l):
+            g, w = got.get(row), want.get(row)
+            if w is None or (isinstance(w, float) and np.isnan(w)):
+                assert g is None, (trial, row, g)
+            else:
+                assert g == pytest.approx(w), (trial, row, g, w)
