@@ -58,25 +58,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    # full pipeline (instability uses seeded Bernoulli sampling — not
-    # SQL-reproducible, so this entry is rows-only checked by design).  The
-    # explanation array projects through array_join: the harness
-    # canonicalizer cannot sort/hash array cells.
-    def _flagship_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = _flagship(spark, sf_dir)
-        return out.withColumn(
-            "explanation", F.array_join(F.col("explanation").cast("array<int>"), ",")
-        )
-
-    # the driver checks queries in dict order under a bounded budget — keep
-    # the flagship right behind the exstream family, not at the tail
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, fn in QUERIES.items():
-        out[name] = wrap(fn)
-        if name == "exstream_slice_counts":
-            out["exstream_explain"] = _flagship_entry
-    out.setdefault("exstream_explain", _flagship_entry)
-    return out
+    # the full pipeline (instability included) is a registry query since
+    # round 7: plans.exstream_sql.exstream_explain runs the sampler in its
+    # md5-portable oracle mode, so the catalog entry is hash-gated.  The
+    # xxhash64 production path stays as _flagship (bench / entry / smoke).
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -28,6 +28,18 @@ def stable_round_sql(expr: str, n: int = 6) -> str:
     return f"round(({expr}) + 1e-9, {n})"
 
 
+def md5_hex_threshold(frac: float) -> str:
+    """Lexicographic cutoff for a 6-hex-digit md5 prefix: fixed-width
+    lowercase hex compares like the number it encodes, and 'g' sorts above
+    every hex digit, so frac >= 1.0 keeps everything.  md5 hex is
+    bit-identical between Spark and DuckDB, which makes hash-Bernoulli
+    sampling oracle-reproducible (used by sample_mix and the flagship's
+    instability sampler)."""
+    if frac >= 1.0:
+        return "g"
+    return format(int(frac * 16**6), "06x")
+
+
 def round_half_up(v: float, n: int = 6) -> float:
     """Driver-side twin of Spark's ``F.round``: HALF_UP on the shortest
     decimal representation of the double (Java BigDecimal.valueOf ≡ Python

@@ -46,6 +46,14 @@ def kmeans_train(
 
     Init: the k lowest vec_ids (deterministic).  Returns (centroids DataFrame
     ``(cell, cemb array<double>)``, per-iteration inertia history).
+
+    Empty cells SHRINK k: a cell that attracts no vectors in an assignment
+    round has no mean and is dropped by the update's groupBy, so the returned
+    centroid count can be < k (standard Lloyd behavior without a re-seeding
+    heuristic — deterministic here, where re-seeding would need an RNG).  The
+    effective count is ``centroids.count()``; callers gating recall on "k
+    cells probed" (e.g. ann_ivf_trained_topk) should read the real k from the
+    returned frame, not assume the requested one.
     """
     centroids = (
         vecs.orderBy("vec_id")

@@ -50,6 +50,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from exstream_implementation_spark.operators.ranking import global_lag
+
 
 def worst_case_labels(
     melted: DataFrame,

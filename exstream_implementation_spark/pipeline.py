@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from exstream_implementation_spark.cache import tracked_persist
+from exstream_implementation_spark.canon import md5_hex_threshold
 from exstream_implementation_spark.operators.correlation import (
     correlated_features_filter,
 )
@@ -63,6 +64,11 @@ class ExplainConfig:
     # round rewards to N decimals before ranking/leap (cross-engine float
     # determinism boundary); None = full precision
     reward_round: int | None = None
+    # instability-sample selector: 'xxhash64' (production — one 64-bit JVM
+    # hash per row) or 'md5' (bit-identical across engines, so the sampled
+    # runs — and therefore the instability metric — are oracle-reproducible
+    # in DuckDB; same trade as plans.dedup.sample_mix)
+    sample_method: str = "xxhash64"
 
 
 def _explanations_for(melted: DataFrame, cfg: ExplainConfig, keys=("ano_key",)) -> DataFrame:
@@ -95,20 +101,34 @@ def explain_anomalies(
     # equivalent to the reference's pandas sample(frac) (FIXTURES §4:
     # instability is only statistically comparable across engines).
     n_runs = cfg.instability_runs
-    keep_threshold = int(cfg.sample_fraction * 1_000_000)
-    all_runs = sliced.select(
-        F.col("*"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_runs))).alias("run_id"),
-    ).filter(
-        (F.col("run_id") == 0)
-        | (
+    if cfg.sample_method == "xxhash64":
+        keep = (
             F.pmod(
                 F.xxhash64("ano_key", "timestamp", F.col("run_id") + F.lit(cfg.seed)),
                 F.lit(1_000_000),
             )
-            < F.lit(keep_threshold)
+            < F.lit(int(cfg.sample_fraction * 1_000_000))
         )
-    )
+    elif cfg.sample_method == "md5":
+        # first 6 md5 hex chars of "ano_key:timestamp:(run+seed)" compared to
+        # the fixed-width hex cutoff — md5 hex is bit-identical in DuckDB
+        # (md5(x || ':' || CAST(bucket AS VARCHAR) || ...)), making every
+        # sampled run reproducible by the oracle SQL
+        keep = F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", "ano_key", "timestamp", F.col("run_id") + F.lit(cfg.seed)
+                )
+            ),
+            1,
+            6,
+        ) < F.lit(md5_hex_threshold(cfg.sample_fraction))
+    else:
+        raise ValueError(f"unknown sample_method {cfg.sample_method!r}")
+    all_runs = sliced.select(
+        F.col("*"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_runs))).alias("run_id"),
+    ).filter((F.col("run_id") == 0) | keep)
 
     # C2 per run (the reference re-clusters on each sample): driver loop over
     # tiny d×d matrices; skipped entirely when cluster=False.

@@ -894,13 +894,9 @@ def corpus_decontaminate(spark, sf_dir):
 # web ×0.3) applied as a deterministic hash Bernoulli — reproducible across
 # runs and executors with NO RNG, expressible as a single filter that fuses
 # into the scan (no shuffle, no sort, trivially restartable).
-def _md5_hex_threshold(frac: float) -> str:
-    """Lexicographic cutoff for a 6-hex-digit md5 prefix: fixed-width
-    lowercase hex compares like the number it encodes, and 'g' sorts above
-    every hex digit, so frac >= 1.0 keeps everything."""
-    if frac >= 1.0:
-        return "g"
-    return format(int(frac * 16**6), "06x")
+from exstream_implementation_spark.canon import (  # noqa: E402
+    md5_hex_threshold as _md5_hex_threshold,
+)
 
 
 def sample_mix(

@@ -570,6 +570,189 @@ def exstream_explain_det(spark, sf_dir):
     )
 
 
+# --- FLAGSHIP (full, C9 included): the same pipeline WITH the instability
+#     metric, hash-gated.  The sampler's md5 oracle mode (pipeline.py
+#     sample_method='md5') makes every Bernoulli run a pure function of
+#     (ano_key, bucket, run, seed) that DuckDB reproduces bit-for-bit, so the
+#     frequency-entropy instability (reference script_1.py:187-254) is
+#     checkable end to end — runs 1..5 re-execute the whole rewards→leap→
+#     assembly chain per (run_id, ano_key) in both engines. ------------------
+_INST_RUNS = 5
+_INST_SEED = 42
+_INST_FRACTION = 0.8
+
+from exstream_implementation_spark.canon import (  # noqa: E402
+    md5_hex_threshold,
+    stable_round,
+)
+
+_FLAGSHIP_INST_DUCK = f"""
+WITH {_FULL_TRACE_DUCK},
+  runs AS (SELECT unnest(generate_series(0, {_INST_RUNS})) AS run_id),
+  sampled AS (
+    -- run 0 = main (unsampled); runs 1..k keep each wide row via the first
+    -- 6 md5 hex chars of "ano_key:bucket:(run+seed)" — the exact predicate
+    -- the engine's md5 sample_method evaluates per sliced row
+    SELECT m.*, r.run_id
+    FROM melted m CROSS JOIN runs r
+    WHERE r.run_id = 0
+       OR substr(md5(m.ano_key || ':' || CAST(m.bucket AS VARCHAR)
+                     || ':' || CAST(r.run_id + {_INST_SEED} AS VARCHAR)),
+                 1, 6) < '{md5_hex_threshold(_INST_FRACTION)}'
+  ),
+  valid AS (
+    -- (run, anomaly) groups that lost an entire class to sampling are
+    -- dropped (pipeline.py 'valid' broadcast join)
+    SELECT run_id, ano_key FROM sampled
+    GROUP BY run_id, ano_key
+    HAVING min(type_data) = 0 AND max(type_data) = 1
+  ),
+  vmelted AS (SELECT s.* FROM sampled s JOIN valid USING (run_id, ano_key)),
+  seq AS (
+    SELECT run_id, ano_key, ano_id, feature, feature_order, value,
+           type_data AS label, bucket,
+           row_number() OVER (PARTITION BY run_id, ano_key, feature, value
+                              ORDER BY type_data, bucket) AS r
+    FROM vmelted
+  ),
+  flagged AS (
+    SELECT *, CASE WHEN lag(label) OVER (PARTITION BY run_id, ano_key, feature
+                                         ORDER BY value, r)
+                   IS DISTINCT FROM label THEN 1 ELSE 0 END AS boundary
+    FROM seq
+  ),
+  segmented AS (
+    SELECT *, sum(boundary) OVER (PARTITION BY run_id, ano_key, feature
+                                  ORDER BY value, r
+                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+    FROM flagged
+  ),
+  segs AS (
+    SELECT run_id, ano_key, ano_id, feature, feature_order, seg_id,
+           count(*) AS seg_len
+    FROM segmented
+    GROUP BY run_id, ano_key, ano_id, feature, feature_order, seg_id
+  ),
+  seg_tot AS (
+    SELECT run_id, ano_key, feature, sum(seg_len) AS n_total,
+           max(seg_id) AS max_seg
+    FROM segs GROUP BY run_id, ano_key, feature
+  ),
+  seg_ent AS (
+    SELECT s.run_id, s.ano_key, s.ano_id, s.feature, s.feature_order,
+           sum(CASE WHEN s.seg_id < t.max_seg
+                    THEN (s.seg_len::DOUBLE / t.n_total)
+                         * ln(t.n_total::DOUBLE / s.seg_len)
+                    ELSE 0.0 END) AS se
+    FROM segs s JOIN seg_tot t USING (run_id, ano_key, feature)
+    GROUP BY s.run_id, s.ano_key, s.ano_id, s.feature, s.feature_order
+  ),
+  cls AS (
+    SELECT run_id, ano_key, feature,
+           count(CASE WHEN type_data = 0 THEN 1 END)::DOUBLE AS n_ref,
+           count(CASE WHEN type_data = 1 THEN 1 END)::DOUBLE AS n_ano
+    FROM vmelted GROUP BY run_id, ano_key, feature
+  ),
+  cls_ent AS (
+    SELECT run_id, ano_key, feature,
+           (n_ano / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ano)
+         + (n_ref / (n_ref + n_ano)) * log2((n_ref + n_ano) / n_ref) AS ce
+    FROM cls WHERE n_ref > 0 AND n_ano > 0
+  ),
+  rewards AS (
+    SELECT s.run_id, s.ano_key, s.ano_id, s.feature, s.feature_order,
+           round(c.ce / s.se, 6) AS reward
+    FROM seg_ent s JOIN cls_ent c USING (run_id, ano_key, feature)
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY run_id, ano_key
+                                 ORDER BY reward DESC, feature_order) AS rank
+    FROM rewards
+  ),
+  leaps AS (
+    SELECT *, lag(reward) OVER (PARTITION BY run_id, ano_key ORDER BY rank)
+                AS prev_reward
+    FROM ranked
+  ),
+  stats AS (
+    SELECT run_id, ano_key, max(prev_reward - reward) AS max_leap,
+           count(*) AS n_features
+    FROM leaps GROUP BY run_id, ano_key
+  ),
+  cut AS (
+    SELECT l.run_id, l.ano_key, min(l.rank) AS cut_rank
+    FROM leaps l JOIN stats s USING (run_id, ano_key)
+    WHERE (l.prev_reward - l.reward) = s.max_leap AND l.prev_reward <> 0
+    GROUP BY l.run_id, l.ano_key
+  ),
+  kept AS (
+    SELECT l.* FROM leaps l
+    JOIN stats s USING (run_id, ano_key)
+    LEFT JOIN cut c USING (run_id, ano_key)
+    WHERE s.n_features <= 1 OR c.cut_rank IS NULL OR l.rank < c.cut_rank
+  ),
+  main AS (
+    SELECT ano_key, ano_id,
+           string_agg(feature_order::VARCHAR, ',' ORDER BY rank) AS explanation,
+           count(*) AS exp_size
+    FROM kept WHERE run_id = 0 GROUP BY ano_key, ano_id
+  ),
+  freq AS (
+    SELECT ano_key, feature, count(*) AS c
+    FROM kept WHERE run_id > 0 GROUP BY ano_key, feature
+  ),
+  inst AS (
+    -- H = log2(T) - (Σ c·log2 c)/T (reference script_1.py:187-205), nudged
+    -- +1e-9 before round (canon.stable_round) to dodge half-boundary
+    -- disagreement between the engines' rounding modes
+    SELECT ano_key,
+           round((log2(sum(c)) - sum(c * log2(c)) / sum(c)) + 1e-9, 6)
+             AS exp_instability
+    FROM freq GROUP BY ano_key
+  )
+SELECT 'events' AS trace_id, m.ano_id, m.ano_key, m.explanation, m.exp_size,
+       i.exp_instability
+FROM main m LEFT JOIN inst i USING (ano_key)
+"""
+
+
+@query("exstream_explain", oracle=_FLAGSHIP_INST_DUCK)
+def exstream_explain(spark, sf_dir):
+    """Flagship pipeline WITH the instability metric (C9) — hash-gated end to
+    end.  sample_method='md5' swaps the production xxhash64 Bernoulli for the
+    md5-portable selector (canon.md5_hex_threshold) so DuckDB reproduces the
+    five sampled runs exactly; reward_round=6 is the usual cross-engine float
+    boundary.  The production entry (__spark_entry__._flagship / bench) keeps
+    xxhash64 — one JVM hash per row instead of an md5 string fold."""
+    from exstream_implementation_spark.pipeline import (
+        ExplainConfig,
+        explain_anomalies,
+    )
+
+    trace, labels = _two_anomaly_setup(spark, sf_dir)
+    out = explain_anomalies(
+        trace,
+        labels,
+        ExplainConfig(
+            instability_runs=_INST_RUNS,
+            sample_fraction=_INST_FRACTION,
+            seed=_INST_SEED,
+            reward_round=6,
+            sample_method="md5",
+        ),
+    )
+    return out.select(
+        "trace_id",
+        "ano_id",
+        "ano_key",
+        F.array_join(F.col("explanation").cast("array<int>"), ",").alias(
+            "explanation"
+        ),
+        F.col("exp_size").cast("long").alias("exp_size"),
+        stable_round(F.col("exp_instability"), 6).alias("exp_instability"),
+    )
+
+
 # --- C3: z-normalized subsequence distance profile (the MASS/FFT math inside
 #     operators/fp_filter.py) vs a naive O(n·m) SQL evaluation.  Pattern = an
 #     anomaly's reference slice, series = pooled references (quirk Q4); the

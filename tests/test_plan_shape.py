@@ -490,9 +490,12 @@ def test_plan_audit_markers_and_rules(spark):
     (joins, exchanges, pushdown) and both hard rules — the bounded-BNLJ
     allowlist and the aggregate-merge SinglePartition recognizer — on three
     cheap queries whose plan shapes the suite already guards."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools")
+    )
     try:
         from plan_audit import BNLJ_ALLOW, _explain, _markers
     finally:

@@ -32,6 +32,10 @@ import time
 
 BASE = "/root/testdata/sf0.1"
 SCALE_ROOT = "/root/repo/.scale"
+# bump whenever build_scaled's replication logic changes — stale replicas
+# (built by an older version) are detected via the _SUCCESS fingerprint and
+# rebuilt instead of silently reused
+BUILD_VERSION = "v2"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -74,13 +78,21 @@ def build_scaled(spark, n: int) -> str:
 
     out = f"{SCALE_ROOT}/x{n}"
     done = f"{out}/_SUCCESS"
+    # the sentinel records the replication logic's version + params: a replica
+    # built by an OLDER build_scaled is rebuilt, not silently reused (the
+    # determinism claim only holds while this function is unchanged)
+    fingerprint = f"{BUILD_VERSION}:n={n}:base={BASE}"
     if os.path.isdir(out):
-        # deterministic build — a COMPLETE existing replica is identical to
-        # what a rebuild would produce; reuse unless explicitly disabled.
-        # The sentinel guards against reusing a partial replica from an
-        # interrupted build (which would time queries against missing data).
+        # deterministic build — a COMPLETE existing replica with a MATCHING
+        # fingerprint is identical to what a rebuild would produce; reuse
+        # unless explicitly disabled.  A missing/partial sentinel (interrupted
+        # build) or a stale fingerprint forces the rebuild.
+        stamp = None
+        if os.path.exists(done):
+            with open(done) as fh:
+                stamp = fh.read().strip()
         if (
-            os.path.exists(done)
+            stamp == fingerprint
             and os.environ.get("SPARK_GRAFT_SMOKE_REBUILD") != "1"
         ):
             return out
@@ -166,7 +178,7 @@ def build_scaled(spark, n: int) -> str:
         scaled = rep if scaled is None else scaled.unionByName(rep)
     scaled.write.parquet(f"{out}/lineitem.parquet")
     with open(f"{out}/_SUCCESS", "w") as fh:
-        fh.write("")
+        fh.write(fingerprint)
     return out
 
 
