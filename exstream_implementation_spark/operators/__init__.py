@@ -27,8 +27,12 @@ from exstream_implementation_spark.operators.leap import (  # noqa: F401
     reward_leap_filter,
 )
 from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
+    attach_image_payload,
     attach_payload,
-    extract_features,
+    decode_image,
+    encode_bmp,
+    image_stats,
+    resize_image,
     sample_frames,
 )
 from exstream_implementation_spark.operators.ranking import (  # noqa: F401
@@ -37,6 +41,7 @@ from exstream_implementation_spark.operators.ranking import (  # noqa: F401
 )
 from exstream_implementation_spark.operators.rewards import (  # noqa: F401
     segmentation_entropy,
+    segmentation_entropy_stitched,
     single_feature_rewards,
     worst_case_labels,
 )

@@ -6,23 +6,26 @@ extension for 100 TB training-data work: treat image/audio/video as opaque
 Arrow-batched ``mapInPandas`` so each Python worker touches one partition's
 batches, never the driver.
 
-The actual media codecs are NOT available in this container, so
-``decode_image`` raises NotImplementedError by design; ``fake_features``
-is a deterministic md5-derived stand-in with the same Spark-side contract
-(schema, batching, partitioning) so the plumbing is fully testable — and,
-because it is hash-derived, even oracle-checkable in SQL
-(plans.multimodal.mm_fake_features).
+Image decode is REAL for BMP: a pure-numpy 24-bit BMP reader/writer needs no
+system codec, so ``attach_image_payload`` generates genuine BMP blobs
+(deterministic synthetic pixels) and ``image_stats`` decodes the actual
+bytes and computes per-channel pixel statistics — the full ingest → decode →
+feature path runs on real image data.  Formats that DO need a system codec
+(JPEG/PNG/video/audio) still raise NotImplementedError honestly; the pixel
+synth is an exact integer formula so the stats stay oracle-checkable in SQL
+(plans.multimodal).
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-
-FEATURE_DIM = 4
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -33,55 +36,147 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real media decode — requires PIL/libvips/ffmpeg, absent here."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "swap in PIL.Image.open / torchaudio.load on a real cluster"
+# --- real BMP codec (pure numpy/struct — no system codec needed) -------------
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit bottom-up BMP (BITMAPINFOHEADER), rows
+    zero-padded to 4-byte multiples per the spec."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
+    body = bytearray()
+    zeros = b"\x00" * pad
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        body += arr[y, :, ::-1].tobytes() + zeros  # BGR byte order
+    return header + info + bytes(body)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload → (h, w, 3) uint8 RGB.
+
+    Real decode for uncompressed 24-bit BMP (bottom-up or top-down) — pure
+    numpy, no system codec.  Every other container (JPEG/PNG/...) needs a
+    codec library absent from this environment and raises NotImplementedError
+    (swap in PIL.Image.open on a real cluster)."""
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP decodes without a system codec; "
+            "swap in PIL.Image.open / libvips for JPEG/PNG on a real cluster"
+        )
+    off = struct.unpack_from("<I", payload, 10)[0]
+    _hdr, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP variant unsupported without a codec (bpp={bpp}, "
+            f"compression={compression}); only uncompressed 24-bit decodes"
+        )
+    top_down, h = h < 0, abs(h)
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    rows = [
+        np.frombuffer(payload, np.uint8, count=w * 3, offset=off + i * stride)
+        .reshape(w, 3)[:, ::-1]  # BGR → RGB
+        for i in range(h)
+    ]
+    img = np.stack(rows)
+    return img if top_down else img[::-1].copy()
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize — decode + PIL.Image.resize on a real cluster."""
-    raise NotImplementedError("media codecs absent; see decode_image")
+    """Nearest-neighbor resize of a decodable payload, re-encoded as BMP —
+    pure numpy (real interpolation libraries would do bilinear/Lanczos)."""
+    img = decode_image(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_bmp(np.ascontiguousarray(img[ys][:, xs]))
 
 
 def sample_video_frames(payload: bytes, fps: float) -> list:
     """Real frame sampling — ffmpeg/pyav on a real cluster."""
-    raise NotImplementedError("media codecs absent; see decode_image")
+    raise NotImplementedError("video codecs absent; see decode_image")
 
 
-def _fake_feature(payload: bytes, k: int) -> float:
-    """Deterministic stand-in feature: md5(md5(payload) + '_k') scaled to
-    [0, 1). Mirrors the SQL formula in plans.multimodal exactly."""
-    inner = hashlib.md5(payload).hexdigest()
-    h = hashlib.md5(f"{inner}_{k}".encode()).hexdigest()
-    return (int(h[:8], 16) % 100000) / 100000.0
+# synthetic image geometry: width deliberately NOT a multiple of 4 so every
+# encoded row carries real BMP padding the decoder must honor
+IMG_W, IMG_H = 7, 5
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+def synth_pixels(doc_id: int, w: int = IMG_W, h: int = IMG_H) -> np.ndarray:
+    """Deterministic pixel field p(c,y,x) = ((id%256)·7 + 11c + 13y + 17x)
+    mod 256 — an exact integer formula DuckDB reproduces verbatim, so stats
+    computed from the DECODED bytes are oracle-checkable."""
+    c = np.arange(3)[None, None, :]
+    y = np.arange(h)[:, None, None]
+    x = np.arange(w)[None, :, None]
+    return (
+        ((int(doc_id) % 256) * 7 + 11 * c + 13 * y + 17 * x) % 256
+    ).astype(np.uint8)
 
-    mapInPandas: each batch is decoded (here: faked) vectorized in the
-    worker; output is (id, n_bytes, f0..f3). On a real cluster this is where
-    resize / frame-sample / mel-spectrogram would run.
-    """
+
+def attach_image_payload(
+    df: DataFrame, id_col: str = "doc_id", w: int = IMG_W, h: int = IMG_H
+) -> DataFrame:
+    """REAL BMP payloads: each row gets a genuine 24-bit BMP blob of its
+    synthetic pixel field (Arrow-batched pandas UDF — bytes are built in the
+    workers, never the driver)."""
+
+    @F.pandas_udf("binary")
+    def bmp(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_bmp(synth_pixels(i, w, h)))
+
+    out = df.withColumn("payload", bmp(F.col(id_col)))
+    return out.withColumn("n_bytes", F.length("payload"))
+
+
+def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each payload (REAL BMP parse) and emit per-channel pixel mean
+    and std — the canonical image feature-extraction shape, Arrow-batched via
+    mapInPandas.
+
+    Float determinism contract with the SQL oracle: mean = S1/n and
+    std = sqrt(max(S2/n − (S1/n)², 0)) over EXACT integer sums S1, S2 — every
+    operation is a single correctly-rounded IEEE op, so numpy and DuckDB
+    (avg(p), sqrt(greatest(avg(p·p) − avg(p)·avg(p), 0))) agree bitwise."""
     schema = (
-        f"{id_col} long, n_bytes int, "
-        + ", ".join(f"f{k} double" for k in range(FEATURE_DIM))
+        f"{id_col} long, width int, height int, channel int, "
+        "px_mean double, px_std double"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {
-                id_col: pdf[id_col],
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
-            }
-            for k in range(FEATURE_DIM):
-                out[f"f{k}"] = pdf["payload"].map(
-                    lambda p, k=k: _fake_feature(bytes(p), k)
-                )
-            yield pd.DataFrame(out)
+            ids, ws, hs, cs, means, stds = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                img = decode_image(bytes(payload)).astype(np.int64)
+                h, w, _ = img.shape
+                n = float(h * w)
+                for c in range(3):
+                    ch = img[:, :, c]
+                    m = float(ch.sum()) / n
+                    var = float((ch * ch).sum()) / n - m * m
+                    ids.append(did)
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(c)
+                    means.append(m)
+                    stds.append(math.sqrt(max(var, 0.0)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channel": pd.Series(cs, dtype="int32"),
+                    "px_mean": pd.Series(means, dtype="float64"),
+                    "px_std": pd.Series(stds, dtype="float64"),
+                }
+            )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema)
 

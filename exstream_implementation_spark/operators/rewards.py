@@ -134,13 +134,110 @@ def segmentation_entropy(
     )
 
 
+def segmentation_entropy_stitched(
+    melted: DataFrame,
+    duplicate_mode: str = "sorted",
+    keys: tuple[str, ...] = ("ano_key",),
+) -> DataFrame:
+    """Distributed twin of ``segmentation_entropy`` — same output, no
+    per-(key, feature) single-partition window.
+
+    The window form serializes each feature's full row set into ONE task
+    (rewards path parallelism floor — fine for hourly-bucketed traces where
+    groups are O(buckets), fatal for a raw 1 Hz trace with a year-long
+    interval: ~31M rows in one sort).  This form range-partitions the GLOBAL
+    sort order (*keys, feature, value, …) and stitches partition boundaries
+    with ``operators.ranking.global_lag`` (O(#partitions) boundary rows, never
+    O(rows)), so a single huge group spreads across all executors:
+
+      1. global stitched lag of (group, label) over the segmentation order →
+         boundary flags exactly as the window's ``lag`` would emit them;
+      2. segment lengths WITHOUT a cumulative seg_id: a segment spans from
+         its boundary row's global rn to the next boundary's rn (second
+         stitched lag over boundary rows only, descending order → lead);
+         the group's last segment ends at the group's max rn + 1;
+      3. the same Σ (len/N)·ln(N/len) fold excluding the final segment
+         (quirk Q2), now over the segs relation.
+
+    ``sorted`` mode orders by (value, type_data, timestamp) — equivalent to
+    the window form's (value, r) since r is row_number over (type_data,
+    timestamp) within equal values, and equal-key ties carry equal labels so
+    boundary flags are tie-order invariant.  ``worst_case`` mode needs the
+    within-duplicate position r for its closed-form labels; that window is
+    keyed by (…, feature, value) — per-VALUE groups, already fine-grained.
+    """
+    if duplicate_mode == "sorted":
+        labeled = melted.withColumn("label", F.col("type_data"))
+        order_tail = [F.col("value"), F.col("type_data"), F.col("timestamp")]
+    else:
+        labeled = worst_case_labels(melted, duplicate_mode, keys)
+        order_tail = [F.col("value"), F.col("r")]
+    group = [*keys, "feature"]
+    order = [*[F.col(c) for c in group], *order_tail]
+
+    tagged = labeled.withColumn("__gl", F.struct(*group, "label"))
+    lagged = global_lag(tagged, order, "__gl", rn_col="__rn", lag_col="__prev")
+    same_group = F.lit(True)
+    for c in group:
+        same_group = same_group & (F.col("__prev")[c] == F.col(c))
+    boundary = (
+        F.col("__prev").isNull()
+        | ~same_group
+        | (F.col("__prev")["label"] != F.col("label"))
+    )
+    flagged = lagged.withColumn("__b", boundary)
+
+    gstats = flagged.groupBy(*group).agg(
+        F.max("__rn").alias("__gmax"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.first("feature_order").alias("feature_order"),
+    )
+    bnds = flagged.filter("__b").select(*group, "__rn")
+    # lead(rn) within group via a DESCENDING stitched lag over boundary rows
+    bnds = bnds.withColumn("__gr", F.struct(*group, "__rn"))
+    nxt = global_lag(
+        bnds,
+        [*[F.col(c).desc() for c in group], F.col("__rn").desc()],
+        "__gr",
+        rn_col="__brn",
+        lag_col="__nxt",
+    )
+    same_next = F.lit(True)
+    for c in group:
+        same_next = same_next & (F.col("__nxt")[c] == F.col(c))
+    segs = (
+        nxt.join(gstats, group)
+        .withColumn(
+            "__seg_end",
+            F.when(
+                F.col("__nxt").isNotNull() & same_next, F.col("__nxt")["__rn"]
+            ).otherwise(F.col("__gmax") + 1),
+        )
+        .withColumn("seg_len", F.col("__seg_end") - F.col("__rn"))
+        .withColumn("__is_last", F.col("__seg_end") == F.col("__gmax") + 1)
+    )
+    p = F.col("seg_len") / F.col("n_total")
+    term = F.when(~F.col("__is_last"), p * F.log(1.0 / p)).otherwise(F.lit(0.0))
+    return segs.groupBy(*group).agg(
+        F.sum(term).alias("seg_ent"),
+        F.first("feature_order").alias("feature_order"),
+    )
+
+
 def single_feature_rewards(
     melted: DataFrame,
     duplicate_mode: str = "sorted",
     reward_round: int | None = None,
     keys: tuple[str, ...] = ("ano_key",),
+    segmentation: str = "window",
 ) -> DataFrame:
     """C7 — reward(f) = class_ent / seg_ent per (ano_key, feature), ranked.
+
+    ``segmentation='window'`` (default) sorts each (key, feature) group in
+    one window partition — lowest overhead when groups are O(trace buckets).
+    ``'stitched'`` routes through ``segmentation_entropy_stitched`` — same
+    result, range-partitioned + boundary-stitched, for raw high-frequency
+    traces where a single group would serialize into one task.
 
     Class entropy (C4) is computed per (ano_key, feature) from the same long
     table — identical for every feature of a key, but grouping on the same
@@ -155,7 +252,14 @@ def single_feature_rewards(
     cross-engine determinism boundary (float summation order differs between
     engines, and the downstream leap filter compares rewards for equality).
     """
-    seg = segmentation_entropy(worst_case_labels(melted, duplicate_mode, keys), keys)
+    if segmentation == "stitched":
+        seg = segmentation_entropy_stitched(melted, duplicate_mode, keys)
+    elif segmentation == "window":
+        seg = segmentation_entropy(
+            worst_case_labels(melted, duplicate_mode, keys), keys
+        )
+    else:
+        raise ValueError(f"unknown segmentation {segmentation!r}")
     cls = melted.groupBy(*keys, "feature").agg(
         F.count(F.when(F.col("type_data") == 0, 1)).alias("n_ref"),
         F.count(F.when(F.col("type_data") == 1, 1)).alias("n_ano"),

@@ -31,8 +31,8 @@ def zorder_key(
 ) -> DataFrame:
     """Adds a Morton key interleaving ``bits`` bucket bits per column.
 
-    Total key width = bits * len(cols) (must fit a long: <= 60).  Numeric
-    columns only; NULLs map to bucket 0.
+    Total key width = bits * len(cols) (must fit a long: <= 60).  Numeric,
+    timestamp[_ntz] and date columns; NULLs map to bucket 0.
     """
     if bits * len(cols) > 60:
         raise ValueError("zorder_key: bits * len(cols) must be <= 60")
@@ -43,9 +43,19 @@ def zorder_key(
     # throws under Spark 4's default ANSI mode.  Nulled rows land in
     # bucket 0 like NULLs.
     inf = F.lit(float("inf"))
+    dtypes = dict(df.dtypes)
 
     def finite(c):
-        cd = F.col(c).cast("double")
+        dt = dtypes[c]
+        if dt.startswith("timestamp"):
+            # ANSI forbids timestamp->double; micros-since-epoch is the
+            # monotonic numeric twin (ntz reads in the session tz — any
+            # fixed interpretation works, the curve only needs an order)
+            cd = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        elif dt == "date":
+            cd = F.unix_date(F.col(c)).cast("double")
+        else:
+            cd = F.col(c).cast("double")
         return F.when(~F.isnan(cd) & (F.abs(cd) != inf), cd)
 
     stats = df.agg(

@@ -69,6 +69,12 @@ class ExplainConfig:
     # runs — and therefore the instability metric — are oracle-reproducible
     # in DuckDB; same trade as plans.dedup.sample_mix)
     sample_method: str = "xxhash64"
+    # 'window' = per-(key, feature) window sort (lowest overhead; groups are
+    # O(trace buckets) on bucketed traces); 'stitched' = range-partitioned
+    # boundary-stitched segmentation (operators.rewards.
+    # segmentation_entropy_stitched) for raw high-frequency traces where one
+    # (anomaly, feature) group would serialize into a single task
+    segmentation: str = "window"
 
 
 def _explanations_for(melted: DataFrame, cfg: ExplainConfig, keys=("ano_key",)) -> DataFrame:
@@ -76,7 +82,11 @@ def _explanations_for(melted: DataFrame, cfg: ExplainConfig, keys=("ano_key",)) 
     the operators take the composite key natively, so the six instability runs
     ride the same shuffles as the main run."""
     rewards = single_feature_rewards(
-        melted, cfg.duplicate_mode, cfg.reward_round, keys=keys
+        melted,
+        cfg.duplicate_mode,
+        cfg.reward_round,
+        keys=keys,
+        segmentation=cfg.segmentation,
     )
     kept = reward_leap_filter(rewards, keys=keys)
     return assemble_explanations(kept, keys=keys)

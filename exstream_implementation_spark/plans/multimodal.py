@@ -1,9 +1,14 @@
-"""Multimodal-column queries: binary payload metadata and the mapInPandas
-feature-extraction path, oracle-checked against SQL reimplementations of the
-same md5-derived math (see operators.multimodal for the scale rationale).
+"""Multimodal-column queries: binary payload metadata, REAL BMP decode +
+pixel statistics, and the 1→N frame-sampling path, oracle-checked against SQL
+reimplementations of the same math (see operators.multimodal).
 
-Catalog slot: ``multimodal_suite`` unions the three branches (payload
-metadata, Arrow-batched feature extraction, 1→N frame sampling) canonicalized
+The feature branch is real since round 7: each document gets a genuine
+24-bit BMP blob (padding and all), the worker DECODES the actual bytes, and
+the per-channel mean/std come from the decoded pixels — the oracle recomputes
+them from the synthetic pixel formula, so a codec bug (row order, BGR swap,
+stride padding) breaks the hash.
+
+Catalog slot: ``multimodal_suite`` unions the three branches canonicalized
 to one schema under one oracle — same evidence as three slots, one
 driver-budget entry.  The per-branch functions stay as the package API.
 """
@@ -13,10 +18,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.operators.multimodal import (
+    attach_image_payload,
     attach_payload,
-    extract_features,
+    image_stats,
     sample_frames,
-    FEATURE_DIM,
+    IMG_H,
+    IMG_W,
     N_FRAMES,
 )
 from exstream_implementation_spark.plans.registry import query
@@ -33,10 +40,10 @@ def mm_binary_meta(spark, sf_dir):
     )
 
 
-# --- mapInPandas feature extraction vs SQL oracle ----------------------------
-def mm_fake_features(spark, sf_dir):
-    d = attach_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features(d)
+# --- real BMP decode → per-channel pixel stats vs SQL oracle -----------------
+def mm_image_features(spark, sf_dir):
+    d = attach_image_payload(load_table(spark, sf_dir, "documents"))
+    return image_stats(d)
 
 
 # --- frame sampling: 1 row in → N_FRAMES rows out through mapInPandas --------
@@ -71,12 +78,28 @@ _FRAMES_DUCK = f"""
     FROM documents GROUP BY source
     UNION ALL
     SELECT 'feat' AS branch,
-           doc_id::VARCHAR || ':' || k.range::VARCHAR AS key,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n,
-           (('0x' || substr(md5(md5(text) || '_' || k.range::VARCHAR), 1, 8))::BIGINT
-             % 100000) / 100000.0 AS v,
+           doc_id::VARCHAR || ':' || c || ':' || stat AS key,
+           {IMG_W * IMG_H}::BIGINT AS n,
+           round(v + 1e-9, 6) AS v,
            '' AS h
-    FROM documents, range({FEATURE_DIM}) k
+    FROM (
+      WITH pix AS (
+        SELECT doc_id, c.range AS c,
+               ((doc_id % 256) * 7 + 11 * c.range + 13 * y.range
+                 + 17 * x.range) % 256 AS p
+        FROM documents, range(3) c, range({IMG_H}) y, range({IMG_W}) x
+      ),
+      chan AS (
+        -- float contract shared with operators.multimodal.image_stats:
+        -- exact integer sums, then single correctly-rounded IEEE ops
+        SELECT doc_id, c, avg(p) AS m,
+               sqrt(greatest(avg(p * p) - avg(p) * avg(p), 0)) AS s
+        FROM pix GROUP BY doc_id, c
+      )
+      SELECT doc_id, c, 'mean' AS stat, m AS v FROM chan
+      UNION ALL
+      SELECT doc_id, c, 'std', s FROM chan
+    )
     UNION ALL
     SELECT 'frame' AS branch,
            doc_id::VARCHAR || ':' || frame_idx::VARCHAR AS key,
@@ -94,21 +117,21 @@ def multimodal_suite(spark, sf_dir):
         F.col("n_docs").cast("double").alias("v"),
         F.col("min_hash").alias("h"),
     )
-    stack_args = ", ".join(f"'{k}', f{k}" for k in range(FEATURE_DIM))
     feat = (
-        mm_fake_features(spark, sf_dir)
+        mm_image_features(spark, sf_dir)
         .select(
             "doc_id",
-            "n_bytes",
-            F.expr(f"stack({FEATURE_DIM}, {stack_args}) as (k, fval)"),
+            "channel",
+            (F.col("width") * F.col("height")).cast("long").alias("n"),
+            F.expr("stack(2, 'mean', px_mean, 'std', px_std) as (stat, fval)"),
         )
         .select(
             F.lit("feat").alias("branch"),
-            F.concat(
-                F.col("doc_id").cast("string"), F.lit(":"), F.col("k")
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), "channel", "stat"
             ).alias("key"),
-            F.col("n_bytes").cast("long").alias("n"),
-            F.col("fval").alias("v"),
+            "n",
+            F.round(F.col("fval") + F.lit(1e-9), 6).alias("v"),
             F.lit("").alias("h"),
         )
     )

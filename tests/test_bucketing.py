@@ -181,6 +181,54 @@ def test_zorder_layout_shrinks_per_file_span_on_both_columns(spark, tmp_path):
     assert mean_span(zpath, "y") < 0.5
 
 
+def test_zorder_prunes_row_groups_on_second_column(spark, tmp_path):
+    """End-to-end pruning claim, not just stat-span shrinkage: under a range
+    filter on the SECOND clustered column, the parquet reader must skip row
+    groups — visible as the scan node materializing far fewer rows than the
+    plain leading-column sort, whose every row group spans y's full range.
+
+    (numFiles stays equal on both layouts: Spark lists all files and skips at
+    ROW-GROUP granularity via the pushed min/max filter, so the honest metric
+    is the scan's numOutputRows.)"""
+    from pyspark.sql import functions as F
+
+    from exstream_implementation_spark.operators.zorder import write_zordered
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.hash("id") % 10_000).cast("double").alias("x"),
+        (F.hash(F.col("id") + 1) % 10_000).cast("double").alias("y"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "xsorted")
+    write_zordered(df, zpath, ["x", "y"], bits=8, num_files=16)
+    df.repartitionByRange(16, F.col("x")).sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(spath)
+
+    def scan_stats(path):
+        r = spark.read.parquet(path).filter(
+            (F.col("y") >= 100) & (F.col("y") <= 200)
+        )
+        out_rows = r.count()
+        r2 = spark.read.parquet(path).filter(
+            (F.col("y") >= 100) & (F.col("y") <= 200)
+        )
+        r2.collect()
+        plan = r2._jdf.queryExecution().executedPlan()
+        leaf = plan.collectLeaves().apply(0)
+        assert "FileSourceScanExec" in leaf.getClass().getName()
+        # the y-range predicate must actually reach parquet
+        assert "PushedFilters: [" in leaf.toString()
+        assert "y" in leaf.toString().split("PushedFilters")[1][:120]
+        return out_rows, leaf.metrics().apply("numOutputRows").value()
+
+    z_rows, z_scanned = scan_stats(zpath)
+    s_rows, s_scanned = scan_stats(spath)
+    assert z_rows == s_rows > 0           # same answer from both layouts
+    assert s_scanned == n                 # baseline: nothing skipped
+    assert z_scanned < n * 0.5            # z-order: >half the row groups skipped
+
+
 def test_zorder_tolerates_nan_inf_null(spark, tmp_path):
     """Non-finite metric values must not poison the span (NaN is F.max) or
     crash the ANSI long cast; they land in bucket 0 like NULLs."""

@@ -1,0 +1,86 @@
+"""Real-BMP multimodal path: codec roundtrip, honest failure on formats that
+need a system codec, and the Spark decode→stats pipeline against locally
+computed pixel statistics."""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from exstream_implementation_spark.operators.multimodal import (
+    IMG_H,
+    IMG_W,
+    attach_image_payload,
+    decode_image,
+    encode_bmp,
+    image_stats,
+    resize_image,
+    synth_pixels,
+)
+
+
+@pytest.mark.parametrize("w,h", [(7, 5), (8, 8), (1, 1), (5, 2), (13, 3)])
+def test_bmp_roundtrip(w, h):
+    rng = np.random.default_rng(w * 100 + h)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_image(encode_bmp(img))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, img)
+
+
+def test_bmp_topdown_decode():
+    # same pixels, negative height + rows in top-down order — decoders must
+    # honor the sign convention
+    img = synth_pixels(3, w=6, h=4)
+    bottom_up = encode_bmp(img)
+    h, w = 4, 6
+    off = 54
+    stride = w * 3  # 18 bytes; pad (4 - 18 % 4) % 4 = 2
+    stride += (4 - stride % 4) % 4
+    body = bytearray(bottom_up[off:])
+    flipped = bytearray()
+    for i in range(h - 1, -1, -1):
+        flipped += body[i * stride : (i + 1) * stride]
+    td = bytearray(bottom_up[:off]) + flipped
+    struct.pack_into("<i", td, 22, -h)  # biHeight < 0 = top-down
+    assert np.array_equal(decode_image(bytes(td)), img)
+
+
+def test_non_bmp_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    # 8-bit BMP variant: honest refusal, not silent garbage
+    img = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    bad = bytearray(img)
+    struct.pack_into("<H", bad, 28, 8)
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad))
+
+
+def test_resize_nearest_neighbor():
+    img = synth_pixels(9, w=8, h=6)
+    small = decode_image(resize_image(encode_bmp(img), 4, 3))
+    assert small.shape == (3, 4, 3)
+    ys = (np.arange(3) * 6) // 3
+    xs = (np.arange(4) * 8) // 4
+    assert np.array_equal(small, img[ys][:, xs])
+
+
+def test_image_stats_matches_local(spark):
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    got = {
+        (r["doc_id"], r["channel"]): (r["px_mean"], r["px_std"], r["width"], r["height"])
+        for r in image_stats(attach_image_payload(df)).collect()
+    }
+    assert len(got) == 40 * 3
+    for did in range(40):
+        img = synth_pixels(did).astype(np.int64)
+        n = float(IMG_W * IMG_H)
+        for c in range(3):
+            ch = img[:, :, c]
+            m = float(ch.sum()) / n
+            s = math.sqrt(max(float((ch * ch).sum()) / n - m * m, 0.0))
+            gm, gs, gw, gh = got[(did, c)]
+            assert (gw, gh) == (IMG_W, IMG_H)
+            assert gm == m and gs == s  # bitwise — exact-integer contract
