@@ -23,6 +23,14 @@ This module runs the same dedup semantics as the batch catalog
                             the existing corpus without ever scanning it
                             (the index is partitioned by band value; a doc
                             probes 4 band keys)
+- ``with_minhash_signature`` the 8-lane MinHash of dedup_minhash_lsh as a
+                            PER-ROW higher-order fold (array_min over the
+                            shingle array — no explode, no groupBy), bit-
+                            identical to the batch signature
+- ``corpus_minhash_index`` / ``stream_minhash_vs_corpus``
+                            the banded-MinHash twin of the SimHash arm:
+                            2-band equi-join candidates + the 8-lane
+                            estimated-Jaccard re-check
 
 All transforms use the unified DataFrame API, so each also runs on a batch
 frame — tests assert stream availableNow == batch on the same data, and that
@@ -38,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from exstream_implementation_spark.plans.dedup import (
     _HAMMING_MAX,
     _SIMHASH_BANDS,
+    N_MINHASH,
     band_structs,
     dedup_simhash,
     with_simhash_bands,  # noqa: F401 — canonical home is plans.dedup;
@@ -102,6 +111,138 @@ def stream_exact_dedup(
     return hashed.withWatermark(
         "event_time", watermark
     ).dropDuplicatesWithinWatermark([key])
+
+
+# --- banded MinHash arm (the batch dedup_minhash_lsh semantics on a stream) --
+def with_minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """8-lane MinHash signature (h0..h7) per row — bit-identical to the batch
+    fold in plans.dedup.dedup_minhash_lsh (md5(gram)+md5('x'+gram) hex split
+    into eight 32-bit lanes, min per lane over the doc's distinct word-3-gram
+    shingles), but expressed as ``array_min(transform(...))`` higher-order
+    expressions: no explode, no groupBy, so it runs per-row on an unbounded
+    stream and, in batch, with zero shuffle.
+
+    Docs with < 3 tokens have no shingles → NULL lanes (the batch groupBy
+    emits no signature row for them; banding below skips NULL lanes so they
+    can never collide)."""
+    grams = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(__toks) < 3 THEN array() ELSE "
+            "transform(sequence(0, size(__toks) - 3),"
+            " i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2])) END"
+        )
+    )
+    out = (
+        df.withColumn("__toks", F.split(F.lower(text_col), r"\s+"))
+        .withColumn("__grams", grams)
+        .withColumn(
+            "__mh",
+            F.expr(
+                "transform(__grams, g -> concat(md5(g), md5(concat('x', g))))"
+            ),
+        )
+    )
+    for i in range(N_MINHASH):
+        out = out.withColumn(
+            f"h{i}",
+            F.expr(
+                f"array_min(transform(__mh, m ->"
+                f" cast(conv(substr(m, {1 + 8 * i}, 8), 16, 10) as bigint)))"
+            ),
+        )
+    return out.drop("__toks", "__grams", "__mh")
+
+
+def minhash_band_structs():
+    """Two 4-lane band structs (band_id, band_hash) matching the batch
+    banding; band_hash is NULL when the doc has no shingles, so the equi-join
+    can never match shingle-less docs to each other."""
+
+    def bh(lanes):
+        return F.when(
+            F.col(lanes[0]).isNotNull(), F.md5(F.concat_ws("_", *lanes))
+        )
+
+    return F.array(
+        F.struct(
+            F.lit(0).alias("band_id"),
+            bh(["h0", "h1", "h2", "h3"]).alias("band_hash"),
+        ),
+        F.struct(
+            F.lit(1).alias("band_id"),
+            bh(["h4", "h5", "h6", "h7"]).alias("band_hash"),
+        ),
+    )
+
+
+def corpus_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static banded-MinHash index over the existing corpus: one row per
+    (band_id, band_hash, corpus doc) carrying the 8 lanes for the estimated-
+    Jaccard re-check.  Built with the same per-row fold the stream side uses
+    (bit-parity with the batch groupBy fold is pytest-pinned)."""
+    from exstream_implementation_spark.sources import load_table
+
+    sig = with_minhash_signature(load_table(spark, sf_dir, "documents"))
+    return (
+        sig.select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            *[F.col(f"h{i}").alias(f"c{i}") for i in range(N_MINHASH)],
+            F.explode(minhash_band_structs()).alias("band"),
+        )
+        .filter(F.col("band.band_hash").isNotNull())
+        .select(
+            "band.band_id",
+            "band.band_hash",
+            "corpus_doc_id",
+            *[f"c{i}" for i in range(N_MINHASH)],
+        )
+    )
+
+
+def stream_minhash_vs_corpus(
+    docs: DataFrame,
+    index: DataFrame,
+    min_est_jaccard: float = 0.5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Flag arriving documents whose estimated Jaccard (lane agreement / 8)
+    against any corpus doc meets the threshold.  Candidates from the
+    (band_id, band_hash) equi-join — a doc probes 2 band keys, never the
+    corpus — then the 8-lane agreement re-check; one flag per (doc, corpus
+    doc) inside the watermark horizon."""
+    sig = with_minhash_signature(docs)
+    probes = (
+        sig.select(
+            "doc_id",
+            "event_time",
+            *[f"h{i}" for i in range(N_MINHASH)],
+            F.explode(minhash_band_structs()).alias("band"),
+        )
+        .filter(F.col("band.band_hash").isNotNull())
+        .select(
+            "doc_id", "event_time",
+            *[f"h{i}" for i in range(N_MINHASH)],
+            "band.band_id", "band.band_hash",
+        )
+    )
+    est = sum(
+        F.when(F.col(f"h{i}") == F.col(f"c{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    flagged = (
+        probes.join(index, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") != F.col("corpus_doc_id"))
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("doc_id", "event_time", "corpus_doc_id", "est_jaccard")
+    )
+    if flagged.isStreaming:
+        flagged = flagged.withWatermark(
+            "event_time", watermark
+        ).dropDuplicatesWithinWatermark(["doc_id", "corpus_doc_id"])
+    else:
+        flagged = flagged.dropDuplicates(["doc_id", "corpus_doc_id"])
+    return flagged
 
 
 def corpus_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:

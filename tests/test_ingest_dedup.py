@@ -219,3 +219,160 @@ def test_stream_neardup_flags_match_batch(spark, tmp_path):
     # the novel doc matches nothing
     assert not any(d == 9000 for d, _, _ in got_s)
     corpus.unpersist()
+
+
+# --- banded MinHash arm ------------------------------------------------------
+def test_perrow_minhash_matches_batch_fold(spark):
+    """with_minhash_signature (array_min fold, shuffle-free) must reproduce
+    the batch explode+groupBy signature of dedup_minhash_lsh bit-for-bit."""
+    from exstream_implementation_spark.plans.dedup import N_MINHASH, _doc_grams
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        with_minhash_signature,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 80)
+    got = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(N_MINHASH))
+        for r in with_minhash_signature(docs).collect()
+    }
+    grams = _doc_grams(spark, SF_DIR).filter(F.col("doc_id") < 80)
+    e = grams.select("doc_id", F.explode("grams").alias("gram"))
+    sig = (
+        e.withColumn(
+            "mh", F.concat(F.md5("gram"), F.md5(F.concat(F.lit("x"), "gram")))
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(
+                    f"min(cast(conv(substr(mh, {1 + 8 * i}, 8), 16, 10)"
+                    " as bigint))"
+                ).alias(f"h{i}")
+                for i in range(N_MINHASH)
+            ]
+        )
+    )
+    want = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(N_MINHASH))
+        for r in sig.collect()
+    }
+    # every doc with shingles matches the batch fold exactly; shingle-less
+    # docs (absent from the batch groupBy) carry NULL lanes per-row
+    assert set(want) <= set(got)
+    for did, lanes in want.items():
+        assert got[did] == lanes, did
+    for did in set(got) - set(want):
+        assert got[did] == (None,) * N_MINHASH
+
+
+def test_perrow_minhash_plan_has_no_shuffle(spark):
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        with_minhash_signature,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        with_minhash_signature(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_stream_minhash_flags_match_batch(spark, tmp_path):
+    """Banded-MinHash stream-static arm: an exact copy of a corpus doc flags
+    at est_jaccard 1.0; a novel doc does not; availableNow == batch."""
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        corpus_minhash_index,
+        stream_minhash_vs_corpus,
+    )
+
+    corpus = corpus_minhash_index(spark, SF_DIR).persist()
+    copies = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin([2, 9, 17]))
+        .withColumn("doc_id", F.col("doc_id") + 7000)
+    )
+    novel = spark.createDataFrame(
+        [
+            (
+                9100,
+                "qqz wvx unseen salad of tokens nobody shingled before xyzzy",
+                "en",
+                "syn",
+                59,
+            )
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    arriving = copies.unionByName(novel)
+    out = str(tmp_path / "arriving_mh")
+    arriving.coalesce(1).write.mode("overwrite").parquet(out)
+
+    batch_flags = stream_minhash_vs_corpus(with_event_time(arriving), corpus)
+    stream_flags = run_stream_to_memory(
+        stream_minhash_vs_corpus(
+            with_event_time(documents_stream(spark, out)), corpus
+        ),
+        "minhash_mem",
+    )
+    cols = ["doc_id", "corpus_doc_id", "est_jaccard"]
+    got_b = {tuple(r) for r in batch_flags.select(*cols).collect()}
+    got_s = {tuple(r) for r in stream_flags.select(*cols).collect()}
+    assert got_s == got_b
+    for orig in (2, 9, 17):
+        assert (orig + 7000, orig, 1.0) in got_s
+    assert not any(d == 9100 for d, _, _ in got_s)
+    corpus.unpersist()
+
+
+def test_stream_dedup_late_row_policy(spark, tmp_path):
+    """Pin the watermark policy of the exact-dedup stage (empirically
+    verified): a LATE row (event time behind the watermark) is still
+    ADMITTED when no state entry matches — dropDuplicatesWithinWatermark is
+    state-bound best-effort, and the module contract sends cross-horizon
+    re-arrivals to the periodic batch pass; duplicates whose state is still
+    live are dropped."""
+    import time as _time
+
+    d = str(tmp_path / "late_docs")
+
+    def w(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long, event_time string"
+        ).withColumn("event_time", F.to_timestamp("event_time")).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    w(
+        [
+            (1, "alpha body", "en", "s", 10, "2024-01-01 10:00:00"),
+            (2, "clock body", "en", "s", 10, "2024-01-01 20:00:00"),
+        ]
+    )
+    _time.sleep(1.5)  # distinct mtimes → deterministic file->batch order
+    w(
+        [
+            (3, "late fresh body", "en", "s", 15, "2024-01-01 10:30:00"),
+            (4, "alpha body", "en", "s", 10, "2024-01-01 20:06:00"),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = run_stream_to_memory(
+        stream_exact_dedup(stream, watermark="1 hour").select("doc_id"),
+        "late_policy_mem",
+    )
+    ids = {r["doc_id"] for r in got.collect()}
+    # batch 1 on-time rows admitted; late-but-novel doc 3 admitted (policy:
+    # state-bound, not event-time-gated); duplicate doc 4 dropped while the
+    # 'alpha body' state entry is live
+    assert ids == {1, 2, 3}

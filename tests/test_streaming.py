@@ -765,3 +765,56 @@ def test_unbounded_rate_source_explanation_latency(spark):
     _bid, row = emissions[0]
     assert row["ano_key"] == "rate_0"
     assert len(row["features"]) >= 1
+
+
+def test_session_window_drops_late_arrivals(spark, tmp_path):
+    """Late-data policy of the windowed aggregations (the DROP side, vs the
+    admit-if-novel policy of dropDuplicatesWithinWatermark pinned in
+    test_ingest_dedup): an event arriving behind the watermark belongs to a
+    session whose state is gone — it must NOT reopen or grow the session."""
+    import time as _time
+
+    d = str(tmp_path / "late_events")
+
+    def w(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_time string"
+        ).withColumn("event_time", F.to_timestamp("event_time")).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    # batch 1: user 1's session (2 events) + a clock event pushing the
+    # watermark to 12:00 (1 h delay)
+    w([(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"),
+       (2, "2024-01-01 13:00:00")])
+    _time.sleep(1.5)  # distinct mtimes → files drain in write order
+    # batch 2: only a clock — the 12:00 watermark now EVICTS + EMITS user 1's
+    # closed session (a late row merging into still-live state would be
+    # admitted; eviction must happen in an earlier batch than the late row)
+    w([(2, "2024-01-01 13:30:00")])
+    _time.sleep(1.5)
+    # batch 3: a LATE user-1 event (10:10, far behind the watermark, state
+    # evicted) + an on-time one
+    w([(1, "2024-01-01 10:10:00"), (3, "2024-01-01 13:35:00")])
+
+    stream = (
+        spark.readStream.schema("user_id long, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("event_time", "1 hour")
+    )
+    sessions = (
+        stream.groupBy(
+            F.session_window("event_time", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"), "user_id", "n_events"
+        )
+    )
+    got = run_stream_to_memory(sessions, "late_sess_mem", "append")
+    u1 = {(str(r["session_start"]), r["n_events"])
+          for r in got.filter(F.col("user_id") == 1).collect()}
+    # the closed session emitted with its ON-TIME events only — the late
+    # 10:10 event neither grew it to 3 nor opened a new 10:10 session
+    assert u1 == {("2024-01-01 10:00:00", 2)}
