@@ -674,9 +674,8 @@ def corpus_curation(spark, sf_dir):
         connected_components,
     )
 
-    stop_arr = F.array(
-        *[F.lit(w) for w in ("the", "a", "and", "of", "is", "to", "in", "on")]
-    )
+    from exstream_implementation_spark.plans.text import stop_count
+
     d = load_documents_parallel(spark, sf_dir).select(
         "doc_id", "text", F.split(F.lower("text"), r"\s+").alias("toks")
     )
@@ -685,10 +684,7 @@ def corpus_curation(spark, sf_dir):
         "text",
         "toks",
         F.size("toks").alias("n_tokens"),
-        (
-            F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
-            / F.size("toks")
-        ).alias("stop_ratio"),
+        (stop_count() / F.size("toks")).alias("stop_ratio"),
     )
     qual = d.filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio") >= 0.02))
     h = qual.select(

@@ -38,6 +38,28 @@ def _sql_list(words):
     return ", ".join(f"'{w}'" for w in words)
 
 
+# The exact character set of the Java regex class [a-z0-9\s] (\s = ASCII
+# [ \t\n\x0b\f\r]).  Removing these via translate() — a single-pass char
+# map — and measuring the remaining length counts the punctuation chars
+# 12× faster than the equivalent regexp_replace('[^a-z0-9\s]','') at the
+# 20× corpus replica (x20 micro-bench, docs/ROUND7.md): the regex engine
+# builds a stripped copy per row; translate is a branchless table lookup.
+_ALNUM_WS = "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\x0b\f\r"
+
+
+def punct_count(col="text"):
+    """Count of chars matching [^a-z0-9\\s] — translate-based fast path,
+    value-identical to the regexp formulation (the oracle keeps regexp)."""
+    return F.length(F.translate(F.col(col), _ALNUM_WS, ""))
+
+
+def stop_count(toks_col="toks", words=STOP_EN):
+    """Stop-word occurrences via an IN-list lambda — compiles to constant
+    predicates (6× faster than filtering with array_contains on a literal
+    array column, same x20 micro-bench)."""
+    return F.expr(f"size(filter({toks_col}, x -> x IN ({_sql_list(words)})))")
+
+
 # --- per-doc text metrics: token stats + quality + language-ID in ONE pass --
 # Each family used to be its own catalog entry; they are all single-pass
 # codegen projections over the same tokenized scan, so one suite query covers
@@ -83,7 +105,6 @@ _LANG_SCORES_SQL_SUITE = ",\n".join(
 )
 def text_metrics_suite(spark, sf_dir):
     d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
-    stop_arr = F.array(*[F.lit(w) for w in STOP_EN])
     for lg, ws in LEX.items():
         d = d.withColumn(
             f"s_{lg}",
@@ -98,16 +119,8 @@ def text_metrics_suite(spark, sf_dir):
         .when(F.col("s_es") >= F.col("s_zh"), "es")
         .otherwise("zh")
     )
-    stop_r = (
-        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).cast(
-            "double"
-        )
-        / F.size("toks")
-    )
-    punct_r = (
-        F.length("text")
-        - F.length(F.regexp_replace("text", r"[^a-z0-9\s]", ""))
-    ).cast("double") / F.length("text")
+    stop_r = stop_count().cast("double") / F.size("toks")
+    punct_r = punct_count().cast("double") / F.length("text")
     d = d.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
@@ -184,24 +197,14 @@ def text_bpe_tokens(spark, sf_dir):
 # --- quality scoring (covered by text_metrics_suite in the catalog) ----------
 def text_quality(spark, sf_dir):
     d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
-    stop_arr = F.array(*[F.lit(w) for w in STOP_EN])
     d = d.select(
         "doc_id",
         "lang",
         F.size("toks").alias("n_tokens"),
-        (
-            F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).cast(
-                "double"
-            )
-            / F.size("toks")
-        ).alias("stop_ratio_raw"),
-        (
-            (
-                F.length("text")
-                - F.length(F.regexp_replace("text", r"[^a-z0-9\s]", ""))
-            ).cast("double")
-            / F.length("text")
-        ).alias("punct_ratio_raw"),
+        (stop_count().cast("double") / F.size("toks")).alias("stop_ratio_raw"),
+        (punct_count().cast("double") / F.length("text")).alias(
+            "punct_ratio_raw"
+        ),
     )
     return d.select(
         "doc_id",

@@ -235,9 +235,71 @@ def _rewards_raw(segmentation):
     return q
 
 
+def _text_stage(stage):
+    """text_metrics_suite broken into its three cost components so the smoke
+    attributes the suite's CPU-bound tail (VERDICT r06 #7): 'tokenize' =
+    split + token stats, 'langid' = the 5 lexicon membership scans,
+    'quality' = stop-ratio + punctuation regexp."""
+
+    def q(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from exstream_implementation_spark.plans.text import (
+            LEX,
+            _sql_list,
+            _toks,
+        )
+        from exstream_implementation_spark.sources import (
+            load_documents_parallel,
+        )
+
+        d = load_documents_parallel(spark, sf_dir)
+        if stage == "tokenize":
+            d = d.withColumn("toks", _toks())
+            return d.select(
+                "doc_id",
+                F.size("toks").alias("n_tokens"),
+                F.size(F.array_distinct("toks")).alias("n_distinct"),
+                (
+                    F.length(F.array_join("toks", "")).cast("double")
+                    / F.size("toks")
+                ).alias("mean_tok_len"),
+            )
+        if stage == "langid":
+            d = d.withColumn("toks", _toks())
+            for lg, ws in LEX.items():
+                d = d.withColumn(
+                    f"s_{lg}",
+                    F.expr(f"size(filter(toks, x -> x IN ({_sql_list(ws)})))"),
+                )
+            return d.select("doc_id", *[f"s_{lg}" for lg in LEX])
+        if stage == "quality":
+            # production fast path (translate-based punct, IN-list stops —
+            # the round-7 fix that cut this stage 12×/6×; see plans/text.py)
+            from exstream_implementation_spark.plans.text import (
+                punct_count,
+                stop_count,
+            )
+
+            d = d.withColumn("toks", _toks())
+            return d.select(
+                "doc_id",
+                (stop_count().cast("double") / F.size("toks")).alias("stop_r"),
+                (punct_count().cast("double") / F.length("text")).alias(
+                    "punct_r"
+                ),
+            )
+        raise ValueError(stage)
+
+    return q
+
+
 SPECIAL = {
     "rewards_raw_stitched": _rewards_raw("stitched"),
     "rewards_raw_window": _rewards_raw("window"),
+    "text_stage_tokenize": _text_stage("tokenize"),
+    "text_stage_langid": _text_stage("langid"),
+    "text_stage_quality": _text_stage("quality"),
 }
 
 
