@@ -104,10 +104,24 @@ def global_lag(
         .withColumn("__lag", F.lag(value_col).over(w_local))
         .transform(tracked_persist)
     )
-    sizes = {
-        r["__pid"]: r["cnt"]
-        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    # ONE stats job fetches both the per-partition sizes and the boundary
+    # (last-row) values: max_by picks the row with the highest local rn per
+    # partition — halves the O(#partitions) driver fetches vs a sizes job
+    # followed by a boundary-row filter job
+    stats = (
+        local.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # struct-wrap: max_by must hand back the TRUE last row's value
+            # even when that value is NULL (a bare null value could be
+            # skipped by the aggregate's null handling)
+            F.max_by(
+                F.struct(F.col(value_col).alias("v")), F.col("__local_rn")
+            ).alias("last_val"),
+        )
+        .collect()
+    )
+    sizes = {r["__pid"]: r["cnt"] for r in stats}
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
@@ -119,13 +133,7 @@ def global_lag(
         )
     )
     # boundary rows: the last row of each partition (one per partition)
-    boundary = {
-        r["__pid"]: r[value_col]
-        for r in local.join(size_df, "__pid")
-        .filter(F.col("__local_rn") == F.col("__cnt"))
-        .select("__pid", value_col)
-        .collect()
-    }
+    boundary = {r["__pid"]: r["last_val"]["v"] for r in stats}
     nonempty = sorted(boundary)
     prev_rows = [
         (pid, boundary[prev_pid])
