@@ -64,13 +64,51 @@ def build_ivf_index(
         F.max(F.size("embedding")).alias("dim"),
     ).first()
     k_eff = spark.table(f"{name}_centroids").count()
+    # n_trained pins the corpus size the CENTROIDS were fit on; n_vectors
+    # advances with appends — staleness measures drift since training, not
+    # since the last append
     meta = spark.createDataFrame(
-        [(int(stats["n_vectors"]), int(k_eff), int(stats["dim"]))],
-        "n_vectors long, k int, dim int",
+        [
+            (
+                int(stats["n_vectors"]), int(stats["n_vectors"]),
+                int(k_eff), int(stats["dim"]),
+            )
+        ],
+        "n_vectors long, n_trained long, k int, dim int",
     )
     meta.write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
     return {"n_vectors": int(stats["n_vectors"]), "k_effective": int(k_eff),
             "dim": int(stats["dim"])}
+
+
+def append_to_ivf_index(
+    spark: SparkSession, name: str, new_vecs: DataFrame
+) -> int:
+    """Assign NEW vectors against the EXISTING centroids and append them to
+    the bucketed assignment table — the cheap between-retrains path (no
+    Lloyd iteration).  Returns the appended count.  ``ivf_index_is_stale``
+    keeps measuring growth against the TRAINED corpus size, so repeated
+    appends still trip the retrain threshold once centroids drift."""
+    cents = F.broadcast(spark.table(f"{name}_centroids"))
+    assign = _assign(new_vecs, cents).select("cell", "vec_id", "embedding")
+    # append through the catalog insert path: Spark routes rows of an
+    # existing bucketed table through its bucket spec, so probe joins keep
+    # reading co-located buckets
+    assign.write.mode("append").insertInto(f"{name}_assign")
+    n_new = new_vecs.count()
+    # .first() materializes the old row driver-side, so the overwrite builds
+    # from a local relation — no read-from-the-table-being-overwritten hazard
+    meta = spark.table(f"{name}_meta").first()
+    spark.createDataFrame(
+        [
+            (
+                int(meta["n_vectors"]) + int(n_new), int(meta["n_trained"]),
+                int(meta["k"]), int(meta["dim"]),
+            )
+        ],
+        "n_vectors long, n_trained long, k int, dim int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
+    return int(n_new)
 
 
 def load_ivf_index(
@@ -82,7 +120,7 @@ def load_ivf_index(
     return (
         spark.table(f"{name}_centroids"),
         spark.table(f"{name}_assign"),
-        {k: meta_row[k] for k in ("n_vectors", "k", "dim")},
+        {k: meta_row[k] for k in ("n_vectors", "n_trained", "k", "dim")},
     )
 
 
@@ -93,11 +131,13 @@ def ivf_index_is_stale(
     growth_threshold: float = 0.2,
 ) -> bool:
     """True when the corpus grew more than ``growth_threshold`` (fraction)
-    past the indexed count — trained centroids no longer reflect the data
-    distribution and recall decays; the caller should rebuild."""
-    indexed = spark.table(f"{name}_meta").first()["n_vectors"]
+    past the count the centroids were TRAINED on — trained centroids no
+    longer reflect the data distribution and recall decays; the caller
+    should rebuild.  Appends advance n_vectors but not n_trained, so
+    incremental growth still trips this check."""
+    trained = spark.table(f"{name}_meta").first()["n_trained"]
     current = vecs.count()
-    return current > indexed * (1.0 + growth_threshold)
+    return current > trained * (1.0 + growth_threshold)
 
 
 def probe_ivf_index(

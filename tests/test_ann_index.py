@@ -114,3 +114,39 @@ def test_staleness_threshold(spark, vecs, index):
     assert ivf_index_is_stale(spark, NAME, grown, growth_threshold=0.2)
     # a larger tolerance keeps the same grown corpus fresh
     assert not ivf_index_is_stale(spark, NAME, grown, growth_threshold=0.5)
+
+
+def test_append_then_probe_finds_new_vectors(spark, vecs, index):
+    """Incremental append: new vectors assigned against the EXISTING
+    centroids (no retrain) must be probe-visible, the bucketed assign table
+    grows, and staleness still measures growth since TRAINING."""
+    from exstream_implementation_spark.operators.ann_index import (
+        append_to_ivf_index,
+    )
+
+    n0 = spark.table(f"{NAME}_assign").count()
+    # clones of existing vectors under new ids — their nearest neighbor is
+    # their original at cosine 1.0, a self-verifying probe target
+    clones = vecs.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 500_000
+    )
+    appended = append_to_ivf_index(spark, NAME, clones)
+    assert appended == 5
+    assert spark.table(f"{NAME}_assign").count() == n0 + 5
+    _, _, meta = load_ivf_index(spark, NAME)
+    assert meta["n_vectors"] == meta["n_trained"] + 5
+
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    got = probe_ivf_index(spark, NAME, queries, nprobe=3, k_neighbors=5)
+    top = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in got.filter(F.col("rank") == 1).collect()
+    }
+    for q in range(5):
+        assert top[q] == (q + 500_000, 1.0), top[q]
+    # staleness is vs n_trained: 5 appends over ~500 vecs is under 20%
+    assert not ivf_index_is_stale(
+        spark, NAME, vecs.unionByName(clones), growth_threshold=0.2
+    )

@@ -84,3 +84,27 @@ def test_image_stats_matches_local(spark):
             gm, gs, gw, gh = got[(did, c)]
             assert (gw, gh) == (IMG_W, IMG_H)
             assert gm == m and gs == s  # bitwise — exact-integer contract
+
+
+def test_bmp_roundtrip_property():
+    """Hypothesis sweep: any (h, w) geometry (every padding class 0-3) and
+    any pixel content must round-trip bit-exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=17),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(img)
+        # spec invariants: declared size matches, rows padded to 4 bytes
+        declared = struct.unpack_from("<I", payload, 2)[0]
+        assert declared == len(payload)
+        assert (len(payload) - 54) == ((w * 3 + (4 - (w * 3) % 4) % 4) * h)
+        assert np.array_equal(decode_image(payload), img)
+
+    check()
