@@ -454,15 +454,18 @@ def repetition_metrics(df, text_col: str = "text"):
     docs to 0.0, so the Spark side must not propagate NULL."""
     df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     lines = F.split(F.col(text_col), r"\n")
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # materialize the token array ONCE per row: a split() spelled inline in
+    # the transform lambda is re-evaluated per ELEMENT (Catalyst does not CSE
+    # inside higher-order lambda bodies) — O(d²) string work per doc, which
+    # was this operator's 16× scale tail before round 7.  CollapseProject
+    # keeps the alias because it is referenced many times.
+    df = df.withColumn("__toks", F.split(F.lower(F.col(text_col)), r"\s+"))
     # guard < 2 tokens: sequence(0, -1) is DESCENDING ([0,-1]) and ANSI mode
     # makes the out-of-range index a hard error, not a null
     bigrams = F.expr(
-        f"CASE WHEN size(split(lower({text_col}), '\\\\s+')) < 2 "
-        f"THEN array() ELSE "
-        f"transform(sequence(0, size(split(lower({text_col}), '\\\\s+')) - 2),"
-        f" i -> concat_ws(' ', split(lower({text_col}), '\\\\s+')[i],"
-        f" split(lower({text_col}), '\\\\s+')[i+1])) END"
+        "CASE WHEN size(__toks) < 2 THEN array() ELSE "
+        "transform(sequence(0, size(__toks) - 2),"
+        " i -> concat_ws(' ', __toks[i], __toks[i+1])) END"
     )
     # modal-bigram count via sort + linear run-length fold — O(d log d) per
     # doc (a transform×filter counting scan would be O(d²) and hurt on long
@@ -489,7 +492,7 @@ def repetition_metrics(df, text_col: str = "text"):
         )
         .withColumn("__bigrams", bigrams)
         .withColumn("top_bigram_share", F.round(top_share, 6))
-        .drop("__bigrams")
+        .drop("__bigrams", "__toks")
     )
 
 
