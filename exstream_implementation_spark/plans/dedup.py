@@ -432,27 +432,35 @@ _HAMMING_MAX = _SIMHASH_BANDS - 1  # pigeonhole guarantee
 # codegen per row (measured faster even single-node) and, because it needs
 # no shuffle or state, it is also the form that runs on an unbounded stream
 # (streaming/ingest_dedup.py).
+# md5 runs in an INNER transform so it executes once per token: spelled
+# inside the struct lambda it would run twice (lo and hi) — Catalyst does
+# not CSE inside lambda bodies (same class of tail as text_repetition's
+# round-7 fix).
 _SH_HASHES = (
-    "transform(array_distinct({toks}), t -> named_struct("
-    " 'lo', cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint),"
-    " 'hi', cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint)))"
+    "transform(transform(array_distinct({toks}), t -> md5(t)),"
+    " m -> named_struct("
+    " 'lo', cast(conv(substr(m, 1, 8), 16, 10) as bigint),"
+    " 'hi', cast(conv(substr(m, 9, 8), 16, 10) as bigint)))"
 )
 
-_SH_VOTES = (
+# ONES fold, not ±1 votes: accumulating the raw bit drops a branch per
+# (token, lane) — votes[g] = 2·ones[g] − n, so "votes > 0" ⟺ "2·ones > n".
+# Together with the single-md5 stage: −18% wall on the x20 corpus,
+# bit-parity pinned by the python-oracle and DuckDB gates.
+_SH_ONES = (
     "aggregate({hs},"
     " transform(sequence(0, 63), g -> cast(0 as bigint)),"
     " (acc, h) -> zip_with(acc,"
-    "   transform(sequence(0, 63), g -> CASE WHEN"
-    "     ((CASE WHEN g < 32 THEN h.lo ELSE h.hi END) >> (g % 32)) & 1 = 1"
-    "     THEN cast(1 as bigint) ELSE cast(-1 as bigint) END),"
+    "   transform(sequence(0, 63), g ->"
+    "     ((CASE WHEN g < 32 THEN h.lo ELSE h.hi END) >> (g % 32)) & 1),"
     "   (a, d) -> a + d))"
 )
 
 
-def _band_expr(b: int, votes_col: str) -> F.Column:
+def _band_expr(b: int, ones_col: str, ntok_col: str) -> F.Column:
     return F.expr(
         f"aggregate(transform(sequence(0, 15), j -> CASE WHEN"
-        f" element_at({votes_col}, {16 * b} + j + 1) > 0"
+        f" 2 * element_at({ones_col}, {16 * b} + j + 1) > {ntok_col}"
         f" THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),"
         f" cast(0 as bigint), (acc, v) -> acc + v)"
     )
@@ -469,11 +477,11 @@ def with_simhash_bands(df, text_col: str = "text"):
     row with NULL bands and break the hash gate on a NULL-bearing corpus."""
     toks = f"split(lower({text_col}), '\\\\s+')"
     out = df.filter(F.col(text_col).isNotNull()).withColumn(
-        "_sh_votes", F.expr(_SH_VOTES.format(hs=_SH_HASHES.format(toks=toks)))
-    )
+        "_sh_ones", F.expr(_SH_ONES.format(hs=_SH_HASHES.format(toks=toks)))
+    ).withColumn("_sh_ntok", F.expr(f"size(array_distinct({toks}))"))
     for b in range(_SIMHASH_BANDS):
-        out = out.withColumn(f"b{b}", _band_expr(b, "_sh_votes"))
-    return out.drop("_sh_votes")
+        out = out.withColumn(f"b{b}", _band_expr(b, "_sh_ones", "_sh_ntok"))
+    return out.drop("_sh_ones", "_sh_ntok")
 
 
 def band_structs(prefix: str = "b") -> F.Column:
