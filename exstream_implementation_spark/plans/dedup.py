@@ -240,6 +240,82 @@ _MIN_COLS_DUCK = ",\n".join(
 )
 
 
+
+# --- per-row MinHash fold (stream-safe; also the batch catalog's signature
+#     builder — no explode, no groupBy, zero shuffle for signatures) --------
+def minhash_lanes(df, grams_col: str = "grams"):
+    """h0..h7 lane fold over an existing shingle-array column — md5 once per
+    gram in a materialized intermediate (lambda-CSE rule), then 8 array_min
+    scans.  No explode, no shuffle."""
+    out = df.withColumn(
+        "__mh",
+        F.expr(
+            f"transform({grams_col}, g -> concat(md5(g), md5(concat('x', g))))"
+        ),
+    )
+    for i in range(N_MINHASH):
+        out = out.withColumn(
+            f"h{i}",
+            F.expr(
+                f"array_min(transform(__mh, m ->"
+                f" cast(conv(substr(m, {1 + 8 * i}, 8), 16, 10) as bigint)))"
+            ),
+        )
+    return out.drop("__mh")
+
+
+def with_minhash_signature(df, text_col: str = "text"):
+    """8-lane MinHash signature (h0..h7) per row — md5(gram)+md5('x'+gram)
+    hex split into eight 32-bit lanes, min per lane over the doc's distinct
+    word-3-gram shingles, expressed as ``array_min(transform(...))``
+    higher-order expressions: no explode, no groupBy, so it runs per-row on
+    an unbounded stream (streaming/ingest_dedup.py) and, in batch, builds
+    the corpus signature table with ZERO shuffle (the explode+groupBy
+    formulation moves one pre-combined row per doc through an exchange and
+    materializes the token-wise exploded relation first).
+
+    Docs with < 3 tokens have no shingles → NULL lanes (the groupBy
+    formulation emits no signature row for them; banding skips NULL lanes so
+    they can never collide).  Intermediates are materialized columns — md5
+    once per gram, never recomputed inside a lambda (the round-7 lambda-CSE
+    rule)."""
+    grams = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(__toks) < 3 THEN array() ELSE "
+            "transform(sequence(0, size(__toks) - 3),"
+            " i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2])) END"
+        )
+    )
+    out = minhash_lanes(
+        df.withColumn("__toks", F.split(F.lower(text_col), r"\s+"))
+        .withColumn("__grams", grams),
+        grams_col="__grams",
+    )
+    return out.drop("__toks", "__grams")
+
+
+def minhash_band_structs():
+    """Two 4-lane band structs (band_id, band_hash) over h0..h7; band_hash
+    is NULL when the doc has no shingles, so the equi-join can never match
+    shingle-less docs to each other."""
+
+    def bh(lanes):
+        return F.when(
+            F.col(lanes[0]).isNotNull(), F.md5(F.concat_ws("_", *lanes))
+        )
+
+    return F.array(
+        F.struct(
+            F.lit(0).alias("band_id"),
+            bh(["h0", "h1", "h2", "h3"]).alias("band_hash"),
+        ),
+        F.struct(
+            F.lit(1).alias("band_id"),
+            bh(["h4", "h5", "h6", "h7"]).alias("band_hash"),
+        ),
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -281,20 +357,18 @@ _MIN_COLS_DUCK = ",\n".join(
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    g = _doc_grams(spark, sf_dir)
-    e = g.select("doc_id", F.explode("grams").alias("gram"))
-    # signatures feed 4 branches (2 band projections via self-join + sa/sb);
-    # persist so the md5 fold over every gram runs once, not 6×
-    sig = e.withColumn(
-        "mh", F.concat(F.md5("gram"), F.md5(F.concat(F.lit("x"), "gram")))
-    ).groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"min(cast(conv(substr(mh, {1 + 8 * i}, 8), 16, 10) as bigint))"
-            ).alias(f"h{i}")
-            for i in range(N_MINHASH)
-        ]
-    ).transform(tracked_persist)
+    # signatures via the per-row lane fold over the SESSION-SHARED cached
+    # gram table: no explode, no shuffle (the old explode+groupBy
+    # materialized the token-wise relation and moved pre-combined rows
+    # through an exchange — 2x slower measured standalone at sf0.1), and a
+    # catalog sweep still shares _doc_grams with jaccard/components.
+    # Persisted: the table feeds 4 branches (2 band projections + sa/sb).
+    sig = (
+        minhash_lanes(_doc_grams(spark, sf_dir))
+        .filter(F.col("h0").isNotNull())
+        .select("doc_id", *[f"h{i}" for i in range(N_MINHASH)])
+        .transform(tracked_persist)
+    )
     b0 = sig.select(
         "doc_id",
         F.lit(0).alias("band_id"),

@@ -49,8 +49,9 @@ from exstream_implementation_spark.plans.dedup import (
     N_MINHASH,
     band_structs,
     dedup_simhash,
-    with_simhash_bands,  # noqa: F401 — canonical home is plans.dedup;
-    # re-exported here because it is the stream-safe SimHash form
+    minhash_band_structs,  # noqa: F401 — canonical home is plans.dedup
+    with_minhash_signature,  # noqa: F401 — stream-safe per-row folds,
+    with_simhash_bands,  # noqa: F401 — shared with the batch catalog
 )
 
 DOCUMENTS_SCHEMA = (
@@ -113,68 +114,9 @@ def stream_exact_dedup(
     ).dropDuplicatesWithinWatermark([key])
 
 
-# --- banded MinHash arm (the batch dedup_minhash_lsh semantics on a stream) --
-def with_minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """8-lane MinHash signature (h0..h7) per row — bit-identical to the batch
-    fold in plans.dedup.dedup_minhash_lsh (md5(gram)+md5('x'+gram) hex split
-    into eight 32-bit lanes, min per lane over the doc's distinct word-3-gram
-    shingles), but expressed as ``array_min(transform(...))`` higher-order
-    expressions: no explode, no groupBy, so it runs per-row on an unbounded
-    stream and, in batch, with zero shuffle.
-
-    Docs with < 3 tokens have no shingles → NULL lanes (the batch groupBy
-    emits no signature row for them; banding below skips NULL lanes so they
-    can never collide)."""
-    grams = F.array_distinct(
-        F.expr(
-            "CASE WHEN size(__toks) < 3 THEN array() ELSE "
-            "transform(sequence(0, size(__toks) - 3),"
-            " i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2])) END"
-        )
-    )
-    out = (
-        df.withColumn("__toks", F.split(F.lower(text_col), r"\s+"))
-        .withColumn("__grams", grams)
-        .withColumn(
-            "__mh",
-            F.expr(
-                "transform(__grams, g -> concat(md5(g), md5(concat('x', g))))"
-            ),
-        )
-    )
-    for i in range(N_MINHASH):
-        out = out.withColumn(
-            f"h{i}",
-            F.expr(
-                f"array_min(transform(__mh, m ->"
-                f" cast(conv(substr(m, {1 + 8 * i}, 8), 16, 10) as bigint)))"
-            ),
-        )
-    return out.drop("__toks", "__grams", "__mh")
-
-
-def minhash_band_structs():
-    """Two 4-lane band structs (band_id, band_hash) matching the batch
-    banding; band_hash is NULL when the doc has no shingles, so the equi-join
-    can never match shingle-less docs to each other."""
-
-    def bh(lanes):
-        return F.when(
-            F.col(lanes[0]).isNotNull(), F.md5(F.concat_ws("_", *lanes))
-        )
-
-    return F.array(
-        F.struct(
-            F.lit(0).alias("band_id"),
-            bh(["h0", "h1", "h2", "h3"]).alias("band_hash"),
-        ),
-        F.struct(
-            F.lit(1).alias("band_id"),
-            bh(["h4", "h5", "h6", "h7"]).alias("band_hash"),
-        ),
-    )
-
-
+# --- banded MinHash arm: signature fold + band structs live in
+# plans.dedup (with_minhash_signature / minhash_band_structs — the batch
+# catalog uses the same per-row fold); re-exported via the import above.
 def corpus_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static banded-MinHash index over the existing corpus: one row per
     (band_id, band_hash, corpus doc) carrying the 8 lanes for the estimated-
