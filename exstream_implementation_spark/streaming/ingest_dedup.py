@@ -109,6 +109,11 @@ def stream_exact_dedup(
     (cross-horizon re-arrivals are caught by the periodic batch dedup_exact
     pass, which this stage exists to keep cheap, not replace)."""
     hashed = with_content_hashes(docs)
+    if not hashed.isStreaming:
+        # batch twin (unified-API replay): one survivor per key — batch has
+        # no arrival order, so the survivor is arbitrary where the stream
+        # keeps the first arrival
+        return hashed.dropDuplicates([key])
     return hashed.withWatermark(
         "event_time", watermark
     ).dropDuplicatesWithinWatermark([key])
@@ -145,7 +150,7 @@ def stream_minhash_vs_corpus(
     docs: DataFrame,
     index: DataFrame,
     min_est_jaccard: float = 0.5,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Flag arriving documents whose estimated Jaccard (lane agreement / 8)
     against any corpus doc meets the threshold.  Candidates from the
@@ -178,13 +183,19 @@ def stream_minhash_vs_corpus(
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("doc_id", "event_time", "corpus_doc_id", "est_jaccard")
     )
-    if flagged.isStreaming:
-        flagged = flagged.withWatermark(
-            "event_time", watermark
-        ).dropDuplicatesWithinWatermark(["doc_id", "corpus_doc_id"])
-    else:
-        flagged = flagged.dropDuplicates(["doc_id", "corpus_doc_id"])
-    return flagged
+    return _dedup_flags(flagged, watermark)
+
+
+def _dedup_flags(flagged: DataFrame, watermark: str | None) -> DataFrame:
+    """One flag per (doc, corpus doc).  ``watermark=None`` means the input
+    stream ALREADY carries a watermark (e.g. it came through
+    stream_exact_dedup) — Spark forbids redefining one, so only the
+    stateful dedup is applied."""
+    if not flagged.isStreaming:
+        return flagged.dropDuplicates(["doc_id", "corpus_doc_id"])
+    if watermark is not None:
+        flagged = flagged.withWatermark("event_time", watermark)
+    return flagged.dropDuplicatesWithinWatermark(["doc_id", "corpus_doc_id"])
 
 
 def corpus_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +217,7 @@ def corpus_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_neardup_vs_corpus(
     docs: DataFrame,
     index: DataFrame,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Flag arriving documents within Hamming ≤ 3 of any existing corpus doc.
 
@@ -238,10 +249,49 @@ def stream_neardup_vs_corpus(
             hamming.cast("int").alias("hamming"),
         )
     )
-    if flagged.isStreaming:
-        flagged = flagged.withWatermark(
-            "event_time", watermark
-        ).dropDuplicatesWithinWatermark(["doc_id", "corpus_doc_id"])
-    else:
-        flagged = flagged.dropDuplicates(["doc_id", "corpus_doc_id"])
-    return flagged
+    return _dedup_flags(flagged, watermark)
+
+
+def ingest_pipeline(
+    docs: DataFrame,
+    simhash_index: DataFrame | None = None,
+    minhash_index: DataFrame | None = None,
+    watermark: str = "10 minutes",
+    min_est_jaccard: float = 0.5,
+) -> dict[str, DataFrame]:
+    """The full arrival-time admission pass as ONE source, three sinks.
+
+    Returns {'admitted': ..., 'simhash_flags': ..., 'minhash_flags': ...} —
+    all derived from the same ``docs`` relation (batch or stream):
+
+      admitted        first arrival per normalized content hash within the
+                      watermark horizon (stream_exact_dedup)
+      simhash_flags   admitted docs within Hamming ≤ 3 of a corpus doc
+                      (omitted when simhash_index is None)
+      minhash_flags   admitted docs with est-Jaccard ≥ threshold vs a corpus
+                      doc (omitted when minhash_index is None)
+
+    Flags are emitted as SEPARATE streams rather than columns on the
+    admitted stream: folding "any corpus match" into one row per doc would
+    need a second stateful aggregation after the stream-static join, whereas
+    three independent sinks keep every stage single-state and append-mode —
+    the downstream curation job anti-joins the flag tables at its own cadence.
+    Each arm's batch==stream parity is pytest-pinned individually; the
+    composition adds no new state shape.
+    """
+    admitted = stream_exact_dedup(docs, watermark=watermark)
+    out = {"admitted": admitted}
+    # watermark=None: the admitted stream already carries the watermark set
+    # by stream_exact_dedup — redefining one downstream is a Spark error
+    if simhash_index is not None:
+        out["simhash_flags"] = stream_neardup_vs_corpus(
+            admitted, simhash_index, watermark=None
+        )
+    if minhash_index is not None:
+        out["minhash_flags"] = stream_minhash_vs_corpus(
+            admitted,
+            minhash_index,
+            min_est_jaccard=min_est_jaccard,
+            watermark=None,
+        )
+    return out

@@ -376,3 +376,53 @@ def test_stream_dedup_late_row_policy(spark, tmp_path):
     # state-bound, not event-time-gated); duplicate doc 4 dropped while the
     # 'alpha body' state entry is live
     assert ids == {1, 2, 3}
+
+
+def test_ingest_pipeline_composition(spark, tmp_path):
+    """The one-source/three-sink composition: admitted stream deduped, both
+    flag arms fire on a re-sent near-copy, and stream == batch on all
+    three outputs."""
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        corpus_minhash_index,
+        ingest_pipeline,
+    )
+
+    sh_idx = corpus_simhash_index(spark, SF_DIR).persist()
+    mh_idx = corpus_minhash_index(spark, SF_DIR).persist()
+    copies = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin([4, 13]))
+        .withColumn("doc_id", F.col("doc_id") + 8000)
+    )
+    novel = spark.createDataFrame(
+        [(9200, "entirely fresh zxqv words never in any corpus wvut",
+          "en", "syn", 49)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    arriving = copies.unionByName(novel)
+    out_dir = str(tmp_path / "arriving_pipeline")
+    arriving.coalesce(1).write.mode("overwrite").parquet(out_dir)
+
+    def run(docs):
+        outs = ingest_pipeline(docs, sh_idx, mh_idx)
+        res = {}
+        for name, df in outs.items():
+            if df.isStreaming:
+                res[name] = run_stream_to_memory(df, f"pipe_{name}")
+            else:
+                res[name] = df
+        return res
+
+    batch = run(with_event_time(arriving))
+    stream = run(with_event_time(documents_stream(spark, out_dir)))
+    assert {r["doc_id"] for r in stream["admitted"].select("doc_id").collect()} \
+        == {r["doc_id"] for r in batch["admitted"].select("doc_id").collect()} \
+        == {8004, 8013, 9200}
+    for arm, key in (("simhash_flags", "hamming"), ("minhash_flags", "est_jaccard")):
+        s = {(r["doc_id"], r["corpus_doc_id"]) for r in stream[arm].collect()}
+        b = {(r["doc_id"], r["corpus_doc_id"]) for r in batch[arm].collect()}
+        assert s == b
+        assert (8004, 4) in s and (8013, 13) in s
+        assert not any(d == 9200 for d, _ in s)
+    sh_idx.unpersist()
+    mh_idx.unpersist()
