@@ -177,9 +177,12 @@ def segmentation_entropy_stitched(
 
     tagged = labeled.withColumn("__gl", F.struct(*group, "label"))
     lagged = global_lag(tagged, order, "__gl", rn_col="__rn", lag_col="__prev")
+    # eqNullSafe: a NULL group key must compare as "same group", not poison
+    # the boundary flag into NULL (melted traces never carry NULL keys, but
+    # the operator is public API)
     same_group = F.lit(True)
     for c in group:
-        same_group = same_group & (F.col("__prev")[c] == F.col(c))
+        same_group = same_group & F.col("__prev")[c].eqNullSafe(F.col(c))
     boundary = (
         F.col("__prev").isNull()
         | ~same_group
@@ -204,7 +207,7 @@ def segmentation_entropy_stitched(
     )
     same_next = F.lit(True)
     for c in group:
-        same_next = same_next & (F.col("__nxt")[c] == F.col(c))
+        same_next = same_next & F.col("__nxt")[c].eqNullSafe(F.col(c))
     segs = (
         nxt.join(gstats, group)
         .withColumn(
