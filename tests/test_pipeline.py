@@ -289,3 +289,25 @@ def test_config_metric_summary_matches_pandas(spark, tmp_path):
     }
     for name in got:
         assert from_sinks[name]["mean_exp_size"] == got[name]["mean_exp_size"]
+
+
+def test_explain_config_rejects_bad_modes(spark):
+    import pytest as _pytest
+
+    from exstream_implementation_spark.pipeline import (
+        ExplainConfig,
+        explain_anomalies,
+    )
+    from exstream_implementation_spark.plans.exstream_sql import (
+        _two_anomaly_setup,
+    )
+
+    trace, labels = _two_anomaly_setup(spark, "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError, match="sample_method"):
+        explain_anomalies(
+            trace, labels, ExplainConfig(sample_method="sha1")
+        )
+    with _pytest.raises(ValueError, match="segmentation"):
+        explain_anomalies(
+            trace, labels, ExplainConfig(segmentation="bogus")
+        ).collect()

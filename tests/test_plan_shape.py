@@ -513,3 +513,28 @@ def test_plan_audit_markers_and_rules(spark):
     assert m["sp_unbounded"] == 0
     m = _markers(_explain(QUERIES["agg_stats_suite"](spark, SF_DIR)))
     assert m["sp_unbounded"] == 0 and m["cartesian"] == 0
+
+
+def test_global_lag_null_at_partition_boundary(spark):
+    """A NULL as a partition's LAST value must stitch into the next
+    partition's first-row lag as NULL (the max_by single-job stats fetch
+    struct-wraps the value so an aggregate's null handling cannot skip the
+    true last row)."""
+    from pyspark.sql import Window
+
+    from exstream_implementation_spark.operators.ranking import global_lag
+
+    # nulls blanket every plausible range boundary for 4 partitions of 0..39
+    null_ks = {9, 10, 11, 19, 20, 21, 29, 30, 31}
+    rows = [(k, None if k in null_ks else float(k)) for k in range(40)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    got = {
+        r["k"]: r["prev"]
+        for r in global_lag(df, [F.asc("k")], "v", num_partitions=4).collect()
+    }
+    w = Window.orderBy("k")
+    want = {
+        r["k"]: r["prev"]
+        for r in df.select("k", F.lag("v").over(w).alias("prev")).collect()
+    }
+    assert got == want
