@@ -818,14 +818,31 @@ def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
         )
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = F.expr(_cosine_expr("emb_a", "emb_b"))
+    # re-rank cost discipline, both bit-identical to the inline form:
+    #   * per-VECTOR norms (one sqrt-fold per vector, joined in) instead of
+    #     per-PAIR — the pair side folds only the dot;
+    #   * cosine materialized as a column BEFORE the filter — spelled in both
+    #     Filter and Project it would evaluate twice per candidate (operator-
+    #     level subexpression elimination does not cross the two nodes).
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.expr(_NORM.format(a="embedding")).alias("norm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.expr(_NORM.format(a="embedding")).alias("norm_b"),
+    )
+    cos = F.expr(_DOT.format(a="emb_a", b="emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .filter(cos >= min_cosine)
-        .select("vec_a", "vec_b", F.round(cos, 5).alias("cosine"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= min_cosine)
+        .select("vec_a", "vec_b", F.round("__cos", 5).alias("cosine"))
     )
 
 
