@@ -880,17 +880,24 @@ def semantic_dedup(
     assign = _ivf_assign_spark(
         spark, sf_dir, stride=target_cell
     ).transform(session_persist)
+    # norms hoisted per VECTOR (bit-identical to folding them per pair —
+    # same expression over the same data, just evaluated once): the cell
+    # self-join's pair volume dominates, so each pair folds only the dot
     a = assign.select(
         F.col("cell"),
         F.col("vec_id").alias("keep_cand"),
         F.col("embedding").alias("emb_a"),
+        F.expr(_NORM.format(a="embedding")).alias("norm_a"),
     )
     b = assign.select(
         F.col("cell"),
         F.col("vec_id").alias("vec_id"),
         F.col("embedding").alias("emb_b"),
+        F.expr(_NORM.format(a="embedding")).alias("norm_b"),
     )
-    cos = F.expr(_cosine_expr("emb_a", "emb_b"))
+    cos = F.expr(_DOT.format(a="emb_a", b="emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("keep_cand") < F.col("vec_id"))
