@@ -26,6 +26,13 @@ from exstream_implementation_spark.operators.leap import (  # noqa: F401
     assemble_explanations,
     reward_leap_filter,
 )
+from exstream_implementation_spark.operators.ann_index import (  # noqa: F401
+    append_to_ivf_index,
+    build_ivf_index,
+    ivf_index_is_stale,
+    load_ivf_index,
+    probe_ivf_index,
+)
 from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
     attach_image_payload,
     attach_payload,

@@ -36,10 +36,14 @@ from exstream_implementation_spark.streaming.online_scorer import (
     start_online_reward_scorer,
 )
 from exstream_implementation_spark.streaming.ingest_dedup import (
+    corpus_minhash_index,
     corpus_simhash_index,
     documents_stream,
+    ingest_pipeline,
     stream_exact_dedup,
+    stream_minhash_vs_corpus,
     stream_neardup_vs_corpus,
+    with_minhash_signature,
     with_simhash_bands,
 )
 from exstream_implementation_spark.streaming.unbounded import (
@@ -65,4 +69,8 @@ __all__ = [
     "stream_neardup_vs_corpus",
     "corpus_simhash_index",
     "with_simhash_bands",
+    "corpus_minhash_index",
+    "stream_minhash_vs_corpus",
+    "with_minhash_signature",
+    "ingest_pipeline",
 ]
