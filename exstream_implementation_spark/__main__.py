@@ -39,6 +39,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-distance", type=float, default=40.0)
     ap.add_argument("--instability-runs", type=int, default=5)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--sample-method", choices=["xxhash64", "md5"], default="xxhash64",
+        help="instability sampler: xxhash64 (production) or md5 "
+        "(engine-reproducible, for oracle cross-checks)",
+    )
+    ap.add_argument(
+        "--segmentation", choices=["window", "stitched"], default="window",
+        help="segmentation engine: window (bucketed traces) or stitched "
+        "(raw high-frequency traces — no single-task group sort)",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -80,6 +90,8 @@ def main(argv: list[str] | None = None) -> int:
         max_distance=args.max_distance,
         instability_runs=args.instability_runs,
         seed=args.seed,
+        sample_method=args.sample_method,
+        segmentation=args.segmentation,
     )
     out = run_config_grid(traces, labels, args.out_dir, fmt=args.fmt, base=cfg)
     for name, df in out.items():
