@@ -155,6 +155,12 @@ def _buckets_spark(spark, sf_dir):
             ).alias("w"),
         )
     )
+    # NOTE (round 7): folding all planes of a table into one nested
+    # aggregate-inside-aggregate row was tried and MEASURED SLOWER (~25% at
+    # the 20× replica) than this flat plane-major form — deeply nested
+    # higher-order lambdas lose whole-stage codegen, while the flat
+    # (vector × table × plane) projection plus a map-side-combined groupBy
+    # stays compiled.  Keep the flat form.
     proj = e.crossJoin(F.broadcast(weights)).select(
         "vec_id",
         "tbl",
@@ -165,7 +171,7 @@ def _buckets_spark(spark, sf_dir):
         ).alias("dot"),
     )
     # both the candidate side and the query/probe side read this — persist so
-    # the 16-plane projection fold runs once per session
+    # the projection fold runs once per session
     return (
         proj.groupBy("vec_id", "tbl")
         .agg(
@@ -789,32 +795,43 @@ def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = _buckets_spark(spark, sf_dir)
     bands = buckets.select("vec_id", "tbl", "bucket")
-    # each vector probes its own bucket + Hamming-1 neighbors in every table
+    # PAIR generation needs only UPWARD Hamming-1 probes (flip a 0-bit to 1):
+    # for an unordered pair differing in exactly bit k, the side holding 0 at
+    # k probes the other's bucket — one detection per pair is enough, so the
+    # symmetric ±flip probing evaluated every 1-bit pair twice for no
+    # coverage gain (equal-bucket pairs meet through the own-bucket probe).
+    # Halves the probe/join volume; the candidate SET is provably identical
+    # (pinned by test_upward_probe_candidates_match_symmetric).  The vec_id
+    # order cannot live in the join anymore — the probing side is chosen by
+    # bucket bits, not id — so pairs canonicalize to (least, greatest) after.
+    planes = _active_planes(spark, sf_dir)
     probes = bands.select(
         "vec_id",
         "tbl",
         F.explode(
-            F.array_distinct(
-                F.array(
-                    F.col("bucket"),
-                    *[
-                        F.expr(f"cast(bucket ^ {1 << b} as long)")
-                        for b in range(_active_planes(spark, sf_dir))
-                    ],
-                )
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.expr(
+                        f"CASE WHEN bucket & {1 << b} = 0"
+                        f" THEN cast(bucket | {1 << b} as long) END"
+                    )
+                    for b in range(planes)
+                ],
             )
         ).alias("pbucket"),
-    )
+    ).filter(F.col("pbucket").isNotNull())
     cand = (
         probes.alias("a")
         .join(
             bands.alias("b"),
             (F.col("b.tbl") == F.col("a.tbl"))
             & (F.col("b.bucket") == F.col("a.pbucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
         )
         .distinct()
     )

@@ -649,3 +649,77 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 assert g is None, (trial, row, g)
             else:
                 assert g == pytest.approx(w), (trial, row, g, w)
+
+
+def test_upward_probe_candidates_match_symmetric(spark):
+    """The upward-flip (0→1) Hamming-1 probe must produce EXACTLY the
+    candidate pair set of the symmetric ±flip probing: for a pair differing
+    in bit k, the side holding 0 at k probes the other; equal-bucket pairs
+    meet through the own-bucket probe."""
+    from exstream_implementation_spark.plans.similarity import (
+        _active_planes,
+        _buckets_spark,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    bands = _buckets_spark(spark, sf_dir).select("vec_id", "tbl", "bucket")
+    planes = _active_planes(spark, sf_dir)
+
+    sym_probes = bands.select(
+        "vec_id",
+        "tbl",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.expr(f"cast(bucket ^ {1 << b} as long)")
+                        for b in range(planes)
+                    ],
+                )
+            )
+        ).alias("pbucket"),
+    )
+    sym = (
+        sym_probes.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("b.tbl") == F.col("a.tbl"))
+            & (F.col("b.bucket") == F.col("a.pbucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select("a.vec_id", "b.vec_id")
+    )
+    want = {(r[0], r[1]) for r in sym.distinct().collect()}
+
+    up_probes = bands.select(
+        "vec_id",
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.expr(
+                        f"CASE WHEN bucket & {1 << b} = 0"
+                        f" THEN cast(bucket | {1 << b} as long) END"
+                    )
+                    for b in range(planes)
+                ],
+            )
+        ).alias("pbucket"),
+    ).filter(F.col("pbucket").isNotNull())
+    up = (
+        up_probes.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("b.tbl") == F.col("a.tbl"))
+            & (F.col("b.bucket") == F.col("a.pbucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("va"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vb"),
+        )
+    )
+    got = {(r[0], r[1]) for r in up.distinct().collect()}
+    assert got == want and len(got) > 0
