@@ -763,6 +763,65 @@ def ann_topk_cosine_vectorized(spark, sf_dir):
 # candidate set and the hash gate stays exact.  Candidate pairs are oriented:
 # the lower vec_id probes (own bucket + Hamming-1 flips), the higher vec_id
 # is matched at its exact buckets — symmetric for H≤1 and half the join volume.
+def lsh_buckets_vectorized(spark, sf_dir):
+    """Arrow/numpy twin of ``_buckets_spark`` — the PRODUCTION bucket
+    builder: one BLAS matmul per Arrow batch replaces the per-(vector,
+    table, plane) SQL dot fold (the fold is ~10G scalar multiply-adds at the
+    20× corpus and dominates the near-dup wall; the matmul is memory-bound).
+
+    The hyperplane weights are the identical md5 derivation, built once
+    driver-side (N_TABLES × planes × DIM floats — parameter-sized).  Caveat
+    for oracle work: numpy's matmul accumulates in a different order than
+    the SQL left fold, so a dot within float-noise of 0.0 could flip a
+    bucket bit — statistically never (|dot| ~ O(1)); exact equality with
+    the JVM fold is pytest-pinned on the real corpus, and the CATALOG
+    queries keep the fold so the DuckDB gate stays exact by construction."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    planes = _active_planes(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    W = np.empty((N_TABLES * planes, DIM), dtype=np.float64)
+    for t in range(N_TABLES):
+        for p in range(planes):
+            for j in range(DIM):
+                h = int(
+                    hashlib.md5(f"{t}_{p}_{j}".encode()).hexdigest()[:8], 16
+                )
+                W[t * planes + p, j] = ((h % 2001) - 1000) / 1000.0
+
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            bits = (E @ W.T) > 0  # (n, N_TABLES*planes)
+            vecs = pdf["vec_id"].to_numpy()
+            ids, tbls, bks = [], [], []
+            for t in range(N_TABLES):
+                b = np.zeros(n, dtype=np.int64)
+                for p in range(planes):
+                    b |= bits[:, t * planes + p].astype(np.int64) << p
+                ids.append(vecs)
+                tbls.append(np.full(n, t, dtype=np.int32))
+                bks.append(b)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(ids),
+                    "tbl": np.concatenate(tbls),
+                    "bucket": np.concatenate(bks),
+                }
+            )
+
+    return e.mapInPandas(batches, "vec_id long, tbl int, bucket long")
+
+
+
 @query(
     "emb_neardup_lsh",
     oracle=f"""
@@ -791,9 +850,10 @@ def ann_topk_cosine_vectorized(spark, sf_dir):
              * sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.3
     """,
 )
-def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
+def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3, buckets=None):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    buckets = _buckets_spark(spark, sf_dir)
+    if buckets is None:
+        buckets = _buckets_spark(spark, sf_dir)
     bands = buckets.select("vec_id", "tbl", "bucket")
     # PAIR generation needs only UPWARD Hamming-1 probes (flip a 0-bit to 1):
     # for an unordered pair differing in exactly bit k, the side holding 0 at
@@ -833,7 +893,11 @@ def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
             F.least("a.vec_id", "b.vec_id").alias("vec_a"),
             F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
         )
-        .distinct()
+        # NO distinct here: only ~12% of raw candidates are multi-table
+        # duplicates (measured at x20), so deduplicating BEFORE the cosine
+        # filter shuffles the full 45M-row candidate set to save 5M dot
+        # folds; the filter cuts candidates ~20× first and the pair dedup
+        # below shuffles only the survivors
     )
     # re-rank cost discipline, both bit-identical to the inline form:
     #   * per-VECTOR norms (one sqrt-fold per vector, joined in) instead of
@@ -860,6 +924,7 @@ def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3):
         .withColumn("__cos", cos)
         .filter(F.col("__cos") >= min_cosine)
         .select("vec_a", "vec_b", F.round("__cos", 5).alias("cosine"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

@@ -723,3 +723,46 @@ def test_upward_probe_candidates_match_symmetric(spark):
     )
     got = {(r[0], r[1]) for r in up.distinct().collect()}
     assert got == want and len(got) > 0
+
+
+def test_vectorized_buckets_match_sql_fold(spark):
+    """The Arrow matmul bucket builder must reproduce the JVM fold's
+    (vec_id, tbl, bucket) assignment exactly on the real corpus (a sign
+    flip would need a dot within float-noise of zero)."""
+    from exstream_implementation_spark.plans.similarity import (
+        _buckets_spark,
+        lsh_buckets_vectorized,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = {
+        (r["vec_id"], r["tbl"]): r["bucket"]
+        for r in _buckets_spark(spark, sf_dir).collect()
+    }
+    got = {
+        (r["vec_id"], r["tbl"]): r["bucket"]
+        for r in lsh_buckets_vectorized(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_neardup_vectorized_buckets_same_pairs(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from exstream_implementation_spark.plans.similarity import (
+        emb_neardup_lsh,
+        lsh_buckets_vectorized,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in emb_neardup_lsh(spark, sf_dir).collect()
+    }
+    vec = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in emb_neardup_lsh(
+            spark, sf_dir, buckets=lsh_buckets_vectorized(spark, sf_dir)
+        ).collect()
+    }
+    assert vec == base and len(vec) > 0

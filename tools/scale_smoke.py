@@ -294,7 +294,21 @@ def _text_stage(stage):
     return q
 
 
+def _neardup_vectorized(spark, sf_dir):
+    """emb_neardup_lsh over the Arrow-matmul bucket builder — the production
+    scale path (the JVM fold stays the oracle-canonical catalog form)."""
+    from exstream_implementation_spark.plans.similarity import (
+        emb_neardup_lsh,
+        lsh_buckets_vectorized,
+    )
+
+    return emb_neardup_lsh(
+        spark, sf_dir, buckets=lsh_buckets_vectorized(spark, sf_dir)
+    )
+
+
 SPECIAL = {
+    "emb_neardup_lsh_vec": _neardup_vectorized,
     "rewards_raw_stitched": _rewards_raw("stitched"),
     "rewards_raw_window": _rewards_raw("window"),
     "text_stage_tokenize": _text_stage("tokenize"),
