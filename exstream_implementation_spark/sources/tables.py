@@ -108,10 +108,13 @@ def write_results(
     """Result sink (reference script_1.py:275-328 writes 4 result CSVs).
 
     Parquet is the default at scale (columnar, splittable, statistics for
-    pushdown on re-read); CSV kept for reference-format parity.  Arrays
-    (the ``explanation`` column) are serialized to a string for CSV since
-    the format has no nested types — matching the reference, which writes
-    python list reprs into its CSVs (testing.ipynb cell 6 parses them back).
+    pushdown on re-read); ``orc`` is the other natively-supported columnar
+    lakehouse format (arrays + pushdown round-trip, pytest-pinned);
+    ``json`` writes JSONL (arrays survive); CSV kept for reference-format
+    parity.  Arrays (the ``explanation`` column) are serialized to a string
+    for CSV since the format has no nested types — matching the reference,
+    which writes python list reprs into its CSVs (testing.ipynb cell 6
+    parses them back).
     """
     writer = df
     if fmt == "csv":

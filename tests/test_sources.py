@@ -191,3 +191,25 @@ def test_read_trace_csv_float_formatted_index(spark, tmp_path):
     rows = df.orderBy("timestamp").collect()
     assert [r["timestamp"] for r in rows] == [0, 1, 2]
     assert dict(df.dtypes)["timestamp"] == "bigint"
+
+
+def test_write_results_orc_roundtrip(spark, tmp_path):
+    """ORC — the other columnar lakehouse format Spark supports natively;
+    arrays survive, and predicate pushdown reaches the ORC reader."""
+    df = spark.createDataFrame(
+        [("t1", 1, [2, 6, 0], 3), ("t2", 2, [1], 1), ("t3", 9, [5, 5], 2)],
+        "trace_id string, ano_id int, explanation array<int>, exp_size int",
+    )
+    path = str(tmp_path / "out_orc")
+    write_results(df, path, fmt="orc")
+    back = spark.read.orc(path)
+    got = {
+        (r["trace_id"], r["ano_id"], tuple(r["explanation"]), r["exp_size"])
+        for r in back.collect()
+    }
+    assert got == {("t1", 1, (2, 6, 0), 3), ("t2", 2, (1,), 1), ("t3", 9, (5, 5), 2)}
+    # pushdown reaches the ORC scan
+    filtered = spark.read.orc(path).filter(F.col("ano_id") > 5)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "ano_id" in plan.split("PushedFilters")[1][:120]
+    assert filtered.count() == 1
