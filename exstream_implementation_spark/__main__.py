@@ -45,9 +45,10 @@ def main(argv: list[str] | None = None) -> int:
         "(engine-reproducible, for oracle cross-checks)",
     )
     ap.add_argument(
-        "--segmentation", choices=["window", "stitched"], default="window",
-        help="segmentation engine: window (bucketed traces) or stitched "
-        "(raw high-frequency traces — no single-task group sort)",
+        "--segmentation", choices=["auto", "window", "stitched"], default="auto",
+        help="segmentation engine: auto (size-based routing, default), window "
+        "(bucketed traces) or stitched (raw high-frequency traces — no "
+        "single-task group sort)",
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)

@@ -47,6 +47,8 @@ from exstream_implementation_spark.operators.ranking import (  # noqa: F401
     top_k_ranked,
 )
 from exstream_implementation_spark.operators.rewards import (  # noqa: F401
+    AUTO_GROUP_THRESHOLD,
+    resolve_segmentation,
     segmentation_entropy,
     segmentation_entropy_stitched,
     single_feature_rewards,

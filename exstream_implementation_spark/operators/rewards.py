@@ -52,6 +52,39 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from exstream_implementation_spark.operators.ranking import global_lag
 
+# A (key, feature) group above this many rows routes through the stitched
+# engine under segmentation='auto': the window form sorts the whole group in
+# ONE task, so the threshold is "largest single-task sort we accept".  1M
+# doubles sort in well under a second per task and fit any sane executor; a
+# raw 1 Hz year-long trace (~31M rows/group) is 30× past it and must stitch.
+AUTO_GROUP_THRESHOLD = 1_000_000
+
+
+def resolve_segmentation(
+    melted: DataFrame,
+    keys: tuple[str, ...] = ("ano_key",),
+    threshold: int = AUTO_GROUP_THRESHOLD,
+    group_rows: int | None = None,
+) -> str:
+    """Pick the segmentation engine from the actual group sizes.
+
+    ``group_rows`` — the largest (*keys, feature) group's row count — may be
+    passed by callers that already know it (the pipeline computes it from the
+    cached wide slice, one row per ano_key: each wide row melts to exactly one
+    row per feature, so per-(key, feature) melted size == per-key wide size).
+    Without a hint this probes ``melted`` with one count aggregation — an
+    eager job, the price of an adaptive plan choice (same trade AQE makes).
+    """
+    if group_rows is None:
+        group_rows = (
+            melted.groupBy(*keys, "feature")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+            or 0
+        )
+    return "stitched" if group_rows > threshold else "window"
+
 
 def worst_case_labels(
     melted: DataFrame,
@@ -233,6 +266,8 @@ def single_feature_rewards(
     reward_round: int | None = None,
     keys: tuple[str, ...] = ("ano_key",),
     segmentation: str = "window",
+    auto_threshold: int = AUTO_GROUP_THRESHOLD,
+    group_rows: int | None = None,
 ) -> DataFrame:
     """C7 — reward(f) = class_ent / seg_ent per (ano_key, feature), ranked.
 
@@ -241,6 +276,9 @@ def single_feature_rewards(
     ``'stitched'`` routes through ``segmentation_entropy_stitched`` — same
     result, range-partitioned + boundary-stitched, for raw high-frequency
     traces where a single group would serialize into one task.
+    ``'auto'`` measures the largest group (``group_rows`` hint, else a count
+    probe — see ``resolve_segmentation``) and picks: window when every group
+    fits one task (≤ ``auto_threshold`` rows), stitched above it.
 
     Class entropy (C4) is computed per (ano_key, feature) from the same long
     table — identical for every feature of a key, but grouping on the same
@@ -255,6 +293,8 @@ def single_feature_rewards(
     cross-engine determinism boundary (float summation order differs between
     engines, and the downstream leap filter compares rewards for equality).
     """
+    if segmentation == "auto":
+        segmentation = resolve_segmentation(melted, keys, auto_threshold, group_rows)
     if segmentation == "stitched":
         seg = segmentation_entropy_stitched(melted, duplicate_mode, keys)
     elif segmentation == "window":

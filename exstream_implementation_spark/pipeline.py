@@ -29,7 +29,7 @@ precede metadata there, so the index is exactly our ``feature_order``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -43,7 +43,10 @@ from exstream_implementation_spark.operators.leap import (
     assemble_explanations,
     reward_leap_filter,
 )
-from exstream_implementation_spark.operators.rewards import single_feature_rewards
+from exstream_implementation_spark.operators.rewards import (
+    AUTO_GROUP_THRESHOLD,
+    single_feature_rewards,
+)
 from exstream_implementation_spark.operators.slicing import (
     melt_features,
     slice_intervals,
@@ -69,12 +72,17 @@ class ExplainConfig:
     # runs — and therefore the instability metric — are oracle-reproducible
     # in DuckDB; same trade as plans.dedup.sample_mix)
     sample_method: str = "xxhash64"
-    # 'window' = per-(key, feature) window sort (lowest overhead; groups are
-    # O(trace buckets) on bucketed traces); 'stitched' = range-partitioned
-    # boundary-stitched segmentation (operators.rewards.
+    # 'auto' (default) measures the largest per-anomaly slice on the cached
+    # wide table and routes: 'window' = per-(key, feature) window sort (lowest
+    # overhead; groups are O(trace buckets) on bucketed traces); 'stitched' =
+    # range-partitioned boundary-stitched segmentation (operators.rewards.
     # segmentation_entropy_stitched) for raw high-frequency traces where one
-    # (anomaly, feature) group would serialize into a single task
-    segmentation: str = "window"
+    # (anomaly, feature) group would serialize into a single task.  Both
+    # explicit values remain accepted overrides.
+    segmentation: str = "auto"
+    # 'auto' routing threshold: largest (anomaly, feature) group the window
+    # engine may sort in one task
+    segmentation_threshold: int = AUTO_GROUP_THRESHOLD
 
 
 def _explanations_for(melted: DataFrame, cfg: ExplainConfig, keys=("ano_key",)) -> DataFrame:
@@ -102,6 +110,26 @@ def explain_anomalies(
     features = feature_columns(traces.columns)
 
     sliced = slice_intervals(traces, labels).transform(tracked_persist)
+
+    # segmentation='auto': pick the engine from the ACTUAL largest anomaly
+    # slice, not a docstring.  Each wide row melts to exactly one row per
+    # feature, so the per-(run, ano_key, feature) segmentation group size is
+    # bounded by the per-ano_key wide count (instability runs sample DOWN from
+    # run 0).  The probe is one count agg over the slice we cache anyway —
+    # O(anomalies) rows back to the driver — and removes the last manual
+    # scale decision: a raw 1 Hz year-long trace routes to the stitched
+    # engine without the caller reading anything.
+    if cfg.segmentation == "auto":
+        max_group = (
+            sliced.groupBy("ano_key").count().agg(F.max("count")).collect()[0][0]
+            or 0
+        )
+        cfg = replace(
+            cfg,
+            segmentation=(
+                "stitched" if max_group > cfg.segmentation_threshold else "window"
+            ),
+        )
 
     # run 0 = main; runs 1..k = instability samples (reference
     # script_1.py:227-238).  One exploded run dimension over the cached slice
@@ -245,8 +273,6 @@ def run_config_grid(
     ``explanations_cluster_fpf``. All four share the one cached slice — the
     reference re-slices the CSVs for every config.
     """
-    from dataclasses import replace
-
     from exstream_implementation_spark.sources import write_results
 
     base = base or ExplainConfig()

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.operators.rewards import (
+    resolve_segmentation,
     segmentation_entropy,
     segmentation_entropy_stitched,
     single_feature_rewards,
@@ -153,6 +154,78 @@ def test_rewards_stitched_engine_parity_sf0001(spark, mode):
         ).collect()
     }
     assert got == want
+
+
+def test_auto_segmentation_routing_and_parity(spark):
+    """segmentation='auto' resolves to window below the threshold and to
+    stitched above it, and both routes return the window engine's rewards."""
+    rng = random.Random(7)
+    n = 40
+    melted = melt_rows(
+        spark,
+        {
+            "f0": (
+                [float(rng.randint(0, 3)) for _ in range(n)],
+                [i % 2 for i in range(n)],
+            )
+        },
+    )
+    # the group has 40 rows: threshold 100 → window, threshold 10 → stitched
+    assert resolve_segmentation(melted, threshold=100) == "window"
+    assert resolve_segmentation(melted, threshold=10) == "stitched"
+    # the hint path skips the probe entirely
+    assert resolve_segmentation(melted, threshold=100, group_rows=1_000) == "stitched"
+
+    want = {
+        r["feature"]: (round(r["reward"], 9), r["rank"])
+        for r in single_feature_rewards(melted).collect()
+    }
+    for threshold in (100, 10):
+        got = {
+            r["feature"]: (round(r["reward"], 9), r["rank"])
+            for r in single_feature_rewards(
+                melted, segmentation="auto", auto_threshold=threshold
+            ).collect()
+        }
+        assert got == want, threshold
+
+
+def test_pipeline_auto_segmentation_parity(spark):
+    """Default cfg (segmentation='auto') must match the explicit window
+    engine, and forcing the threshold to 0 must route through stitched with
+    identical explanations — no caller-side engine choice needed."""
+    from exstream_implementation_spark.pipeline import (
+        ExplainConfig,
+        explain_anomalies,
+    )
+    from exstream_implementation_spark.plans.exstream_sql import (
+        _two_anomaly_setup,
+    )
+
+    trace, labels = _two_anomaly_setup(spark, "/root/testdata/sf0.001")
+    base = dict(instability_runs=2, reward_round=6)
+    canon = lambda rows: sorted(
+        (r["ano_key"], tuple(r["explanation"]), r["exp_size"], r["exp_instability"])
+        for r in rows
+    )
+    want = canon(
+        explain_anomalies(
+            trace, labels, ExplainConfig(**base, segmentation="window")
+        ).collect()
+    )
+    # default config: auto with the production threshold (small slice → window)
+    assert canon(explain_anomalies(trace, labels, ExplainConfig(**base)).collect()) == want
+    # threshold 0 forces every group over it → stitched route, same answer
+    assert (
+        canon(
+            explain_anomalies(
+                trace,
+                labels,
+                ExplainConfig(**base, segmentation_threshold=0),
+            ).collect()
+        )
+        == want
+    )
 
 
 def test_pipeline_stitched_segmentation_parity(spark):
