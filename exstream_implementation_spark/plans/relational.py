@@ -454,8 +454,12 @@ def topk_until_leap(spark, sf_dir):
     )
     # distributed leap cut: global rank + lag in ONE range-partitioned pass
     # (operators/ranking.global_lag — boundary rows stitch partitions, no
-    # rank-shift self-join), scalar cuts broadcast back; every stage keeps
-    # the post-agg (per-supplier) cardinality partitioned
+    # rank-shift self-join).  The cut scalars come from ONE aggregation —
+    # max(leap) plus a filtered max-struct (largest leap, tie → smallest rnk,
+    # prev_rev<>0 rows only) — instead of r07's two CHAINED scalar broadcasts;
+    # the A/B (tools/ab_topk_leap.py, docs/ROUND8.md) measured the fused form
+    # 16% faster with half the run-to-run variance, and it keeps the
+    # scale-safe shape (no global window, per-supplier side stays partitioned)
     leaps = global_lag(
         rev,
         [F.desc("rev"), F.asc("l_suppkey")],
@@ -463,14 +467,23 @@ def topk_until_leap(spark, sf_dir):
         rn_col="rnk",
         lag_col="prev_rev",
     ).withColumn("leap", F.col("prev_rev") - F.col("rev"))
-    max_leap = leaps.agg(F.max("leap").alias("max_leap"))
-    cut = (
-        leaps.crossJoin(F.broadcast(max_leap))
-        .filter((F.col("leap") == F.col("max_leap")) & (F.col("prev_rev") != 0))
-        .agg(F.min("rnk").alias("cut_rank"))
+    scalars = leaps.agg(
+        F.max("leap").alias("max_leap"),
+        F.max(
+            F.when(
+                F.col("prev_rev") != 0,
+                F.struct(F.col("leap"), (-F.col("rnk")).alias("neg_rnk")),
+            )
+        ).alias("best_nz"),
+    ).select(
+        F.when(
+            F.col("best_nz").isNotNull()
+            & (F.col("best_nz.leap") == F.col("max_leap")),
+            -F.col("best_nz.neg_rnk"),
+        ).alias("cut_rank")
     )
     return (
-        leaps.crossJoin(F.broadcast(cut))
+        leaps.crossJoin(F.broadcast(scalars))
         .filter(F.col("cut_rank").isNull() | (F.col("rnk") < F.col("cut_rank")))
         .select("l_suppkey", "rev", "rnk")
     )
