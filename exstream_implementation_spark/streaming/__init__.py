@@ -40,6 +40,12 @@ from exstream_implementation_spark.streaming.ingest_dedup import (
     corpus_simhash_index,
     documents_stream,
     ingest_pipeline,
+    init_neardup_corpus,
+    minhash_index_rows,
+    neardup_index_is_stale,
+    refresh_neardup_tables,
+    simhash_index_rows,
+    start_refreshing_ingest,
     stream_exact_dedup,
     stream_minhash_vs_corpus,
     stream_neardup_vs_corpus,
@@ -73,4 +79,10 @@ __all__ = [
     "stream_minhash_vs_corpus",
     "with_minhash_signature",
     "ingest_pipeline",
+    "init_neardup_corpus",
+    "simhash_index_rows",
+    "minhash_index_rows",
+    "neardup_index_is_stale",
+    "refresh_neardup_tables",
+    "start_refreshing_ingest",
 ]

@@ -252,6 +252,257 @@ def stream_neardup_vs_corpus(
     return _dedup_flags(flagged, watermark)
 
 
+def simhash_index_rows(docs: DataFrame) -> DataFrame:
+    """Banded-SimHash index rows for ANY document frame — the generic twin of
+    ``corpus_simhash_index`` (which is bound to an sf_dir): one row per
+    (band_id, band_val, corpus doc) carrying the full 4-band signature."""
+    return with_simhash_bands(docs).select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("b0").alias("c0"),
+        F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"),
+        F.col("b3").alias("c3"),
+        F.explode(band_structs()).alias("band"),
+    ).select("band.band_id", "band.band_val", "corpus_doc_id", "c0", "c1", "c2", "c3")
+
+
+def minhash_index_rows(docs: DataFrame) -> DataFrame:
+    """Banded-MinHash index rows for ANY document frame (generic twin of
+    ``corpus_minhash_index``)."""
+    sig = with_minhash_signature(docs)
+    return (
+        sig.select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            *[F.col(f"h{i}").alias(f"c{i}") for i in range(N_MINHASH)],
+            F.explode(minhash_band_structs()).alias("band"),
+        )
+        .filter(F.col("band.band_hash").isNotNull())
+        .select(
+            "band.band_id",
+            "band.band_hash",
+            "corpus_doc_id",
+            *[f"c{i}" for i in range(N_MINHASH)],
+        )
+    )
+
+
+# --- refreshing ingest: admitted docs ENTER the near-dup index ---------------
+#
+# The stream-static arms above join every arrival against a FIXED corpus
+# snapshot — a duplicate arriving after the snapshot was taken is silently
+# missed.  This engine closes that hole with the append_to_ivf_index pattern
+# (operators/ann_index.py): the index lives as catalog tables, and a
+# foreachBatch sink (1) flags each microbatch against the index AS OF its
+# arrival, then (2) appends the admitted docs' band rows — so a doc admitted
+# in microbatch N flags its near-duplicate arriving in ANY later batch.
+# Within one microbatch docs are "simultaneous": they are checked against the
+# pre-batch corpus only (the periodic batch dedup pass catches same-batch
+# near-pairs; EXACT same-batch duplicates are dropped here).  At scale the
+# index tables should be written partitioned by band_id; probes stay
+# bounded — a doc touches 4 (SimHash) / 2 (MinHash) band keys and the small
+# microbatch side broadcasts against them.
+
+def init_neardup_corpus(
+    spark: SparkSession, name: str, docs: DataFrame | None = None
+) -> None:
+    """Create (or reset) the persistent admission-corpus tables:
+    ``{name}_admitted`` (doc_id, norm_hash, event_time),
+    ``{name}_sh_idx`` / ``{name}_mh_idx`` (band indexes),
+    ``{name}_sh_flags`` / ``{name}_mh_flags`` (append-only flag logs with the
+    admitting batch_id), and ``{name}_meta`` (n_docs, n_base — the staleness
+    gate's baseline, same contract as ann_index's n_trained)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    # DROP removes a REGISTERED managed table's location, but a table created
+    # by a previous session (in-memory catalog) leaves an orphaned warehouse
+    # directory that makes CREATE fail with LOCATION_ALREADY_EXISTS — clear
+    # it too (local-filesystem warehouses; remote ones need an external rm)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    for suffix in ("admitted", "sh_idx", "mh_idx", "sh_flags", "mh_flags", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        if wh.scheme in ("", "file") and os.path.isdir(wh.path):
+            shutil.rmtree(os.path.join(wh.path, f"{name}_{suffix}"), ignore_errors=True)
+    if docs is None:
+        docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+    if "event_time" not in docs.columns:
+        docs = docs.withColumn("event_time", F.lit(None).cast("timestamp"))
+    hashed = with_content_hashes(docs).dropDuplicates(["norm_hash"])
+    # mode("overwrite") everywhere: DROP TABLE alone leaves the warehouse
+    # directory behind when the table was created by a PREVIOUS session
+    # (in-memory catalog) — overwrite replaces the orphaned location
+    hashed.select("doc_id", "norm_hash", "event_time").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{name}_admitted")
+    simhash_index_rows(hashed).write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(f"{name}_sh_idx")
+    minhash_index_rows(hashed).write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(f"{name}_mh_idx")
+    for arm, dist_col in (("sh", "hamming int"), ("mh", "est_jaccard double")):
+        spark.createDataFrame(
+            [],
+            f"batch_id long, doc_id long, corpus_doc_id long, {dist_col}",
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            f"{name}_{arm}_flags"
+        )
+    n = spark.table(f"{name}_admitted").count()
+    spark.createDataFrame(
+        [(int(n), int(n))], "n_docs long, n_base long"
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
+
+
+NEARDUP_TABLE_SUFFIXES = ("admitted", "sh_idx", "mh_idx", "sh_flags", "mh_flags", "meta")
+
+
+def refresh_neardup_tables(spark: SparkSession, name: str) -> None:
+    """Invalidate the session's cached file listings for the corpus tables.
+
+    foreachBatch appends run in a CLONED microbatch session; the outer
+    session's relation cache still points at the pre-stream file lists, so a
+    reader that touched a table before the stream ran would silently see the
+    old snapshot.  Call this after (or between) streaming runs before reading."""
+    for suffix in NEARDUP_TABLE_SUFFIXES:
+        spark.catalog.refreshTable(f"{name}_{suffix}")
+
+
+def neardup_index_is_stale(
+    spark: SparkSession, name: str, growth_threshold: float = 0.5
+) -> bool:
+    """True when the corpus grew more than ``growth_threshold`` past the
+    count the index was last built/compacted at (``n_base``).  Appends keep
+    the index CORRECT (band rows are exact functions of the doc, unlike IVF
+    centroids) but accumulate small files and skew band partitions — past the
+    threshold the caller should rewrite the index tables and reset n_base."""
+    spark.catalog.refreshTable(f"{name}_meta")
+    meta = spark.table(f"{name}_meta").first()
+    return meta["n_docs"] > meta["n_base"] * (1.0 + growth_threshold) + 1
+
+
+def start_refreshing_ingest(
+    docs: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    min_est_jaccard: float = 0.5,
+    available_now: bool = True,
+):
+    """Run the admission pass with a SELF-REFRESHING near-dup index.
+
+    Per microbatch (foreachBatch — each batch is a plain DataFrame, so the
+    index tables are re-resolved every trigger and appends from batch N are
+    visible to batch N+1):
+
+      1. exact dedup: within-batch dropDuplicates(norm_hash) + anti-join
+         against ``{name}_admitted`` (the persistent corpus IS the dedup
+         state — no watermark horizon, cross-horizon re-arrivals included);
+      2. flag admitted docs against the CURRENT SimHash/MinHash band indexes
+         (Hamming ≤ 3 resp. est-Jaccard ≥ threshold), logged with batch_id;
+      3. append the admitted docs to ``{name}_admitted`` and their band rows
+         to both indexes.
+
+    Returns the started StreamingQuery."""
+
+    def _admit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hashed = with_content_hashes(batch).dropDuplicates(["norm_hash"])
+        # localCheckpoint TRUNCATES the lineage: ``new`` depends on the
+        # _admitted table through the anti-join, and appending to that table
+        # below invalidates any cached plan over it — a merely persisted
+        # ``new`` would silently recompute against the UPDATED table and
+        # come back empty.  Materializing eagerly pins the pre-append result.
+        new = hashed.join(
+            spark.table(f"{name}_admitted").select("norm_hash"),
+            "norm_hash",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            return
+        # --- flag vs the index as of arrival (join BEFORE append) ---
+        sh = with_simhash_bands(new)
+        probes = sh.select(
+            "doc_id", "b0", "b1", "b2", "b3",
+            F.explode(band_structs()).alias("band"),
+        ).select("doc_id", "b0", "b1", "b2", "b3", "band.band_id", "band.band_val")
+        hamming = sum(
+            F.expr(f"bit_count(b{b} ^ c{b})") for b in range(_SIMHASH_BANDS)
+        )
+        (
+            probes.join(spark.table(f"{name}_sh_idx"), ["band_id", "band_val"])
+            .filter(hamming <= _HAMMING_MAX)
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                "doc_id",
+                "corpus_doc_id",
+                hamming.cast("int").alias("hamming"),
+            )
+            .dropDuplicates(["doc_id", "corpus_doc_id"])
+            .write.mode("append").format("parquet")
+            .saveAsTable(f"{name}_sh_flags")
+        )
+        mh = with_minhash_signature(new)
+        mprobes = (
+            mh.select(
+                "doc_id",
+                *[f"h{i}" for i in range(N_MINHASH)],
+                F.explode(minhash_band_structs()).alias("band"),
+            )
+            .filter(F.col("band.band_hash").isNotNull())
+            .select(
+                "doc_id",
+                *[f"h{i}" for i in range(N_MINHASH)],
+                "band.band_id",
+                "band.band_hash",
+            )
+        )
+        est = sum(
+            F.when(F.col(f"h{i}") == F.col(f"c{i}"), 1).otherwise(0)
+            for i in range(N_MINHASH)
+        ) / float(N_MINHASH)
+        (
+            mprobes.join(
+                spark.table(f"{name}_mh_idx"), ["band_id", "band_hash"]
+            )
+            .withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= min_est_jaccard)
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                "doc_id",
+                "corpus_doc_id",
+                "est_jaccard",
+            )
+            .dropDuplicates(["doc_id", "corpus_doc_id"])
+            .write.mode("append").format("parquet")
+            .saveAsTable(f"{name}_mh_flags")
+        )
+        # --- refresh: admitted docs enter the corpus + both indexes ---
+        new.select("doc_id", "norm_hash", "event_time").write.mode(
+            "append"
+        ).format("parquet").saveAsTable(f"{name}_admitted")
+        simhash_index_rows(new).write.mode("append").format(
+            "parquet"
+        ).saveAsTable(f"{name}_sh_idx")
+        minhash_index_rows(new).write.mode("append").format(
+            "parquet"
+        ).saveAsTable(f"{name}_mh_idx")
+        n_new = new.count()
+        meta = spark.table(f"{name}_meta").first()
+        spark.createDataFrame(
+            [(int(meta["n_docs"]) + int(n_new), int(meta["n_base"]))],
+            "n_docs long, n_base long",
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            f"{name}_meta"
+        )
+
+    writer = docs.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ingest_pipeline(
     docs: DataFrame,
     simhash_index: DataFrame | None = None,

@@ -378,6 +378,92 @@ def test_stream_dedup_late_row_policy(spark, tmp_path):
     assert ids == {1, 2, 3}
 
 
+def test_refreshing_ingest_flags_post_snapshot_duplicate(spark, tmp_path):
+    """The r07 correctness hole: a duplicate arriving AFTER the corpus index
+    snapshot must still flag.  Here the index starts EMPTY; a doc admitted in
+    microbatch 0 must flag its near-copy arriving two batches later (k=2) on
+    BOTH band arms, exact re-sends must be dropped by the persistent-corpus
+    dedup, and generic index rows must match the sf-bound builders."""
+    import time as _time
+
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        DOCUMENTS_SCHEMA,
+        init_neardup_corpus,
+        neardup_index_is_stale,
+        refresh_neardup_tables,
+        simhash_index_rows,
+        start_refreshing_ingest,
+    )
+
+    base_text = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") == 5)
+        .first()["text"]
+    )
+    d = str(tmp_path / "refr_docs")
+
+    def w(rows):
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _time.sleep(1.2)  # distinct mtimes → deterministic file->batch order
+
+    # the near-copy re-appends a token the doc already contains: its DISTINCT
+    # token set (SimHash input) is unchanged — Hamming 0 — while the
+    # normalized content hash differs, so exact dedup admits it
+    near_copy = base_text + " " + base_text.split()[-1]
+    w([(1, base_text, "en", "s", len(base_text))])                 # batch 0
+    w([(2, "totally unrelated qqzz filler body wvut", "en", "s", 38)])  # 1
+    w(
+        [
+            (3, near_copy, "en", "s", len(near_copy)),               # near-copy
+            (4, base_text, "en", "s", len(base_text)),               # exact re-send
+            (5, "other novel mnop content qrst", "en", "s", 29),
+        ]
+    )                                                               # batch 2
+
+    name = "refr_ingest_t"
+    init_neardup_corpus(spark, name)
+    assert not neardup_index_is_stale(spark, name)  # empty == baseline
+    q = start_refreshing_ingest(
+        with_event_time(documents_stream(spark, d, max_files_per_trigger=1)),
+        name,
+        str(tmp_path / "refr_ckpt"),
+    )
+    assert q.awaitTermination(300), "refreshing ingest did not drain"
+    refresh_neardup_tables(spark, name)  # foreachBatch wrote from a cloned session
+
+    admitted = {r["doc_id"] for r in spark.table(f"{name}_admitted").collect()}
+    assert admitted == {1, 2, 3, 5}  # 4 (exact re-send) dropped cross-batch
+
+    sh = {
+        (r["doc_id"], r["corpus_doc_id"]): r["batch_id"]
+        for r in spark.table(f"{name}_sh_flags").collect()
+    }
+    mh = {
+        (r["doc_id"], r["corpus_doc_id"]): r["batch_id"]
+        for r in spark.table(f"{name}_mh_flags").collect()
+    }
+    # the near-copy flags the doc admitted two microbatches earlier
+    assert (3, 1) in sh and sh[(3, 1)] == 2
+    assert (3, 1) in mh and mh[(3, 1)] == 2
+    # novel docs flag nothing
+    assert not any(d_ in (2, 5) for d_, _ in sh)
+    assert not any(d_ in (2, 5) for d_, _ in mh)
+
+    # index grew with admissions; growth past the baseline trips the gate
+    assert spark.table(f"{name}_sh_idx").select(
+        "corpus_doc_id"
+    ).distinct().count() == 4
+    assert neardup_index_is_stale(spark, name)
+
+    # generic row builders match the sf-bound corpus builders
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {tuple(r) for r in simhash_index_rows(docs).collect()}
+    b = {tuple(r) for r in corpus_simhash_index(spark, SF_DIR).collect()}
+    assert a == b
+
+
 def test_ingest_pipeline_composition(spark, tmp_path):
     """The one-source/three-sink composition: admitted stream deduped, both
     flag arms fire on a re-sent near-copy, and stream == batch on all
