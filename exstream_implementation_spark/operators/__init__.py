@@ -38,6 +38,8 @@ from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
     attach_payload,
     decode_image,
     encode_bmp,
+    encode_png,
+    decode_png,
     image_stats,
     resize_image,
     sample_frames,

@@ -6,12 +6,14 @@ extension for 100 TB training-data work: treat image/audio/video as opaque
 Arrow-batched ``mapInPandas`` so each Python worker touches one partition's
 batches, never the driver.
 
-Image decode is REAL for BMP: a pure-numpy 24-bit BMP reader/writer needs no
-system codec, so ``attach_image_payload`` generates genuine BMP blobs
-(deterministic synthetic pixels) and ``image_stats`` decodes the actual
-bytes and computes per-channel pixel statistics — the full ingest → decode →
-feature path runs on real image data.  Formats that DO need a system codec
-(JPEG/PNG/video/audio) still raise NotImplementedError honestly; the pixel
+Image decode is REAL for BMP and PNG: a pure-numpy 24-bit BMP reader/writer
+and a stdlib-zlib 8-bit truecolor PNG codec (IDAT inflate + all five row
+unfilters) need no system codec, so ``attach_image_payload`` generates
+genuine blobs (deterministic synthetic pixels) and ``image_stats`` decodes
+the actual bytes and computes per-channel pixel statistics — the full
+ingest → decode → feature path runs on real image data, including a real
+DEFLATE round-trip on the PNG path.  Formats that DO need a system codec
+(JPEG/WebP/video/audio) still raise NotImplementedError honestly; the pixel
 synth is an exact integer formula so the stats stay oracle-checkable in SQL
 (plans.multimodal).
 """
@@ -21,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import math
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -58,17 +61,145 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + bytes(body)
 
 
+# --- real PNG codec (stdlib zlib + numpy — no system codec needed) -----------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, elementwise (a=left, b=up, c=upper-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit truecolor PNG, pure stdlib zlib.
+
+    Row y uses filter type y % 5 (None/Sub/Up/Average/Paeth) DELIBERATELY:
+    any payload taller than 4 rows forces the decoder through every unfilter
+    branch, so a wrong Paeth/Average implementation breaks the round-trip —
+    and, through ``image_stats``'s pixel-formula oracle, the catalog hash."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_png expects (h, w, 3) RGB")
+    zeros = np.zeros((1, 3), np.int32)
+    raw = bytearray()
+    prev = np.zeros((w, 3), np.int32)
+    for y in range(h):
+        row = arr[y].astype(np.int32)
+        left = np.vstack([zeros, row[:-1]])
+        ul = np.vstack([zeros, prev[:-1]])
+        ftype = y % 5
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prev
+        elif ftype == 3:
+            filt = row - (left + prev) // 2
+        else:
+            filt = row - _paeth(left, prev, ul)
+        raw += bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit truecolor non-interlaced PNG → (h, w, 3) uint8 RGB.
+
+    IHDR/IDAT chunk walk, stdlib ``zlib.decompress``, per-row unfilter: None
+    and Up are vectorized; Sub is a per-channel cumulative sum (recon[x] =
+    (filt[x] + recon[x-1]) mod 256 ≡ running sum mod 256); Average/Paeth
+    carry a true left-to-right data dependence and walk pixels (w is small
+    for the synthetic payloads; a production path swaps in a codec lib)."""
+    pos, idat, w, h = 8, b"", None, None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    f"PNG variant unsupported without a codec (depth={depth}, "
+                    f"color_type={ctype}, interlace={inter}); only 8-bit "
+                    "truecolor non-interlaced decodes"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG payload has no IHDR")
+    raw = zlib.decompress(idat)
+    stride = 1 + w * 3
+    out = np.empty((h, w, 3), np.uint8)
+    prev = np.zeros((w, 3), np.int32)
+    zero3 = np.zeros(3, np.int32)
+    for y in range(h):
+        ft = raw[y * stride]
+        row = (
+            np.frombuffer(raw, np.uint8, w * 3, y * stride + 1)
+            .reshape(w, 3)
+            .astype(np.int32)
+        )
+        if ft == 0:
+            rec = row
+        elif ft == 1:
+            rec = np.cumsum(row, axis=0) % 256
+        elif ft == 2:
+            rec = (row + prev) % 256
+        elif ft in (3, 4):
+            rec = np.zeros_like(row)
+            for x in range(w):
+                left = rec[x - 1] if x > 0 else zero3
+                ul = prev[x - 1] if x > 0 else zero3
+                pred = (
+                    (left + prev[x]) // 2
+                    if ft == 3
+                    else _paeth(left, prev[x], ul)
+                )
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload → (h, w, 3) uint8 RGB.
 
-    Real decode for uncompressed 24-bit BMP (bottom-up or top-down) — pure
-    numpy, no system codec.  Every other container (JPEG/PNG/...) needs a
-    codec library absent from this environment and raises NotImplementedError
-    (swap in PIL.Image.open on a real cluster)."""
+    Real decode for uncompressed 24-bit BMP (bottom-up or top-down) and for
+    8-bit truecolor PNG (stdlib zlib inflate + numpy unfilter) — no system
+    codec.  Every other container (JPEG/WebP/...) needs a codec library
+    absent from this environment and raises NotImplementedError (swap in
+    PIL.Image.open on a real cluster)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP decodes without a system codec; "
-            "swap in PIL.Image.open / libvips for JPEG/PNG on a real cluster"
+            "only uncompressed 24-bit BMP and 8-bit truecolor PNG decode "
+            "without a system codec; swap in PIL.Image.open / libvips for "
+            "JPEG/WebP on a real cluster"
         )
     off = struct.unpack_from("<I", payload, 10)[0]
     _hdr, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
@@ -122,17 +253,26 @@ def synth_pixels(doc_id: int, w: int = IMG_W, h: int = IMG_H) -> np.ndarray:
 
 
 def attach_image_payload(
-    df: DataFrame, id_col: str = "doc_id", w: int = IMG_W, h: int = IMG_H
+    df: DataFrame,
+    id_col: str = "doc_id",
+    w: int = IMG_W,
+    h: int = IMG_H,
+    fmt: str = "bmp",
 ) -> DataFrame:
-    """REAL BMP payloads: each row gets a genuine 24-bit BMP blob of its
-    synthetic pixel field (Arrow-batched pandas UDF — bytes are built in the
-    workers, never the driver)."""
+    """REAL image payloads: each row gets a genuine 24-bit BMP or 8-bit
+    truecolor PNG blob of its synthetic pixel field (Arrow-batched pandas
+    UDF — bytes are built in the workers, never the driver).  The PNG
+    encoder cycles all five row filters, so decoding it exercises the full
+    inflate + unfilter path."""
+    if fmt not in ("bmp", "png"):
+        raise ValueError(f"unknown image format {fmt!r}")
+    enc = encode_bmp if fmt == "bmp" else encode_png
 
     @F.pandas_udf("binary")
-    def bmp(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: encode_bmp(synth_pixels(i, w, h)))
+    def blob(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: enc(synth_pixels(i, w, h)))
 
-    out = df.withColumn("payload", bmp(F.col(id_col)))
+    out = df.withColumn("payload", blob(F.col(id_col)))
     return out.withColumn("n_bytes", F.length("payload"))
 
 

@@ -40,9 +40,9 @@ def mm_binary_meta(spark, sf_dir):
     )
 
 
-# --- real BMP decode → per-channel pixel stats vs SQL oracle -----------------
-def mm_image_features(spark, sf_dir):
-    d = attach_image_payload(load_table(spark, sf_dir, "documents"))
+# --- real BMP/PNG decode → per-channel pixel stats vs SQL oracle -------------
+def mm_image_features(spark, sf_dir, fmt="bmp"):
+    d = attach_image_payload(load_table(spark, sf_dir, "documents"), fmt=fmt)
     return image_stats(d)
 
 
@@ -101,6 +101,31 @@ _FRAMES_DUCK = f"""
       SELECT doc_id, c, 'std', s FROM chan
     )
     UNION ALL
+    SELECT 'pngfeat' AS branch,
+           doc_id::VARCHAR || ':' || c || ':' || stat AS key,
+           {IMG_W * IMG_H}::BIGINT AS n,
+           round(v + 1e-9, 6) AS v,
+           '' AS h
+    FROM (
+      WITH pix AS (
+        -- same pixel field as 'feat': the Spark side reaches these values
+        -- only by inflating a real zlib stream and unfiltering all five PNG
+        -- row filters, so any codec bug breaks this branch's hash
+        SELECT doc_id, c.range AS c,
+               ((doc_id % 256) * 7 + 11 * c.range + 13 * y.range
+                 + 17 * x.range) % 256 AS p
+        FROM documents, range(3) c, range({IMG_H}) y, range({IMG_W}) x
+      ),
+      chan AS (
+        SELECT doc_id, c, avg(p) AS m,
+               sqrt(greatest(avg(p * p) - avg(p) * avg(p), 0)) AS s
+        FROM pix GROUP BY doc_id, c
+      )
+      SELECT doc_id, c, 'mean' AS stat, m AS v FROM chan
+      UNION ALL
+      SELECT doc_id, c, 'std', s FROM chan
+    )
+    UNION ALL
     SELECT 'frame' AS branch,
            doc_id::VARCHAR || ':' || frame_idx::VARCHAR AS key,
            CAST(frame_bytes AS BIGINT) AS n,
@@ -117,23 +142,31 @@ def multimodal_suite(spark, sf_dir):
         F.col("n_docs").cast("double").alias("v"),
         F.col("min_hash").alias("h"),
     )
-    feat = (
-        mm_image_features(spark, sf_dir)
-        .select(
-            "doc_id",
-            "channel",
-            (F.col("width") * F.col("height")).cast("long").alias("n"),
-            F.expr("stack(2, 'mean', px_mean, 'std', px_std) as (stat, fval)"),
+
+    def feat_branch(fmt, branch):
+        return (
+            mm_image_features(spark, sf_dir, fmt=fmt)
+            .select(
+                "doc_id",
+                "channel",
+                (F.col("width") * F.col("height")).cast("long").alias("n"),
+                F.expr(
+                    "stack(2, 'mean', px_mean, 'std', px_std) as (stat, fval)"
+                ),
+            )
+            .select(
+                F.lit(branch).alias("branch"),
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), "channel", "stat"
+                ).alias("key"),
+                "n",
+                F.round(F.col("fval") + F.lit(1e-9), 6).alias("v"),
+                F.lit("").alias("h"),
+            )
         )
-        .select(
-            F.lit("feat").alias("branch"),
-            F.concat_ws(
-                ":", F.col("doc_id").cast("string"), "channel", "stat"
-            ).alias("key"),
-            "n",
-            F.round(F.col("fval") + F.lit(1e-9), 6).alias("v"),
-            F.lit("").alias("h"),
-        )
+
+    feat = feat_branch("bmp", "feat").unionByName(
+        feat_branch("png", "pngfeat")
     )
     frame = mm_frame_sample(spark, sf_dir).select(
         F.lit("frame").alias("branch"),

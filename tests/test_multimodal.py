@@ -1,4 +1,5 @@
-"""Real-BMP multimodal path: codec roundtrip, honest failure on formats that
+"""Real-BMP/PNG multimodal path: codec roundtrips (the PNG one through a
+true zlib inflate + all five row unfilters), honest failure on formats that
 need a system codec, and the Spark decode→stats pipeline against locally
 computed pixel statistics."""
 
@@ -13,7 +14,9 @@ from exstream_implementation_spark.operators.multimodal import (
     IMG_W,
     attach_image_payload,
     decode_image,
+    decode_png,
     encode_bmp,
+    encode_png,
     image_stats,
     resize_image,
     synth_pixels,
@@ -48,8 +51,9 @@ def test_bmp_topdown_decode():
 
 
 def test_non_bmp_raises_not_implemented():
+    # JPEG needs a real codec — honest refusal
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
     # 8-bit BMP variant: honest refusal, not silent garbage
     img = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
     bad = bytearray(img)
@@ -108,3 +112,66 @@ def test_bmp_roundtrip_property():
         assert np.array_equal(decode_image(payload), img)
 
     check()
+
+
+@pytest.mark.parametrize(
+    "w,h", [(1, 1), (1, 9), (9, 1), (7, 5), (11, 13), (17, 32)]
+)
+def test_png_roundtrip(w, h):
+    """Shapes taller than 4 rows force every filter type (encoder cycles
+    y % 5); 1-wide/1-tall shapes hit the left/up boundary conditions."""
+    rng = np.random.default_rng(w * 1000 + h)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(decode_png(payload), img)
+    # dispatch path agrees
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_png_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    check()
+
+
+def test_png_unsupported_variants_raise():
+    import struct as _struct
+
+    payload = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    # IHDR data starts at 16 (sig 8 + len 4 + type 4); layout w(4) h(4)
+    # depth(1) ctype(1) ... — flip color type to 1 (palette): honest refusal
+    _struct.pack_into("B", payload, 16 + 9, 1)
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(payload))
+    # truncated/garbage PNG: loud failure, not silent garbage
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_png_spark_stats_match_bmp_path(spark):
+    """The decoded-PNG pixel stats must equal the decoded-BMP stats row for
+    row — both decode to the same synthetic field through entirely different
+    byte paths (stride/pad vs inflate/unfilter)."""
+    from exstream_implementation_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 30"
+    )
+    key = ["doc_id", "channel"]
+    a = {
+        tuple(r[k] for k in key): (r["px_mean"], r["px_std"])
+        for r in image_stats(attach_image_payload(docs, fmt="bmp")).collect()
+    }
+    b = {
+        tuple(r[k] for k in key): (r["px_mean"], r["px_std"])
+        for r in image_stats(attach_image_payload(docs, fmt="png")).collect()
+    }
+    assert a == b and len(a) == 90
