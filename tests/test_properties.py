@@ -766,3 +766,50 @@ def test_neardup_vectorized_buckets_same_pairs(spark):
         ).collect()
     }
     assert vec == base and len(vec) > 0
+
+
+def test_emb_neardup_lsh_planted_neardup_recall(spark, tmp_path):
+    """Recall gate at the CHOSEN operating point (TARGET_BUCKET_OCC=64,
+    docs/ROUND8.md §5): near-duplicate pairs planted at cosine ≈ 0.94 into a
+    4096-vector random corpus must be recovered at ≥ 0.9 through the
+    ADAPTIVE-planes path (n=4396 → 7 planes — past the N_PLANES floor the
+    sf0.01 gate exercises).  The base corpus has no high-cosine pairs, so
+    every planted pair is a true near-dup the pass exists to catch."""
+    import os
+
+    import numpy as np
+
+    from exstream_implementation_spark.plans import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n_base, n_pairs, dim = 4096, 300, 64
+    base = rng.standard_normal((n_base, dim))
+    rows = [(i, int(i % 37), [float(x) for x in base[i]]) for i in range(n_base)]
+    planted = []
+    for k in range(n_pairs):
+        src = k * 13 % n_base
+        noise = rng.standard_normal(dim)
+        v = base[src] + noise * (
+            np.linalg.norm(base[src]) / np.linalg.norm(noise) * 0.35
+        )
+        vid = n_base + k
+        rows.append((vid, int(src % 37), [float(x) for x in v]))
+        planted.append((src, vid))
+    d = str(tmp_path / "planted_corpus")
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    sim._PLANES_CACHE.clear()
+    try:
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in sim.emb_neardup_lsh(spark, d)
+            .select("vec_a", "vec_b")
+            .collect()
+        }
+        assert sim._PLANES_CACHE[d] == 7  # adaptive path, past the floor
+    finally:
+        sim._PLANES_CACHE.clear()  # tmp dir must not linger in the cache
+    hits = sum(1 for s, v in planted if (min(s, v), max(s, v)) in got)
+    assert hits / n_pairs >= 0.9, f"planted near-dup recall {hits}/{n_pairs}"
