@@ -713,12 +713,20 @@ def ann_topk_cosine_vectorized(spark, sf_dir):
     qrows = sorted(
         e.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
     )
+    if not qrows:
+        # empty corpus → no query vectors → no neighbors (mirrors the SQL
+        # oracle, whose query-side join is empty), not a numpy shape error
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             emat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
