@@ -587,24 +587,85 @@ def percentiles_exact(spark, sf_dir):
 @query(
     "join_semi_anti",
     oracle="""
-    SELECT c.c_custkey, c.c_mktsegment,
-           (c.c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders
-    FROM customer c
-    WHERE c.c_acctbal > 9000.0
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000.0
+    ),
+    o AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS otot
+      FROM orders GROUP BY o_custkey
+    ),
+    hi AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS otot
+      FROM orders GROUP BY o_custkey
+      HAVING sum(o_totalprice) > 1500000.0
+    )
+    SELECT 'semianti' AS branch, c.c_custkey AS k, c.c_mktsegment AS seg,
+           (c.c_custkey IN (SELECT o_custkey FROM orders)) AS flag,
+           CAST(NULL AS DOUBLE) AS val
+    FROM c
+    UNION ALL
+    SELECT 'left', c.c_custkey, c.c_mktsegment, CAST(NULL AS BOOLEAN), o.otot
+    FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'full', coalesce(c.c_custkey, hi.o_custkey), c.c_mktsegment,
+           c.c_custkey IS NOT NULL, hi.otot
+    FROM c FULL OUTER JOIN hi ON hi.o_custkey = c.c_custkey
     """,
 )
 def join_semi_anti(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0)
-    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    """Semi/anti + LEFT + FULL outer semantics under ONE hash gate: the
+    'left' branch's NULL ``val`` rows and the 'full' branch's left-only /
+    right-only null-extension rows are all observable in the value hash, so
+    a wrong join type or dropped null-extension breaks the gate.  Each
+    outer join keys on the customer key; the orders side is pre-aggregated
+    per customer (map-side partial agg) before joining — never row-level."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000.0
+    ).select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders")
+    nullb = F.lit(None).cast("boolean")
+    nulld = F.lit(None).cast("double")
+
+    odist = orders.select("o_custkey").distinct()
     with_orders = c.join(
-        o, c.c_custkey == o.o_custkey, "left_semi"
-    ).withColumn("has_orders", F.lit(True))
+        odist, c.c_custkey == odist.o_custkey, "left_semi"
+    ).withColumn("flag", F.lit(True))
     without = c.join(
-        o, c.c_custkey == o.o_custkey, "left_anti"
-    ).withColumn("has_orders", F.lit(False))
-    return with_orders.unionByName(without).select(
-        "c_custkey", "c_mktsegment", "has_orders"
+        odist, c.c_custkey == odist.o_custkey, "left_anti"
+    ).withColumn("flag", F.lit(False))
+    semianti = with_orders.unionByName(without).select(
+        F.lit("semianti").alias("branch"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        "flag",
+        nulld.alias("val"),
     )
+
+    o = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("otot")
+    )
+    left = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.lit("left").alias("branch"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        nullb.alias("flag"),
+        F.col("otot").alias("val"),
+    )
+
+    hi = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("_s"))
+        .filter(F.col("_s") > 1_500_000.0)
+        .select("o_custkey", F.round("_s", 2).alias("otot"))
+    )
+    full = c.join(hi, c.c_custkey == hi.o_custkey, "full").select(
+        F.lit("full").alias("branch"),
+        F.coalesce("c_custkey", "o_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").isNotNull().alias("flag"),
+        F.col("otot").alias("val"),
+    )
+    return semianti.unionByName(left).unionByName(full)
 
 
 # (covered by temporal_join_suite's asof branch)
