@@ -41,6 +41,7 @@ from exstream_implementation_spark.streaming.ingest_dedup import (
     documents_stream,
     ingest_pipeline,
     init_neardup_corpus,
+    compact_neardup_index,
     minhash_index_rows,
     neardup_index_is_stale,
     refresh_neardup_tables,
@@ -82,6 +83,7 @@ __all__ = [
     "init_neardup_corpus",
     "simhash_index_rows",
     "minhash_index_rows",
+    "compact_neardup_index",
     "neardup_index_is_stale",
     "refresh_neardup_tables",
     "start_refreshing_ingest",

@@ -368,6 +368,44 @@ def refresh_neardup_tables(spark: SparkSession, name: str) -> None:
         spark.catalog.refreshTable(f"{name}_{suffix}")
 
 
+def compact_neardup_index(spark: SparkSession, name: str) -> dict:
+    """Rewrite both band indexes and reset the staleness baseline.
+
+    Streaming appends leave one small file per (microbatch, index) and no
+    clustering — over time a band probe touches every tiny file.  Compaction
+    rewrites each index REPARTITIONED BY band_id and sorted by the band key
+    within partitions (probe joins read clustered, stats-prunable files),
+    then resets ``n_base`` so ``neardup_index_is_stale`` measures growth
+    from the compacted state.  The band rows themselves are exact functions
+    of each doc, so compaction is a pure layout rewrite — row sets are
+    unchanged (pytest-pinned).
+
+    Writes go through a staging table + catalog rename, never an overwrite
+    of a table being read (Spark rejects that lineage, and a failed rewrite
+    must not destroy the live index)."""
+    counts = {}
+    for suffix, keys in (("sh_idx", ("band_id", "band_val")),
+                         ("mh_idx", ("band_id", "band_hash"))):
+        tbl, staging = f"{name}_{suffix}", f"{name}_{suffix}_staging"
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        df = spark.table(tbl)
+        (
+            df.repartition("band_id")
+            .sortWithinPartitions(*keys)
+            .write.format("parquet")
+            .saveAsTable(staging)
+        )
+        counts[suffix] = spark.table(staging).count()
+        spark.sql(f"DROP TABLE {tbl}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {tbl}")
+    meta = spark.table(f"{name}_meta").first()
+    spark.createDataFrame(
+        [(int(meta["n_docs"]), int(meta["n_docs"]))],
+        "n_docs long, n_base long",
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
+    return counts
+
+
 def neardup_index_is_stale(
     spark: SparkSession, name: str, growth_threshold: float = 0.5
 ) -> bool:

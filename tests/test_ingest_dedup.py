@@ -463,6 +463,24 @@ def test_refreshing_ingest_flags_post_snapshot_duplicate(spark, tmp_path):
     b = {tuple(r) for r in corpus_simhash_index(spark, SF_DIR).collect()}
     assert a == b
 
+    # compaction: pure layout rewrite — identical row sets, fewer files,
+    # staleness baseline reset
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        compact_neardup_index,
+    )
+
+    import glob as _glob
+
+    wh = "/root/repo/spark-warehouse"
+    before_rows = {tuple(r) for r in spark.table(f"{name}_sh_idx").collect()}
+    before_files = len(_glob.glob(f"{wh}/{name}_sh_idx/*.parquet"))
+    counts = compact_neardup_index(spark, name)
+    after_rows = {tuple(r) for r in spark.table(f"{name}_sh_idx").collect()}
+    after_files = len(_glob.glob(f"{wh}/{name}_sh_idx/*.parquet"))
+    assert after_rows == before_rows and counts["sh_idx"] == len(before_rows)
+    assert after_files <= before_files
+    assert not neardup_index_is_stale(spark, name)  # baseline reset
+
 
 def test_ingest_pipeline_composition(spark, tmp_path):
     """The one-source/three-sink composition: admitted stream deduped, both
