@@ -858,11 +858,34 @@ def lsh_buckets_vectorized(spark, sf_dir):
              * sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.3
     """,
 )
-def emb_neardup_lsh(spark, sf_dir, min_cosine: float = 0.3, buckets=None):
+def emb_neardup_lsh(
+    spark,
+    sf_dir,
+    min_cosine: float = 0.3,
+    buckets=None,
+    max_bucket: int | None = None,
+):
+    """``max_bucket`` (opt-in, production scale knob — the catalog keeps
+    None so the DuckDB oracle's candidate set stays identical): exclude
+    (table, bucket) cells holding more than this many vectors from
+    candidate generation, the ``_capped_gram_edges`` pattern.  A hot bucket
+    is a dense region where LSH stops discriminating; its quadratic
+    self-join cost buys mostly mid-cosine pairs (recall impact measured in
+    docs/ROUND8.md §5b).  The hot list is bounded by n/max_bucket rows and
+    broadcasts into an anti-join on BOTH sides (probes into a dropped
+    bucket find no build rows)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if buckets is None:
         buckets = _buckets_spark(spark, sf_dir)
     bands = buckets.select("vec_id", "tbl", "bucket")
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("tbl", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("tbl", "bucket")
+        )
+        bands = bands.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
     # PAIR generation needs only UPWARD Hamming-1 probes (flip a 0-bit to 1):
     # for an unordered pair differing in exactly bit k, the side holding 0 at
     # k probes the other's bucket — one detection per pair is enough, so the

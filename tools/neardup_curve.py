@@ -18,7 +18,12 @@ Occupancy halves → one more plane → buckets split in two → candidate join
 volume halves but 1-bit-separated true pairs need the Hamming-1 probe to
 meet, trimming recall.  The curve quantifies both arms.
 
-Usage: PYTHONPATH=. python tools/neardup_curve.py [x-factor]
+A second sweep (``--cap``) holds occ=64 and varies the opt-in hot-bucket
+cap (emb_neardup_lsh max_bucket — the _capped_gram_edges pattern): how
+much wall does dropping oversized buckets save, and what does it cost in
+recall on each population?
+
+Usage: PYTHONPATH=. python tools/neardup_curve.py [x-factor] [--cap]
 """
 
 from __future__ import annotations
@@ -31,7 +36,9 @@ from exstream_implementation_spark.session import get_spark
 
 
 def main():
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    cap_mode = "--cap" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = int(args[0]) if args else 20
     sys.path.insert(0, "tools")
     from scale_smoke import build_scaled
 
@@ -55,8 +62,13 @@ def main():
 
     default_occ = sim.TARGET_BUCKET_OCC
     out = []
+    sweep = (
+        [(64, cap) for cap in (None, 1024, 512, 256)]
+        if cap_mode
+        else [(occ, None) for occ in (16, 32, 64, 128)]
+    )
     try:
-        for occ in (16, 32, 64, 128):
+        for occ, cap in sweep:
             sim.TARGET_BUCKET_OCC = occ
             sim._PLANES_CACHE.clear()
             t0 = time.perf_counter()
@@ -66,6 +78,7 @@ def main():
                     spark,
                     sf_dir,
                     buckets=sim.lsh_buckets_vectorized(spark, sf_dir),
+                    max_bucket=cap,
                 )
                 .select("vec_a", "vec_b")
                 .collect()
@@ -79,6 +92,7 @@ def main():
             )
             row = {
                 "occ": occ,
+                "cap": cap,
                 "planes": sim._PLANES_CACHE[sf_dir],
                 "recall": rec,
                 "recall_hi": rec_hi,
