@@ -303,14 +303,25 @@ def minhash_index_rows(docs: DataFrame) -> DataFrame:
 # microbatch side broadcasts against them.
 
 def init_neardup_corpus(
-    spark: SparkSession, name: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    name: str,
+    docs: DataFrame | None = None,
+    n_buckets: int = 16,
 ) -> None:
     """Create (or reset) the persistent admission-corpus tables:
     ``{name}_admitted`` (doc_id, norm_hash, event_time),
     ``{name}_sh_idx`` / ``{name}_mh_idx`` (band indexes),
     ``{name}_sh_flags`` / ``{name}_mh_flags`` (append-only flag logs with the
     admitting batch_id), and ``{name}_meta`` (n_docs, n_base — the staleness
-    gate's baseline, same contract as ann_index's n_trained)."""
+    gate's baseline, same contract as ann_index's n_trained).
+
+    The corpus tables are BUCKETED on their join keys (admitted: norm_hash;
+    indexes: the band key) — the corpus side of every per-batch join reads
+    co-located buckets with NO exchange (plan-pinned in pytest), so each
+    microbatch shuffles only its own small probe side; appends route through
+    the bucket spec via the catalog insert path (the ann_index pattern).
+    Size ``n_buckets`` to the target corpus (bucket ≈ executor-memory
+    chunk); 100 TB corpora want thousands."""
     import os
     import shutil
     from urllib.parse import urlparse
@@ -328,19 +339,34 @@ def init_neardup_corpus(
         docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
     if "event_time" not in docs.columns:
         docs = docs.withColumn("event_time", F.lit(None).cast("timestamp"))
+    from exstream_implementation_spark.operators.bucketing import (
+        write_bucketed,
+    )
+
     hashed = with_content_hashes(docs).dropDuplicates(["norm_hash"])
-    # mode("overwrite") everywhere: DROP TABLE alone leaves the warehouse
-    # directory behind when the table was created by a PREVIOUS session
-    # (in-memory catalog) — overwrite replaces the orphaned location
-    hashed.select("doc_id", "norm_hash", "event_time").write.mode(
-        "overwrite"
-    ).format("parquet").saveAsTable(f"{name}_admitted")
-    simhash_index_rows(hashed).write.mode("overwrite").format(
-        "parquet"
-    ).saveAsTable(f"{name}_sh_idx")
-    minhash_index_rows(hashed).write.mode("overwrite").format(
-        "parquet"
-    ).saveAsTable(f"{name}_mh_idx")
+    # (write_bucketed overwrites, which also replaces a location orphaned by
+    # a previous session whose in-memory catalog entry DROP can't see)
+    write_bucketed(
+        hashed.select("doc_id", "norm_hash", "event_time"),
+        f"{name}_admitted",
+        ["norm_hash"],
+        n_buckets=n_buckets,
+        sort_cols=["norm_hash"],
+    )
+    write_bucketed(
+        simhash_index_rows(hashed),
+        f"{name}_sh_idx",
+        ["band_id", "band_val"],
+        n_buckets=n_buckets,
+        sort_cols=["band_id", "band_val"],
+    )
+    write_bucketed(
+        minhash_index_rows(hashed),
+        f"{name}_mh_idx",
+        ["band_id", "band_hash"],
+        n_buckets=n_buckets,
+        sort_cols=["band_id", "band_hash"],
+    )
     for arm, dist_col in (("sh", "hamming int"), ("mh", "est_jaccard double")):
         spark.createDataFrame(
             [],
@@ -371,29 +397,38 @@ def refresh_neardup_tables(spark: SparkSession, name: str) -> None:
 def compact_neardup_index(spark: SparkSession, name: str) -> dict:
     """Rewrite both band indexes and reset the staleness baseline.
 
-    Streaming appends leave one small file per (microbatch, index) and no
-    clustering — over time a band probe touches every tiny file.  Compaction
-    rewrites each index REPARTITIONED BY band_id and sorted by the band key
-    within partitions (probe joins read clustered, stats-prunable files),
-    then resets ``n_base`` so ``neardup_index_is_stale`` measures growth
-    from the compacted state.  The band rows themselves are exact functions
+    Streaming appends leave small per-microbatch bucket files.  Compaction
+    rewrites the admitted corpus and both band indexes through the SAME
+    bucket spec (one file per bucket, sorted on the join key — the
+    co-located-join layout, freshly clustered), then resets ``n_base`` so
+    ``neardup_index_is_stale`` measures growth from the compacted state.  The band rows themselves are exact functions
     of each doc, so compaction is a pure layout rewrite — row sets are
     unchanged (pytest-pinned).
 
     Writes go through a staging table + catalog rename, never an overwrite
     of a table being read (Spark rejects that lineage, and a failed rewrite
     must not destroy the live index)."""
+    from exstream_implementation_spark.operators.bucketing import (
+        write_bucketed,
+    )
+
     counts = {}
-    for suffix, keys in (("sh_idx", ("band_id", "band_val")),
-                         ("mh_idx", ("band_id", "band_hash"))):
+    for suffix, keys in (
+        ("admitted", ("norm_hash",)),
+        ("sh_idx", ("band_id", "band_val")),
+        ("mh_idx", ("band_id", "band_hash")),
+    ):
         tbl, staging = f"{name}_{suffix}", f"{name}_{suffix}_staging"
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        df = spark.table(tbl)
-        (
-            df.repartition("band_id")
-            .sortWithinPartitions(*keys)
-            .write.format("parquet")
-            .saveAsTable(staging)
+        n_buckets = spark.sql(f"DESCRIBE EXTENDED {tbl}").filter(
+            "col_name = 'Num Buckets'"
+        ).first()
+        write_bucketed(
+            spark.table(tbl),
+            staging,
+            list(keys),
+            n_buckets=int(n_buckets["data_type"]) if n_buckets else 16,
+            sort_cols=list(keys),
         )
         counts[suffix] = spark.table(staging).count()
         spark.sql(f"DROP TABLE {tbl}")
@@ -514,16 +549,20 @@ def start_refreshing_ingest(
             .write.mode("append").format("parquet")
             .saveAsTable(f"{name}_mh_flags")
         )
-        # --- refresh: admitted docs enter the corpus + both indexes ---
+        # --- refresh: admitted docs enter the corpus + both indexes.
+        # insertInto routes rows of an existing BUCKETED table through its
+        # bucket spec (the ann_index append pattern), so corpus-side joins
+        # keep reading co-located buckets after every append; column order
+        # matches the create-time order.
         new.select("doc_id", "norm_hash", "event_time").write.mode(
             "append"
-        ).format("parquet").saveAsTable(f"{name}_admitted")
-        simhash_index_rows(new).write.mode("append").format(
-            "parquet"
-        ).saveAsTable(f"{name}_sh_idx")
-        minhash_index_rows(new).write.mode("append").format(
-            "parquet"
-        ).saveAsTable(f"{name}_mh_idx")
+        ).insertInto(f"{name}_admitted")
+        simhash_index_rows(new).write.mode("append").insertInto(
+            f"{name}_sh_idx"
+        )
+        minhash_index_rows(new).write.mode("append").insertInto(
+            f"{name}_mh_idx"
+        )
         n_new = new.count()
         meta = spark.table(f"{name}_meta").first()
         spark.createDataFrame(
