@@ -44,6 +44,10 @@ from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
     resize_image,
     sample_frames,
 )
+from exstream_implementation_spark.operators.jpeg import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+)
 from exstream_implementation_spark.operators.ranking import (  # noqa: F401
     global_row_number,
     top_k_ranked,

@@ -1,0 +1,562 @@
+"""Baseline JPEG codec — pure numpy + stdlib, no system codec.
+
+Completes the multimodal decode story (operators/multimodal.py): BMP and PNG
+were real as of r07/r08; this adds baseline sequential DCT JPEG (SOI/DQT/
+SOF0/DHT/SOS, 8-bit, 4:4:4, optimized per-image Huffman tables), the format
+actual training corpora arrive in.
+
+Scope and honesty:
+  * ``encode_jpeg`` writes a spec-conformant baseline JFIF stream: level
+    shift → 2D DCT-II (orthonormal matrix product) → quality-scaled
+    quantization → zigzag → DC-differential + AC run-length → canonical
+    Huffman (tables BUILT from this image's symbol frequencies, emitted in
+    DHT — no memorized Annex K constants to get subtly wrong) → byte-stuffed
+    entropy stream.
+  * ``decode_jpeg`` parses the marker stream and inverts each step, reading
+    quant + Huffman tables FROM THE FILE, so it decodes any baseline 4:4:4
+    8-bit JPEG, not just our own.  Progressive (SOF2), subsampled,
+    12-bit, arithmetic-coded and restart-interval streams refuse loudly
+    with NotImplementedError — swap in PIL/libjpeg-turbo on a real cluster.
+  * JPEG is lossy: round-trips are exact only for DC-flat blocks; tests pin
+    exactness there and PSNR elsewhere, plus pure-math invariants (DCT
+    orthonormality, zigzag involution) that a shared encoder/decoder bug
+    could not fake.
+
+The zigzag order is GENERATED from the diagonal rule (sum s asc; odd s row
+asc, even s row desc) rather than typed in; quant tables are the standard
+ones but carried by DQT, so a transcription slip would change quality, not
+correctness.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants ---------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """(64,) flat indices of the 8×8 zigzag scan, generated from the rule:
+    diagonals by ascending r+c; odd diagonals walk row-ascending, even ones
+    row-descending."""
+    cells = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)  # rows on this diagonal
+        rows = rng if s % 2 == 1 else reversed(rng)
+        cells.extend((r, s - r) for r in rows)
+    return np.array([r * 8 + c for r, c in cells], dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# standard base quantization tables (carried in DQT, so they set quality,
+# not conformance)
+_QL = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_QC = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling: 1..100 → scaled integer tables in 1..255."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QL, _QC):
+        t = np.floor((base * scale + 50) / 100)
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal DCT-II matrix D: forward = D @ B @ D.T, inverse = D.T·C·D."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    d = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    d[0, :] = np.sqrt(1 / 8)
+    return d
+
+
+DCT = _dct_matrix()
+
+
+# --- color transforms (BT.601, the JFIF convention) --------------------------
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+# --- Huffman: optimal length-limited canonical tables ------------------------
+def _optimal_code_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """JPEG-style optimal code lengths (libjpeg jpeg_gen_optimal_table):
+    pairwise merge, then limit to 16 bits by moving symbols up.  A pseudo-
+    symbol 256 (freq 1) reserves the all-ones codepoint per the spec."""
+    freq = np.zeros(257, dtype=np.int64)
+    for sym, f in freqs.items():
+        freq[sym] = f
+    freq[256] = 1
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+    while True:
+        present = np.where(freq > 0)[0]
+        if len(present) <= 1:
+            break
+        # two least-frequent (ties → higher symbol value first, like libjpeg)
+        order = present[np.lexsort((-present, freq[present]))]
+        c1, c2 = int(order[0]), int(order[1])
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = int(others[c1])
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = int(others[c2])
+            codesize[c2] += 1
+    bits = np.zeros(33, dtype=np.int64)
+    for size in codesize[codesize > 0]:
+        bits[min(int(size), 32)] += 1
+    # limit to 16 bits (libjpeg's adjustment: take two from the longest
+    # level, move one up a level, pair the other deeper)
+    for i in range(32, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    # drop the pseudo-symbol's codepoint (largest code of the longest run)
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+    # canonical: symbols sorted by (codesize, symbol), pseudo excluded
+    syms = [s for s in range(256) if codesize[s] > 0]
+    syms.sort(key=lambda s: (codesize[s], s))
+    lengths: dict[int, int] = {}
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(int(bits[ln])):
+            lengths[syms[k]] = ln
+            k += 1
+    assert k == len(syms)
+    return lengths
+
+
+class _HuffTable:
+    """Canonical Huffman table: encode map + DHT payload + decode index."""
+
+    def __init__(self, lengths: dict[int, int]):
+        self.lengths = lengths
+        bysize = sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))
+        self.codes: dict[int, tuple[int, int]] = {}
+        code, prev_len = 0, 0
+        for sym, ln in bysize:
+            code <<= ln - prev_len
+            self.codes[sym] = (code, ln)
+            code += 1
+            prev_len = ln
+        self.bits = [0] * 17
+        for _, ln in bysize:
+            self.bits[ln] += 1
+        self.vals = [sym for sym, _ in bysize]
+
+    @classmethod
+    def from_dht(cls, bits: list[int], vals: list[int]) -> "_HuffTable":
+        lengths: dict[int, int] = {}
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln]):
+                lengths[vals[k]] = ln
+                k += 1
+        return cls(lengths)
+
+    def dht_payload(self) -> bytes:
+        return bytes(self.bits[1:17]) + bytes(self.vals)
+
+    def decoder_index(self):
+        """per length: (mincode, maxcode, first val index) for fast decode."""
+        idx, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            n = self.bits[ln]
+            if n:
+                idx[ln] = (code, code + n - 1, k)
+                code += n
+                k += n
+            code <<= 1
+        return idx
+
+
+# --- bit I/O with 0xFF byte stuffing ----------------------------------------
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError("unexpected marker inside entropy stream")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_symbol(reader: _BitReader, index) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        if ln in index:
+            lo, hi, k = index[ln]
+            if lo <= code <= hi:
+                return index["vals"][k + code - lo]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _extend(bits: int, size: int) -> int:
+    """JPEG EXTEND: magnitude bits → signed value (one's complement negs)."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# --- encoder -----------------------------------------------------------------
+def _blocks(channel: np.ndarray) -> np.ndarray:
+    """(h, w) → (n_blocks, 8, 8), edge-replicated to multiples of 8."""
+    h, w = channel.shape
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(channel, ((0, H - h), (0, W - w)), mode="edge")
+    return (
+        padded.reshape(H // 8, 8, W // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, optimized tables)."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3) RGB")
+    ql, qc = _quality_tables(quality)
+    ycc = rgb_to_ycbcr(arr.astype(np.float64))
+
+    # DCT + quantize all components
+    comp_coefs = []
+    for ci in range(3):
+        blocks = _blocks(ycc[:, :, ci]) - 128.0
+        coefs = np.einsum("ij,njk,lk->nil", DCT, blocks, DCT)
+        q = ql if ci == 0 else qc
+        comp_coefs.append(
+            np.round(coefs / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        )
+
+    # symbol statistics → optimal tables (luma: tables 0, chroma: tables 1)
+    def symbols(ci):
+        dc_syms, ac_syms = [], []
+        prev = 0
+        for blk in comp_coefs[ci]:
+            diff = int(blk[0]) - prev
+            prev = int(blk[0])
+            dc_syms.append(_category(diff))
+            run = 0
+            ac = blk[1:]
+            nz = np.nonzero(ac)[0]
+            last = nz[-1] if len(nz) else -1
+            for i in range(64 - 1):
+                if i > last:
+                    ac_syms.append(0x00)  # EOB
+                    break
+                v = int(ac[i])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        ac_syms.append(0xF0)  # ZRL
+                        run = 0
+                else:
+                    ac_syms.append((run << 4) | _category(v))
+                    run = 0
+        return dc_syms, ac_syms
+
+    stats = [symbols(0), symbols(1), symbols(2)]
+    freq = lambda seqs: {
+        s: sum(seq.count(s) for seq in seqs) for s in set().union(*seqs)
+    }
+    dc_l = _HuffTable(_optimal_code_lengths(freq([stats[0][0]])))
+    ac_l = _HuffTable(_optimal_code_lengths(freq([stats[0][1]])))
+    dc_c = _HuffTable(_optimal_code_lengths(freq([stats[1][0], stats[2][0]])))
+    ac_c = _HuffTable(_optimal_code_lengths(freq([stats[1][1], stats[2][1]])))
+
+    # entropy-code interleaved MCUs (4:4:4 → one block per component)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    n_mcu = comp_coefs[0].shape[0]
+    for m in range(n_mcu):
+        for ci in range(3):
+            dct_t = dc_l if ci == 0 else dc_c
+            act_t = ac_l if ci == 0 else ac_c
+            blk = comp_coefs[ci][m]
+            diff = int(blk[0]) - prev_dc[ci]
+            prev_dc[ci] = int(blk[0])
+            size = _category(diff)
+            code, ln = dct_t.codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            ac = blk[1:]
+            nz = np.nonzero(ac)[0]
+            last = nz[-1] if len(nz) else -1
+            for i in range(63):
+                if i > last:
+                    code, ln = act_t.codes[0x00]
+                    bw.write(code, ln)
+                    break
+                v = int(ac[i])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        code, ln = act_t.codes[0xF0]
+                        bw.write(code, ln)
+                        run = 0
+                else:
+                    size = _category(v)
+                    code, ln = act_t.codes[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(v if v > 0 else v + (1 << size) - 1, size)
+                    run = 0
+
+    # marker stream
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ((0, ql), (1, qc)):
+        out += seg(0xFFDB, bytes([tq]) + bytes(q.reshape(-1)[ZIGZAG].tolist()))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for tc_th, t in ((0x00, dc_l), (0x10, ac_l), (0x01, dc_c), (0x11, ac_c)):
+        out += seg(0xFFC4, bytes([tc_th]) + t.dht_payload())
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -----------------------------------------------------------------
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline 4:4:4 8-bit JFIF bytes → (h, w, 3) uint8 RGB.
+
+    Tables come from the file (DQT/DHT); refuses progressive/subsampled/
+    12-bit/restart-interval streams with NotImplementedError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan_comps = None
+    data_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xFFDB:
+            bpos = 0
+            while bpos < len(body):
+                pq_tq = body[bpos]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(
+                    body, np.uint8, 64, bpos + 1
+                ).astype(np.int64)
+                qt[pq_tq & 0xF] = tbl.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xFFC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG decodes here"
+            )
+        elif marker == 0xFFC4:
+            bpos = 0
+            while bpos < len(body):
+                tc_th = body[bpos]
+                bits = [0] + list(body[bpos + 1 : bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nv])
+                t = _HuffTable.from_dht(bits, vals)
+                index = t.decoder_index()
+                index["vals"] = t.vals
+                huff[(tc_th >> 4, tc_th & 0xF)] = index
+                bpos += 17 + nv
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG stream missing SOF0/SOS")
+    h, w, comps = sof
+    if len(comps) != 3 or len(scan_comps) != 3:
+        raise NotImplementedError("only 3-component (YCbCr) JPEG decodes here")
+
+    # entropy data runs until the EOI marker
+    end = payload.rfind(b"\xff\xd9")
+    reader = _BitReader(payload[data_start : end if end > 0 else len(payload)])
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    n_mcu = (H // 8) * (W // 8)
+    comp_q = {cid: qt[tq] for cid, tq in comps}
+    planes = {cid: np.zeros((n_mcu, 8, 8)) for cid, _ in comps}
+    prev_dc = {cid: 0 for cid, _ in comps}
+    for m in range(n_mcu):
+        for cid, td, ta in scan_comps:
+            dc_idx, ac_idx = huff[(0, td)], huff[(1, ta)]
+            size = _decode_symbol(reader, dc_idx)
+            diff = _extend(reader.read_bits(size), size)
+            prev_dc[cid] += diff
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = prev_dc[cid]
+            k = 1
+            while k < 64:
+                sym = _decode_symbol(reader, ac_idx)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            blk = np.zeros(64, dtype=np.float64)
+            blk[ZIGZAG] = zz
+            planes[cid][m] = blk.reshape(8, 8) * comp_q[cid]
+
+    # inverse DCT + reassemble
+    chans = []
+    for cid, _ in comps:
+        spatial = (
+            np.einsum("ji,njk,kl->nil", DCT, planes[cid], DCT) + 128.0
+        )
+        grid = spatial.reshape(H // 8, W // 8, 8, 8).transpose(0, 2, 1, 3)
+        chans.append(grid.reshape(H, W)[:h, :w])
+    ycc = np.stack(chans, axis=-1)
+    return np.clip(np.round(ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)

@@ -12,10 +12,13 @@ unfilters) need no system codec, so ``attach_image_payload`` generates
 genuine blobs (deterministic synthetic pixels) and ``image_stats`` decodes
 the actual bytes and computes per-channel pixel statistics — the full
 ingest → decode → feature path runs on real image data, including a real
-DEFLATE round-trip on the PNG path.  Formats that DO need a system codec
-(JPEG/WebP/video/audio) still raise NotImplementedError honestly; the pixel
-synth is an exact integer formula so the stats stay oracle-checkable in SQL
-(plans.multimodal).
+DEFLATE round-trip on the PNG path and a real baseline-JPEG decode (huffman
++ dequant + IDCT, operators/jpeg.py) on the JPEG path.  Formats that DO
+need a system codec (WebP/video/audio, progressive or subsampled JPEG)
+still raise NotImplementedError honestly; the pixel synth is an exact
+integer formula so the BMP/PNG stats stay oracle-checkable in SQL
+(plans.multimodal — JPEG is lossy, so its stats are tolerance-tested in
+pytest instead of hash-gated).
 """
 
 from __future__ import annotations
@@ -188,18 +191,24 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload → (h, w, 3) uint8 RGB.
 
-    Real decode for uncompressed 24-bit BMP (bottom-up or top-down) and for
-    8-bit truecolor PNG (stdlib zlib inflate + numpy unfilter) — no system
-    codec.  Every other container (JPEG/WebP/...) needs a codec library
-    absent from this environment and raises NotImplementedError (swap in
-    PIL.Image.open on a real cluster)."""
+    Real decode for uncompressed 24-bit BMP (bottom-up or top-down), 8-bit
+    truecolor PNG (stdlib zlib inflate + numpy unfilter), and baseline
+    sequential 4:4:4 JPEG (operators/jpeg.py: huffman → dequant → IDCT) —
+    no system codec.  Every other container (WebP, progressive/subsampled
+    JPEG, video) needs a codec library absent from this environment and
+    raises NotImplementedError (swap in PIL.Image.open on a real cluster)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from exstream_implementation_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP and 8-bit truecolor PNG decode "
-            "without a system codec; swap in PIL.Image.open / libvips for "
-            "JPEG/WebP on a real cluster"
+            "only uncompressed 24-bit BMP, 8-bit truecolor PNG and baseline "
+            "4:4:4 JPEG decode without a system codec; swap in "
+            "PIL.Image.open / libvips for WebP/progressive-JPEG on a real "
+            "cluster"
         )
     off = struct.unpack_from("<I", payload, 10)[0]
     _hdr, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
@@ -260,13 +269,19 @@ def attach_image_payload(
     fmt: str = "bmp",
 ) -> DataFrame:
     """REAL image payloads: each row gets a genuine 24-bit BMP or 8-bit
-    truecolor PNG blob of its synthetic pixel field (Arrow-batched pandas
-    UDF — bytes are built in the workers, never the driver).  The PNG
-    encoder cycles all five row filters, so decoding it exercises the full
-    inflate + unfilter path."""
-    if fmt not in ("bmp", "png"):
+    truecolor PNG or baseline JPEG blob of its synthetic pixel field
+    (Arrow-batched pandas UDF — bytes are built in the workers, never the
+    driver).  The PNG encoder cycles all five row filters, so decoding it
+    exercises the full inflate + unfilter path; JPEG (quality 95) is lossy
+    by nature, so its decoded stats are tolerance-tested, not hash-gated."""
+    if fmt not in ("bmp", "png", "jpeg"):
         raise ValueError(f"unknown image format {fmt!r}")
-    enc = encode_bmp if fmt == "bmp" else encode_png
+    if fmt == "jpeg":
+        from exstream_implementation_spark.operators.jpeg import encode_jpeg
+
+        enc = lambda a: encode_jpeg(a, quality=95)
+    else:
+        enc = encode_bmp if fmt == "bmp" else encode_png
 
     @F.pandas_udf("binary")
     def blob(ids: pd.Series) -> pd.Series:

@@ -1,0 +1,144 @@
+"""Baseline JPEG codec (operators/jpeg.py): pure-math invariants a shared
+encoder/decoder bug could not fake (zigzag anchors from the spec, DCT
+orthonormality), exactness where JPEG IS exact (DC-flat blocks), PSNR
+envelopes where it is lossy, structural conformance of the emitted stream,
+honest refusal of unsupported variants, and the Spark decode→stats path."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from exstream_implementation_spark.operators.jpeg import (
+    DCT,
+    UNZIGZAG,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def test_zigzag_is_the_spec_scan():
+    # involution + the first diagonal walk and terminal cell of ISO 10918's
+    # zigzag — anchors typed from the spec figure, the rest generated
+    assert (np.arange(64)[ZIGZAG][UNZIGZAG] == np.arange(64)).all()
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[63] == 63
+
+
+def test_dct_matrix_is_orthonormal():
+    assert np.allclose(DCT @ DCT.T, np.eye(8), atol=1e-12)
+    # DC row: constant block → single DC coefficient
+    coefs = DCT @ np.full((8, 8), 7.0) @ DCT.T
+    assert abs(coefs[0, 0] - 56.0) < 1e-9  # 7 · 8 (orthonormal scaling)
+    assert np.abs(coefs).sum() - abs(coefs[0, 0]) < 1e-9
+
+
+def test_flat_image_roundtrips_exactly():
+    # a constant image quantizes to DC-only blocks with zero error
+    for level in (0, 128, 255):
+        img = np.full((16, 24, 3), level, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=85))
+        assert int(np.abs(out.astype(int) - level).max()) <= 1, level
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (40, 56), (13, 9), (1, 1), (9, 32)])
+def test_roundtrip_psnr(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(x * 4) % 256, (y * 3) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == (h, w, 3)
+    assert _psnr(dec, img) > 35.0
+
+
+def test_roundtrip_noise_psnr():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    assert _psnr(decode_jpeg(encode_jpeg(img, quality=95)), img) > 30.0
+
+
+def test_quality_monotonicity():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    p50 = _psnr(decode_jpeg(encode_jpeg(img, quality=50)), img)
+    p95 = _psnr(decode_jpeg(encode_jpeg(img, quality=95)), img)
+    assert p95 > p50
+    assert len(encode_jpeg(img, quality=95)) > len(encode_jpeg(img, quality=50))
+
+
+def test_stream_structure_is_conformant():
+    """Marker walk of our own emission: SOI, APP0(JFIF), 2 DQT, SOF0 with
+    4:4:4 sampling, 4 DHT, SOS, EOI at the end — the segments any standard
+    decoder needs, in a legal order, with self-consistent lengths."""
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    b = encode_jpeg(img, quality=85)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    pos, seen = 2, []
+    while pos < len(b):
+        marker = struct.unpack_from(">H", b, pos)[0]
+        seen.append(marker)
+        ln = struct.unpack_from(">H", b, pos + 2)[0]
+        if marker == 0xFFC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", b, pos + 4)
+            assert (prec, h, w, nc) == (8, 8, 8, 3)
+            assert b[pos + 11] == 0x11  # comp 1 sampling = 4:4:4
+        if marker == 0xFFDA:
+            break
+        pos += 2 + ln
+    assert seen.count(0xFFDB) == 2 and seen.count(0xFFC4) == 4
+    assert 0xFFE0 in seen and seen[-1] == 0xFFDA
+
+
+def test_refuses_unsupported_variants():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    b = bytearray(encode_jpeg(img))
+    sof = bytes(b).find(b"\xff\xc0")
+    # progressive: flip SOF0 → SOF2
+    prog = bytearray(b)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    # 4:2:0 subsampling: component 1 sampling factor 0x22
+    sub = bytearray(b)
+    sub[sof + 11] = 0x22  # comp 1 sampling byte (sof+4 payload, +7 within)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+    # not a JPEG at all
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+
+def test_spark_image_stats_over_jpeg_payloads(spark):
+    """The full Spark path — attach JPEG payloads, decode in Arrow workers,
+    compute pixel stats — must land within quantization distance of the
+    exact (BMP-path) stats.  JPEG is lossy, so this is a tolerance gate,
+    not the hash gate BMP/PNG get."""
+    from exstream_implementation_spark.operators.multimodal import (
+        attach_image_payload,
+        image_stats,
+    )
+    from exstream_implementation_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 20"
+    )
+    key = ["doc_id", "channel"]
+    exact = {
+        tuple(r[k] for k in key): (r["px_mean"], r["px_std"])
+        for r in image_stats(attach_image_payload(docs, fmt="bmp")).collect()
+    }
+    lossy = {
+        tuple(r[k] for k in key): (r["px_mean"], r["px_std"])
+        for r in image_stats(attach_image_payload(docs, fmt="jpeg")).collect()
+    }
+    assert set(lossy) == set(exact) and len(exact) == 60
+    for k in exact:
+        assert abs(lossy[k][0] - exact[k][0]) < 4.0, k
+        assert abs(lossy[k][1] - exact[k][1]) < 8.0, k

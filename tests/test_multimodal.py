@@ -51,9 +51,9 @@ def test_bmp_topdown_decode():
 
 
 def test_non_bmp_raises_not_implemented():
-    # JPEG needs a real codec — honest refusal
+    # WebP needs a real codec — honest refusal (JPEG is real now)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 64)
     # 8-bit BMP variant: honest refusal, not silent garbage
     img = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
     bad = bytearray(img)
