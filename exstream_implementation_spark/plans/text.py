@@ -254,32 +254,131 @@ def text_langid(spark, sf_dir):
 
 
 # --- document fingerprint (position-weighted rolling hash, md5-derived so
-#     both engines agree bit-for-bit) ----------------------------------------
+#     both engines agree bit-for-bit) + cross-document duplicated-span
+#     detection (the substring-dedup shape of Lee et al. 2022, "Deduplicating
+#     Training Data Makes Language Models Better", arXiv:2107.06499 —
+#     approximated at token-W-gram granularity): a position is "duplicated"
+#     when its W-gram occurs in ≥2 distinct docs; overlapping/adjacent hit
+#     windows merge into maximal spans per doc (the classic islands pattern,
+#     per-doc windows so partitions stay bounded by document length).  Scale:
+#     the gram explode matches dedup_ngram_jaccard's accepted volume class,
+#     the gram groupBy pre-combines map-side, and the hit semi-join is an
+#     AQE equi-join on the 60-bit gram hash — identical md5-derived hash on
+#     both engines, so even collisions collide identically. -------------------
+SPAN_W = 8
+
+
 @query(
     "text_fingerprint",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
                FROM documents),
     u AS (SELECT doc_id, unnest(toks) AS tok,
                  generate_subscripts(toks, 1) AS pos
-          FROM t)
-    SELECT doc_id,
-           CAST(sum((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000003)
-                    * (((pos - 1) % 64) + 1)) % 2147483647 AS BIGINT)
-             AS fingerprint
-    FROM u GROUP BY doc_id
+          FROM t),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000003)
+                      * (((pos - 1) % 64) + 1)) % 2147483647 AS BIGINT) AS val
+      FROM u GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             ('0x' || substr(md5(array_to_string(
+                toks[i + 1 : i + {SPAN_W}], ' ')), 1, 15))::BIGINT AS gh
+      FROM t, unnest(range(len(toks) - {SPAN_W - 1})) AS r(i)
+      WHERE len(toks) >= {SPAN_W}
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    hit AS (SELECT doc_id, pos FROM g SEMI JOIN dup USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {SPAN_W}) OVER w IS NULL
+                    OR pos > max(pos + {SPAN_W}) OVER w
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hit
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS INT) AS pos,
+             CAST(max(pos) + {SPAN_W} AS BIGINT) AS val
+      FROM isl2 GROUP BY doc_id, island
+    )
+    SELECT 'fp' AS branch, doc_id, 0 AS pos, val FROM fp
+    UNION ALL
+    SELECT 'span' AS branch, doc_id, pos, val FROM spans
     """,
 )
 def text_fingerprint(spark, sf_dir):
+    from pyspark.sql import Window
+
     d = load_documents_parallel(spark, sf_dir).withColumn("toks", _toks())
     u = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     term = (
         F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint) % 1000003")
         * ((F.col("pos") % 64) + 1)
     )
-    return u.groupBy("doc_id").agg(
-        (F.sum(term) % 2147483647).alias("fingerprint")
+    fp = (
+        u.groupBy("doc_id")
+        .agg((F.sum(term) % 2147483647).alias("val"))
+        .select(
+            F.lit("fp").alias("branch"),
+            "doc_id",
+            F.lit(0).cast("int").alias("pos"),
+            "val",
+        )
     )
+
+    grams = d.filter(F.size("toks") >= SPAN_W).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {SPAN_W}),"
+                f" i -> cast(conv(substr(md5(array_join("
+                f"slice(toks, i + 1, {SPAN_W}), ' ')), 1, 15), 16, 10)"
+                f" as bigint))"
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hit = grams.join(dup, "gh", "left_semi").select(
+        "doc_id", F.col("pos").cast("int").alias("pos")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max(F.col("pos") + SPAN_W).over(w_prev)
+    isl = hit.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w_run))
+    spans = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("pos"),
+            (F.max("pos") + SPAN_W).cast("long").alias("val"),
+        )
+        .select(F.lit("span").alias("branch"), "doc_id", "pos", "val")
+    )
+    return fp.unionByName(spans)
 
 
 # --- Python UDTF surface (§2.2 scope row "UDAF/UDTF: absent" — Spark 4
