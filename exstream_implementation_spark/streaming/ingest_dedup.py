@@ -321,7 +321,15 @@ def init_neardup_corpus(
     microbatch shuffles only its own small probe side; appends route through
     the bucket spec via the catalog insert path (the ann_index pattern).
     Size ``n_buckets`` to the target corpus (bucket ≈ executor-memory
-    chunk); 100 TB corpora want thousands."""
+    chunk); 100 TB corpora want thousands.
+
+    Cost honesty: bucketing removes the per-trigger corpus SHUFFLE, not the
+    corpus scan — each trigger still reads the corpus side of the joins.
+    At scale, compose: the watermarked ``stream_exact_dedup`` arm gives
+    true O(batch) dedup within its state horizon; run THIS engine at a
+    coarser trigger (or as the periodic batch pass) for full-corpus
+    coverage, and ``compact_neardup_index`` keeps its scans one sorted
+    file per bucket."""
     import os
     import shutil
     from urllib.parse import urlparse
