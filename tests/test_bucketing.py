@@ -250,8 +250,9 @@ def test_neardup_corpus_anti_join_reads_buckets_without_exchange(spark):
     """The refreshing-ingest exact-dedup anti-join must NOT shuffle the
     corpus side: {name}_admitted is bucketed on norm_hash, so each
     microbatch exchanges only its own small probe side while the corpus
-    reads co-located buckets — the property that keeps per-trigger cost
-    O(batch), not O(corpus)."""
+    reads co-located buckets.  (This removes the per-trigger corpus
+    SHUFFLE; the corpus scan itself remains — see the module docstring's
+    cost-honesty note for the horizon-state + coarse-trigger composition.)"""
     from exstream_implementation_spark.sources import load_table
     from exstream_implementation_spark.streaming.ingest_dedup import (
         init_neardup_corpus,
