@@ -276,6 +276,23 @@ def run_config_grid(
     from exstream_implementation_spark.sources import write_results
 
     base = base or ExplainConfig()
+    # resolve segmentation='auto' ONCE for the whole grid: the slice — and
+    # therefore the largest per-anomaly group — is identical across the four
+    # configs, so one probe replaces four
+    if base.segmentation == "auto":
+        probe = slice_intervals(traces, labels)
+        max_group = (
+            probe.groupBy("ano_key").count().agg(F.max("count")).collect()[0][0]
+            or 0
+        )
+        base = replace(
+            base,
+            segmentation=(
+                "stitched"
+                if max_group > base.segmentation_threshold
+                else "window"
+            ),
+        )
     grid = {
         "explanations": (False, False),
         "explanations_cluster": (True, False),
