@@ -67,7 +67,9 @@ def main():
                 "rows": p["numInputRows"],
                 "ms": p["durationMs"]["triggerExecution"],
             }
-            for p in (json.loads(j) for j in q.recentProgress)
+            # recentProgress yields StreamingQueryProgress objects; .json is
+            # the portable accessor across PySpark versions
+            for p in (json.loads(sp.json) for sp in q.recentProgress)
             if p["numInputRows"] > 0
         ]
         refresh_neardup_tables(spark, name)
