@@ -34,6 +34,7 @@ from exstream_implementation_spark.operators.ann_index import (  # noqa: F401
     probe_ivf_index,
 )
 from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
+    attach_gif_payload,
     attach_image_payload,
     attach_payload,
     decode_image,
@@ -43,6 +44,11 @@ from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
     image_stats,
     resize_image,
     sample_frames,
+    sample_gif_frames,
+)
+from exstream_implementation_spark.operators.gif import (  # noqa: F401
+    decode_gif,
+    encode_gif,
 )
 from exstream_implementation_spark.operators.jpeg import (  # noqa: F401
     decode_jpeg,
