@@ -34,8 +34,10 @@ from exstream_implementation_spark.operators.ann_index import (  # noqa: F401
     probe_ivf_index,
 )
 from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
+    attach_audio_payload,
     attach_gif_payload,
     attach_image_payload,
+    audio_stats,
     attach_payload,
     decode_image,
     encode_bmp,
@@ -43,6 +45,8 @@ from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
     decode_png,
     image_stats,
     resize_image,
+    decode_wav,
+    encode_wav,
     sample_frames,
     sample_gif_frames,
 )

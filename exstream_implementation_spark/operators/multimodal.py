@@ -13,10 +13,13 @@ genuine blobs (deterministic synthetic pixels) and ``image_stats`` decodes
 the actual bytes and computes per-channel pixel statistics — the full
 ingest → decode → feature path runs on real image data, including a real
 DEFLATE round-trip on the PNG path and a real baseline-JPEG decode (huffman
-+ dequant + IDCT, operators/jpeg.py) on the JPEG path.  Formats that DO
-need a system codec (WebP/video/audio, progressive or subsampled JPEG)
-still raise NotImplementedError honestly; the pixel synth is an exact
-integer formula so the BMP/PNG stats stay oracle-checkable in SQL
++ dequant + IDCT, operators/jpeg.py) on the JPEG path.  Audio is real too:
+a RIFF/PCM16 WAV codec (lossless, so ``audio_stats`` is hash-gated exactly
+like the pixel paths), and animated-GIF frame extraction is real
+(operators/gif.py + ``sample_gif_frames``).  Formats that DO need a system
+codec (WebP/mp4, float/ADPCM audio, progressive or subsampled JPEG) still
+raise NotImplementedError honestly; the pixel/sample synths are exact
+integer formulas so the BMP/PNG/WAV stats stay oracle-checkable in SQL
 (plans.multimodal — JPEG is lossy, so its stats are tolerance-tested in
 pytest instead of hash-gated).
 """
@@ -332,6 +335,132 @@ def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "channel": pd.Series(cs, dtype="int32"),
                     "px_mean": pd.Series(means, dtype="float64"),
                     "px_std": pd.Series(stds, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema)
+
+
+# --- real WAV codec (RIFF/PCM16 — lossless, so the audio feature path is
+#     hash-gateable exactly like the BMP/PNG pixel paths) ---------------------
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000
+) -> bytes:
+    """(n,) or (n, channels) int16 PCM → RIFF/WAVE bytes (format 1, 16-bit).
+    PCM is lossless: encode→decode round-trips bit-exactly."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()  # interleaved little-endian
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → ((n, channels) int16 samples, sample_rate).
+
+    PCM16 (format tag 1, 16 bits/sample) only; float/ADPCM/extensible
+    formats refuse with NotImplementedError (soundfile/ffmpeg on a real
+    cluster).  Chunk-walks the container, so extra chunks (LIST etc.) are
+    skipped, not tripped over."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV decodes without a codec (format={tag}, "
+                    f"bits={bits}); swap in soundfile/ffmpeg for the rest"
+                )
+            fmt = (ch, rate)
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV stream missing fmt/data chunk")
+    ch, rate = fmt
+    samples = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+    return samples, rate
+
+
+N_AUDIO_SAMPLES = 256
+AUDIO_RATE = 8000
+
+
+def synth_samples(doc_id: int, n: int = N_AUDIO_SAMPLES) -> np.ndarray:
+    """Deterministic int16 sample field s(i) = ((id%256)·31 + 7i) mod 65536
+    − 32768 — an exact integer formula DuckDB reproduces verbatim, so
+    features computed from the DECODED bytes are oracle-checkable (the WAV
+    analog of ``synth_pixels``)."""
+    i = np.arange(n, dtype=np.int64)
+    return (((int(doc_id) % 256) * 31 + 7 * i) % 65536 - 32768).astype(np.int16)
+
+
+def attach_audio_payload(
+    df: DataFrame, id_col: str = "doc_id", n: int = N_AUDIO_SAMPLES
+) -> DataFrame:
+    """REAL WAV payloads: each row gets a genuine PCM16 RIFF blob of its
+    synthetic sample field, built in the Arrow workers."""
+
+    @F.pandas_udf("binary")
+    def wav(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_wav(synth_samples(i, n), AUDIO_RATE))
+
+    out = df.withColumn("payload", wav(F.col(id_col)))
+    return out.withColumn("n_bytes", F.length("payload"))
+
+
+def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each payload (REAL RIFF/PCM16 parse) and emit duration and
+    per-stream amplitude mean/RMS — the canonical audio feature-extraction
+    shape, Arrow-batched via mapInPandas.
+
+    Same float-determinism contract as ``image_stats``: exact integer sums
+    S1, S2 → mean = S1/n, rms = sqrt(S2/n); each op is one correctly-rounded
+    IEEE operation, so numpy and DuckDB agree bitwise."""
+    schema = (
+        f"{id_col} long, n_samples int, sample_rate int, "
+        "amp_mean double, amp_rms double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ns, rates, means, rmss = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                s = samples.astype(np.int64).reshape(-1)
+                n = len(s)
+                ids.append(did)
+                ns.append(n)
+                rates.append(rate)
+                means.append(float(s.sum()) / n)
+                rmss.append(math.sqrt(float((s * s).sum()) / n))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "amp_mean": pd.Series(means, dtype="float64"),
+                    "amp_rms": pd.Series(rmss, dtype="float64"),
                 }
             )
 

@@ -18,12 +18,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.operators.multimodal import (
+    attach_audio_payload,
     attach_image_payload,
     attach_payload,
+    audio_stats,
     image_stats,
     sample_frames,
+    AUDIO_RATE,
     IMG_H,
     IMG_W,
+    N_AUDIO_SAMPLES,
     N_FRAMES,
 )
 from exstream_implementation_spark.plans.registry import query
@@ -50,6 +54,12 @@ def mm_image_features(spark, sf_dir, fmt="bmp"):
 def mm_frame_sample(spark, sf_dir):
     d = attach_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(d)
+
+
+# --- real WAV decode → amplitude stats vs SQL oracle --------------------------
+def mm_audio_features(spark, sf_dir):
+    d = attach_audio_payload(load_table(spark, sf_dir, "documents"))
+    return audio_stats(d)
 
 
 _FRAMES_DUCK = f"""
@@ -126,6 +136,29 @@ _FRAMES_DUCK = f"""
       SELECT doc_id, c, 'std', s FROM chan
     )
     UNION ALL
+    SELECT 'wav' AS branch,
+           doc_id::VARCHAR || ':' || stat AS key,
+           {N_AUDIO_SAMPLES}::BIGINT AS n,
+           round(v + 1e-9, 6) AS v,
+           '' AS h
+    FROM (
+      WITH smp AS (
+        -- the Spark side reaches these values only by parsing a real
+        -- RIFF/PCM16 container built in the workers (a byte-order, chunk-
+        -- walk, or interleave bug breaks this branch's hash)
+        SELECT doc_id,
+               ((doc_id % 256) * 31 + 7 * i.range) % 65536 - 32768 AS s
+        FROM documents, range({N_AUDIO_SAMPLES}) i
+      ),
+      agg AS (
+        SELECT doc_id, avg(s) AS m, sqrt(avg(s * s)) AS r
+        FROM smp GROUP BY doc_id
+      )
+      SELECT doc_id, 'amp_mean' AS stat, m AS v FROM agg
+      UNION ALL
+      SELECT doc_id, 'amp_rms', r FROM agg
+    )
+    UNION ALL
     SELECT 'frame' AS branch,
            doc_id::VARCHAR || ':' || frame_idx::VARCHAR AS key,
            CAST(frame_bytes AS BIGINT) AS n,
@@ -168,6 +201,26 @@ def multimodal_suite(spark, sf_dir):
     feat = feat_branch("bmp", "feat").unionByName(
         feat_branch("png", "pngfeat")
     )
+    wav = (
+        mm_audio_features(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("n_samples").cast("long").alias("n"),
+            F.expr(
+                "stack(2, 'amp_mean', amp_mean, 'amp_rms', amp_rms)"
+                " as (stat, fval)"
+            ),
+        )
+        .select(
+            F.lit("wav").alias("branch"),
+            F.concat_ws(":", F.col("doc_id").cast("string"), "stat").alias(
+                "key"
+            ),
+            "n",
+            F.round(F.col("fval") + F.lit(1e-9), 6).alias("v"),
+            F.lit("").alias("h"),
+        )
+    )
     frame = mm_frame_sample(spark, sf_dir).select(
         F.lit("frame").alias("branch"),
         F.concat(
@@ -179,4 +232,4 @@ def multimodal_suite(spark, sf_dir):
         F.lit(0.0).cast("double").alias("v"),
         F.col("frame_hash").alias("h"),
     )
-    return meta.unionByName(feat).unionByName(frame)
+    return meta.unionByName(feat).unionByName(wav).unionByName(frame)

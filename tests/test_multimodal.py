@@ -175,3 +175,80 @@ def test_png_spark_stats_match_bmp_path(spark):
         for r in image_stats(attach_image_payload(docs, fmt="png")).collect()
     }
     assert a == b and len(a) == 90
+
+
+def test_wav_roundtrip_exact():
+    """PCM16 is lossless — encode→decode must be bit-exact, mono and
+    multi-channel, including a chunk walk past an extra LIST chunk."""
+    import struct as _struct
+
+    from exstream_implementation_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 2, 4):
+        s = rng.integers(-32768, 32768, (301, ch)).astype(np.int16)
+        back, rate = decode_wav(encode_wav(s, 44100))
+        assert rate == 44100 and (back == s).all(), ch
+    # mono 1-D input round-trips as (n, 1)
+    s = rng.integers(-32768, 32768, 17).astype(np.int16)
+    back, _ = decode_wav(encode_wav(s))
+    assert (back.reshape(-1) == s).all()
+    # an unknown chunk before data must be skipped, not tripped over
+    payload = bytearray(encode_wav(s))
+    extra = b"LIST" + _struct.pack("<I", 4) + b"INFO"
+    insert_at = payload.find(b"data")
+    payload = payload[:insert_at] + extra + payload[insert_at:]
+    _struct.pack_into("<I", payload, 4, len(payload) - 8)
+    back, _ = decode_wav(bytes(payload))
+    assert (back.reshape(-1) == s).all()
+
+
+def test_wav_refuses_non_pcm16():
+    import struct as _struct
+
+    from exstream_implementation_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    payload = bytearray(encode_wav(synth_samples(1)))
+    fmt_at = payload.find(b"fmt ") + 8
+    _struct.pack_into("<H", payload, fmt_at, 3)  # IEEE float format tag
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 40)
+
+
+def test_spark_audio_stats_match_local(spark):
+    """attach real WAV payloads → RIFF/PCM16 parse in Arrow workers →
+    amplitude stats; every value must equal the local numpy computation on
+    the same synthetic sample field."""
+    from exstream_implementation_spark.operators.multimodal import (
+        attach_audio_payload,
+        audio_stats,
+        synth_samples,
+        AUDIO_RATE,
+        N_AUDIO_SAMPLES,
+    )
+    from exstream_implementation_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 25"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_samples"], r["sample_rate"], r["amp_mean"], r["amp_rms"]
+        )
+        for r in audio_stats(attach_audio_payload(docs)).collect()
+    }
+    assert len(got) == 25
+    for did, (n, rate, mean, rms) in got.items():
+        s = synth_samples(did).astype(np.int64)
+        assert (n, rate) == (N_AUDIO_SAMPLES, AUDIO_RATE)
+        assert mean == float(s.sum()) / len(s)
+        assert rms == math.sqrt(float((s * s).sum()) / len(s))
