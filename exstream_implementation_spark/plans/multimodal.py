@@ -1,15 +1,19 @@
-"""Multimodal-column queries: binary payload metadata, REAL BMP decode +
-pixel statistics, and the 1→N frame-sampling path, oracle-checked against SQL
-reimplementations of the same math (see operators.multimodal).
+"""Multimodal-column queries: binary payload metadata, REAL BMP/PNG decode →
+pixel statistics, REAL WAV decode → amplitude statistics, and the 1→N
+frame-sampling path, oracle-checked against SQL reimplementations of the
+same math (see operators.multimodal).
 
-The feature branch is real since round 7: each document gets a genuine
-24-bit BMP blob (padding and all), the worker DECODES the actual bytes, and
-the per-channel mean/std come from the decoded pixels — the oracle recomputes
-them from the synthetic pixel formula, so a codec bug (row order, BGR swap,
-stride padding) breaks the hash.
+The decode branches are real: each document gets a genuine 24-bit BMP blob,
+an 8-bit PNG (zlib inflate + all five unfilters on the read side), and a
+RIFF/PCM16 WAV; the workers DECODE the actual bytes, and the per-channel /
+per-stream stats come from the decoded values — each oracle recomputes them
+from the synthetic integer formulas, so a codec bug (row order, BGR swap,
+stride padding, PNG filter math, WAV byte order or chunk walk) breaks the
+hash.  JPEG/GIF are real too but live outside the hash gate (JPEG is lossy;
+GIF quantizes) — see tests/test_jpeg.py and tests/test_gif.py.
 
-Catalog slot: ``multimodal_suite`` unions the three branches canonicalized
-to one schema under one oracle — same evidence as three slots, one
+Catalog slot: ``multimodal_suite`` unions the five branches canonicalized
+to one schema under one oracle — same evidence as five slots, one
 driver-budget entry.  The per-branch functions stay as the package API.
 """
 
