@@ -50,7 +50,14 @@ def quantize(rgb: np.ndarray) -> np.ndarray:
 # --- GIF-variant LZW ---------------------------------------------------------
 def lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
     """Index stream → LZW bytes (LSB-first bit packing, CLEAR emitted first,
-    dictionary reset at 4096 codes, EOI last)."""
+    dictionary reset at 4096 codes, EOI last).
+
+    ``min_code_size`` follows the GIF spec range [2, 8]: below 2 the
+    encoder's width-bump schedule desynchronizes from the decoder's
+    (the decoder gates its bump on having consumed a data code, so with
+    min_code_size=1 the table is already at 1<<width right after CLEAR)."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError("min_code_size must be in [2, 8] (GIF spec)")
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -96,6 +103,8 @@ def lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
 
 
 def lzw_decode(data: bytes, min_code_size: int = 8) -> np.ndarray:
+    if not 2 <= min_code_size <= 8:
+        raise ValueError("min_code_size must be in [2, 8] (GIF spec)")
     clear = 1 << min_code_size
     eoi = clear + 1
     pos = 0

@@ -451,9 +451,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # spec-legal fill: any run of extra 0xFF padding bytes may precede
+        # the marker code (ITU T.81 §B.1.1.2) — skip to the last 0xFF
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
             break
+        # standalone (length-less) markers: TEM and RST0-RST7
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            pos += 2
+            continue
         ln = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xFFDB:

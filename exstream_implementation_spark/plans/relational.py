@@ -591,13 +591,16 @@ def percentiles_exact(spark, sf_dir):
       SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000.0
     ),
     o AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS otot
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS otot
       FROM orders GROUP BY o_custkey
     ),
     hi AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS otot
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS otot
       FROM orders GROUP BY o_custkey
-      HAVING sum(o_totalprice) > 1500000.0
+      HAVING sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             > CAST(1500000.00 AS DECIMAL(18,2))
     )
     SELECT 'semianti' AS branch, c.c_custkey AS k, c.c_mktsegment AS seg,
            (c.c_custkey IN (SELECT o_custkey FROM orders)) AS flag,
@@ -618,7 +621,12 @@ def join_semi_anti(spark, sf_dir):
     right-only null-extension rows are all observable in the value hash, so
     a wrong join type or dropped null-extension breaks the gate.  Each
     outer join keys on the customer key; the orders side is pre-aggregated
-    per customer (map-side partial agg) before joining — never row-level."""
+    per customer (map-side partial agg) before joining — never row-level.
+    Money sums run over DECIMAL(18,2) (exact — per-row prices carry 2
+    decimal digits), and the HAVING threshold compares in decimal space,
+    so partial-agg summation order can never flip a rounded cent or row
+    membership between Spark and the oracle; the exact decimal is cast to
+    double only for output (IEEE-correctly-rounded in both engines)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_acctbal") > 9000.0
     ).select("c_custkey", "c_mktsegment")
@@ -641,8 +649,9 @@ def join_semi_anti(spark, sf_dir):
         nulld.alias("val"),
     )
 
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     o = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("otot")
+        F.sum(price_dec).cast("double").alias("otot")
     )
     left = c.join(o, c.c_custkey == o.o_custkey, "left").select(
         F.lit("left").alias("branch"),
@@ -654,9 +663,9 @@ def join_semi_anti(spark, sf_dir):
 
     hi = (
         orders.groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("_s"))
-        .filter(F.col("_s") > 1_500_000.0)
-        .select("o_custkey", F.round("_s", 2).alias("otot"))
+        .agg(F.sum(price_dec).alias("_s"))
+        .filter(F.col("_s") > F.expr("CAST(1500000.00 AS DECIMAL(18,2))"))
+        .select("o_custkey", F.col("_s").cast("double").alias("otot"))
     )
     full = c.join(hi, c.c_custkey == hi.o_custkey, "full").select(
         F.lit("full").alias("branch"),

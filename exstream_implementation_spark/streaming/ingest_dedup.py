@@ -311,8 +311,9 @@ def init_neardup_corpus(
     """Create (or reset) the persistent admission-corpus tables:
     ``{name}_admitted`` (doc_id, norm_hash, event_time),
     ``{name}_sh_idx`` / ``{name}_mh_idx`` (band indexes),
-    ``{name}_sh_flags`` / ``{name}_mh_flags`` (append-only flag logs with the
-    admitting batch_id), and ``{name}_meta`` (n_docs, n_base — the staleness
+    ``{name}_sh_flags`` / ``{name}_mh_flags`` (flag logs partitioned by the
+    admitting batch_id — retries overwrite their own partition, see
+    ``_write_flags``), and ``{name}_meta`` (n_docs, n_base — the staleness
     gate's baseline, same contract as ann_index's n_trained).
 
     The corpus tables are BUCKETED on their join keys (admitted: norm_hash;
@@ -375,13 +376,16 @@ def init_neardup_corpus(
         n_buckets=n_buckets,
         sort_cols=["band_id", "band_hash"],
     )
+    # flag logs are PARTITIONED by the admitting batch_id so a retried
+    # microbatch can replace exactly its own partition (dynamic partition
+    # overwrite) — the append path alone is not idempotent under retry
     for arm, dist_col in (("sh", "hamming int"), ("mh", "est_jaccard double")):
         spark.createDataFrame(
             [],
-            f"batch_id long, doc_id long, corpus_doc_id long, {dist_col}",
-        ).write.mode("overwrite").format("parquet").saveAsTable(
-            f"{name}_{arm}_flags"
-        )
+            f"doc_id long, corpus_doc_id long, {dist_col}, batch_id long",
+        ).write.mode("overwrite").format("parquet").partitionBy(
+            "batch_id"
+        ).saveAsTable(f"{name}_{arm}_flags")
     n = spark.table(f"{name}_admitted").count()
     spark.createDataFrame(
         [(int(n), int(n))], "n_docs long, n_base long"
@@ -462,6 +466,141 @@ def neardup_index_is_stale(
     return meta["n_docs"] > meta["n_base"] * (1.0 + growth_threshold) + 1
 
 
+def _write_flags(flags: DataFrame, table: str) -> None:
+    """Idempotent per-batch flag write.
+
+    The flag tables are partitioned by ``batch_id`` and written with DYNAMIC
+    partition overwrite, so a retried microbatch (crash after the flag write
+    but before the corpus appends — the appends self-heal via the anti-join,
+    the old append-mode flag log did not) REPLACES exactly its own partition
+    instead of appending duplicate flag rows with the same batch_id.
+    insertInto is positional: data columns first, the batch_id partition
+    column last, matching the create-time layout.
+
+    The dynamic mode must be set via SESSION conf — the per-writer
+    ``option("partitionOverwriteMode", ...)`` is silently ignored on the
+    insertInto path here (verified: a static overwrite wiped sibling
+    partitions), so save/restore the conf around the write."""
+    spark = flags.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        flags.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def admit_microbatch(
+    batch: DataFrame,
+    batch_id: int,
+    name: str,
+    min_est_jaccard: float = 0.5,
+) -> None:
+    """One admission trigger against the persistent corpus ``name``.
+
+    Exposed at module level (rather than closed over inside
+    ``start_refreshing_ingest``) so retry semantics are directly testable:
+    re-running the same (batch, batch_id) — the foreachBatch at-least-once
+    contract — must leave every corpus/flag table exactly as a single run
+    would.  Admitted/index appends self-heal via the anti-join (a retry
+    finds nothing new); flag writes are per-batch-partition overwrites."""
+    spark = batch.sparkSession
+    hashed = with_content_hashes(batch).dropDuplicates(["norm_hash"])
+    # localCheckpoint TRUNCATES the lineage: ``new`` depends on the
+    # _admitted table through the anti-join, and appending to that table
+    # below invalidates any cached plan over it — a merely persisted
+    # ``new`` would silently recompute against the UPDATED table and
+    # come back empty.  Materializing eagerly pins the pre-append result.
+    new = hashed.join(
+        spark.table(f"{name}_admitted").select("norm_hash"),
+        "norm_hash",
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    if new.isEmpty():
+        return
+    # --- flag vs the index as of arrival (join BEFORE append) ---
+    sh = with_simhash_bands(new)
+    probes = sh.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(band_structs()).alias("band"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "band.band_id", "band.band_val")
+    hamming = sum(
+        F.expr(f"bit_count(b{b} ^ c{b})") for b in range(_SIMHASH_BANDS)
+    )
+    _write_flags(
+        probes.join(spark.table(f"{name}_sh_idx"), ["band_id", "band_val"])
+        .filter(hamming <= _HAMMING_MAX)
+        .select(
+            "doc_id",
+            "corpus_doc_id",
+            hamming.cast("int").alias("hamming"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        .dropDuplicates(["doc_id", "corpus_doc_id"]),
+        f"{name}_sh_flags",
+    )
+    mh = with_minhash_signature(new)
+    mprobes = (
+        mh.select(
+            "doc_id",
+            *[f"h{i}" for i in range(N_MINHASH)],
+            F.explode(minhash_band_structs()).alias("band"),
+        )
+        .filter(F.col("band.band_hash").isNotNull())
+        .select(
+            "doc_id",
+            *[f"h{i}" for i in range(N_MINHASH)],
+            "band.band_id",
+            "band.band_hash",
+        )
+    )
+    est = sum(
+        F.when(F.col(f"h{i}") == F.col(f"c{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    _write_flags(
+        mprobes.join(
+            spark.table(f"{name}_mh_idx"), ["band_id", "band_hash"]
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select(
+            "doc_id",
+            "corpus_doc_id",
+            "est_jaccard",
+            F.lit(batch_id).alias("batch_id"),
+        )
+        .dropDuplicates(["doc_id", "corpus_doc_id"]),
+        f"{name}_mh_flags",
+    )
+    # --- refresh: admitted docs enter the corpus + both indexes.
+    # insertInto routes rows of an existing BUCKETED table through its
+    # bucket spec (the ann_index append pattern), so corpus-side joins
+    # keep reading co-located buckets after every append; column order
+    # matches the create-time order.
+    new.select("doc_id", "norm_hash", "event_time").write.mode(
+        "append"
+    ).insertInto(f"{name}_admitted")
+    simhash_index_rows(new).write.mode("append").insertInto(
+        f"{name}_sh_idx"
+    )
+    minhash_index_rows(new).write.mode("append").insertInto(
+        f"{name}_mh_idx"
+    )
+    # meta: RECOUNT from the admitted table rather than incrementing the
+    # previous value — self-healing if an earlier attempt crashed between
+    # the appends and this write (an increment would drift under retry)
+    n_docs = spark.table(f"{name}_admitted").count()
+    meta = spark.table(f"{name}_meta").first()
+    spark.createDataFrame(
+        [(int(n_docs), int(meta["n_base"]))],
+        "n_docs long, n_base long",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{name}_meta"
+    )
+
+
 def start_refreshing_ingest(
     docs: DataFrame,
     name: str,
@@ -479,106 +618,16 @@ def start_refreshing_ingest(
          against ``{name}_admitted`` (the persistent corpus IS the dedup
          state — no watermark horizon, cross-horizon re-arrivals included);
       2. flag admitted docs against the CURRENT SimHash/MinHash band indexes
-         (Hamming ≤ 3 resp. est-Jaccard ≥ threshold), logged with batch_id;
+         (Hamming ≤ 3 resp. est-Jaccard ≥ threshold), logged to a
+         batch_id-partitioned table via dynamic partition overwrite
+         (idempotent under foreachBatch's at-least-once retries);
       3. append the admitted docs to ``{name}_admitted`` and their band rows
          to both indexes.
 
     Returns the started StreamingQuery."""
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        hashed = with_content_hashes(batch).dropDuplicates(["norm_hash"])
-        # localCheckpoint TRUNCATES the lineage: ``new`` depends on the
-        # _admitted table through the anti-join, and appending to that table
-        # below invalidates any cached plan over it — a merely persisted
-        # ``new`` would silently recompute against the UPDATED table and
-        # come back empty.  Materializing eagerly pins the pre-append result.
-        new = hashed.join(
-            spark.table(f"{name}_admitted").select("norm_hash"),
-            "norm_hash",
-            "left_anti",
-        ).localCheckpoint(eager=True)
-        if new.isEmpty():
-            return
-        # --- flag vs the index as of arrival (join BEFORE append) ---
-        sh = with_simhash_bands(new)
-        probes = sh.select(
-            "doc_id", "b0", "b1", "b2", "b3",
-            F.explode(band_structs()).alias("band"),
-        ).select("doc_id", "b0", "b1", "b2", "b3", "band.band_id", "band.band_val")
-        hamming = sum(
-            F.expr(f"bit_count(b{b} ^ c{b})") for b in range(_SIMHASH_BANDS)
-        )
-        (
-            probes.join(spark.table(f"{name}_sh_idx"), ["band_id", "band_val"])
-            .filter(hamming <= _HAMMING_MAX)
-            .select(
-                F.lit(batch_id).alias("batch_id"),
-                "doc_id",
-                "corpus_doc_id",
-                hamming.cast("int").alias("hamming"),
-            )
-            .dropDuplicates(["doc_id", "corpus_doc_id"])
-            .write.mode("append").format("parquet")
-            .saveAsTable(f"{name}_sh_flags")
-        )
-        mh = with_minhash_signature(new)
-        mprobes = (
-            mh.select(
-                "doc_id",
-                *[f"h{i}" for i in range(N_MINHASH)],
-                F.explode(minhash_band_structs()).alias("band"),
-            )
-            .filter(F.col("band.band_hash").isNotNull())
-            .select(
-                "doc_id",
-                *[f"h{i}" for i in range(N_MINHASH)],
-                "band.band_id",
-                "band.band_hash",
-            )
-        )
-        est = sum(
-            F.when(F.col(f"h{i}") == F.col(f"c{i}"), 1).otherwise(0)
-            for i in range(N_MINHASH)
-        ) / float(N_MINHASH)
-        (
-            mprobes.join(
-                spark.table(f"{name}_mh_idx"), ["band_id", "band_hash"]
-            )
-            .withColumn("est_jaccard", est)
-            .filter(F.col("est_jaccard") >= min_est_jaccard)
-            .select(
-                F.lit(batch_id).alias("batch_id"),
-                "doc_id",
-                "corpus_doc_id",
-                "est_jaccard",
-            )
-            .dropDuplicates(["doc_id", "corpus_doc_id"])
-            .write.mode("append").format("parquet")
-            .saveAsTable(f"{name}_mh_flags")
-        )
-        # --- refresh: admitted docs enter the corpus + both indexes.
-        # insertInto routes rows of an existing BUCKETED table through its
-        # bucket spec (the ann_index append pattern), so corpus-side joins
-        # keep reading co-located buckets after every append; column order
-        # matches the create-time order.
-        new.select("doc_id", "norm_hash", "event_time").write.mode(
-            "append"
-        ).insertInto(f"{name}_admitted")
-        simhash_index_rows(new).write.mode("append").insertInto(
-            f"{name}_sh_idx"
-        )
-        minhash_index_rows(new).write.mode("append").insertInto(
-            f"{name}_mh_idx"
-        )
-        n_new = new.count()
-        meta = spark.table(f"{name}_meta").first()
-        spark.createDataFrame(
-            [(int(meta["n_docs"]) + int(n_new), int(meta["n_base"]))],
-            "n_docs long, n_base long",
-        ).write.mode("overwrite").format("parquet").saveAsTable(
-            f"{name}_meta"
-        )
+        admit_microbatch(batch, batch_id, name, min_est_jaccard)
 
     writer = docs.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint_dir

@@ -111,3 +111,19 @@ def test_spark_gif_frame_sampling(spark):
         assert (w, h) == (frame.shape[1], frame.shape[0])
         want = float(frame.astype(np.int64).sum()) / (frame.shape[0] * frame.shape[1] * 3)
         assert mean == pytest.approx(want, abs=1e-12), (did, k)
+
+
+def test_lzw_min_code_size_validated_and_small_sizes_roundtrip():
+    """GIF spec bounds min_code_size to [2, 8]; below 2 the encoder/decoder
+    width-bump schedules desynchronize (ADVICE r08), so both ends validate.
+    In-range small sizes must still round-trip."""
+    rng = np.random.default_rng(3)
+    for mcs in (2, 3, 4):
+        idx = rng.integers(0, 1 << mcs, 500).astype(np.uint8)
+        enc = lzw_encode(idx, min_code_size=mcs)
+        assert (lzw_decode(enc, min_code_size=mcs) == idx).all(), mcs
+    for bad in (0, 1, 9):
+        with pytest.raises(ValueError):
+            lzw_encode(np.zeros(4, dtype=np.uint8), min_code_size=bad)
+        with pytest.raises(ValueError):
+            lzw_decode(b"\x00", min_code_size=bad)

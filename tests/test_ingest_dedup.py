@@ -530,3 +530,72 @@ def test_ingest_pipeline_composition(spark, tmp_path):
         assert not any(d == 9200 for d, _ in s)
     sh_idx.unpersist()
     mh_idx.unpersist()
+
+
+def test_admit_microbatch_retry_is_idempotent(spark):
+    """foreachBatch is at-least-once: a retried (batch, batch_id) must leave
+    every corpus/flag table exactly as a single run would.  The flag logs
+    are batch_id-partitioned dynamic overwrites (ADVICE r08): a leftover
+    flag row from a CRASHED attempt of the same batch (flags written,
+    corpus appends not) is replaced rather than duplicated, other batches'
+    partitions survive, and a full re-run changes nothing anywhere."""
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        DOCUMENTS_SCHEMA,
+        NEARDUP_TABLE_SUFFIXES,
+        admit_microbatch,
+        init_neardup_corpus,
+        refresh_neardup_tables,
+    )
+
+    base_text = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") == 5)
+        .first()["text"]
+    )
+    name = "retry_ingest_t"
+    init_neardup_corpus(
+        spark,
+        name,
+        docs=spark.createDataFrame(
+            [(1, base_text, "en", "s", len(base_text))], DOCUMENTS_SCHEMA
+        ),
+    )
+    near_copy = base_text + " " + base_text.split()[-1]
+    batch = with_event_time(
+        spark.createDataFrame(
+            [
+                (3, near_copy, "en", "s", len(near_copy)),
+                (5, "other novel mnop content qrst", "en", "s", 29),
+            ],
+            DOCUMENTS_SCHEMA,
+        )
+    )
+    flag_schema = "doc_id long, corpus_doc_id long, hamming int, batch_id long"
+    # another batch's partition — must survive this batch's dynamic overwrite
+    spark.createDataFrame([(111, 1, 0, 3)], flag_schema).write.mode(
+        "append"
+    ).insertInto(f"{name}_sh_flags")
+    # leftover from a crashed earlier attempt of THIS batch (batch_id 7)
+    spark.createDataFrame([(999, 1, 0, 7)], flag_schema).write.mode(
+        "append"
+    ).insertInto(f"{name}_sh_flags")
+
+    admit_microbatch(batch, 7, name)
+    refresh_neardup_tables(spark, name)
+    sh = spark.table(f"{name}_sh_flags")
+    assert sorted(
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in sh.filter("batch_id = 7").collect()
+    ) == [(3, 1)]  # the crashed attempt's bogus row is REPLACED, not kept
+    assert [r["doc_id"] for r in sh.filter("batch_id = 3").collect()] == [111]
+
+    def snapshot():
+        refresh_neardup_tables(spark, name)
+        return {
+            sfx: {tuple(r) for r in spark.table(f"{name}_{sfx}").collect()}
+            for sfx in NEARDUP_TABLE_SUFFIXES
+        }
+
+    before = snapshot()
+    admit_microbatch(batch, 7, name)  # full retry: anti-join self-heals
+    assert snapshot() == before

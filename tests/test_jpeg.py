@@ -142,3 +142,19 @@ def test_spark_image_stats_over_jpeg_payloads(spark):
     for k in exact:
         assert abs(lossy[k][0] - exact[k][0]) < 4.0, k
         assert abs(lossy[k][1] - exact[k][1]) < 8.0, k
+
+
+def test_fill_bytes_and_standalone_markers_in_header():
+    """ITU T.81 B.1.1.2: any run of 0xFF fill bytes may precede a marker
+    code, and TEM (FF01) / RSTn (FFD0-FFD7) are length-less standalone
+    markers.  A conformant foreign stream using either must decode
+    identically to the plain stream (ADVICE r08)."""
+    y, x = np.mgrid[0:16, 0:24]
+    img = np.stack(
+        [(x * 9) % 256, (y * 5) % 256, ((x + y) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    plain = encode_jpeg(img, quality=85)
+    # inject after SOI: standalone TEM, standalone RST0, then a 0xFF fill
+    # run that merges into the following APP0 marker's leading 0xFF
+    padded = plain[:2] + b"\xff\x01\xff\xd0\xff\xff" + plain[2:]
+    assert (decode_jpeg(padded) == decode_jpeg(plain)).all()
