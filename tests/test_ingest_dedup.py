@@ -599,3 +599,75 @@ def test_admit_microbatch_retry_is_idempotent(spark):
     before = snapshot()
     admit_microbatch(batch, 7, name)  # full retry: anti-join self-heals
     assert snapshot() == before
+
+
+def test_refreshing_ingest_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpoint recovery for the self-refreshing ingest: a second start()
+    with the SAME checkpoint dir must not reprocess committed files (no
+    duplicate admissions or flag rows), and work arriving after the restart
+    must still flag against the index grown before it."""
+    import time as _time
+
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        DOCUMENTS_SCHEMA,
+        NEARDUP_TABLE_SUFFIXES,
+        init_neardup_corpus,
+        refresh_neardup_tables,
+        start_refreshing_ingest,
+    )
+
+    base_text = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") == 5)
+        .first()["text"]
+    )
+    d = str(tmp_path / "rst_docs")
+
+    def w(rows):
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _time.sleep(1.2)
+
+    def start():
+        return start_refreshing_ingest(
+            with_event_time(
+                documents_stream(spark, d, max_files_per_trigger=1)
+            ),
+            name,
+            ck,
+        )
+
+    def snapshot():
+        refresh_neardup_tables(spark, name)
+        return {
+            sfx: {tuple(r) for r in spark.table(f"{name}_{sfx}").collect()}
+            for sfx in NEARDUP_TABLE_SUFFIXES
+        }
+
+    name = "rst_ingest_t"
+    ck = str(tmp_path / "rst_ckpt")
+    w([(1, base_text, "en", "s", len(base_text))])
+    init_neardup_corpus(spark, name)
+    q = start()
+    assert q.awaitTermination(300), "initial run did not drain"
+    before = snapshot()
+    assert {r[0] for r in before["admitted"]} == {1}
+
+    # restart with nothing new: committed files must NOT be reprocessed
+    q = start()
+    assert q.awaitTermination(300), "no-op restart did not drain"
+    assert snapshot() == before
+
+    # work arriving after the restart still sees the pre-restart index
+    near_copy = base_text + " " + base_text.split()[-1]
+    w([(2, near_copy, "en", "s", len(near_copy))])
+    q = start()
+    assert q.awaitTermination(300), "post-restart run did not drain"
+    after = snapshot()
+    assert {r[0] for r in after["admitted"]} == {1, 2}
+    sh_pairs = [
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in spark.table(f"{name}_sh_flags").collect()
+    ]
+    assert sorted(sh_pairs) == [(2, 1)]  # flagged once, against doc 1
