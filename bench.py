@@ -8,6 +8,16 @@ Each query is forced end-to-end with a noop sink (full materialization, no
 driver collect). The flagship is the complete EXstream pipeline; the rest
 cover the operator families a 100 TB deployment leans on: scan+agg, windows,
 broadcast join, leap cut, minhash/ngram dedup, ANN, text scoring.
+
+"value"/"queries" are single-shot first-run timings — the series the
+per-round BENCH_r{N}.json files have always recorded.  Two additions (r09)
+make cross-round comparison honest without breaking that series:
+  * "queries_warm"/"value_warm": a second identical pass (steady-state —
+    session caches from the first pass may be reused, as a long-lived
+    deployed engine would);
+  * "machine_probe": fixed-size CPU + Spark-scheduler canaries, so
+    environmental drift between rounds (r08 measured ~20% uniform machine
+    slowdown) is a recorded number, not an argument.
 """
 
 from __future__ import annotations
@@ -62,24 +72,42 @@ def main():
         "text_metrics_suite",
     ]
 
-    timings: dict[str, float] = {}
-
-    def run(name, df):
+    def one_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        entrymod._flagship(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["exstream_explain"] = round(time.time() - t0, 3)
+        for name in bench_queries:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.time() - t0, 3)
+        return timings
 
-    # flagship: full pipeline
-    t0 = time.time()
-    entrymod._flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    timings["exstream_explain"] = round(time.time() - t0, 3)
-
-    for name in bench_queries:
-        run(name, QUERIES[name](spark, sf_dir))
+    timings = one_pass()  # first-run: the historical BENCH series
+    warm = one_pass()  # steady-state: session caches may be reused
 
     from exstream_implementation_spark import cache
 
     cache.release_tracked()
+
+    # machine-speed canaries (fixed size, data-independent): raw CPU via
+    # numpy matmul, scheduler+codegen via a constant-size Spark range agg
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((1500, 1500))
+    t0 = time.time()
+    (m @ m).sum()
+    probe_numpy = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 3 % 7) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    probe_spark = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +118,12 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "value_warm": round(sum(warm.values()), 3),
+                "queries_warm": warm,
+                "machine_probe": {
+                    "numpy_matmul_s": probe_numpy,
+                    "spark_range_agg_s": probe_spark,
+                },
             }
         )
     )
