@@ -295,9 +295,12 @@ def minhash_index_rows(docs: DataFrame) -> DataFrame:
 # foreachBatch sink (1) flags each microbatch against the index AS OF its
 # arrival, then (2) appends the admitted docs' band rows — so a doc admitted
 # in microbatch N flags its near-duplicate arriving in ANY later batch.
-# Within one microbatch docs are "simultaneous": they are checked against the
-# pre-batch corpus only (the periodic batch dedup pass catches same-batch
-# near-pairs; EXACT same-batch duplicates are dropped here).  At scale the
+# Within one microbatch, docs are additionally checked against EACH OTHER
+# (a tiny batch×batch band join, oriented doc_id > corpus_doc_id), so a
+# near-dup pair arriving in the same trigger is flagged immediately instead
+# of waiting for the periodic batch pass.  The stream-static arms above keep
+# the pre-batch-corpus-only contract (EXACT same-batch duplicates are
+# dropped in both designs).  At scale the
 # index tables should be written partitioned by band_id; probes stay
 # bounded — a doc touches 4 (SimHash) / 2 (MinHash) band keys and the small
 # microbatch side broadcasts against them.
@@ -519,8 +522,15 @@ def admit_microbatch(
     ).localCheckpoint(eager=True)
     if new.isEmpty():
         return
-    # --- flag vs the index as of arrival (join BEFORE append) ---
+    # --- flag vs the index as of arrival (join BEFORE append), PLUS the
+    # batch's own docs: two docs arriving in the same trigger are near-dup
+    # checked against each other via a second (batch × batch, both tiny,
+    # broadcast) join oriented doc_id > corpus_doc_id — kept separate from
+    # the corpus join so the bucketed corpus scan's no-exchange plan is
+    # untouched.  Without this arm a pair arriving together is admitted
+    # twice and flagged only by the next periodic batch pass. ---
     sh = with_simhash_bands(new)
+    batch_sh_idx = simhash_index_rows(new)
     probes = sh.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.explode(band_structs()).alias("band"),
@@ -528,19 +538,31 @@ def admit_microbatch(
     hamming = sum(
         F.expr(f"bit_count(b{b} ^ c{b})") for b in range(_SIMHASH_BANDS)
     )
+
+    def _sh_flags(index):
+        return (
+            probes.join(index, ["band_id", "band_val"])
+            .filter(hamming <= _HAMMING_MAX)
+            .select(
+                "doc_id",
+                "corpus_doc_id",
+                hamming.cast("int").alias("hamming"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+
     _write_flags(
-        probes.join(spark.table(f"{name}_sh_idx"), ["band_id", "band_val"])
-        .filter(hamming <= _HAMMING_MAX)
-        .select(
-            "doc_id",
-            "corpus_doc_id",
-            hamming.cast("int").alias("hamming"),
-            F.lit(batch_id).alias("batch_id"),
+        _sh_flags(spark.table(f"{name}_sh_idx"))
+        .unionByName(
+            _sh_flags(batch_sh_idx).filter(
+                F.col("doc_id") > F.col("corpus_doc_id")
+            )
         )
         .dropDuplicates(["doc_id", "corpus_doc_id"]),
         f"{name}_sh_flags",
     )
     mh = with_minhash_signature(new)
+    batch_mh_idx = minhash_index_rows(new)
     mprobes = (
         mh.select(
             "doc_id",
@@ -559,17 +581,26 @@ def admit_microbatch(
         F.when(F.col(f"h{i}") == F.col(f"c{i}"), 1).otherwise(0)
         for i in range(N_MINHASH)
     ) / float(N_MINHASH)
-    _write_flags(
-        mprobes.join(
-            spark.table(f"{name}_mh_idx"), ["band_id", "band_hash"]
+
+    def _mh_flags(index):
+        return (
+            mprobes.join(index, ["band_id", "band_hash"])
+            .withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= min_est_jaccard)
+            .select(
+                "doc_id",
+                "corpus_doc_id",
+                "est_jaccard",
+                F.lit(batch_id).alias("batch_id"),
+            )
         )
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-        .select(
-            "doc_id",
-            "corpus_doc_id",
-            "est_jaccard",
-            F.lit(batch_id).alias("batch_id"),
+
+    _write_flags(
+        _mh_flags(spark.table(f"{name}_mh_idx"))
+        .unionByName(
+            _mh_flags(batch_mh_idx).filter(
+                F.col("doc_id") > F.col("corpus_doc_id")
+            )
         )
         .dropDuplicates(["doc_id", "corpus_doc_id"]),
         f"{name}_mh_flags",
@@ -582,12 +613,8 @@ def admit_microbatch(
     new.select("doc_id", "norm_hash", "event_time").write.mode(
         "append"
     ).insertInto(f"{name}_admitted")
-    simhash_index_rows(new).write.mode("append").insertInto(
-        f"{name}_sh_idx"
-    )
-    minhash_index_rows(new).write.mode("append").insertInto(
-        f"{name}_mh_idx"
-    )
+    batch_sh_idx.write.mode("append").insertInto(f"{name}_sh_idx")
+    batch_mh_idx.write.mode("append").insertInto(f"{name}_mh_idx")
     # meta: RECOUNT from the admitted table rather than incrementing the
     # previous value — self-healing if an earlier attempt crashed between
     # the appends and this write (an increment would drift under retry)
@@ -618,7 +645,8 @@ def start_refreshing_ingest(
          against ``{name}_admitted`` (the persistent corpus IS the dedup
          state — no watermark horizon, cross-horizon re-arrivals included);
       2. flag admitted docs against the CURRENT SimHash/MinHash band indexes
-         (Hamming ≤ 3 resp. est-Jaccard ≥ threshold), logged to a
+         (Hamming ≤ 3 resp. est-Jaccard ≥ threshold) AND against each other
+         (within-batch pairs, oriented doc_id > corpus_doc_id), logged to a
          batch_id-partitioned table via dynamic partition overwrite
          (idempotent under foreachBatch's at-least-once retries);
       3. append the admitted docs to ``{name}_admitted`` and their band rows

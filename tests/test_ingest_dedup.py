@@ -671,3 +671,57 @@ def test_refreshing_ingest_restart_resumes_from_checkpoint(spark, tmp_path):
         for r in spark.table(f"{name}_sh_flags").collect()
     ]
     assert sorted(sh_pairs) == [(2, 1)]  # flagged once, against doc 1
+
+
+def test_admit_microbatch_flags_within_batch_pairs(spark):
+    """Two near-duplicates arriving in the SAME trigger must flag each other
+    (oriented doc_id > corpus_doc_id) — not wait for the periodic batch
+    pass.  Corpus flags (vs docs admitted in earlier batches) must coexist
+    with the within-batch pair flags."""
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        DOCUMENTS_SCHEMA,
+        admit_microbatch,
+        init_neardup_corpus,
+        refresh_neardup_tables,
+    )
+
+    base_text = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") == 5)
+        .first()["text"]
+    )
+    name = "wb_ingest_t"
+    # corpus seeded with the original: the arriving near-copies flag it too
+    init_neardup_corpus(
+        spark,
+        name,
+        docs=spark.createDataFrame(
+            [(1, base_text, "en", "s", len(base_text))], DOCUMENTS_SCHEMA
+        ),
+    )
+    # two distinct near-copies of the same doc arrive in ONE batch: each
+    # re-appends a token the doc already contains (distinct-token set — the
+    # SimHash/MinHash input — unchanged; content hash differs)
+    toks = base_text.split()
+    copy_a = base_text + " " + toks[-1]
+    copy_b = base_text + " " + toks[0]
+    batch = with_event_time(
+        spark.createDataFrame(
+            [
+                (20, copy_a, "en", "s", len(copy_a)),
+                (30, copy_b, "en", "s", len(copy_b)),
+                (40, "entirely unrelated zzqq vvrr text", "en", "s", 33),
+            ],
+            DOCUMENTS_SCHEMA,
+        )
+    )
+    admit_microbatch(batch, 5, name)
+    refresh_neardup_tables(spark, name)
+    for tbl in ("sh_flags", "mh_flags"):
+        pairs = sorted(
+            (r["doc_id"], r["corpus_doc_id"])
+            for r in spark.table(f"{name}_{tbl}").collect()
+        )
+        # vs corpus: both copies flag doc 1; within batch: 30 flags 20
+        # (higher against lower, exactly once); the novel doc flags nothing
+        assert pairs == [(20, 1), (30, 1), (30, 20)], tbl
