@@ -267,6 +267,16 @@ def text_langid(spark, sf_dir):
 #     both engines, so even collisions collide identically. -------------------
 SPAN_W = 8
 
+# bm25 branch: fixed query batch + k, shared by the Spark plan and the
+# DuckDB oracle.  'dup' is the corpus's one rare term (df ~0.05N), the rest
+# are mid/high-df — max_df_ratio=1.0 because this synthetic vocabulary is
+# 31 terms of which 30 exceed any sane stop-term cutoff; differentiation
+# comes from tf and dl, which is exactly what BM25's tf-saturation and
+# length normalization are for.
+BM25_Q = [(1, "dup key table"), (2, "merge sort window"), (3, "vector scan fast stream")]
+BM25_K = 10
+BM25_Q_SQL = ", ".join(f"({i}, '{t}')" for i, t in BM25_Q)
+
 
 @query(
     "text_fingerprint",
@@ -309,10 +319,56 @@ SPAN_W = 8
       SELECT doc_id, CAST(min(pos) AS INT) AS pos,
              CAST(max(pos) + {SPAN_W} AS BIGINT) AS val
       FROM isl2 GROUP BY doc_id, island
+    ),
+    -- bm25 branch: ranked retrieval for the fixed query batch (plans/
+    -- search.py bm25_topk, score_round=6).  Arithmetic mirrors the engine
+    -- op-for-op — (1.2 + 1.0) not 2.2, (0.75 * dl) / avgdl associativity —
+    -- so only the 6-dp-rounded sum has to agree, not raw float ulps.
+    bq(query_id, query_text) AS (VALUES {BM25_Q_SQL}),
+    bt AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '') AS btoks
+           FROM documents),
+    bdl AS (SELECT doc_id, len(btoks) AS dl FROM bt WHERE len(btoks) > 0),
+    bpost AS (
+      SELECT doc_id, unnest(btoks) AS term FROM bt
+    ),
+    btf AS (SELECT doc_id, term, count(*) AS tf FROM bpost GROUP BY doc_id, term),
+    bstat AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM bdl),
+    bqt AS (SELECT query_id,
+                   unnest(list_distinct(list_filter(
+                     regexp_split_to_array(lower(query_text), '\\s+'),
+                     x -> x <> ''))) AS term
+            FROM bq),
+    bdf AS (SELECT term, count(*) AS df FROM btf
+            SEMI JOIN (SELECT DISTINCT term FROM bqt) v USING (term)
+            GROUP BY term),
+    bw AS (SELECT q.query_id, q.term,
+                  ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) AS idf
+           FROM bqt q JOIN bdf d USING (term) CROSS JOIN bstat s),
+    bsc AS (
+      SELECT w.query_id, p.doc_id,
+             round(sum(w.idf * (p.tf * (1.2 + 1.0))
+                       / (p.tf + 1.2 * (0.25 + (0.75 * l.dl) / s.avgdl))),
+                   6) AS score_r
+      FROM btf p JOIN bw w USING (term) JOIN bdl l ON p.doc_id = l.doc_id
+      CROSS JOIN bstat s
+      GROUP BY w.query_id, p.doc_id
+    ),
+    brk AS (
+      SELECT query_id, doc_id, score_r,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_r DESC, doc_id) AS rk
+      FROM bsc
     )
     SELECT 'fp' AS branch, doc_id, 0 AS pos, val FROM fp
     UNION ALL
     SELECT 'span' AS branch, doc_id, pos, val FROM spans
+    UNION ALL
+    SELECT 'bm25' AS branch, doc_id,
+           CAST(query_id * 100 + rk AS INT) AS pos,
+           CAST(round(score_r * 1000000) AS BIGINT) AS val
+    FROM brk WHERE rk <= {BM25_K}
     """,
 )
 def text_fingerprint(spark, sf_dir):
@@ -378,7 +434,19 @@ def text_fingerprint(spark, sf_dir):
         )
         .select(F.lit("span").alias("branch"), "doc_id", "pos", "val")
     )
-    return fp.unionByName(spans)
+
+    from exstream_implementation_spark.plans.search import bm25_topk
+
+    qdf = spark.createDataFrame(BM25_Q, "query_id int, query_text string")
+    bm = bm25_topk(
+        spark, d, qdf, k=BM25_K, max_df_ratio=1.0, score_round=6
+    ).select(
+        F.lit("bm25").alias("branch"),
+        "doc_id",
+        (F.col("query_id") * 100 + F.col("rank")).cast("int").alias("pos"),
+        F.round(F.col("score") * 1e6).cast("long").alias("val"),
+    )
+    return fp.unionByName(spans).unionByName(bm)
 
 
 # --- Python UDTF surface (§2.2 scope row "UDAF/UDTF: absent" — Spark 4
