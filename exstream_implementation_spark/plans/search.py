@@ -179,12 +179,20 @@ def bm25_topk(
         # applied before the fold AND the final window so both rank the
         # same value (see docstring)
         scored = scored.withColumn("score", F.round("score", score_round))
-    # two-phase top-k: fold each shuffle partition down to k candidates per
-    # query (collect_list bounded by partition rows), then exact-rank the
-    # <= partitions*k survivors per query.  The fold's struct sort must
-    # agree with the final window's tie-break (score DESC, doc_id ASC), so
-    # doc_id enters the struct negated: sort_array(desc) then orders ties
-    # by -doc_id descending == doc_id ascending.
+    return two_phase_topk(scored, k)
+
+
+def two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed per-query top-k over (query_id, doc_id, score) rows.
+
+    Phase 1 folds each shuffle partition down to k candidates per query
+    (collect_list bounded by partition rows); phase 2 exact-ranks the
+    <= partitions*k survivors per query with a row_number window.  The
+    fold's struct sort must agree with the final window's tie-break
+    (score DESC, doc_id ASC), so doc_id enters the struct negated:
+    sort_array(desc) then orders ties by -doc_id descending == doc_id
+    ascending.
+    """
     part_topk = (
         scored.groupBy("query_id", F.spark_partition_id().alias("_p"))
         .agg(
@@ -226,4 +234,111 @@ def bm25_topk_documents(
     """Convenience: BM25 over the testdata ``documents`` table."""
     return bm25_topk(
         spark, load_documents_parallel(spark, sf_dir), queries, k=k, **kw
+    )
+
+
+# --- dense arm + reciprocal-rank fusion (hybrid retrieval) -------------------
+# The standard RAG/retrieval stack pairs a lexical ranker with an embedding
+# ranker and fuses by rank, not score (Cormack/Clarke/Buettcher RRF, SIGIR
+# 2009): rrf(d) = sum over arms of 1 / (rrf_k + rank_arm(d)).  Rank-based
+# fusion sidesteps the incomparable-score-scales problem AND the float-
+# determinism problem — ranks are small exact integers, so the fused score
+# is a sum of exact dyadic-ish rationals and ties break identically on any
+# engine.
+
+
+def dense_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    queries_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cos_round: int | None = 6,
+) -> DataFrame:
+    """Top-k embeddings per query vector under cosine, exact (brute-force).
+
+    ``queries_vec``: (query_id int, qvec array<float>) — SMALL by contract;
+    it broadcasts against the corpus (BroadcastNestedLoopJoin with the
+    k-row side broadcast — the corpus never shuffles, same contract as the
+    recall baseline plans/similarity.py:79).  For corpus-scale query sets
+    use the bucketed/IVF paths in plans/similarity.py instead.
+
+    Returns (query_id, doc_id, score double, rank int) — doc_id is the
+    corpus ``id_col``; score is cosine, rounded to ``cos_round`` BEFORE
+    ranking (same determinism contract as bm25_topk's score_round).
+    """
+    from exstream_implementation_spark.plans.similarity import _cosine_expr
+
+    if queries_vec.isEmpty() or embeddings.isEmpty():
+        return spark.createDataFrame(
+            [], "query_id int, doc_id bigint, score double, rank int"
+        )
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries_vec))
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            F.expr(_cosine_expr("qvec", emb_col)).alias("score"),
+        )
+    )
+    if cos_round is not None:
+        scored = scored.withColumn("score", F.round("score", cos_round))
+    return two_phase_topk(scored, k)
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    arm_k: int | None = None,
+    rrf_k: int = 60,
+    max_df_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 arm + dense-cosine arm fused with RRF.
+
+    ``queries``: (query_id int, query_text string, qvec array<float>) —
+    small by contract.  ``docs.doc_id`` and ``embeddings.<id_col>`` must
+    share the id space.  Each arm contributes its top ``arm_k``
+    (default 3*k) candidates; a document absent from one arm simply
+    contributes no term for it (the standard RRF convention).  Returns
+    (query_id, doc_id, rrf double, lex_rank int?, dense_rank int?, rank).
+
+    Scale shape: both arms are broadcast-query designs (the corpus sides
+    never shuffle toward the batch), and fusion joins two <= arm_k-row-per-
+    query frames — driver-free, bounded, one tiny shuffle on (query_id,
+    doc_id).
+    """
+    arm_k = arm_k or 3 * k
+    lex = bm25_topk(
+        spark,
+        docs,
+        queries.select("query_id", "query_text"),
+        k=arm_k,
+        max_df_ratio=max_df_ratio,
+        text_col=text_col,
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    dense = dense_topk(
+        spark,
+        embeddings,
+        queries.select("query_id", "qvec"),
+        k=arm_k,
+        id_col=id_col,
+        emb_col=emb_col,
+    ).select("query_id", "doc_id", F.col("rank").alias("dense_rank"))
+    both = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf_term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(rrf_k) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    fused = both.withColumn("rrf", rrf_term("lex_rank") + rrf_term("dense_rank"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "lex_rank", "dense_rank", "rank")
     )

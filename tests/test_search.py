@@ -159,3 +159,131 @@ def test_prebuilt_postings_path(spark):
         ).collect()
     }
     assert a == b and a
+
+
+# --- hybrid retrieval (dense arm + RRF fusion) -------------------------------
+
+
+def _local_cosine_topk(embs, qvec, k):
+    """(vec_id, [float32]) list x query vec -> [(vec_id, rank)] top-k by
+    round(cosine, 6) desc, vec_id asc — mirrors dense_topk's contract."""
+    import math as m
+
+    qn = m.sqrt(sum(float(x) * float(x) for x in qvec))
+    scored = []
+    for vid, e in embs:
+        dot = sum(float(x) * float(y) for x, y in zip(qvec, e))
+        en = m.sqrt(sum(float(x) * float(x) for x in e))
+        scored.append((vid, round(dot / (en * qn), 6)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return [(vid, i + 1) for i, (vid, _) in enumerate(scored[:k])]
+
+
+def test_hybrid_rrf_matches_local_model(spark):
+    from exstream_implementation_spark.plans.search import (
+        dense_topk,
+        hybrid_rrf_topk,
+    )
+
+    docs_df = load_table(spark, SF_DIR, "documents")
+    emb_df = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    docs = [(r["doc_id"], r["text"]) for r in docs_df.select("doc_id", "text").collect()]
+    embs = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+    qtext = " ".join(docs[7][1].split()[:4])
+    qvec = dict(embs)[7]
+    k, arm_k, rrf_k = 5, 15, 60
+
+    # local expectation: BM25 arm + cosine arm + RRF
+    lex = {
+        d: r + 1
+        for r, (d, _) in enumerate(
+            _local_bm25(docs, [(1, qtext)], k=arm_k, max_df_ratio=1.0)[1]
+        )
+    }
+    dense = dict(_local_cosine_topk(embs, qvec, arm_k))
+    fused = {}
+    for d in set(lex) | set(dense):
+        fused[d] = (1.0 / (rrf_k + lex[d]) if d in lex else 0.0) + (
+            1.0 / (rrf_k + dense[d]) if d in dense else 0.0
+        )
+    exp = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:k]
+
+    q = spark.createDataFrame(
+        [(1, qtext, qvec)], "query_id int, query_text string, qvec array<float>"
+    )
+    got = sorted(
+        hybrid_rrf_topk(
+            spark, docs_df, emb_df, q, k=k, arm_k=arm_k, rrf_k=rrf_k,
+            max_df_ratio=1.0,
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert r["rrf"] == pytest.approx(s, rel=1e-12)
+    # sanity on the arms themselves
+    darm = dense_topk(spark, emb_df, q.select("query_id", "qvec"), k=arm_k)
+    assert {(r["doc_id"], r["rank"]) for r in darm.collect()} == set(
+        _local_cosine_topk(embs, qvec, arm_k)
+    )
+
+
+def test_hybrid_single_arm_docs_still_fuse(spark):
+    from exstream_implementation_spark.plans.search import hybrid_rrf_topk
+
+    # doc 0 matches the text but has a near-orthogonal embedding rank;
+    # doc 9 has the matching embedding but shares no term
+    docs = spark.createDataFrame(
+        [(0, "needle alpha"), (9, "zzz yyy")], "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (9, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(1, "needle", [0.0, 1.0])],
+        "query_id int, query_text string, qvec array<float>",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in hybrid_rrf_topk(
+            spark, docs, embs, q, k=5, max_df_ratio=1.0
+        ).collect()
+    }
+    assert set(rows) == {0, 9}
+    assert rows[0]["lex_rank"] == 1 and rows[0]["dense_rank"] == 2
+    assert rows[9]["lex_rank"] is None and rows[9]["dense_rank"] == 1
+    # both present-arm terms beat the single best-arm term at rrf_k=60:
+    # doc 0 = 1/61 + 1/62 > doc 9 = 1/61
+    assert rows[0]["rank"] == 1 and rows[9]["rank"] == 2
+
+
+def test_hybrid_plan_shape(spark):
+    """Corpus sides never shuffle toward the query batch: the dense arm is
+    a broadcast NLJ (query side broadcast), the lexical arm a broadcast
+    hash join; no CartesianProduct."""
+    from exstream_implementation_spark.plans.search import hybrid_rrf_topk
+
+    docs_df = load_table(spark, SF_DIR, "documents")
+    emb_df = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    q = spark.createDataFrame(
+        [(1, "merge sort", [0.1] * 64)],
+        "query_id int, query_text string, qvec array<float>",
+    )
+    plan = (
+        hybrid_rrf_topk(spark, docs_df, emb_df, q, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastHashJoin" in plan
+
+
+def test_dense_topk_degenerate(spark):
+    from exstream_implementation_spark.plans.search import dense_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "query_id int, qvec array<float>")
+    out = dense_topk(spark, empty, q, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "doc_id", "score", "rank"]
