@@ -299,8 +299,14 @@ def hybrid_rrf_topk(
     text_col: str = "text",
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval: BM25 arm + dense-cosine arm fused with RRF.
+
+    ``postings``: optional pre-built inverted index (``build_postings`` /
+    a ``write_postings`` table read back) — the served deployment never
+    re-tokenizes the corpus per query batch, and a term-bucketed postings
+    table keeps the df aggregation exchange-free.
 
     ``queries``: (query_id int, query_text string, qvec array<float>) —
     small by contract.  ``docs.doc_id`` and ``embeddings.<id_col>`` must
@@ -317,11 +323,12 @@ def hybrid_rrf_topk(
     arm_k = arm_k or 3 * k
     lex = bm25_topk(
         spark,
-        docs,
+        postings if postings is not None else docs,
         queries.select("query_id", "query_text"),
         k=arm_k,
         max_df_ratio=max_df_ratio,
         text_col=text_col,
+        prebuilt=postings is not None,
     ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     dense = dense_topk(
         spark,

@@ -287,3 +287,61 @@ def test_dense_topk_degenerate(spark):
     out = dense_topk(spark, empty, q, k=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["query_id", "doc_id", "score", "rank"]
+
+
+# --- serving from a pre-built bucketed index ---------------------------------
+
+
+def test_served_index_lifecycle(spark, tmp_path_factory):
+    """Deployment shape: tokenize ONCE into a term-bucketed postings table,
+    then (a) probe results are identical to the on-the-fly path, for both
+    plain bm25 and the hybrid, and (b) the bucketed probe plan has strictly
+    fewer Exchanges — the df aggregation reads co-located buckets."""
+    from exstream_implementation_spark.plans.search import (
+        bm25_topk,
+        build_postings,
+        hybrid_rrf_topk,
+        write_postings,
+    )
+
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bm25demo LOCATION '{warehouse}'")
+    try:
+        docs_df = load_table(spark, SF_DIR, "documents")
+        emb_df = load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        write_postings(build_postings(docs_df), "bm25demo.postings", buckets=8)
+        served = spark.table("bm25demo.postings")
+
+        q = _queries_df(spark, [(1, "dup key table"), (2, "merge sort window")])
+        fly = bm25_topk(spark, docs_df, q, k=5, max_df_ratio=1.0)
+        probe = bm25_topk(spark, served, q, k=5, max_df_ratio=1.0, prebuilt=True)
+        as_set = lambda df: {  # noqa: E731
+            (r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
+            for r in df.collect()
+        }
+        assert as_set(fly) == as_set(probe) and fly.count() == 10
+
+        plan_of = lambda df: (  # noqa: E731
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan_of(probe).count("Exchange") < plan_of(fly).count("Exchange")
+
+        qvec = [float(x) for x in emb_df.filter("vec_id = 7").first()["embedding"]]
+        hq = spark.createDataFrame(
+            [(1, "dup key table", qvec)],
+            "query_id int, query_text string, qvec array<float>",
+        )
+        h_fly = hybrid_rrf_topk(
+            spark, docs_df, emb_df, hq, k=5, max_df_ratio=1.0
+        )
+        h_served = hybrid_rrf_topk(
+            spark, docs_df, emb_df, hq, k=5, max_df_ratio=1.0, postings=served
+        )
+        hs = lambda df: {  # noqa: E731
+            (r["query_id"], r["doc_id"], r["rank"]) for r in df.collect()
+        }
+        assert hs(h_fly) == hs(h_served) and len(hs(h_fly)) == 5
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bm25demo CASCADE")
