@@ -36,6 +36,9 @@ Corpus constants (N, avgdl) are fetched with one bounded 1-row collect
 
 from __future__ import annotations
 
+import math
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +46,16 @@ from exstream_implementation_spark.sources import load_documents_parallel
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+# Java regex \s is ASCII-only; python \s is unicode-aware.  The driver-side
+# query tokenizer must split exactly like the JVM corpus tokenizer or a
+# query term containing e.g. \xa0 would silently never match.
+_PY_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+# widest query vocabulary that still fuses df counting into the single
+# stats aggregation row (one array_contains counter per term); beyond this
+# the df computation falls back to a distributed aggregation
+_FUSED_VOCAB_MAX = 256
 
 
 def _terms(text_col: str):
@@ -152,29 +165,184 @@ def bm25_topk(
     differences into exact ties that the doc_id tie-break resolves
     identically everywhere.
     """
-    postings = (
-        docs_or_postings
-        if prebuilt
-        else build_postings(docs_or_postings, text_col)
-    )
-    n_docs, avgdl = corpus_stats(postings)
-    if n_docs == 0 or queries.isEmpty():
-        return spark.createDataFrame(
-            [], "query_id int, doc_id bigint, score double, rank int"
+    scored: DataFrame | None = None
+    if prebuilt:
+        # postings-table path (the served deployment): the table is cheap to
+        # re-scan (bucketed, columnar), so stats/df/tf all read it directly.
+        postings = docs_or_postings
+        n_docs, avgdl = corpus_stats(postings)
+        if n_docs == 0 or queries.isEmpty():
+            return spark.createDataFrame(
+                [], "query_id int, doc_id bigint, score double, rank int"
+            )
+        weights = query_term_weights(
+            postings, queries, n_docs, max_df_ratio=max_df_ratio
         )
-    weights = query_term_weights(
-        postings, queries, n_docs, max_df_ratio=max_df_ratio
-    )
-    # postings x broadcast(query terms): BroadcastHashJoin — the corpus side
-    # never shuffles to meet the query batch.
-    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    )
-    scored = (
-        postings.join(F.broadcast(weights), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
-    )
+        hits = postings
+    else:
+        # ad-hoc path: NEVER materialize the corpus-wide inverted index just
+        # to answer one query batch.  The query batch is human-scale by
+        # contract, so it is collected to the driver (same bounded-fetch
+        # class as the k-row centroid collect, operators/kmeans.py) and the
+        # whole retrieval runs in TWO jobs:
+        #   job 1 — one scan+agg computes n, avgdl AND per-vocab-term df
+        #           (one array_contains counter per term, partial-combined);
+        #           idf/pruning are then trivial driver arithmetic;
+        #   job 2 — with the weights now driver-side literals, scoring is a
+        #           pure per-doc PROJECTION (per-term tf from array ops —
+        #           no token explode, no (term, doc) shuffle anywhere),
+        #           straight into the two-phase top-k fold.
+        # Vocabularies too wide for a fused counter row / projection
+        # (> _FUSED_VOCAB_MAX) fall back to the distributed explode+join
+        # formulation.
+        qrows = queries.select("query_id", "query_text").collect()
+        qterms_local: list[tuple[int, str]] = []
+        for r in qrows:
+            seen: list[str] = []
+            # mirror the JVM tokenizer exactly: Java regex \s is ASCII-only
+            for t in _PY_WS.split((r["query_text"] or "").lower()):
+                if t and t not in seen:
+                    seen.append(t)
+                    qterms_local.append((int(r["query_id"]), t))
+        if not qterms_local:
+            return spark.createDataFrame(
+                [], "query_id int, doc_id bigint, score double, rank int"
+            )
+        vocab_terms = sorted({t for _, t in qterms_local})
+        toks = (
+            docs_or_postings.select(
+                F.col("doc_id"), _terms(text_col).alias("toks")
+            )
+            .withColumn("dl", F.size("toks"))
+            .filter(F.col("dl") > 0)
+        )
+        if len(vocab_terms) <= _FUSED_VOCAB_MAX:
+            aggs = [F.count("*").alias("n"), F.avg("dl").alias("avgdl")] + [
+                F.sum(F.array_contains("toks", t).cast("int")).alias(f"_df{i}")
+                for i, t in enumerate(vocab_terms)
+            ]
+            row = toks.agg(*aggs).first()
+            n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
+            if n_docs == 0:
+                return spark.createDataFrame(
+                    [], "query_id int, doc_id bigint, score double, rank int"
+                )
+            dfmap = {
+                t: int(row[f"_df{i}"] or 0) for i, t in enumerate(vocab_terms)
+            }
+            wrows = [
+                (
+                    qid,
+                    t,
+                    # same op order as the column expression it replaces, so
+                    # the double matches the prebuilt path to the last ulp
+                    math.log(
+                        1.0
+                        + (float(n_docs) - dfmap[t] + 0.5) / (dfmap[t] + 0.5)
+                    ),
+                )
+                for qid, t in qterms_local
+                if 0 < dfmap[t] <= max_df_ratio * n_docs
+            ]
+            if not wrows:
+                return spark.createDataFrame(
+                    [], "query_id int, doc_id bigint, score double, rank int"
+                )
+            by_query: dict[int, list[tuple[str, float]]] = {}
+            for qid, t, w in wrows:
+                by_query.setdefault(qid, []).append((t, w))
+            # one O(dl) pass keeps only query-term occurrences; per-term tf
+            # then scans that (usually tiny) matched list
+            matched = F.filter(
+                F.col("toks"), lambda x: x.isin(vocab_terms)
+            ).alias("matched")
+            docs_m = toks.select("doc_id", "dl", matched).filter(
+                F.size("matched") > 0
+            )
+
+            def _qscore(terms: list[tuple[str, float]]):
+                # fixed summation order (query-term order); same formula as
+                # the hits path: idf * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl))
+                denom_tail = k1 * (
+                    1.0 - b + b * F.col("dl") / F.lit(avgdl)
+                )
+                parts = []
+                for t, w in terms:
+                    tf = F.size(
+                        F.filter(F.col("matched"), lambda x: x == F.lit(t))
+                    )
+                    parts.append(
+                        F.lit(w) * ((tf * (k1 + 1.0)) / (tf + denom_tail))
+                    )
+                score = parts[0]
+                for p in parts[1:]:
+                    score = score + p
+                return score
+
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast("int").alias("query_id"),
+                        _qscore(terms).alias("score"),
+                    )
+                    for qid, terms in by_query.items()
+                ]
+            )
+            scored = (
+                docs_m.select("doc_id", F.inline(entries))
+                # a doc scores for a query only if it contains >= 1 of THAT
+                # query's terms (score is NaN-free: tf=0 => term part 0)
+                .filter(F.col("score") > 0.0)
+                .select("query_id", "doc_id", "score")
+            )
+        else:
+            row = toks.agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            ).first()
+            n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
+            if n_docs == 0:
+                return spark.createDataFrame(
+                    [], "query_id int, doc_id bigint, score double, rank int"
+                )
+            qterms = spark.createDataFrame(
+                qterms_local, "query_id int, term string"
+            )
+            vocab = qterms.select("term").distinct()
+            dfreq = (
+                toks.select(
+                    "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+                )
+                .join(F.broadcast(vocab), "term")
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+            )
+            idf = F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+            weights = (
+                qterms.join(F.broadcast(dfreq), "term")
+                .filter(F.col("df") <= F.lit(max_df_ratio * n_docs))
+                .select("query_id", "term", idf.alias("idf"))
+            )
+            hits = (
+                toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+                .join(F.broadcast(weights.select("term").distinct()), "term")
+                .groupBy("term", "doc_id")
+                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            )
+    if scored is None:
+        # hits x broadcast(query-term weights): BroadcastHashJoin — the
+        # corpus side never shuffles to meet the query batch.
+        tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+            F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+        scored = (
+            hits.join(F.broadcast(weights), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
+        )
     if score_round is not None:
         # applied before the fold AND the final window so both rank the
         # same value (see docstring)
