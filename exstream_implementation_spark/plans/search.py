@@ -405,6 +405,75 @@ def bm25_topk_documents(
     )
 
 
+def bm25_topk_bulk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Top-k under BM25 for a CORPUS-SCALE query batch (millions of
+    queries) — the formulation where neither side broadcasts.
+
+    ``bm25_topk`` assumes a human-scale batch (driver-side weights, pure
+    projection).  When the batch is itself big data — offline eval sets,
+    query-log mining, all-pairs doc-to-doc retrieval — everything must stay
+    distributed:
+
+    * df comes from one corpus-wide postings aggregation (map-side
+      combined, output is vocabulary-sized);
+    * query terms shuffle by ``term`` to meet the postings in an equi-join
+      — with a ``write_postings`` term-bucketed table the postings side
+      contributes NO exchange, only the (smaller) query side moves;
+    * per-(query, doc) scores aggregate with map-side partial sums, then
+      the two-phase fold bounds the final ranking shuffle at k rows per
+      (query, partition).
+
+    Stop-term pruning (``max_df_ratio``) is load-bearing here: an unpruned
+    stopword fans every query containing it out to df(term) ~ N docs.
+
+    Returns (query_id, doc_id, score double, rank int).
+    """
+    row = (
+        postings.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .first()
+    )
+    n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id bigint, score double, rank int"
+        )
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(_terms("query_text"))).alias("term"),
+    )
+    dfreq = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= F.lit(max_df_ratio * n_docs))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    weights = qterms.join(dfreq, "term").select(
+        "query_id", "term", idf.alias("idf")
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        postings.join(weights, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
+    )
+    return two_phase_topk(scored, k)
+
+
 # --- dense arm + reciprocal-rank fusion (hybrid retrieval) -------------------
 # The standard RAG/retrieval stack pairs a lexical ranker with an embedding
 # ranker and fuses by rank, not score (Cormack/Clarke/Buettcher RRF, SIGIR

@@ -359,3 +359,56 @@ def test_served_index_lifecycle(spark, tmp_path_factory):
         assert hs(h_fly) == hs(h_served) and len(hs(h_fly)) == 5
     finally:
         spark.sql("DROP DATABASE IF EXISTS bm25demo CASCADE")
+
+
+# --- bulk (corpus-scale query batch) path ------------------------------------
+
+
+def test_bulk_matches_perquery_path(spark, tmp_path_factory):
+    """bm25_topk_bulk over a many-query batch must return exactly what the
+    per-query broadcast path returns, and with a term-bucketed postings
+    table the postings side of the term join must contribute no Exchange."""
+    from exstream_implementation_spark.plans.search import (
+        bm25_topk,
+        bm25_topk_bulk,
+        build_postings,
+        write_postings,
+    )
+
+    docs_df = load_table(spark, SF_DIR, "documents")
+    docs = [
+        (r["doc_id"], r["text"]) for r in docs_df.select("doc_id", "text").collect()
+    ]
+    # 40 queries drawn from doc fragments at varying offsets/widths
+    qrows = [
+        (i, " ".join(docs[(7 * i) % len(docs)][1].split()[i % 5 : i % 5 + 3]))
+        for i in range(40)
+    ]
+    q = _queries_df(spark, qrows).repartition(8)
+
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bulkdemo LOCATION '{warehouse}'")
+    try:
+        write_postings(build_postings(docs_df), "bulkdemo.postings", buckets=8)
+        served = spark.table("bulkdemo.postings")
+
+        bulk = bm25_topk_bulk(spark, served, q, k=4, max_df_ratio=1.0)
+        per = bm25_topk(spark, docs_df, q, k=4, max_df_ratio=1.0)
+        key = lambda df: {  # noqa: E731
+            (r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
+            for r in df.collect()
+        }
+        got, exp = key(bulk), key(per)
+        assert got == exp and len(got) > 100
+
+        # bucketed postings: the scan->join path on the postings side has no
+        # Exchange (only the query side shuffles to meet the buckets)
+        plan = bulk._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        scan_idx = plan.find("bulkdemo.postings")
+        assert scan_idx != -1
+        # walk upwards from the bucketed scan: the enclosing join block for
+        # the scoring join must show Bucketed: true on this scan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bulkdemo CASCADE")
