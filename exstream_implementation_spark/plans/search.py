@@ -95,6 +95,34 @@ def write_postings(postings: DataFrame, table: str, buckets: int = 64) -> None:
     )
 
 
+def append_postings(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+) -> int:
+    """Incrementally index new documents into a served postings table.
+
+    BM25's index state is trivially incremental (unlike IVF centroids —
+    operators/ann_index.py): new (term, doc) rows don't touch old ones,
+    and n/avgdl/df are derived at probe time from the table, so a probe
+    after append is automatically fresh.  Doc_ids already present are
+    skipped (anti-join on the distinct indexed ids — one column-pruned
+    scan), making redelivered batches idempotent, the same contract as
+    the streaming ingest corpus (streaming/ingest_dedup.py).  Appends go
+    through the catalog insert path so rows land in the table's term
+    buckets.  Returns the number of newly indexed documents.
+    """
+    indexed = spark.table(table).select("doc_id").distinct()
+    fresh = new_docs.join(indexed, "doc_id", "left_anti")
+    posts = build_postings(fresh, text_col)
+    # localCheckpoint before writing to the table the lineage reads —
+    # the foreachBatch read-then-append trap (streaming/ingest_dedup.py)
+    posts = posts.localCheckpoint(eager=True)
+    posts.write.mode("append").insertInto(table)
+    return posts.select("doc_id").distinct().count()
+
+
 def corpus_stats(postings: DataFrame) -> tuple[int, float]:
     """(N docs, average document length) — one aggregate, 1-row fetch."""
     row = (

@@ -412,3 +412,50 @@ def test_bulk_matches_perquery_path(spark, tmp_path_factory):
         assert "Bucketed: true" in plan
     finally:
         spark.sql("DROP DATABASE IF EXISTS bulkdemo CASCADE")
+
+
+def test_append_postings_incremental_refresh(spark, tmp_path_factory):
+    """Index half the corpus, append the rest: the probe equals the
+    full-corpus probe exactly (n/avgdl/df derive from the table at probe
+    time).  Redelivering an already-indexed batch is a no-op."""
+    from exstream_implementation_spark.plans.search import (
+        append_postings,
+        bm25_topk,
+        build_postings,
+        write_postings,
+    )
+
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS appdemo LOCATION '{warehouse}'")
+    try:
+        docs_df = load_table(spark, SF_DIR, "documents")
+        first_half = docs_df.filter("doc_id % 2 = 0")
+        second_half = docs_df.filter("doc_id % 2 = 1")
+        write_postings(build_postings(first_half), "appdemo.postings", buckets=8)
+
+        n_new = append_postings(spark, second_half, "appdemo.postings")
+        assert n_new == second_half.count()
+
+        q = _queries_df(spark, [(1, "dup key table")])
+        spark.catalog.refreshTable("appdemo.postings")
+        served = bm25_topk(
+            spark, spark.table("appdemo.postings"), q, k=5,
+            max_df_ratio=1.0, prebuilt=True,
+        )
+        full = bm25_topk(spark, docs_df, q, k=5, max_df_ratio=1.0)
+        key = lambda df: [  # noqa: E731
+            (r["doc_id"], r["rank"], round(r["score"], 9))
+            for r in sorted(df.collect(), key=lambda r: r["rank"])
+        ]
+        assert key(served) == key(full) and len(key(full)) == 5
+
+        # idempotence: redelivery indexes nothing and changes nothing
+        assert append_postings(spark, second_half, "appdemo.postings") == 0
+        spark.catalog.refreshTable("appdemo.postings")
+        again = bm25_topk(
+            spark, spark.table("appdemo.postings"), q, k=5,
+            max_df_ratio=1.0, prebuilt=True,
+        )
+        assert key(again) == key(full)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS appdemo CASCADE")
