@@ -502,6 +502,61 @@ def bm25_topk_bulk(
     return two_phase_topk(scored, k)
 
 
+def retrieval_metrics(
+    results: DataFrame, qrels: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Per-query ranking quality: recall@k, MRR and nDCG@k, distributed.
+
+    ``results``: (query_id, doc_id, rank) — e.g. any of the top-k functions
+    here.  ``qrels``: (query_id, doc_id, rel double >= 0) graded relevance
+    judgments.  Both frames can be corpus-scale: everything is equi-joins
+    on (query_id, doc_id) plus per-query aggregates (map-side combined) —
+    no windows over unbounded partitions, no driver loops.
+
+    nDCG uses the classic form DCG = sum rel_i / log2(rank_i + 1); the
+    ideal DCG ranks each query's judgments by rel descending, computed
+    with a per-query window (bounded by that query's judgment count).
+    Queries with no relevant judgment are dropped (metrics undefined).
+
+    Returns (query_id, recall double, mrr double, ndcg double).
+    """
+    if k is not None:
+        results = results.filter(F.col("rank") <= k)
+    rel_pos = F.col("rel") > 0.0
+    hits = results.join(qrels, ["query_id", "doc_id"])
+    got = hits.groupBy("query_id").agg(
+        F.sum(rel_pos.cast("int")).alias("n_hit"),
+        F.max(F.when(rel_pos, 1.0 / F.col("rank")).otherwise(0.0)).alias("mrr"),
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1.0)).alias("dcg"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    ideal_ranked = qrels.filter(rel_pos).withColumn(
+        "irank", F.row_number().over(w)
+    )
+    if k is not None:
+        ideal_ranked = ideal_ranked.filter(F.col("irank") <= k)
+    ideal = ideal_ranked.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("irank") + 1.0)).alias("idcg")
+    )
+    n_rel = (
+        qrels.filter(rel_pos)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    return (
+        ideal.join(n_rel, "query_id")
+        .join(got, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_rel")).alias("recall"),
+            F.coalesce("mrr", F.lit(0.0)).alias("mrr"),
+            (F.coalesce("dcg", F.lit(0.0)) / F.col("idcg")).alias("ndcg"),
+        )
+    )
+
+
 # --- dense arm + reciprocal-rank fusion (hybrid retrieval) -------------------
 # The standard RAG/retrieval stack pairs a lexical ranker with an embedding
 # ranker and fuses by rank, not score (Cormack/Clarke/Buettcher RRF, SIGIR

@@ -459,3 +459,83 @@ def test_append_postings_incremental_refresh(spark, tmp_path_factory):
         assert key(again) == key(full)
     finally:
         spark.sql("DROP DATABASE IF EXISTS appdemo CASCADE")
+
+
+# --- retrieval evaluation metrics --------------------------------------------
+
+
+def test_retrieval_metrics_vs_local_model(spark):
+    """recall@k / MRR / nDCG@k vs hand-computed values, including a query
+    the results missed entirely and graded (non-binary) relevance."""
+    import math as m
+
+    from exstream_implementation_spark.plans.search import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [
+            # q1: ranks 1..3 -> docs 10, 11, 12
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            # q2: relevant doc found at rank 2 only
+            (2, 20, 1), (2, 21, 2), (2, 22, 3),
+            # q3 judged but never retrieved -> all-zero metrics row
+        ],
+        "query_id int, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            (1, 10, 3.0), (1, 12, 1.0), (1, 99, 2.0),   # graded, one missed
+            (2, 21, 1.0),
+            (3, 30, 1.0),
+            (1, 50, 0.0),                               # rel=0 judgment: ignored
+        ],
+        "query_id int, doc_id long, rel double",
+    )
+    got = {
+        r["query_id"]: r
+        for r in retrieval_metrics(results, qrels, k=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    # q1: hits at rank1(rel3), rank3(rel1); relevant={10,12,99}
+    dcg1 = 3.0 / m.log2(2) + 1.0 / m.log2(4)
+    idcg1 = 3.0 / m.log2(2) + 2.0 / m.log2(3) + 1.0 / m.log2(4)
+    assert got[1]["recall"] == pytest.approx(2 / 3)
+    assert got[1]["mrr"] == pytest.approx(1.0)
+    assert got[1]["ndcg"] == pytest.approx(dcg1 / idcg1, rel=1e-12)
+
+    # q2: single relevant found at rank 2
+    assert got[2]["recall"] == pytest.approx(1.0)
+    assert got[2]["mrr"] == pytest.approx(0.5)
+    assert got[2]["ndcg"] == pytest.approx((1.0 / m.log2(3)) / (1.0 / m.log2(2)))
+
+    # q3: judged, never retrieved
+    assert (got[3]["recall"], got[3]["mrr"], got[3]["ndcg"]) == (0.0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_close_the_loop_on_bm25(spark):
+    """End-to-end: docs carry a unique marker token; querying the marker
+    must put the source doc at rank 1 for every query (MRR = recall = 1).
+    (The testdata documents share one 31-term vocabulary, so fragments of
+    them are deliberately NOT distinctive enough for this check — a
+    marker corpus isolates the metric-wiring property being tested.)"""
+    from exstream_implementation_spark.plans.search import (
+        bm25_topk,
+        retrieval_metrics,
+    )
+
+    docs_df = spark.createDataFrame(
+        [(i, f"marker{i} common filler words here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    qrows = [(i, f"marker{i} common") for i in range(1, 9)]
+    qrels = spark.createDataFrame(
+        [(i, i, 1.0) for i in range(1, 9)],
+        "query_id int, doc_id long, rel double",
+    )
+    res = bm25_topk(spark, docs_df, _queries_df(spark, qrows), k=5)
+    mrow = (
+        retrieval_metrics(res, qrels, k=5)
+        .agg(F.avg("mrr").alias("amrr"), F.avg("recall").alias("arec"))
+        .first()
+    )
+    assert mrow["amrr"] == 1.0 and mrow["arec"] == 1.0
