@@ -1026,6 +1026,61 @@ def sample_mix(
     return df.filter(frac_col.isNotNull() & (u < frac_col))
 
 
+def sample_exact_k(
+    df,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """EXACTLY k rows per group (all rows when a group has fewer) — the
+    deterministic distributed reservoir.
+
+    ``sample_mix`` keeps each row with a probability, so realized
+    per-source counts fluctuate; quota-driven curation ("exactly 10k docs
+    per language") needs exact-k.  Selection = the k SMALLEST
+    ``xxhash64(id, salt)`` per group: a pure function of row identity, so
+    the sample is independent of partitioning and engines, and a different
+    ``salt`` draws an independent sample.
+
+    Scale shape (the two-phase fold, same as plans/search.two_phase_topk):
+    each shuffle partition folds its (group, partition) slice down to k
+    candidates; a per-group window then exact-ranks <= partitions*k rows
+    per group — never a full per-group sort.  Winners semi-join back to
+    the input (AQE picks the strategy; the winner side is k*|groups|
+    rows), so sampled rows keep all their columns.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(id_col), F.lit(int(salt)))
+    tagged = df.select(group_col, id_col).withColumn("_h", h)
+    part = (
+        tagged.groupBy(group_col, F.spark_partition_id().alias("_p"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("_h", id_col))), 1, k
+            ).alias("top")
+        )
+        .select(group_col, F.explode("top").alias("c"))
+        .select(
+            group_col,
+            F.col("c._h").alias("_h"),
+            F.col(f"c.{id_col}").alias(id_col),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.asc("_h"), F.asc(id_col))
+    winners = (
+        part.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, id_col)
+    )
+    # the USING-style semi join moves the key columns first; give the
+    # caller back their own column order
+    return df.join(winners, [group_col, id_col], "left_semi").select(df.columns)
+
+
 # Catalog gate: a graded mix over the testdata's 20 sources (full / half /
 # quarter epochs, tail dropped) with the md5-portable selector, so DuckDB
 # reproduces the EXACT kept set — the gate proves the sampler is a pure

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.plans.dedup import decontaminate, sample_mix
+from exstream_implementation_spark.sources import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -291,3 +292,63 @@ def test_strip_html_double_escaped_entities_and_comments(spark):
     got = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
     assert got[1] == "Use &lt; for a literal less-than."
     assert got[2] == "Real sentence here."
+
+
+def test_sample_exact_k_quota_and_determinism(spark):
+    from exstream_implementation_spark.plans.dedup import sample_exact_k
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    k = 5
+    got = sample_exact_k(docs, "source", k, salt=1)
+    counts = {r["source"]: r["n"] for r in
+              got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # exactly k per group, or the whole group when it's smaller
+    assert counts == {s: min(k, n) for s, n in sizes.items()}
+    # rows come back intact (all columns, real members)
+    assert got.columns == docs.columns
+    assert got.join(docs, ["doc_id", "source", "text"], "left_anti").count() == 0
+
+    # deterministic and independent of physical layout
+    a = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(docs.repartition(17), "source", k, salt=1)
+        .select("doc_id").collect()
+    )
+    assert a == b
+
+    # a different salt draws a mostly-different sample of the same shape
+    c = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(docs, "source", k, salt=2).select("doc_id").collect()
+    )
+    assert len(c) == len(a) and set(c) != set(a)
+
+
+def test_sample_exact_k_rejects_bad_k(spark):
+    from exstream_implementation_spark.plans.dedup import sample_exact_k
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError):
+        sample_exact_k(docs, "source", 0)
+
+
+def test_sample_exact_k_partial_fold_agrees_with_global_rank(spark):
+    """The per-partition fold must keep the k globally-smallest hashes per
+    group even when they're scattered across partitions: compare against a
+    single-partition run of the same data."""
+    from exstream_implementation_spark.plans.dedup import sample_exact_k
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    many = sorted(
+        (r["source"], r["doc_id"])
+        for r in sample_exact_k(df.repartition(16), "source", 7, salt=3).collect()
+    )
+    one = sorted(
+        (r["source"], r["doc_id"])
+        for r in sample_exact_k(df.coalesce(1), "source", 7, salt=3).collect()
+    )
+    assert many == one and len(many) == 21
