@@ -658,6 +658,21 @@ def hybrid_rrf_topk(
         id_col=id_col,
         emb_col=emb_col,
     ).select("query_id", "doc_id", F.col("rank").alias("dense_rank"))
+    return rrf_fuse(lex, dense, k=k, rrf_k=rrf_k)
+
+
+def rrf_fuse(
+    lex: DataFrame, dense: DataFrame, k: int = 10, rrf_k: int = 60
+) -> DataFrame:
+    """Fuse two ranked-arm frames by reciprocal rank.
+
+    ``lex``: (query_id, doc_id, lex_rank); ``dense``: (query_id, doc_id,
+    dense_rank) — any per-query top-k producer qualifies, so this composes
+    the broadcast arms (``bm25_topk`` + ``dense_topk``) AND the bulk arms
+    (``bm25_topk_bulk`` + the IVF/bucketed ANN paths in plans/similarity)
+    alike.  Both inputs are k-bounded per query, so the full-outer join
+    and the per-query window stay bounded regardless of corpus size.
+    """
     both = lex.join(dense, ["query_id", "doc_id"], "full_outer")
     rrf_term = lambda c: F.when(  # noqa: E731
         F.col(c).isNotNull(), F.lit(1.0) / (F.lit(rrf_k) + F.col(c))

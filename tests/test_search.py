@@ -539,3 +539,97 @@ def test_retrieval_metrics_close_the_loop_on_bm25(spark):
         .first()
     )
     assert mrow["amrr"] == 1.0 and mrow["arec"] == 1.0
+
+
+def test_rrf_fuse_composes_bulk_arms(spark):
+    """rrf_fuse over the BULK lexical arm + the dense arm must equal
+    hybrid_rrf_topk built from the broadcast arms — fusion is agnostic to
+    which execution shape produced each arm."""
+    from exstream_implementation_spark.plans.search import (
+        bm25_topk_bulk,
+        build_postings,
+        dense_topk,
+        hybrid_rrf_topk,
+        rrf_fuse,
+    )
+
+    docs_df = load_table(spark, SF_DIR, "documents")
+    emb_df = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    qvec = [float(x) for x in emb_df.filter("vec_id = 7").first()["embedding"]]
+    hq = spark.createDataFrame(
+        [(1, "dup key table", qvec)],
+        "query_id int, query_text string, qvec array<float>",
+    )
+    k, arm_k = 5, 15
+
+    lex_bulk = bm25_topk_bulk(
+        spark, build_postings(docs_df),
+        hq.select("query_id", "query_text"), k=arm_k, max_df_ratio=1.0,
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    dense = dense_topk(
+        spark, emb_df, hq.select("query_id", "qvec"), k=arm_k
+    ).select("query_id", "doc_id", F.col("rank").alias("dense_rank"))
+
+    composed = rrf_fuse(lex_bulk, dense, k=k)
+    reference = hybrid_rrf_topk(
+        spark, docs_df, emb_df, hq, k=k, arm_k=arm_k, max_df_ratio=1.0
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], r["rank"], round(r["rrf"], 12))
+        for r in df.collect()
+    )
+    assert key(composed) == key(reference) and len(key(composed)) == k
+
+
+def test_streaming_postings_refresh(spark, tmp_path):
+    """The served index stays fresh under streaming ingest: arriving doc
+    batches run through append_postings in foreachBatch (at-least-once —
+    idempotence comes from the anti-join), and after an availableNow drain
+    the probe equals a from-scratch full-corpus probe exactly."""
+    from exstream_implementation_spark.plans.search import (
+        append_postings,
+        bm25_topk,
+        build_postings,
+        write_postings,
+    )
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        documents_stream,
+    )
+
+    warehouse = tmp_path / "warehouse"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sref LOCATION '{warehouse}'")
+    try:
+        docs_df = load_table(spark, SF_DIR, "documents")
+        seed = docs_df.filter("doc_id % 3 = 0")
+        rest = docs_df.filter("doc_id % 3 != 0")
+        write_postings(build_postings(seed), "sref.postings", buckets=4)
+
+        arrivals = str(tmp_path / "arrivals")
+        rest.repartition(3).write.mode("overwrite").parquet(arrivals)
+
+        def _refresh(batch_df, batch_id):
+            append_postings(batch_df.sparkSession, batch_df, "sref.postings")
+
+        q = (
+            documents_stream(spark, arrivals, max_files_per_trigger=1)
+            .writeStream.foreachBatch(_refresh)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        spark.catalog.refreshTable("sref.postings")
+
+        qdf = _queries_df(spark, [(1, "dup key table")])
+        served = bm25_topk(
+            spark, spark.table("sref.postings"), qdf, k=5,
+            max_df_ratio=1.0, prebuilt=True,
+        )
+        full = bm25_topk(spark, docs_df, qdf, k=5, max_df_ratio=1.0)
+        key = lambda df: [  # noqa: E731
+            (r["doc_id"], r["rank"], round(r["score"], 9))
+            for r in sorted(df.collect(), key=lambda r: r["rank"])
+        ]
+        assert key(served) == key(full) and len(key(full)) == 5
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS sref CASCADE")
