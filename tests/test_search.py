@@ -23,11 +23,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _local_bm25(docs, queries, k, k1=BM25_K1, b=BM25_B, max_df_ratio=0.5):
-    """Independent reference model: plain-python BM25 over (doc_id, text)."""
+    """Independent reference model: plain-python BM25 over (doc_id, text).
+    Token-less docs are outside the collection (no postings), matching the
+    engine's n/avgdl semantics."""
     toks = {
-        d: [t for t in re.split(r"\s+", txt.lower()) if t] for d, txt in docs
+        d: ts
+        for d, txt in docs
+        if (ts := [t for t in re.split(r"\s+", txt.lower()) if t])
     }
     n = len(toks)
+    if n == 0:
+        return {qid: [] for qid, _ in queries}
     avgdl = sum(len(t) for t in toks.values()) / n
     dfreq = Counter()
     for ts in toks.values():
@@ -633,3 +639,41 @@ def test_streaming_postings_refresh(spark, tmp_path):
         assert key(served) == key(full) and len(key(full)) == 5
     finally:
         spark.sql("DROP DATABASE IF EXISTS sref CASCADE")
+
+
+# --- property: random corpora vs the local model -----------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["a", "b", "ab", "the", "x1", "zz"]
+_doc_strat = st.lists(
+    st.sampled_from(_WORDS + ["", " "]), min_size=0, max_size=12
+).map(lambda ws: " ".join(ws))
+_q_strat = st.lists(
+    st.sampled_from(_WORDS + ["nosuchterm"]), min_size=1, max_size=4
+).map(lambda ws: " ".join(ws))
+
+
+@given(
+    texts=st.lists(_doc_strat, min_size=1, max_size=10),
+    qtext=_q_strat,
+    ratio=st.sampled_from([0.5, 1.0]),
+)
+@settings(max_examples=10, deadline=None)
+def test_bm25_property_random_corpora(spark, texts, qtext, ratio):
+    """Random tiny corpora (duplicate texts, empty docs, stray whitespace,
+    unknown query terms): the distributed result must equal the local
+    model's ranking and scores exactly."""
+    docs = list(enumerate(texts))
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string")
+    exp = _local_bm25(docs, [(1, qtext)], k=5, max_df_ratio=ratio)[1]
+    got = sorted(
+        bm25_topk(
+            spark, docs_df, _queries_df(spark, [(1, qtext)]), k=5,
+            max_df_ratio=ratio,
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
