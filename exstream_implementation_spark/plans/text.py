@@ -680,25 +680,58 @@ def repetition_metrics(df, text_col: str = "text"):
     eb AS (SELECT doc_id, unnest(bigrams) AS b FROM bg),
     cnt AS (SELECT doc_id, b, count(*) AS c FROM eb GROUP BY doc_id, b),
     top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
-            FROM cnt GROUP BY doc_id)
+            FROM cnt GROUP BY doc_id),
+    dl AS (SELECT doc_id, length(text) AS len, text FROM documents),
+    gp AS (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(len - 39, 0))) AS i
+           FROM dl),
+    gr AS (SELECT doc_id, i, substr(text, i, 40) AS g FROM gp),
+    dupg AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+    dpos AS (SELECT gr.doc_id, gr.i FROM gr JOIN dupg USING (g)),
+    cov AS (SELECT doc_id, i,
+                   max(i + 40) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+            FROM dpos),
+    dc AS (SELECT doc_id,
+                  sum(greatest(0, i + 40 - greatest(i, coalesce(pe, 0))))
+                    AS dup_chars
+           FROM cov GROUP BY doc_id)
     SELECT bg.doc_id,
            round(CASE WHEN len(lines) > 0
                  THEN 1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
                  ELSE 0.0 END, 6) AS dup_line_frac,
            round(coalesce(CAST(top.top_c AS DOUBLE) / top.n_bg, 0.0), 6)
-             AS top_bigram_share
+             AS top_bigram_share,
+           round(CASE WHEN dl.len > 0
+                 THEN CAST(coalesce(dc.dup_chars, 0) AS DOUBLE) / dl.len
+                 ELSE 0.0 END, 6) AS dup40_frac
     FROM bg LEFT JOIN top USING (doc_id)
+            JOIN dl USING (doc_id)
+            LEFT JOIN dc USING (doc_id)
     """,
 )
 def text_repetition(spark, sf_dir):
-    """Gopher repetition filters (Rae et al. 2021) as a catalog slot: the
-    modal-bigram fold and dup-line fraction, hash-gated against a plain
-    unnest/GROUP BY mirror — proves the O(d log d) run-length fold equals
-    the textbook counting formulation."""
+    """Gopher repetition filters (Rae et al. 2021) plus the Lee et al.
+    2021 exact-substring duplication fraction, as one catalog slot: the
+    modal-bigram fold and dup-line fraction hash-gated against a plain
+    unnest/GROUP BY mirror, and ``dup40_frac`` (chars inside a
+    corpus-duplicated span of length >= 40; plans/substring.py) gated
+    against an independent generate_series + self-join + window-union
+    DuckDB formulation.  The catalog branch runs raw-gram anchors so both
+    engines group on identical keys; the production default is hashed
+    (xxhash64) anchors, pytest-pinned equal on this corpus."""
+    from exstream_implementation_spark.plans.substring import (
+        dup_span_profile,
+    )
+
     d = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
-    return repetition_metrics(d).select(
+    rep = repetition_metrics(d).select(
         "doc_id", "dup_line_frac", "top_bigram_share"
     )
+    prof = dup_span_profile(d, k=40, hashed=False).select(
+        "doc_id", F.col("dup_frac").alias("dup40_frac")
+    )
+    return rep.join(prof, "doc_id")
 
 
 # --- HTML/boilerplate cleanup (C4-style, Raffel et al. 2020 §2.2) ------------
