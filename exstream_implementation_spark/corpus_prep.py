@@ -1,0 +1,262 @@
+"""End-to-end training-corpus preparation — the composition the individual
+operator families exist for, as ONE auditable pipeline:
+
+    quality filter → exact dedup → substring-level boilerplate removal →
+    benchmark decontamination → BPE tokenizer training → tokenization →
+    chunking → sequence packing → deterministic shuffle-shard export
+
+Each stage is the library's own operator (plans/text.py quality metrics,
+plans/dedup.py exact-dedup/decontamination conventions, plans/substring.py
+span removal, operators/bpe.py, operators/packing.py, operators/
+sharding.py); this module adds only the glue plus per-stage accounting, so
+a user gets the standard "raw scrape → packed training shards" path in one
+call without losing visibility into what each stage dropped.
+
+Everything before packing is a single lazy DataFrame chain (Catalyst sees
+the whole plan; filters fuse into the scan).  The two driver-side
+materialization points are inherent to the algorithms, not the plumbing:
+BPE merge training (sequential by definition — operators/bpe.py trains off
+the one-shuffle word-frequency table) and the stage-count accounting (one
+count per stage, only when ``counts=True``).
+
+Scale: every stage is the operator family's documented 100 TB path —
+map-side-combined aggregations, AQE-planned joins (the benchmark gram side
+broadcasts when benchmark-sized), content-defined substring sampling
+(``substring_mod``), hash-grouped FFD packing, and a one-exchange shard
+shuffle.  Nothing here collects corpus-sized data to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.operators.bpe import apply_bpe, bpe_train
+from exstream_implementation_spark.operators.packing import pack_sequences
+from exstream_implementation_spark.operators.sharding import write_shards
+from exstream_implementation_spark.plans.substring import substring_dedup
+from exstream_implementation_spark.plans.text import STOP_EN, stop_count
+
+
+@dataclass(frozen=True)
+class CorpusPrepConfig:
+    # quality gate (the corpus_curation thresholds)
+    min_tokens: int = 20
+    min_stop_ratio: float = 0.02
+    # substring-level boilerplate removal (plans/substring.py)
+    substring_k: int = 40
+    substring_mod: int | None = 8
+    # decontamination: drop docs with any benchmark 3-gram overlap
+    decontam_max_overlap: float = 0.0
+    # tokenizer + packing
+    bpe_merges: int = 64
+    chunk_len: int = 64
+    pack_capacity: int = 256
+    pack_groups: int = 64
+    # export
+    n_shards: int = 8
+    seed: int = 0
+
+
+def _norm_hash(text_col: str) -> F.Column:
+    """Whitespace-normalized lowercase md5 — the dedup_exact convention."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+
+
+def _word_3grams_from_text(text_col: str) -> F.Column:
+    """Distinct word-3-gram shingles — the decontaminate convention
+    (plans/dedup.py _doc_grams; < 3 tokens guarded for ANSI)."""
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({toks}) < 3 THEN array() ELSE "
+            f"transform(sequence(0, size({toks}) - 3), i -> "
+            f"concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])) END"
+        )
+    )
+
+
+def quality_filter(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
+    """Keep docs with >= min_tokens whitespace tokens and a stop-word
+    ratio >= min_stop_ratio (the corpus_curation gate)."""
+    toks = F.split(F.lower("text"), r"\s+")
+    return (
+        docs.withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks"))
+        .filter(
+            (F.col("__n") >= cfg.min_tokens)
+            & (
+                stop_count("__toks", STOP_EN) / F.col("__n")
+                >= cfg.min_stop_ratio
+            )
+        )
+        .drop("__toks", "__n")
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the min-doc_id representative of each normalized-text group —
+    groupBy(hash) with a min(struct) pullback, map-side combined, never a
+    window over the corpus."""
+    h = docs.withColumn("__ch", _norm_hash("text"))
+    keep = h.groupBy("__ch").agg(F.min("doc_id").alias("doc_id"))
+    return h.join(keep, ["__ch", "doc_id"]).drop("__ch")
+
+
+def drop_contaminated(
+    docs: DataFrame, benchmark: DataFrame, max_overlap: float
+) -> DataFrame:
+    """Drop docs whose distinct-3-gram overlap with the benchmark exceeds
+    ``max_overlap`` (same ratio as plans/dedup.py decontaminate).  The
+    benchmark gram side is benchmark-sized, so AQE broadcasts it and the
+    corpus never shuffles."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                _word_3grams_from_text("text")
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    g = docs.withColumn("__grams", _word_3grams_from_text("text"))
+    hits = (
+        g.select("doc_id", F.explode("__grams").alias("gram"))
+        .join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    return (
+        g.join(hits, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("__n_hit"), F.lit(0))
+            / F.greatest(F.size("__grams"), F.lit(1))
+            <= max_overlap
+        )
+        .drop("__grams", "__n_hit")
+    )
+
+
+def chunk_tokens(tokenized: DataFrame, chunk_len: int) -> DataFrame:
+    """(doc_id, chunk_idx, toks, n_toks): split each doc's bpe_tokens into
+    fixed-size chunks (last one ragged); empty docs emit nothing."""
+    n_chunks = F.ceil(F.size("bpe_tokens") / F.lit(chunk_len)).cast("int")
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        tokenized.select(
+            "doc_id",
+            F.col("bpe_tokens").alias("__all"),
+            F.explode(idx).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                "__all", F.col("chunk_idx") * chunk_len + 1, chunk_len
+            ).alias("toks"),
+        )
+        .withColumn("n_toks", F.size("toks"))
+    )
+
+
+def assemble_sequences(
+    chunks: DataFrame, assignment: DataFrame
+) -> DataFrame:
+    """(pack_group, seq_id, toks, seq_fill): concatenate each packed
+    sequence's chunks in deterministic (doc_id, chunk_idx) order.  Per-
+    sequence work is bounded by pack capacity — the collect_list is at
+    most capacity tokens."""
+    assign = assignment.select(
+        "doc_id", "chunk_idx", "pack_group", "seq_id", "seq_fill"
+    )
+    return (
+        chunks.join(assign, ["doc_id", "chunk_idx"])
+        .groupBy("pack_group", "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("doc_id", "chunk_idx", "toks")
+                        )
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("toks"),
+            F.first("seq_fill").alias("seq_fill"),
+        )
+    )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    cfg: CorpusPrepConfig = CorpusPrepConfig(),
+    out_path: str | None = None,
+    counts: bool = False,
+) -> dict:
+    """Run the full prep pipeline.  Returns a dict of the per-stage frames
+    (lazy unless ``counts``/``out_path`` forces them):
+
+      quality → deduped → despanned → decontaminated (== input when no
+      benchmark) → merges (list) → tokenized → chunks → assignment →
+      sequences [→ written shards at out_path/shard=i/]
+
+    plus ``stage_counts`` when ``counts=True``.
+    """
+    stages: dict = {}
+    cur = quality_filter(docs, cfg)
+    stages["quality"] = cur
+    cur = exact_dedup(cur)
+    stages["deduped"] = cur
+    cur = substring_dedup(
+        cur, k=cfg.substring_k, mod=cfg.substring_mod
+    ).drop("n_removed_chars")
+    stages["despanned"] = cur
+    if benchmark is not None:
+        cur = drop_contaminated(cur, benchmark, cfg.decontam_max_overlap)
+    stages["decontaminated"] = cur
+
+    merges = bpe_train(cur.select("doc_id", "text"), cfg.bpe_merges)
+    stages["merges"] = merges
+    tokenized = apply_bpe(cur, merges)
+    stages["tokenized"] = tokenized
+
+    chunks = chunk_tokens(tokenized, cfg.chunk_len)
+    stages["chunks"] = chunks
+    assignment = pack_sequences(
+        chunks, cfg.pack_capacity, num_groups=cfg.pack_groups
+    )
+    stages["assignment"] = assignment
+    sequences = assemble_sequences(chunks, assignment)
+    stages["sequences"] = sequences
+
+    if out_path is not None:
+        export = sequences.withColumn(
+            "seq_key",
+            F.concat_ws("_", F.col("pack_group"), F.col("seq_id")),
+        )
+        write_shards(
+            export, out_path, "seq_key", cfg.n_shards, seed=cfg.seed
+        )
+        stages["out_path"] = out_path
+
+    if counts:
+        stages["stage_counts"] = {
+            name: stages[name].count()
+            for name in (
+                "quality",
+                "deduped",
+                "despanned",
+                "decontaminated",
+                "tokenized",
+                "chunks",
+                "sequences",
+            )
+        }
+    return stages

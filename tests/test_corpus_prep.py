@@ -1,0 +1,151 @@
+"""End-to-end corpus preparation (corpus_prep.py): every stage's contract
+holds THROUGH the composition — quality gate, exact dedup keep-min,
+substring boilerplate removal, decontamination, token conservation from
+tokenizer to packed shards, capacity respect, and a deterministic,
+read-back-verified shard export."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.corpus_prep import (
+    CorpusPrepConfig,
+    prepare_corpus,
+)
+
+STOPFUL = "the a and of is to in on"  # guarantees the stop-ratio gate
+
+
+def _corpus(spark):
+    boiler = "subscribe to the newsletter and follow of is updates daily"
+    rows = [
+        # 0/1: exact duplicates after normalization (keep doc 0)
+        (0, f"{STOPFUL} alpha beta gamma delta epsilon zeta eta theta"),
+        (1, f"{STOPFUL}  alpha beta gamma delta epsilon zeta eta theta "),
+        # 2: unique but carries the boilerplate sentence (also in 3)
+        (2, f"{STOPFUL} unique prose about rivers {boiler} more rivers"),
+        (3, f"{STOPFUL} mountain text here {boiler} further mountains"),
+        # 4: contaminated — contains the benchmark 3-gram run
+        (4, f"{STOPFUL} casual words then secret eval answer here now ok"),
+        # 5: too short — fails min_tokens
+        (5, "tiny doc"),
+        # 6: long but zero stop words — fails stop ratio
+        (6, " ".join(f"w{i}" for i in range(30))),
+        # 7: clean survivor
+        (7, f"{STOPFUL} calm ordinary writing that survives every stage"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(0, "secret eval answer here")], "qid long, text string"
+    )
+
+
+CFG = CorpusPrepConfig(
+    min_tokens=8,
+    min_stop_ratio=0.1,
+    substring_k=12,
+    substring_mod=None,  # tiny docs: exact witnesses
+    bpe_merges=12,
+    chunk_len=8,
+    pack_capacity=16,
+    pack_groups=4,
+    n_shards=3,
+)
+
+
+@pytest.fixture(scope="module")
+def prepped(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("prep") / "shards")
+    docs = _corpus(spark)
+    stages = prepare_corpus(
+        docs, benchmark=_bench(spark), cfg=CFG, out_path=out, counts=True
+    )
+    return docs, stages, out
+
+
+def test_stage_filters(prepped):
+    _, stages, _ = prepped
+    surv = lambda st: {  # noqa: E731
+        r["doc_id"] for r in stages[st].select("doc_id").collect()
+    }
+    assert surv("quality") == {0, 1, 2, 3, 4, 7}  # 5 short, 6 stopless
+    assert surv("deduped") == {0, 2, 3, 4, 7}  # 1 is 0's normalized dup
+    assert surv("decontaminated") == {0, 2, 3, 7}  # 4 hits the benchmark
+    # boilerplate removed from doc 3 (doc 2 holds the first occurrence)
+    texts = {
+        r["doc_id"]: r["text"] for r in stages["despanned"].collect()
+    }
+    assert "subscribe" in texts[2] and "subscribe" not in texts[3]
+
+
+def test_token_conservation_and_capacity(prepped):
+    _, stages, _ = prepped
+    n_doc_toks = stages["tokenized"].agg(F.sum("n_bpe")).collect()[0][0]
+    n_chunk_toks = stages["chunks"].agg(F.sum("n_toks")).collect()[0][0]
+    seqs = stages["sequences"].collect()
+    n_seq_toks = sum(len(r["toks"]) for r in seqs)
+    assert n_doc_toks == n_chunk_toks == n_seq_toks > 0
+    for r in seqs:
+        assert len(r["toks"]) <= CFG.pack_capacity
+        assert r["seq_fill"] == len(r["toks"])
+    # tokens re-spell the surviving text exactly (round-trip through
+    # train → encode → chunk → pack → assemble)
+    doc_text = {
+        r["doc_id"]: r["text"]
+        for r in stages["decontaminated"].collect()
+    }
+    joined = "".join(
+        "".join(r["toks"]) for r in sorted(seqs, key=lambda r: (r["pack_group"], r["seq_id"]))
+    )
+    # multiset of characters is conserved (order interleaves across docs;
+    # each word's </w> marker maps back to the single space it replaced)
+    from collections import Counter
+
+    exp = Counter(
+        c
+        for t in doc_text.values()
+        for c in " ".join(t.lower().split()) + " "
+    )
+    got = Counter(joined.replace("</w>", " "))
+    assert got == exp
+
+
+def test_shard_export_reads_back(prepped, spark):
+    _, stages, out = prepped
+    back = spark.read.parquet(out)
+    seqs = stages["sequences"]
+    assert back.count() == seqs.count()
+    # every sequence appears exactly once, with its token payload intact
+    a = seqs.select(
+        "pack_group", "seq_id", F.col("toks").alias("t1")
+    )
+    b = back.select(
+        "pack_group", "seq_id", F.col("toks").alias("t2")
+    )
+    j = a.join(b, ["pack_group", "seq_id"])
+    assert j.count() == seqs.count()
+    assert j.filter(F.col("t1") != F.col("t2")).count() == 0
+    # shards span the configured range
+    shards = {r["shard"] for r in back.select("shard").distinct().collect()}
+    assert shards <= set(range(CFG.n_shards)) and len(shards) >= 1
+
+
+def test_deterministic(prepped, spark):
+    docs, stages, _ = prepped
+    again = prepare_corpus(docs, benchmark=_bench(spark), cfg=CFG)
+    assert again["merges"] == stages["merges"]
+    s1 = stages["sequences"].select("pack_group", "seq_id", "toks")
+    s2 = again["sequences"].select("pack_group", "seq_id", "toks")
+    assert s1.exceptAll(s2).isEmpty() and s2.exceptAll(s1).isEmpty()
+
+
+def test_no_benchmark_skips_decontamination(spark):
+    docs = _corpus(spark)
+    stages = prepare_corpus(docs, cfg=CFG)
+    ids = {
+        r["doc_id"]
+        for r in stages["decontaminated"].select("doc_id").collect()
+    }
+    assert 4 in ids  # nothing to decontaminate against
