@@ -97,6 +97,36 @@ def gram_anchors(
     return out
 
 
+#: ``via='auto'``: route to the join form when the hottest anchor's
+#: estimated multiplicity exceeds this (a window partition of this many
+#: occurrence rows lands in ONE un-splittable task).
+HOT_ANCHOR_THRESHOLD = 5_000_000
+_AUTO_SAMPLE = 0.01
+
+
+def choose_via(
+    anchors: DataFrame,
+    threshold: int = HOT_ANCHOR_THRESHOLD,
+    sample: float = _AUTO_SAMPLE,
+) -> str:
+    """'window' or 'join', from the hottest anchor's estimated global
+    multiplicity — a space-saving sketch over a Bernoulli sample of the
+    anchor stream (operators/sketches.py: one pass, map-side only, no
+    shuffle of the key set).  Sampling keeps the probe cheap; a key hot
+    enough to matter (>= threshold ~ millions) cannot hide from a 1%
+    sample, and cold keys mis-estimated low cost nothing — the window
+    form is the fast path they belong on anyway."""
+    from exstream_implementation_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    top = heavy_hitters(
+        anchors.sample(fraction=sample, seed=7), "anchor", k=1, capacity=256
+    ).collect()
+    est = top[0]["count_hi"] / sample if top else 0
+    return "join" if est > threshold else "window"
+
+
 def duplicated_positions(
     anchors: DataFrame,
     id_col: str = "doc_id",
@@ -117,12 +147,16 @@ def duplicated_positions(
     exploded twice, but a pathological hot anchor (one boilerplate gram
     repeated 10^7 times) hits an AQE-splittable join instead of a single
     un-splittable window partition — pick it when one anchor's occurrence
-    count alone exceeds a healthy task.
+    count alone exceeds a healthy task.  ``via='auto'`` makes that call
+    from data (``choose_via``: sampled heavy-hitter probe, one cheap
+    extra pass) so no caller has to know their boilerplate profile.
     """
     if policy not in ("all", "keep_first"):
         raise ValueError(f"unknown policy: {policy}")
-    if via not in ("window", "join"):
+    if via not in ("window", "join", "auto"):
         raise ValueError(f"unknown via: {via}")
+    if via == "auto":
+        via = choose_via(anchors)
     first = F.struct(F.col(id_col), F.col("pos"))
     if via == "window":
         w = Window.partitionBy("anchor")

@@ -208,6 +208,23 @@ def test_spans_are_sorted_disjoint_and_in_bounds(spark):
         assert prev_end <= len(texts[r["doc_id"]]) + 1
 
 
+def test_auto_via_routes_on_hot_anchor_estimate(spark):
+    from exstream_implementation_spark.plans.substring import (
+        choose_via,
+        gram_anchors,
+    )
+
+    hot = {d: "zqxjzqxjzqxj every doc shares this" for d in range(50)}
+    anchors = gram_anchors(_df(spark, hot), k=8)
+    # the shared gram occurs ~50x; sample=1.0 makes the estimate exact
+    assert choose_via(anchors, threshold=10, sample=1.0) == "join"
+    assert choose_via(anchors, threshold=10_000, sample=1.0) == "window"
+    # and auto produces the same results as both explicit forms
+    a = dup_span_profile(_df(spark, hot), k=8, via="auto")
+    b = dup_span_profile(_df(spark, hot), k=8, via="window")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_window_and_join_forms_agree(spark):
     rng = random.Random(17)
     vocab = ["red", "green", "blue", "cyan", "teal", "plum"]
