@@ -1,0 +1,136 @@
+"""N-gram language-model scoring for corpus quality filtering — the
+CCNet-style shape (Wenzek et al. 2020 filter web text by LM perplexity;
+Brants et al. 2007 "stupid backoff" is the large-corpus scoring rule).
+
+Not in the reference (numeric traces only) — this is the quality-filter
+leg of the training-data pipeline that length/stopword heuristics
+(plans/text.py) cannot cover: a document of real words in implausible
+ORDER passes every surface ratio but scores a high negative log
+likelihood under a corpus LM.
+
+Spark-first: an n-gram LM IS a pair of count tables —
+  unigrams (w, c) and bigrams (w1, w2, c) — built with two map-side-
+  combined aggregations (vocabulary-sized results, Zipf-bounded), and
+scoring IS a join —
+  doc adjacent pairs left-join the bigram table (AQE broadcasts it when
+  vocabulary-sized) with stupid-backoff to a Laplace-smoothed unigram:
+
+    p(w2 | w1) = c(w1,w2) / c(w1)            if the bigram was seen
+               = alpha * (c(w2)+1) / (N+V)   otherwise (alpha = 0.4)
+
+  nll(doc) = -mean(ln p) over its adjacent pairs (0.0 for docs with < 2
+  tokens).  Laplace on the backoff keeps OOV tokens finite (no log 0),
+  so the score is total and ANSI-safe.
+
+Everything is exact, deterministic relational algebra — mirrored
+op-for-op by a DuckDB oracle as the ``lm_nll`` column of the
+``text_repetition`` catalog slot (trained and scored on the same
+corpus, so the gate is self-contained).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.4
+
+
+def _toks(text_col: str) -> F.Column:
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def _pairs(toks_col: str) -> F.Column:
+    """Adjacent token pairs as structs — empty below 2 tokens."""
+    return F.expr(
+        f"CASE WHEN size({toks_col}) < 2 THEN"
+        f" array()"
+        f" ELSE transform(sequence(0, size({toks_col}) - 2),"
+        f" i -> struct({toks_col}[i] as w1, {toks_col}[i+1] as w2)) END"
+    ).cast("array<struct<w1:string,w2:string>>")
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """{'unigrams': (w, c), 'bigrams': (w1, w2, c), 'totals': (n, v)} —
+    three frames, each one map-side-combined aggregation."""
+    t = docs.select(_toks(text_col).alias("toks"))
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        t.select(F.explode(_pairs("toks")).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = uni.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+        F.count("*").alias("v"),
+    )
+    return {"unigrams": uni, "bigrams": bi, "totals": totals}
+
+
+def score_lm_nll(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = ALPHA,
+    out_col: str = "lm_nll",
+) -> DataFrame:
+    """Append ``out_col``: mean negative ln-likelihood of the doc's
+    adjacent token pairs under the bigram LM with stupid backoff (6 dp;
+    0.0 for docs with < 2 tokens).
+
+    One corpus pass + three joins against model-sized tables (the seen-
+    bigram probability is pre-joined into one table so the doc side
+    joins twice, not three times); AQE broadcasts every model table for
+    real vocabularies."""
+    seen = (
+        lm["bigrams"]
+        .join(
+            lm["unigrams"].select(
+                F.col("w").alias("w1"), F.col("c").alias("__c1")
+            ),
+            "w1",
+        )
+        .select(
+            "w1",
+            "w2",
+            (F.col("c") / F.col("__c1")).alias("__p_seen"),
+        )
+    )
+    back = lm["unigrams"].select(
+        F.col("w").alias("w2"), F.col("c").alias("__c2")
+    )
+    pairs = (
+        docs.withColumn("__lm_toks", _toks(text_col))
+        .select(id_col, F.explode(_pairs("__lm_toks")).alias("p"))
+        .select(id_col, "p.w1", "p.w2")
+    )
+    scored = (
+        pairs.join(seen, ["w1", "w2"], "left")
+        .join(back, "w2", "left")
+        .crossJoin(F.broadcast(lm["totals"]))
+        .select(
+            id_col,
+            F.coalesce(
+                "__p_seen",
+                F.lit(alpha)
+                * (F.coalesce("__c2", F.lit(0)) + 1)
+                / (F.col("n") + F.col("v")),
+            ).alias("__p"),
+        )
+    )
+    nll = scored.groupBy(id_col).agg(
+        F.round(-F.avg(F.log("__p")), 6).alias(out_col)
+    )
+    return docs.join(nll, id_col, "left").withColumn(
+        out_col, F.coalesce(out_col, F.lit(0.0))
+    )

@@ -695,7 +695,29 @@ def repetition_metrics(df, text_col: str = "text"):
     dc AS (SELECT doc_id,
                   sum(greatest(0, i + 40 - greatest(i, coalesce(pe, 0))))
                     AS dup_chars
-           FROM cov GROUP BY doc_id)
+           FROM cov GROUP BY doc_id),
+    lmtok AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS lt
+              FROM documents),
+    uc AS (SELECT w, count(*) AS c
+           FROM (SELECT unnest(lt) AS w FROM lmtok) GROUP BY w),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM uc),
+    dp AS (SELECT doc_id, x[1] AS w1, x[2] AS w2
+           FROM (SELECT doc_id, unnest(list_zip(lt, lt[2:])) AS x
+                 FROM lmtok)
+           WHERE x[2] IS NOT NULL),
+    bc AS (SELECT w1, w2, count(*) AS c FROM dp GROUP BY w1, w2),
+    sc AS (SELECT dp.doc_id,
+                  coalesce(CAST(bc.c AS DOUBLE) / u1.c,
+                           0.4 * (coalesce(u2.c, 0) + 1)
+                               / CAST(tot.n + tot.v AS DOUBLE)) AS p
+           FROM dp
+           LEFT JOIN bc ON bc.w1 = dp.w1 AND bc.w2 = dp.w2
+           LEFT JOIN uc u1 ON u1.w = dp.w1
+           LEFT JOIN uc u2 ON u2.w = dp.w2, tot),
+    lmn AS (SELECT doc_id, round(-avg(ln(p)), 6) AS lm_nll
+            FROM sc GROUP BY doc_id)
     SELECT bg.doc_id,
            round(CASE WHEN len(lines) > 0
                  THEN 1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
@@ -704,10 +726,12 @@ def repetition_metrics(df, text_col: str = "text"):
              AS top_bigram_share,
            round(CASE WHEN dl.len > 0
                  THEN CAST(coalesce(dc.dup_chars, 0) AS DOUBLE) / dl.len
-                 ELSE 0.0 END, 6) AS dup40_frac
+                 ELSE 0.0 END, 6) AS dup40_frac,
+           coalesce(lmn.lm_nll, 0.0) AS lm_nll
     FROM bg LEFT JOIN top USING (doc_id)
             JOIN dl USING (doc_id)
             LEFT JOIN dc USING (doc_id)
+            LEFT JOIN lmn USING (doc_id)
     """,
 )
 def text_repetition(spark, sf_dir):
@@ -719,7 +743,15 @@ def text_repetition(spark, sf_dir):
     against an independent generate_series + self-join + window-union
     DuckDB formulation.  The catalog branch runs raw-gram anchors so both
     engines group on identical keys; the production default is hashed
-    (xxhash64) anchors, pytest-pinned equal on this corpus."""
+    (xxhash64) anchors, pytest-pinned equal on this corpus.  Round 9 also
+    adds ``lm_nll`` (plans/lm.py: CCNet-style corpus-LM quality score —
+    bigram stupid-backoff mean negative ln-likelihood, trained and scored
+    on this same corpus) under the hash, mirrored by independent count-
+    table CTEs on the DuckDB side."""
+    from exstream_implementation_spark.plans.lm import (
+        score_lm_nll,
+        train_bigram_lm,
+    )
     from exstream_implementation_spark.plans.substring import (
         dup_span_profile,
     )
@@ -731,7 +763,8 @@ def text_repetition(spark, sf_dir):
     prof = dup_span_profile(d, k=40, hashed=False).select(
         "doc_id", F.col("dup_frac").alias("dup40_frac")
     )
-    return rep.join(prof, "doc_id")
+    lm = score_lm_nll(d, train_bigram_lm(d)).select("doc_id", "lm_nll")
+    return rep.join(prof, "doc_id").join(lm, "doc_id")
 
 
 # --- HTML/boilerplate cleanup (C4-style, Raffel et al. 2020 §2.2) ------------

@@ -64,6 +64,8 @@ BNLJ_ALLOW = {
     "semdedup_prune": "centroid broadcast, sqrt(n) rows",
     # 1-row sketch-vs-exact scalar frame (plans/analytics.py:382)
     "approx_aggs": "1-row sketch/exact scalar broadcast",
+    # 1-row LM totals (N, V) scalar frame (plans/lm.py score_lm_nll)
+    "text_repetition": "1-row LM-totals scalar broadcast",
 }
 
 # Queries whose plan legitimately contains a single-partition exchange,
