@@ -50,6 +50,9 @@ class CorpusPrepConfig:
     substring_mod: int | None = 8
     # decontamination: drop docs with any benchmark 3-gram overlap
     decontam_max_overlap: float = 0.0
+    # LM quality gate (plans/lm.py): drop docs whose bigram stupid-backoff
+    # NLL (trained on the surviving corpus itself) exceeds this; None = off
+    max_lm_nll: float | None = None
     # tokenizer + packing
     bpe_merges: int = 64
     chunk_len: int = 64
@@ -204,7 +207,8 @@ def prepare_corpus(
     (lazy unless ``counts``/``out_path`` forces them):
 
       quality → deduped → despanned → decontaminated (== input when no
-      benchmark) → merges (list) → tokenized → chunks → assignment →
+      benchmark) → lm_filtered (== input when max_lm_nll is None) →
+      merges (list) → tokenized → chunks → assignment →
       sequences [→ written shards at out_path/shard=i/]
 
     plus ``stage_counts`` when ``counts=True``.
@@ -221,6 +225,22 @@ def prepare_corpus(
     if benchmark is not None:
         cur = drop_contaminated(cur, benchmark, cfg.decontam_max_overlap)
     stages["decontaminated"] = cur
+
+    if cfg.max_lm_nll is not None:
+        # CCNet-style LM gate, self-trained on the surviving corpus: docs
+        # whose word ORDER is implausible under the corpus bigram LM are
+        # dropped even when every surface ratio passes
+        from exstream_implementation_spark.plans.lm import (
+            score_lm_nll,
+            train_bigram_lm,
+        )
+
+        cur = (
+            score_lm_nll(cur, train_bigram_lm(cur))
+            .filter(F.col("lm_nll") <= cfg.max_lm_nll)
+            .drop("lm_nll")
+        )
+    stages["lm_filtered"] = cur
 
     merges = bpe_train(cur.select("doc_id", "text"), cfg.bpe_merges)
     stages["merges"] = merges
@@ -254,6 +274,7 @@ def prepare_corpus(
                 "deduped",
                 "despanned",
                 "decontaminated",
+                "lm_filtered",
                 "tokenized",
                 "chunks",
                 "sequences",

@@ -141,6 +141,49 @@ def test_deterministic(prepped, spark):
     assert s1.exceptAll(s2).isEmpty() and s2.exceptAll(s1).isEmpty()
 
 
+def test_lm_gate_drops_implausible_order(spark):
+    import dataclasses
+
+    # doc 8: the same vocabulary as the survivors but in scrambled order —
+    # passes length/stop-ratio/dedup, fails only the LM gate
+    base = _corpus(spark)
+    scrambled = (
+        8,
+        f"ordinary that and calm writing every survives stage the {STOPFUL.split()[0]} of is",
+    )
+    docs = base.union(
+        spark.createDataFrame([scrambled], "doc_id long, text string")
+    )
+    loose = dataclasses.replace(CFG, max_lm_nll=None)
+    stages_off = prepare_corpus(docs, cfg=loose)
+    ids_off = {
+        r["doc_id"]
+        for r in stages_off["lm_filtered"].select("doc_id").collect()
+    }
+    assert 8 in ids_off  # gate off: scrambled doc survives
+    # pick a threshold from the gate-off score distribution: keep docs at
+    # or below the survivors' max, which the scrambled doc exceeds
+    from exstream_implementation_spark.plans.lm import (
+        score_lm_nll,
+        train_bigram_lm,
+    )
+
+    scored = score_lm_nll(
+        stages_off["lm_filtered"],
+        train_bigram_lm(stages_off["lm_filtered"]),
+    )
+    nll = {r["doc_id"]: r["lm_nll"] for r in scored.collect()}
+    cut = max(v for k, v in nll.items() if k != 8)
+    assert nll[8] > cut
+    tight = dataclasses.replace(CFG, max_lm_nll=(cut + nll[8]) / 2)
+    stages_on = prepare_corpus(docs, cfg=tight)
+    ids_on = {
+        r["doc_id"]
+        for r in stages_on["lm_filtered"].select("doc_id").collect()
+    }
+    assert ids_on == ids_off - {8}
+
+
 def test_no_benchmark_skips_decontamination(spark):
     docs = _corpus(spark)
     stages = prepare_corpus(docs, cfg=CFG)
