@@ -1,0 +1,321 @@
+"""Product quantization (PQ) for embedding columns — Jegou et al. 2011,
+"Product quantization for nearest neighbor search" (TPAMI).
+
+Not in the reference (numeric traces only) — this is the memory leg of the
+embedding family at 100 TB: a 64-dim float32 vector is 256 B/row; its PQ
+code at m=8 is 8 B/row (32x), and a 768-dim corpus compresses ~384x.  The
+point is that the CODES table, not the raw vectors, becomes the thing a
+1000-executor scan reads for candidate generation, and asymmetric-distance
+(ADC) scoring against codes is a per-partition table lookup — no vector
+arithmetic per (query, doc) pair at probe time.
+
+Spark-first decomposition:
+
+  train    ONE distributed Lloyd loop trains all m sub-codebooks at once:
+           each vector posexplodes into its m subvectors keyed by subspace,
+           and k-means runs with composite key (sub, cell) — the same
+           assign/update shape as operators/kmeans.py (broadcast centroids,
+           windowed argmin, posexplode mean), so adding the subspace
+           dimension costs a join key, not another job per subspace.
+           Codebooks are m * ksub * dsub doubles — driver/broadcast-sized
+           by construction (the "model" is a few hundred KB at any d).
+  encode   mapInPandas: one (batch, ksub) BLAS distance matrix per
+           subspace per Arrow batch, argmin -> tinyint-sized codes.
+           Cost O(n * m * ksub * dsub) = O(n * d * ksub) flops, all numpy.
+  probe    ADC: each query builds an (m, ksub) lookup table of squared
+           distances from its subvectors to every sub-centroid (driver
+           arithmetic — queries are the bounded side, same contract as
+           ann_topk_cosine_vectorized).  Scoring a code is then
+           sum_i LUT[i, code_i]: numpy fancy-gather per Arrow batch,
+           zero multiplications.  Local top-k per partition bounds the
+           final ranking shuffle at k rows per (query, partition).
+
+Exact identity used by the tests: the ADC distance of a code IS the exact
+squared L2 distance between the query and the code's reconstruction
+(sum of per-subspace squared distances to the chosen sub-centroids), so
+`pq_adc_topk` against `pq_reconstruct` is checkable to float tolerance —
+the approximation lives entirely in the quantizer, never in the scorer.
+
+Iterative training is not SQL-expressible — validated by property tests
+(reconstruction error monotone non-increasing, beats random codes,
+partition invariance, ADC==reconstruction identity, recall on planted
+clusters) per the driver contract's weak-check rule, like
+operators/kmeans.py and operators/pca.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from exstream_implementation_spark.operators.kmeans import _SQDIST
+
+
+@dataclass(frozen=True)
+class PQModel:
+    dim: int                       # full vector dimension d
+    m: int                         # number of subspaces
+    dsub: int                      # d / m
+    codebooks: tuple               # m arrays, each (ksub_i, dsub) float64
+    inertia: tuple                 # per-iteration total inertia history
+
+    @property
+    def code_bytes(self) -> int:
+        """Bytes per encoded vector (1 if every ksub_i <= 256, else 2)."""
+        return self.m * (1 if all(len(c) <= 256 for c in self.codebooks) else 2)
+
+    @property
+    def raw_bytes(self) -> int:
+        return self.dim * 4  # float32 input
+
+    @property
+    def compression(self) -> float:
+        return self.raw_bytes / self.code_bytes
+
+
+def _subvectors(vecs: DataFrame, id_col: str, vec_col: str, m: int,
+                dsub: int) -> DataFrame:
+    """(id, sub, subvec array<double>) — one row per (vector, subspace)."""
+    slices = F.expr(
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" transform(slice({vec_col}, s * {dsub} + 1, {dsub}),"
+        f" x -> cast(x as double)))"
+    )
+    return vecs.select(
+        F.col(id_col).alias("__id"), F.posexplode(slices).alias("sub", "subvec")
+    )
+
+
+def train_pq(
+    vecs: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 8,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQModel:
+    """Train an m-subspace, ksub-centroid product quantizer.
+
+    One Lloyd loop over the exploded (sub, subvec) table trains every
+    subspace simultaneously; init is deterministic (the ksub lowest ids'
+    subvectors per subspace).  Empty cells shrink that subspace's codebook
+    (same contract as kmeans_train); codes stay dense because cells are
+    re-numbered 0..ksub_i-1 in sorted-cell order at the end.
+    """
+    head = vecs.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("train_pq: input has no vectors")
+    d = len(head[0])
+    if d % m != 0:
+        raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
+    if ksub < 1:
+        raise ValueError("train_pq: ksub must be >= 1")
+    dsub = d // m
+
+    spark = vecs.sparkSession
+    subs = _subvectors(vecs, id_col, vec_col, m, dsub).persist()
+    try:
+        # deterministic init: per subspace, subvectors of the ksub lowest ids
+        w0 = Window.partitionBy("sub").orderBy("__id")
+        cents = (
+            subs.withColumn("__r", F.row_number().over(w0))
+            .filter(F.col("__r") <= ksub)
+            .select("sub", F.col("__r").alias("cell"),
+                    F.col("subvec").alias("cemb"))
+            .collect()
+        )
+        centroids = spark.createDataFrame(
+            [(r["sub"], r["cell"], r["cemb"]) for r in cents],
+            "sub int, cell int, cemb array<double>",
+        )
+        history: list[float] = []
+        for _ in range(max_iter):
+            scored = subs.join(F.broadcast(centroids), "sub").withColumn(
+                "sqdist", F.expr(_SQDIST.format(a="subvec", b="cemb"))
+            )
+            w = Window.partitionBy("sub", "__id").orderBy("sqdist", "cell")
+            assigned = (
+                scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select("sub", "cell", "subvec", "sqdist")
+                .persist()
+            )
+            inertia = assigned.agg(F.sum("sqdist")).first()[0]
+            new_rows = (
+                assigned.select("sub", "cell", F.posexplode("subvec"))
+                .groupBy("sub", "cell", "pos")
+                .agg(F.avg("col").alias("mu"))
+                .groupBy("sub", "cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mu")))
+                     .alias("_s"))
+                .select("sub", "cell", F.col("_s.mu").alias("cemb"))
+                # bounded collect: m * ksub rows — rebuilding the centroid
+                # relation locally cuts the lineage exactly as kmeans_train
+                # does (leaving it lazy stacks every iteration's plan)
+                .collect()
+            )
+            assigned.unpersist()
+            centroids = spark.createDataFrame(
+                [(r["sub"], r["cell"], r["cemb"]) for r in new_rows],
+                "sub int, cell int, cemb array<double>",
+            )
+            history.append(float(inertia))
+            if len(history) >= 2 and history[-2] - history[-1] <= tol * history[-2]:
+                break
+        final = centroids.collect()
+    finally:
+        subs.unpersist()
+
+    books = []
+    for i in range(m):
+        rows = sorted((r for r in final if r["sub"] == i), key=lambda r: r["cell"])
+        if not rows:
+            raise ValueError(f"train_pq: subspace {i} lost all centroids")
+        books.append(np.array([r["cemb"] for r in rows], dtype=np.float64))
+    return PQModel(dim=d, m=m, dsub=dsub, codebooks=tuple(books),
+                   inertia=tuple(history))
+
+
+def _check_model(model: PQModel, d: int) -> None:
+    if d != model.dim:
+        raise ValueError(f"vector dim {d} != model dim {model.dim}")
+
+
+def encode_pq(
+    vecs: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, code array<int>) — nearest sub-centroid index per subspace.
+
+    Arrow-batched: per subspace, one (batch x ksub) distance matrix via the
+    ||x||^2 - 2 x.c + ||c||^2 expansion, argmin along centroids.  Codes are
+    per-subspace dense indices into ``model.codebooks[i]``.
+    """
+    m, dsub = model.m, model.dsub
+    books = model.codebooks            # closure-captured, broadcast with task
+    sq_norms = [np.sum(b * b, axis=1) for b in books]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            _check_model(model, x.shape[1])
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for i in range(m):
+                xs = x[:, i * dsub:(i + 1) * dsub]
+                # (b, ksub): -2 x.c + ||c||^2 suffices for argmin (||x||^2
+                # is constant per row)
+                dist = sq_norms[i][None, :] - 2.0 * (xs @ books[i].T)
+                codes[:, i] = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {"__id": pdf[id_col].to_numpy(), "code": list(codes)}
+            )
+
+    out = vecs.select(id_col, vec_col).mapInPandas(
+        run, f"__id {vecs.schema[id_col].dataType.simpleString()}, code array<int>"
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
+def pq_reconstruct(codes: DataFrame, model: PQModel,
+                   id_col: str = "vec_id") -> DataFrame:
+    """(id_col, approx array<double>) — concatenated chosen sub-centroids."""
+    books = model.codebooks
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            cmat = np.stack(pdf["code"].to_numpy())
+            rec = np.concatenate(
+                [books[i][cmat[:, i]] for i in range(model.m)], axis=1
+            )
+            yield pd.DataFrame(
+                {"__id": pdf[id_col].to_numpy(), "approx": list(rec)}
+            )
+
+    out = codes.select(id_col, "code").mapInPandas(
+        run,
+        f"__id {codes.schema[id_col].dataType.simpleString()}, approx array<double>",
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
+def pq_adc_topk(
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    codes: DataFrame,
+    model: PQModel,
+    k: int = 5,
+    id_col: str = "vec_id",
+    dist_round: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact L2 from each query to every code's
+    reconstruction, via per-query (m, ksub) lookup tables.
+
+    ``queries``/(q, d) and ``query_ids``/(q,) are the bounded input side
+    (driver arrays, same contract as the collected query batch in
+    ann_topk_cosine_vectorized).  Scoring per partition is a fancy-gather
+    sum over the LUTs — no per-pair vector math.  Distances are rounded
+    BEFORE ranking (ties broken by neighbor id ascending) so results are
+    partitioning-independent.
+
+    Returns (query_id, neighbor_id, adist, rank) with rank <= k per query.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    if q.ndim != 2 or len(q) != len(qids):
+        raise ValueError("pq_adc_topk: queries must be (q, d) with matching ids")
+    if len(q) == 0:
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adist double, rank int"
+        )
+    _check_model(model, q.shape[1])
+    m, dsub = model.m, model.dsub
+    books = model.codebooks
+    # LUT[qi][i][c] = || q_sub - centroid ||^2 : q * m tables of ksub entries
+    luts = []
+    for qi in range(len(q)):
+        luts.append([
+            np.sum((books[i] - q[qi, i * dsub:(i + 1) * dsub]) ** 2, axis=1)
+            for i in range(m)
+        ])
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            cmat = np.stack(pdf["code"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            out = []
+            kk = min(k, len(ids))
+            for qi in range(len(qids)):
+                dist = np.zeros(len(ids), dtype=np.float64)
+                for i in range(m):
+                    dist += luts[qi][i][cmat[:, i]]
+                dist = np.round(dist, dist_round)
+                order = np.lexsort((ids, dist))[:kk]  # asc dist, asc id
+                for j in order:
+                    out.append((int(qids[qi]), int(ids[j]), float(dist[j])))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "adist"]
+            )
+
+    scored = codes.select(id_col, "code").mapInPandas(
+        score, "query_id long, neighbor_id long, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )

@@ -1,0 +1,161 @@
+"""Product quantization (operators/pq.py): the ADC==reconstruction exact
+identity, reconstruction quality vs a random-code baseline, inertia
+monotonicity, partition invariance of codes, recall on planted clusters,
+and arg validation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.operators.pq import (
+    PQModel,
+    encode_pq,
+    pq_adc_topk,
+    pq_reconstruct,
+    train_pq,
+)
+from exstream_implementation_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def _planted(spark, n_clusters=8, per=40, d=32, noise=0.05, seed=7):
+    """Well-separated clusters — the regime where PQ recall is provable."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)) * 3.0
+    rows = []
+    for i in range(n_clusters * per):
+        c = i % n_clusters
+        v = centers[c] + rng.normal(size=d) * noise
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    return df, x, np.array([r[2] for r in rows])
+
+
+def test_adc_equals_reconstruction_distance(spark):
+    """The scorer is EXACT w.r.t. the quantized points: adist(q, code) ==
+    ||q - reconstruct(code)||^2 to float tolerance."""
+    emb = _emb(spark).filter(F.col("vec_id") < 120)
+    model = train_pq(emb, m=8, ksub=8, max_iter=4)
+    codes = encode_pq(emb, model).persist()
+    rec = {
+        r["vec_id"]: np.array(r["approx"])
+        for r in pq_reconstruct(codes, model).collect()
+    }
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 3).collect(), key=lambda r: r["vec_id"]
+    )
+    q = np.stack([np.array(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows])
+    top = pq_adc_topk(q, qids, codes, model, k=120, dist_round=9).collect()
+    assert len(top) == 3 * 120
+    for r in top:
+        want = float(np.sum((q[r["query_id"]] - rec[r["neighbor_id"]]) ** 2))
+        assert r["adist"] == pytest.approx(want, abs=1e-6)
+    codes.unpersist()
+
+
+def test_reconstruction_beats_random_and_inertia_monotone(spark):
+    df, x, _ = _planted(spark)
+    model = train_pq(df, m=8, ksub=8, max_iter=6)
+    # inertia history is monotone non-increasing (Lloyd property)
+    assert all(
+        a - b >= -1e-9 * max(abs(a), 1.0)
+        for a, b in zip(model.inertia, model.inertia[1:])
+    )
+    codes = encode_pq(df, model)
+    rec_rows = pq_reconstruct(codes, model).collect()
+    rec = np.stack(
+        [np.array(r["approx"]) for r in sorted(rec_rows, key=lambda r: r["vec_id"])]
+    )
+    err = np.mean(np.sum((x - rec) ** 2, axis=1))
+    # random-code baseline: same codebooks, codes drawn uniformly
+    rng = np.random.default_rng(0)
+    rand = np.concatenate(
+        [
+            model.codebooks[i][rng.integers(0, len(model.codebooks[i]), len(x))]
+            for i in range(model.m)
+        ],
+        axis=1,
+    )
+    rand_err = np.mean(np.sum((x - rand) ** 2, axis=1))
+    assert err < 0.25 * rand_err
+    # trained quantizer explains most of the variance on separable data
+    total_var = np.mean(np.sum((x - x.mean(axis=0)) ** 2, axis=1))
+    assert err < 0.1 * total_var
+
+
+def test_codes_partition_invariant_and_deterministic(spark):
+    emb = _emb(spark).filter(F.col("vec_id") < 200)
+    model = train_pq(emb, m=4, ksub=8, max_iter=3)
+    c1 = {
+        r["vec_id"]: list(r["code"])
+        for r in encode_pq(emb.repartition(1), model).collect()
+    }
+    c7 = {
+        r["vec_id"]: list(r["code"])
+        for r in encode_pq(emb.repartition(7), model).collect()
+    }
+    assert c1 == c7
+    model2 = train_pq(emb.repartition(5), m=4, ksub=8, max_iter=3)
+    for a, b in zip(model.codebooks, model2.codebooks):
+        np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_recall_on_planted_clusters(spark):
+    """ADC top-k stays inside the query's cluster.  (Recall vs exact L2 at
+    sub-noise distances is NOT a PQ property — within a tight cluster every
+    member quantizes to nearly the same code, so exact-rank order below the
+    quantization resolution is unrecoverable by design; what PQ guarantees
+    on separated clusters is that retrieved neighbors are cluster-mates.)"""
+    df, x, labels = _planted(spark)
+    model = train_pq(df, m=8, ksub=16, max_iter=6)
+    codes = encode_pq(df, model)
+    qids = np.arange(5, dtype=np.int64)
+    q = x[:5]
+    got = pq_adc_topk(q, qids, codes, model, k=10).collect()
+    in_cluster = 0
+    for r in got:
+        if labels[r["neighbor_id"]] == labels[r["query_id"]]:
+            in_cluster += 1
+    assert len(got) == 50
+    assert in_cluster / 50 >= 0.95
+
+
+def test_compression_accounting_and_empty_queries(spark):
+    emb = _emb(spark).filter(F.col("vec_id") < 60)
+    model = train_pq(emb, m=8, ksub=8, max_iter=2)
+    assert model.dim == 64 and model.dsub == 8
+    assert model.code_bytes == 8 and model.raw_bytes == 256
+    assert model.compression == pytest.approx(32.0)
+    codes = encode_pq(emb, model)
+    out = pq_adc_topk(
+        np.zeros((0, 64)), np.zeros(0, dtype=np.int64), codes, model, k=3
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "adist", "rank",
+    ]
+
+
+def test_arg_validation(spark):
+    emb = _emb(spark).filter(F.col("vec_id") < 40)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(emb, m=7)
+    with pytest.raises(ValueError, match="ksub"):
+        train_pq(emb, m=8, ksub=0)
+    with pytest.raises(ValueError, match="no vectors"):
+        train_pq(emb.filter(F.col("vec_id") < 0), m=8)
+    model = train_pq(emb, m=8, ksub=4, max_iter=1)
+    codes = encode_pq(emb, model)
+    with pytest.raises(ValueError, match="dim"):
+        pq_adc_topk(np.zeros((1, 32)), np.array([0]), codes, model, k=1)
