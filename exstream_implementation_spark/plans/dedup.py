@@ -1096,17 +1096,33 @@ _MIX_VALUES = ", ".join(
 )
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+from exstream_implementation_spark.plans.splits import (  # noqa: E402
+    assign_splits as _assign_splits,
+    split_oracle_case as _split_oracle_case,
+)
+
+_SPLIT_CASE = _split_oracle_case(SPLIT_WEIGHTS, "d.doc_id", salt=1)
+
+
 @query(
     "sample_source_mix",
     oracle=f"""
     WITH fr(source, cutoff) AS (VALUES {_MIX_VALUES})
-    SELECT d.doc_id, d.source
+    SELECT d.doc_id, d.source,
+           {_SPLIT_CASE} AS split
     FROM documents d JOIN fr USING (source)
     WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':0'), 1, 6) < fr.cutoff
     """,
 )
 def sample_source_mix(spark, sf_dir):
     """Deterministic source-mix sample (md5-portable selector) — the kept
-    (doc_id, source) set under the graded policy above."""
+    (doc_id, source) set under the graded policy above — plus the
+    train/val/test assignment from plans/splits.py (md5 flavor, salt=1),
+    so the gate pins BOTH samplers as pure functions of (doc_id, salt)
+    reproduced bit-identically by the DuckDB oracle."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return sample_mix(d, MIX_POLICY, method="md5")
+    kept = sample_mix(d, MIX_POLICY, method="md5")
+    return _assign_splits(kept, SPLIT_WEIGHTS, unit_col="doc_id", salt=1,
+                          method="md5")
