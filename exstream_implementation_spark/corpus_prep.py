@@ -53,6 +53,11 @@ class CorpusPrepConfig:
     # LM quality gate (plans/lm.py): drop docs whose bigram stupid-backoff
     # NLL (trained on the surviving corpus itself) exceeds this; None = off
     max_lm_nll: float | None = None
+    # learned quality gate (operators/logreg.py): a pre-trained classifier
+    # over doc_quality_features; docs scoring below min_p_good are dropped.
+    # None = off.  Scoring is a pure-JVM projection (no UDF/broadcast).
+    quality_model: object | None = None
+    min_p_good: float = 0.5
     # tokenizer + packing
     bpe_merges: int = 64
     chunk_len: int = 64
@@ -208,6 +213,7 @@ def prepare_corpus(
 
       quality → deduped → despanned → decontaminated (== input when no
       benchmark) → lm_filtered (== input when max_lm_nll is None) →
+      clf_filtered (== input when quality_model is None) →
       merges (list) → tokenized → chunks → assignment →
       sequences [→ written shards at out_path/shard=i/]
 
@@ -242,6 +248,23 @@ def prepare_corpus(
         )
     stages["lm_filtered"] = cur
 
+    if cfg.quality_model is not None:
+        # learned (CCNet/GPT-3-style) quality gate: sigmoid(w.x + b) over
+        # the surface-feature vector, scored inside whole-stage codegen
+        from exstream_implementation_spark.operators.logreg import (
+            doc_quality_features,
+            logreg_score_expr,
+        )
+
+        cur = (
+            doc_quality_features(cur)
+            .filter(
+                logreg_score_expr(cfg.quality_model) >= cfg.min_p_good
+            )
+            .drop("features")
+        )
+    stages["clf_filtered"] = cur
+
     merges = bpe_train(cur.select("doc_id", "text"), cfg.bpe_merges)
     stages["merges"] = merges
     tokenized = apply_bpe(cur, merges)
@@ -275,6 +298,7 @@ def prepare_corpus(
                 "despanned",
                 "decontaminated",
                 "lm_filtered",
+                "clf_filtered",
                 "tokenized",
                 "chunks",
                 "sequences",

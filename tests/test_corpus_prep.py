@@ -184,6 +184,51 @@ def test_lm_gate_drops_implausible_order(spark):
     assert ids_on == ids_off - {8}
 
 
+def test_clf_gate_drops_learned_junk(spark):
+    """A digit-salad doc passes every SURFACE gate (stopful, long enough)
+    but the learned classifier (operators/logreg.py) drops it — and only
+    it — when quality_model is set."""
+    import dataclasses
+
+    from exstream_implementation_spark.operators.logreg import (
+        doc_quality_features,
+        fit_logreg,
+    )
+
+    junky = (
+        9,
+        f"{STOPFUL} x9 88 71 qq3 9z 83 k2 77 z8 19 q4 44 x2 91 z0 55",
+    )
+    docs = _corpus(spark).union(
+        spark.createDataFrame([junky], "doc_id long, text string")
+    )
+    # weak labels: clean prose positives vs digit-salad negatives
+    pos = [(i, f"{STOPFUL} plain sensible words flow here number {i}")
+           for i in range(20)]
+    neg = [(100 + i, f"{STOPFUL} 9{i} 8{i} z{i} 7{i} k{i} 3{i} q{i} 5{i}")
+           for i in range(20)]
+    train = spark.createDataFrame(pos + neg, "doc_id long, text string")
+    train = train.withColumn(
+        "label", (F.col("doc_id") < 100).cast("int")
+    )
+    model = fit_logreg(
+        doc_quality_features(train).select("features", "label"), l2=1e-3
+    )
+    stages_off = prepare_corpus(docs, cfg=CFG)
+    ids_off = {
+        r["doc_id"]
+        for r in stages_off["clf_filtered"].select("doc_id").collect()
+    }
+    assert 9 in ids_off  # survives every surface gate
+    gated = dataclasses.replace(CFG, quality_model=model, min_p_good=0.5)
+    stages_on = prepare_corpus(docs, cfg=gated)
+    ids_on = {
+        r["doc_id"]
+        for r in stages_on["clf_filtered"].select("doc_id").collect()
+    }
+    assert ids_on == ids_off - {9}
+
+
 def test_no_benchmark_skips_decontamination(spark):
     docs = _corpus(spark)
     stages = prepare_corpus(docs, cfg=CFG)
