@@ -1,0 +1,156 @@
+"""Versioned dataset publishing and MERGE upsert over plain parquet — the
+Delta-lite the pipeline's sinks need without a table-format dependency.
+
+Not in the reference (it writes flat CSV once).  At 100 TB the failure
+mode of `df.write.mode("overwrite")` is a reader racing the overwrite and
+seeing a half-deleted directory; the standard fix is immutable version
+directories plus an atomic pointer commit:
+
+  publish   each publish writes a NEW directory root/v=NNNNNN/ (never
+            touches a live one), then commits by atomically replacing the
+            tiny root/_LATEST pointer file.  A crash mid-write leaves an
+            orphan version directory — never a torn table; readers that
+            loaded the pointer before the swap keep reading their (still
+            intact) old version.  Pointer replace is os.replace here
+            (POSIX-atomic); on HDFS it maps to FileSystem.rename, on S3
+            to a single PUT — all atomic at the pointer granularity.
+  read      read_latest resolves the pointer, then loads that immutable
+            directory — time travel is read_version(n).
+  merge     merge_upsert is the MERGE INTO shape: matched target rows are
+            replaced, unmatched update rows inserted, tombstoned keys
+            deleted — ONE left-anti join (target shuffles by key once)
+            plus a union, then a publish.  The update side is usually
+            CDC-sized: broadcast-able, so at scale the anti-join is a
+            broadcast join and the target never shuffles at all (Spark's
+            planner makes that call; AQE converts post-shuffle when the
+            updates side turns out small).
+  vacuum    deletes versions older than the last `keep`, never the one
+            the pointer names — bounded storage with a time-travel window.
+
+Local-FS implementation (the test/driver environment); the commit protocol
+(immutable dirs + atomic pointer) is what transfers to HDFS/S3, not the
+os calls.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_POINTER = "_LATEST"
+
+
+def _vdir(root: str, v: int) -> str:
+    return os.path.join(root, f"v={v:06d}")
+
+
+def list_versions(root: str) -> list:
+    """Sorted version numbers present under root (orphans included)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def current_version(root: str) -> int | None:
+    """The committed version (pointer contents), or None before the first
+    publish.  Orphan directories above it are NOT current — they are
+    crashed writes awaiting vacuum."""
+    p = os.path.join(root, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def publish_snapshot(df: DataFrame, root: str) -> int:
+    """Write df as the next immutable version and commit the pointer.
+    Returns the committed version number."""
+    os.makedirs(root, exist_ok=True)
+    versions = list_versions(root)
+    v = (versions[-1] if versions else 0) + 1
+    df.write.mode("errorifexists").parquet(_vdir(root, v))
+    tmp = os.path.join(root, f".{_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(root, _POINTER))  # the atomic commit
+    return v
+
+
+def read_version(spark: SparkSession, root: str, v: int) -> DataFrame:
+    return spark.read.parquet(_vdir(root, v))
+
+
+def read_latest(spark: SparkSession, root: str) -> DataFrame:
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    return read_version(spark, root, v)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: list,
+    delete_col: str | None = None,
+) -> int:
+    """MERGE the updates frame into the latest snapshot and publish.
+
+    Semantics (keys = key_cols tuples):
+      matched   target row replaced by the update row
+      unmatched update row inserted
+      deletes   update rows with delete_col true remove the key and are
+                not inserted (delete_col is dropped from the output)
+    Updates must be unique per key — duplicate update keys are rejected
+    (one aggregate) rather than silently multiplied.
+    """
+    if not key_cols:
+        raise ValueError("merge_upsert: key_cols must be non-empty")
+    target = read_latest(spark, root)
+    dup = (
+        updates.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError("merge_upsert: updates contain duplicate keys")
+    if delete_col is not None:
+        keep_updates = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+        remove_keys = updates.select(*key_cols)  # upserted keys re-inserted
+    else:
+        keep_updates = updates
+        remove_keys = updates.select(*key_cols)
+    merged = target.join(remove_keys, key_cols, "left_anti").unionByName(
+        keep_updates.select(target.columns)
+    )
+    return publish_snapshot(merged, root)
+
+
+def vacuum(root: str, keep: int = 2) -> list:
+    """Delete all but the newest `keep` versions; the committed version is
+    always retained.  Returns the versions removed."""
+    if keep < 1:
+        raise ValueError("vacuum: keep must be >= 1")
+    cur = current_version(root)
+    versions = list_versions(root)
+    survivors = set(versions[-keep:])
+    if cur is not None:
+        survivors.add(cur)
+    removed = []
+    for v in versions:
+        if v not in survivors:
+            shutil.rmtree(_vdir(root, v))
+            removed.append(v)
+    return removed

@@ -1,0 +1,96 @@
+"""Versioned snapshots + MERGE upsert (operators/snapshots.py): pointer
+semantics, time travel, crash-orphan isolation, merge insert/update/delete,
+duplicate-key rejection, and vacuum retention."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.operators.snapshots import (
+    current_version,
+    list_versions,
+    merge_upsert,
+    publish_snapshot,
+    read_latest,
+    read_version,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_publish_read_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = publish_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)
+    v2 = publish_snapshot(_df(spark, [(1, "a2")]), root)
+    assert (v1, v2) == (1, 2)
+    assert current_version(root) == 2
+    assert {(r["k"], r["v"]) for r in read_latest(spark, root).collect()} == {
+        (1, "a2")
+    }
+    assert {(r["k"], r["v"]) for r in read_version(spark, root, 1).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_crash_orphan_is_not_current(spark, tmp_path):
+    """A version directory without a pointer swap (crashed publish) is
+    invisible to readers and superseded by the next publish."""
+    root = str(tmp_path / "tbl")
+    publish_snapshot(_df(spark, [(1, "a")]), root)
+    # simulate a crash: directory exists, pointer never swapped
+    _df(spark, [(9, "torn")]).write.parquet(os.path.join(root, "v=000002"))
+    assert current_version(root) == 1
+    assert read_latest(spark, root).count() == 1
+    v3 = publish_snapshot(_df(spark, [(1, "b")]), root)
+    assert v3 == 3  # never reuses the orphan's number
+    assert {r["v"] for r in read_latest(spark, root).collect()} == {"b"}
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    publish_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), root)
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "k long, v string, deleted boolean",
+    )
+    v = merge_upsert(spark, root, updates, ["k"], delete_col="deleted")
+    assert v == 2
+    got = {(r["k"], r["v"]) for r in read_latest(spark, root).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}  # 3 deleted
+    # no tombstone column: plain upsert
+    v = merge_upsert(spark, root, _df(spark, [(1, "A"), (5, "e")]), ["k"])
+    got = {(r["k"], r["v"]) for r in read_latest(spark, root).collect()}
+    assert got == {(1, "A"), (2, "B"), (4, "d"), (5, "e")}
+    assert v == 3
+
+
+def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    publish_snapshot(_df(spark, [(1, "a")]), root)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, root, _df(spark, [(2, "x"), (2, "y")]), ["k"])
+    with pytest.raises(ValueError, match="key_cols"):
+        merge_upsert(spark, root, _df(spark, [(2, "x")]), [])
+
+
+def test_vacuum_keeps_window_and_current(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for i in range(5):
+        publish_snapshot(_df(spark, [(i, "x")]), root)
+    removed = vacuum(root, keep=2)
+    assert removed == [1, 2, 3]
+    assert list_versions(root) == [4, 5]
+    assert current_version(root) == 5
+    assert read_version(spark, root, 4).count() == 1
+    with pytest.raises(ValueError, match="keep"):
+        vacuum(root, keep=0)
+
+
+def test_read_before_first_publish_fails(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        read_latest(spark, str(tmp_path / "none"))
