@@ -1,0 +1,142 @@
+"""IVF-PQ serving index (operators/ivfpq.py): exhaustive-probe exactness vs
+a numpy ADC reference, cluster recall under cell pruning, persisted-table
+lifecycle on testdata, and degenerate inputs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.operators.ivfpq import (
+    build_ivfpq_index,
+    load_pq_model,
+    probe_ivfpq_index,
+)
+from exstream_implementation_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+_SUFFIXES = ("centroids", "codebooks", "codes")
+
+
+@pytest.fixture()
+def fresh_index_name(spark, request):
+    """Per-test index name with pre/post cleanup of BOTH catalog entries
+    and orphaned warehouse directories (a crashed earlier run leaves the
+    location without the catalog entry, which fails saveAsTable)."""
+    import shutil
+
+    name = f"t_ivfpq_{request.node.name[-20:].strip('_').lower()}"
+
+    def clean():
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for suffix in _SUFFIXES:
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+            shutil.rmtree(f"{wh}/{name}_{suffix}", ignore_errors=True)
+
+    clean()
+    yield name
+    clean()
+
+
+def _planted(spark, n_clusters=6, per=30, d=32, noise=0.05, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)) * 3.0
+    rows = []
+    for i in range(n_clusters * per):
+        c = i % n_clusters
+        v = centers[c] + rng.normal(size=d) * noise
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    return df, x, np.array([r[2] for r in rows])
+
+
+def test_exhaustive_probe_matches_numpy_adc(spark, fresh_index_name):
+    """nprobe == all cells removes the pruning approximation: the result
+    must equal a brute-force numpy ADC pass over the persisted codes with
+    the identical rounding and tie-break."""
+    df, x, _ = _planted(spark)
+    stats = build_ivfpq_index(spark, df, fresh_index_name, k_cells=4, m=8, ksub=8)
+    model = load_pq_model(spark, fresh_index_name)
+    cents = {
+        r["cell"]: np.array(r["cemb"])
+        for r in spark.table(f"{fresh_index_name}_centroids").collect()
+    }
+    codes = spark.table(f"{fresh_index_name}_codes").collect()
+    q = x[:3]
+    got = probe_ivfpq_index(
+        spark, fresh_index_name, q, np.arange(3), nprobe=stats["k_effective"],
+        k_neighbors=7,
+    ).collect()
+    # numpy reference: residual LUT per (query, cell), same round + ties
+    for qi in range(3):
+        scored = []
+        for r in codes:
+            resid = q[qi] - cents[r["cell"]]
+            dist = 0.0
+            for i in range(model.m):
+                sub = resid[i * model.dsub:(i + 1) * model.dsub]
+                dist += float(
+                    np.sum((model.codebooks[i][r["code"][i]] - sub) ** 2)
+                )
+            if r["vec_id"] != qi:
+                scored.append((round(dist, 6), r["vec_id"]))
+        want = sorted(scored)[:7]
+        mine = sorted(
+            ((r["adist"], r["neighbor_id"]) for r in got if r["query_id"] == qi)
+        )
+        assert [(pytest.approx(d, abs=1e-9), v) for d, v in want] == mine
+
+
+def test_cluster_recall_under_pruning(spark, fresh_index_name):
+    df, x, labels = _planted(spark)
+    build_ivfpq_index(spark, df, fresh_index_name, k_cells=6, m=8, ksub=16)
+    got = probe_ivfpq_index(
+        spark, fresh_index_name, x[:6], np.arange(6), nprobe=3, k_neighbors=5
+    ).collect()
+    assert len(got) == 30
+    in_cluster = sum(
+        1 for r in got if labels[r["neighbor_id"]] == labels[r["query_id"]]
+    )
+    assert in_cluster / 30 >= 0.9
+    # ranks are contiguous 1..k per query and self never returned
+    for qi in range(6):
+        ranks = sorted(r["rank"] for r in got if r["query_id"] == qi)
+        assert ranks == [1, 2, 3, 4, 5]
+    assert all(r["neighbor_id"] != r["query_id"] for r in got)
+
+
+def test_lifecycle_on_testdata(spark, fresh_index_name):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    stats = build_ivfpq_index(
+        spark, emb, fresh_index_name, k_cells=8, m=8, ksub=16
+    )
+    assert stats["n_vectors"] == emb.count()
+    assert stats["dim"] == 64
+    assert stats["code_bytes"] == 8 and stats["raw_bytes"] == 256
+    model = load_pq_model(spark, fresh_index_name)
+    assert model.m == 8 and model.dsub == 8 and model.dim == 64
+    # codes table is the only corpus-sized artifact: one row per vector
+    assert spark.table(f"{fresh_index_name}_codes").count() == stats["n_vectors"]
+    qrows = emb.filter(F.col("vec_id") < 4).collect()
+    q = np.stack([np.array(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows])
+    out = probe_ivfpq_index(spark, fresh_index_name, q, qids, nprobe=4)
+    rows = out.collect()
+    assert len(rows) == 4 * 5
+    # the probe never reads the source embeddings — codes + centroids only
+    explained = out._jdf.queryExecution().executedPlan().toString()
+    assert f"{fresh_index_name}_codes" in explained
+    assert "embeddings" not in explained
+
+
+def test_empty_queries(spark, fresh_index_name):
+    df, _, _ = _planted(spark, n_clusters=2, per=10)
+    build_ivfpq_index(spark, df, fresh_index_name, k_cells=2, m=4, ksub=4)
+    out = probe_ivfpq_index(
+        spark, fresh_index_name, np.zeros((0, 32)), np.zeros(0, dtype=np.int64)
+    )
+    assert out.count() == 0
