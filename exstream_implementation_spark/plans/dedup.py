@@ -1026,6 +1026,59 @@ def sample_mix(
     return df.filter(frac_col.isNotNull() & (u < frac_col))
 
 
+def temperature_mix_policy(
+    df,
+    tau: float,
+    target_rows: int,
+    key: str = "source",
+    weight_col: str | None = None,
+) -> dict:
+    """Derive the per-source keep fractions for temperature-τ mixing —
+    the standard multilingual/source-balancing rule (XLM, Xue et al.
+    2021 mT5 §3.2): sampling probability q_i ∝ n_i^τ, so τ=1 keeps the
+    natural distribution, τ→0 flattens toward uniform, and rare sources
+    are upsampled in between.
+
+    ONE map-side-combined aggregate reads the per-source sizes n_i
+    (rows, or the sum of ``weight_col`` — e.g. token counts — when
+    given); the policy arithmetic is driver-side over the handful of
+    source rows.  Returns:
+
+      {"fractions": {src: f_i in (0, 1]},   feed to sample_mix
+       "epochs":    {src: e_i >= 1.0},      repeat factor where the τ
+                                            target exceeds the source
+                                            (f_i clamps to 1; the caller
+                                            repeats e_i epochs of it)
+       "sizes":     {src: n_i}}
+
+    The un-clamped demand for source i is target_rows * q_i; f_i is
+    demand / n_i clamped to 1 with the remainder reported as epochs —
+    deterministic, no RNG, composes with sample_mix's hash-Bernoulli.
+    """
+    if tau < 0:
+        raise ValueError(f"temperature_mix_policy: tau must be >= 0: {tau}")
+    if target_rows <= 0:
+        raise ValueError(
+            f"temperature_mix_policy: target_rows must be > 0: {target_rows}"
+        )
+    size_expr = (
+        F.sum(weight_col) if weight_col is not None else F.count(F.lit(1))
+    )
+    rows = df.groupBy(key).agg(size_expr.cast("double").alias("n")).collect()
+    if not rows:
+        raise ValueError("temperature_mix_policy: input has no rows")
+    sizes = {r[key]: float(r["n"]) for r in rows}
+    q_raw = {s: n ** tau for s, n in sizes.items()}
+    z = sum(q_raw.values())
+    fractions, epochs = {}, {}
+    for s, n in sizes.items():
+        demand = target_rows * q_raw[s] / z
+        f = demand / n
+        fractions[s] = min(1.0, f)
+        epochs[s] = max(1.0, f)
+    return {"fractions": fractions, "epochs": epochs, "sizes": sizes}
+
+
 def sample_exact_k(
     df,
     group_col: str,

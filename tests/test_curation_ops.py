@@ -352,3 +352,81 @@ def test_sample_exact_k_partial_fold_agrees_with_global_rank(spark):
         for r in sample_exact_k(df.coalesce(1), "source", 7, salt=3).collect()
     )
     assert many == one and len(many) == 21
+
+
+def test_temperature_mix_policy_math(spark):
+    """Closed-form check of the τ policy on a planted size profile, plus
+    the τ=1 (natural) and τ=0 (uniform) endpoints."""
+    from exstream_implementation_spark.plans.dedup import (
+        temperature_mix_policy,
+    )
+
+    rows = (
+        [(i, "big") for i in range(800)]
+        + [(1000 + i, "mid") for i in range(150)]
+        + [(2000 + i, "rare") for i in range(50)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    pol = temperature_mix_policy(docs, tau=0.5, target_rows=500)
+    assert pol["sizes"] == {"big": 800.0, "mid": 150.0, "rare": 50.0}
+    import math
+
+    z = 800**0.5 + 150**0.5 + 50**0.5
+    for s, n in pol["sizes"].items():
+        demand = 500 * (n**0.5) / z
+        assert pol["fractions"][s] == pytest.approx(min(1.0, demand / n))
+        assert pol["epochs"][s] == pytest.approx(max(1.0, demand / n))
+    # τ=0.5 upsamples the rare source relative to its natural share
+    nat = 50 / 1000
+    tau_share = (50**0.5) / z
+    assert tau_share > nat
+    # τ=1: fractions equal across sources (natural distribution scaled)
+    pol1 = temperature_mix_policy(docs, tau=1.0, target_rows=500)
+    fr = set(round(v, 12) for v in pol1["fractions"].values())
+    assert fr == {0.5}
+    # τ=0: equal DEMAND per source → rare source needs multiple epochs
+    pol0 = temperature_mix_policy(docs, tau=0.0, target_rows=600)
+    assert pol0["fractions"]["rare"] == 1.0
+    assert pol0["epochs"]["rare"] == pytest.approx(200 / 50)
+    assert pol0["fractions"]["big"] == pytest.approx(200 / 800)
+
+
+def test_temperature_mix_composes_with_sample_mix(spark):
+    from exstream_implementation_spark.plans.dedup import (
+        temperature_mix_policy,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    pol = temperature_mix_policy(docs, tau=0.3, target_rows=n // 3)
+    kept = sample_mix(docs, pol["fractions"])
+    got = kept.count()
+    want = sum(
+        pol["fractions"][s] * pol["sizes"][s] for s in pol["sizes"]
+    )
+    assert got == pytest.approx(want, rel=0.25)
+    # weight_col flavor: sizes become summed weights
+    weighted = docs.withColumn("n_chars2", F.length("text"))
+    polw = temperature_mix_policy(
+        weighted, tau=1.0, target_rows=1000, weight_col="n_chars2"
+    )
+    total = sum(polw["sizes"].values())
+    assert total == pytest.approx(
+        weighted.agg(F.sum("n_chars2")).first()[0]
+    )
+
+
+def test_temperature_mix_validation(spark):
+    from exstream_implementation_spark.plans.dedup import (
+        temperature_mix_policy,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="tau"):
+        temperature_mix_policy(docs, tau=-0.1, target_rows=10)
+    with pytest.raises(ValueError, match="target_rows"):
+        temperature_mix_policy(docs, tau=0.5, target_rows=0)
+    with pytest.raises(ValueError, match="no rows"):
+        temperature_mix_policy(
+            docs.filter(F.col("doc_id") < 0), tau=0.5, target_rows=10
+        )
