@@ -138,6 +138,40 @@ def merge_upsert(
     return publish_snapshot(merged, root)
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> tuple:
+    """Rewrite the latest version into ~target_bytes files and publish.
+
+    The small-files problem: a streaming ingest or a 10k-task job leaves
+    thousands of KB-sized parquet files, and every later scan pays one
+    task + one footer read per file.  Compaction = read latest, coalesce
+    to ceil(bytes / target) partitions, publish as a NEW version (readers
+    never see a half-compacted directory; time travel keeps the old
+    layout until vacuum).
+
+    coalesce(), not repartition(): compaction must not pay a shuffle —
+    it only merges existing partitions.  Returns (new_version, n_files).
+    """
+    if target_bytes <= 0:
+        raise ValueError("compact_snapshot: target_bytes must be > 0")
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    vdir = _vdir(root, v)
+    total = 0
+    for dirpath, _dirs, files in os.walk(vdir):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    n_parts = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(vdir).coalesce(int(n_parts))
+    new_v = publish_snapshot(df, root)
+    return new_v, int(n_parts)
+
+
 def vacuum(root: str, keep: int = 2) -> list:
     """Delete all but the newest `keep` versions; the committed version is
     always retained.  Returns the versions removed."""

@@ -557,6 +557,37 @@ def retrieval_metrics(
     )
 
 
+def mine_hard_negatives(
+    results: DataFrame, qrels: DataFrame, k_neg: int = 5
+) -> DataFrame:
+    """Hard negatives for training a dense retriever (Karpukhin et al.
+    2020, DPR §3.2): per query, the HIGHEST-ranked retrieved docs that are
+    not judged relevant — lexically/semantically confusable with the
+    positives, which is exactly what contrastive training needs (random
+    negatives are too easy to carry gradient).
+
+    ``results``: (query_id, doc_id, rank) from any ranker here (bm25 /
+    dense / hybrid / bulk).  ``qrels``: (query_id, doc_id, rel) — rows
+    with rel > 0 are positives; zero/negative-rel judgments are treated
+    as unjudged (still eligible as negatives, the standard convention).
+
+    Plan: one left-anti equi-join against the positive qrels, then a
+    per-query re-rank window BOUNDED by the ranker's own top-k — no
+    corpus-sized partitions.  Returns (query_id, doc_id, neg_rank) with
+    neg_rank 1..k_neg densified in original rank order.
+    """
+    if k_neg < 1:
+        raise ValueError(f"mine_hard_negatives: k_neg must be >= 1: {k_neg}")
+    positives = qrels.filter(F.col("rel") > 0.0).select("query_id", "doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"), F.asc("doc_id"))
+    return (
+        results.join(positives, ["query_id", "doc_id"], "left_anti")
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select("query_id", "doc_id", "neg_rank")
+    )
+
+
 # --- dense arm + reciprocal-rank fusion (hybrid retrieval) -------------------
 # The standard RAG/retrieval stack pairs a lexical ranker with an embedding
 # ranker and fuses by rank, not score (Cormack/Clarke/Buettcher RRF, SIGIR

@@ -677,3 +677,76 @@ def test_bm25_property_random_corpora(spark, texts, qtext, ratio):
     assert [r["doc_id"] for r in got] == [d for d, _ in exp]
     for r, (_, s) in zip(got, exp):
         assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_mine_hard_negatives(spark):
+    from exstream_implementation_spark.plans.search import (
+        mine_hard_negatives,
+    )
+
+    results = spark.createDataFrame(
+        [  # query 1: docs ranked 1..5; query 2: 1..3
+            (1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+            (2, 20, 1), (2, 21, 2), (2, 22, 3),
+        ],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [  # 11 and 20 are positives; 12 judged IRRELEVANT (rel 0) —
+           # still an eligible negative by convention
+            (1, 11, 1.0), (1, 12, 0.0), (2, 20, 2.0),
+        ],
+        "query_id long, doc_id long, rel double",
+    )
+    got = sorted(
+        mine_hard_negatives(results, qrels, k_neg=3).collect(),
+        key=lambda r: (r["query_id"], r["neg_rank"]),
+    )
+    as_tuples = [(r["query_id"], r["doc_id"], r["neg_rank"]) for r in got]
+    assert as_tuples == [
+        # positives skipped, order preserved, ranks densified
+        (1, 10, 1), (1, 12, 2), (1, 13, 3),
+        (2, 21, 1), (2, 22, 2),
+    ]
+    # every result relevant -> no negatives for that query
+    allrel = spark.createDataFrame(
+        [(2, 21, 1.0), (2, 22, 1.0), (2, 20, 1.0)],
+        "query_id long, doc_id long, rel double",
+    )
+    q2 = mine_hard_negatives(
+        results.filter(F.col("query_id") == 2), allrel
+    )
+    assert q2.count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k_neg"):
+        mine_hard_negatives(results, qrels, k_neg=0)
+
+
+def test_mine_hard_negatives_end_to_end_bm25(spark):
+    """Composition: bm25 top-k over testdata docs, the known best hit is
+    the positive, the mined negatives are the next-ranked non-positives."""
+    from exstream_implementation_spark.plans.search import (
+        bm25_topk,
+        mine_hard_negatives,
+    )
+    from exstream_implementation_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    queries = _queries_df(spark, [(0, "data quality and streaming")])
+    res = bm25_topk(spark, docs, queries, k=10, max_df_ratio=1.0).select(
+        "query_id", "doc_id", "rank"
+    )
+    top = sorted(res.collect(), key=lambda r: r["rank"])
+    assert len(top) == 10
+    qrels = spark.createDataFrame(
+        [(0, top[0]["doc_id"], 1.0)], "query_id long, doc_id long, rel double"
+    )
+    negs = sorted(
+        mine_hard_negatives(res, qrels, k_neg=4).collect(),
+        key=lambda r: r["neg_rank"],
+    )
+    assert [r["doc_id"] for r in negs] == [r["doc_id"] for r in top[1:5]]
+    assert [r["neg_rank"] for r in negs] == [1, 2, 3, 4]

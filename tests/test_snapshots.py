@@ -94,3 +94,30 @@ def test_vacuum_keeps_window_and_current(spark, tmp_path):
 def test_read_before_first_publish_fails(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no committed snapshot"):
         read_latest(spark, str(tmp_path / "none"))
+
+def test_compact_snapshot(spark, tmp_path):
+    from exstream_implementation_spark.operators.snapshots import (
+        compact_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    # publish with many tiny files
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    publish_snapshot(df.repartition(64), root)
+    import glob
+
+    files_before = glob.glob(os.path.join(root, "v=000001", "*.parquet"))
+    assert len(files_before) == 64
+    v, n_parts = compact_snapshot(spark, root, target_bytes=10**9)
+    assert v == 2 and n_parts == 1
+    files_after = glob.glob(os.path.join(root, "v=000002", "*.parquet"))
+    assert len(files_after) == 1
+    # content identical, old layout still time-travelable
+    a = {r["id"] for r in read_latest(spark, root).collect()}
+    b = {r["id"] for r in read_version(spark, root, 1).collect()}
+    assert a == b and len(a) == 10_000
+    with pytest.raises(ValueError, match="target_bytes"):
+        compact_snapshot(spark, root, target_bytes=0)
+    # a mid-range target lands between 1 and the original file count
+    _, n2 = compact_snapshot(spark, root, target_bytes=40_000)
+    assert 1 < n2 < 64
