@@ -172,6 +172,63 @@ def compact_snapshot(
     return new_v, int(n_parts)
 
 
+def latest_per_key(
+    updates: DataFrame, key_cols: list, seq_col: str
+) -> DataFrame:
+    """Collapse a CDC batch to its newest row per key (highest seq_col,
+    ties broken deterministically by preferring the row that sorts last
+    over all columns).  A microbatch routinely carries several updates
+    for one key; MERGE needs exactly one."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), *[F.desc(c) for c in updates.columns
+                           if c not in key_cols and c != seq_col]
+    )
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_batch_writer(
+    spark: SparkSession,
+    root: str,
+    key_cols: list,
+    seq_col: str | None = None,
+    delete_col: str | None = None,
+):
+    """foreachBatch sink: maintain a versioned snapshot from a CDC stream.
+
+    Returns ``apply(batch_df, batch_id)`` for
+    ``writeStream.foreachBatch(...)``.  Each microbatch is collapsed to
+    one row per key (when seq_col names the CDC ordering column), then
+    MERGEd into the latest snapshot; the first batch bootstraps the
+    table.  At-least-once safety: re-delivering a batch re-merges the
+    same rows, and upsert is idempotent in its input, so a retried batch
+    converges to the same state (it does publish an extra version —
+    versions are lineage, vacuum bounds them).
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        up = (
+            latest_per_key(batch_df, key_cols, seq_col)
+            if seq_col is not None
+            else batch_df
+        )
+        if current_version(root) is None:
+            if delete_col is not None:
+                up = up.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+            publish_snapshot(up, root)
+        else:
+            merge_upsert(spark, root, up, key_cols, delete_col=delete_col)
+
+    return apply
+
+
 def vacuum(root: str, keep: int = 2) -> list:
     """Delete all but the newest `keep` versions; the committed version is
     always retained.  Returns the versions removed."""

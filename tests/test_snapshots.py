@@ -121,3 +121,45 @@ def test_compact_snapshot(spark, tmp_path):
     # a mid-range target lands between 1 and the original file count
     _, n2 = compact_snapshot(spark, root, target_bytes=40_000)
     assert 1 < n2 < 64
+
+
+def test_latest_per_key_and_upsert_writer(spark, tmp_path):
+    from exstream_implementation_spark.operators.snapshots import (
+        latest_per_key,
+        upsert_batch_writer,
+    )
+
+    root = str(tmp_path / "cdc")
+    apply = upsert_batch_writer(
+        spark, root, ["k"], seq_col="seq", delete_col="deleted"
+    )
+    schema = "k long, v string, seq long, deleted boolean"
+    # batch 0 bootstraps; key 1 appears twice — newest (seq 2) wins
+    apply(
+        spark.createDataFrame(
+            [(1, "a", 1, False), (1, "a2", 2, False), (2, "b", 1, False)],
+            schema,
+        ),
+        0,
+    )
+    got = {(r["k"], r["v"]) for r in read_latest(spark, root).collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    # batch 1: update 2, insert 3, delete 1 (delete is the key's newest)
+    b1 = spark.createDataFrame(
+        [(2, "B", 3, False), (3, "c", 3, False),
+         (1, "x", 3, False), (1, None, 4, True)],
+        schema,
+    )
+    apply(b1, 1)
+    got = {(r["k"], r["v"]) for r in read_latest(spark, root).collect()}
+    assert got == {(2, "B"), (3, "c")}
+    # at-least-once: redelivering batch 1 converges to the same state
+    apply(b1, 1)
+    again = {(r["k"], r["v"]) for r in read_latest(spark, root).collect()}
+    assert again == got
+    # latest_per_key standalone: deterministic on seq ties
+    tied = spark.createDataFrame(
+        [(1, "p", 5, False), (1, "q", 5, False)], schema
+    )
+    top = latest_per_key(tied, ["k"], "seq").collect()
+    assert len(top) == 1 and top[0]["v"] == "q"  # desc tie-break
