@@ -75,3 +75,74 @@ from exstream_implementation_spark.operators.slicing import (  # noqa: F401
     melt_features,
     slice_intervals,
 )
+from exstream_implementation_spark.operators.kmeans import (  # noqa: F401
+    kmeans_train,
+)
+from exstream_implementation_spark.operators.packing import (  # noqa: F401
+    pack_sequences,
+    packing_stats,
+)
+from exstream_implementation_spark.operators.zorder import (  # noqa: F401
+    write_zordered,
+    zorder_key,
+)
+from exstream_implementation_spark.operators.sharding import (  # noqa: F401
+    assign_shards,
+    shard_balance,
+    shuffle_shard,
+    write_shards,
+)
+from exstream_implementation_spark.operators.bpe import (  # noqa: F401
+    apply_bpe,
+    bpe_train,
+    word_counts,
+)
+from exstream_implementation_spark.operators.pca import (  # noqa: F401
+    fit_pca,
+    transform_pca,
+)
+from exstream_implementation_spark.operators.sketches import (  # noqa: F401
+    heavy_hitters,
+    partition_summaries,
+)
+from exstream_implementation_spark.operators.expectations import (  # noqa: F401
+    compile_scan_checks,
+    in_range,
+    matches,
+    not_null,
+    referential,
+    row_count,
+    satisfies,
+    unique,
+    values_in,
+    verify,
+)
+from exstream_implementation_spark.operators.pq import (  # noqa: F401
+    encode_pq,
+    pq_adc_topk,
+    pq_reconstruct,
+    train_pq,
+)
+from exstream_implementation_spark.operators.ivfpq import (  # noqa: F401
+    build_ivfpq_index,
+    load_pq_model,
+    probe_ivfpq_index,
+)
+from exstream_implementation_spark.operators.logreg import (  # noqa: F401
+    doc_quality_features,
+    fit_logreg,
+    logreg_score_expr,
+    score_logreg,
+)
+from exstream_implementation_spark.operators.snapshots import (  # noqa: F401
+    compact_snapshot,
+    current_version,
+    latest_per_key,
+    list_versions,
+    merge_upsert,
+    publish_snapshot,
+    read_latest,
+    read_version,
+    upsert_batch_writer,
+    vacuum,
+)
