@@ -146,3 +146,7 @@ from exstream_implementation_spark.operators.snapshots import (  # noqa: F401
     upsert_batch_writer,
     vacuum,
 )
+from exstream_implementation_spark.operators.profile import (  # noqa: F401
+    profile_columns,
+    profile_top_values,
+)

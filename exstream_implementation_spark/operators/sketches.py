@@ -122,7 +122,19 @@ def heavy_hitters(
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     cap = capacity if capacity is not None else max(16 * k, 256)
-    parts = partition_summaries(df, col, cap)
+    return (
+        merged_summaries(df, col, cap)
+        .orderBy(F.desc("count_hi"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def merged_summaries(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """The full cross-partition merge (every tracked key with its
+    eviction-floor-corrected bounds), BEFORE any top-k cut — exposed so
+    callers that re-rank within groups (operators/profile.py) can cut
+    per group instead of globally."""
+    parts = partition_summaries(df, col, capacity)
     # total eviction floor across partitions — one tiny agg (<= one row
     # per partition after the distinct)
     floors = parts.select("pid", "floor").distinct()
@@ -148,4 +160,4 @@ def heavy_hitters(
         )
         .withColumn("exact", F.col("count_hi") == F.col("count_lo"))
     )
-    return merged.orderBy(F.desc("count_hi"), F.asc("key")).limit(k)
+    return merged
