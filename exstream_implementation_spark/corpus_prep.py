@@ -63,6 +63,10 @@ class CorpusPrepConfig:
     chunk_len: int = 64
     pack_capacity: int = 256
     pack_groups: int = 64
+    # leakage-safe split (plans/splits.py): assign every DOC a split and
+    # pack each split separately, so a packed sequence can never mix
+    # train and eval tokens.  None = no split column, single pack pool.
+    split_weights: dict | None = None
     # export
     n_shards: int = 8
     seed: int = 0
@@ -272,11 +276,42 @@ def prepare_corpus(
 
     chunks = chunk_tokens(tokenized, cfg.chunk_len)
     stages["chunks"] = chunks
-    assignment = pack_sequences(
-        chunks, cfg.pack_capacity, num_groups=cfg.pack_groups
-    )
+    if cfg.split_weights is not None:
+        # the split is a pure hash of doc_id (plans/splits.py), so
+        # re-deriving it on the chunk table costs a projection and stays
+        # consistent with any doc-level assignment of the same
+        # (weights, salt).  Packing runs once per split: FFD never sees
+        # chunks from two splits, so no packed sequence can leak eval
+        # tokens into training.
+        from exstream_implementation_spark.plans.splits import (
+            assign_splits,
+        )
+
+        tagged = assign_splits(
+            chunks, cfg.split_weights, unit_col="doc_id", salt=cfg.seed
+        )
+        a_parts, s_parts = [], []
+        for name in cfg.split_weights:
+            sub = tagged.filter(F.col("split") == name).drop("split")
+            a = pack_sequences(
+                sub, cfg.pack_capacity, num_groups=cfg.pack_groups
+            )
+            a_parts.append(a.withColumn("split", F.lit(name)))
+            s_parts.append(
+                assemble_sequences(sub, a).withColumn("split", F.lit(name))
+            )
+        assignment = a_parts[0]
+        for p in a_parts[1:]:
+            assignment = assignment.unionByName(p)
+        sequences = s_parts[0]
+        for p in s_parts[1:]:
+            sequences = sequences.unionByName(p)
+    else:
+        assignment = pack_sequences(
+            chunks, cfg.pack_capacity, num_groups=cfg.pack_groups
+        )
+        sequences = assemble_sequences(chunks, assignment)
     stages["assignment"] = assignment
-    sequences = assemble_sequences(chunks, assignment)
     stages["sequences"] = sequences
 
     if out_path is not None:
@@ -284,9 +319,21 @@ def prepare_corpus(
             "seq_key",
             F.concat_ws("_", F.col("pack_group"), F.col("seq_id")),
         )
-        write_shards(
-            export, out_path, "seq_key", cfg.n_shards, seed=cfg.seed
-        )
+        if cfg.split_weights is not None:
+            # one shard tree per split — training readers consume
+            # out_path/split=train/shard=i/ without filtering
+            for name in cfg.split_weights:
+                write_shards(
+                    export.filter(F.col("split") == name).drop("split"),
+                    f"{out_path}/split={name}",
+                    "seq_key",
+                    cfg.n_shards,
+                    seed=cfg.seed,
+                )
+        else:
+            write_shards(
+                export, out_path, "seq_key", cfg.n_shards, seed=cfg.seed
+            )
         stages["out_path"] = out_path
 
     if counts:

@@ -237,3 +237,76 @@ def test_no_benchmark_skips_decontamination(spark):
         for r in stages["decontaminated"].select("doc_id").collect()
     }
     assert 4 in ids  # nothing to decontaminate against
+
+
+def test_split_aware_packing_never_mixes_splits(spark, tmp_path):
+    """With split_weights set, every packed sequence draws chunks from
+    exactly one split, sequences cover exactly the unsplit pipeline's
+    chunks, and the export lands one shard tree per split."""
+    import dataclasses
+    import glob
+    import os
+
+    extra = [
+        (20 + i,
+         f"{STOPFUL} distinct essay number {i} on topic t{i} with words "
+         f"like theme{i} and idea{i} flowing onward")
+        for i in range(12)
+    ]
+    docs = _corpus(spark).union(
+        spark.createDataFrame(extra, "doc_id long, text string")
+    )
+    weights = {"train": 0.7, "val": 0.3}
+    # pick a seed where the surviving ids land in BOTH splits (the split
+    # is a pure hash of (doc_id, seed), so this probe is cheap and exact)
+    from exstream_implementation_spark.plans.splits import assign_splits
+
+    ids = spark.createDataFrame(
+        [(i,) for i in [0, 2, 3, 7] + [20 + i for i in range(12)]],
+        "doc_id long",
+    )
+    seed = next(
+        s for s in range(20)
+        if len({
+            r["split"]
+            for r in assign_splits(ids, weights, unit_col="doc_id",
+                                   salt=s).collect()
+        }) == 2
+    )
+    out = str(tmp_path / "shards")
+    cfg = dataclasses.replace(
+        CFG, split_weights=weights, n_shards=2, seed=seed
+    )
+    stages = prepare_corpus(docs, benchmark=_bench(spark), cfg=cfg,
+                            out_path=out)
+    # each (split, pack_group, seq_id) sequence has docs of ONE split
+    from exstream_implementation_spark.plans.splits import assign_splits
+
+    doc_split = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            stages["chunks"].select("doc_id").distinct(),
+            weights, unit_col="doc_id", salt=cfg.seed,
+        ).collect()
+    }
+    assert len(set(doc_split.values())) == 2  # both splits populated
+    a = stages["assignment"].collect()
+    seq_splits = {}
+    for r in a:
+        key = (r["split"], r["pack_group"], r["seq_id"])
+        seq_splits.setdefault(key, set()).add(doc_split[r["doc_id"]])
+        assert doc_split[r["doc_id"]] == r["split"]
+    assert all(len(v) == 1 for v in seq_splits.values())
+    # chunk coverage identical to the unsplit pipeline
+    plain = prepare_corpus(docs, benchmark=_bench(spark), cfg=CFG)
+    want = {(r["doc_id"], r["chunk_idx"])
+            for r in plain["assignment"].collect()}
+    got = {(r["doc_id"], r["chunk_idx"]) for r in a}
+    assert got == want
+    # export: one shard tree per split (a tiny split may fill fewer
+    # shards than configured — partitionBy writes non-empty ones only)
+    for name in weights:
+        shard_dirs = glob.glob(os.path.join(out, f"split={name}", "shard=*"))
+        assert 1 <= len(shard_dirs) <= 2
+    back = spark.read.parquet(out)
+    assert back.count() == stages["sequences"].count()
