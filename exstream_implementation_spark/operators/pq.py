@@ -98,6 +98,7 @@ def train_pq(
     tol: float = 1e-6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> PQModel:
     """Train an m-subspace, ksub-centroid product quantizer.
 
@@ -106,6 +107,13 @@ def train_pq(
     subvectors per subspace).  Empty cells shrink that subspace's codebook
     (same contract as kmeans_train); codes stay dense because cells are
     re-numbered 0..ksub_i-1 in sorted-cell order at the end.
+
+    ``train_fraction`` bounds what the Lloyd iterations scan — the
+    standard billion-vector practice (faiss trains codebooks on ~100k
+    sampled vectors; codebook quality needs a representative sample, not
+    the corpus): a deterministic hash-Bernoulli filter on ``id_col``
+    (same selector family as sample_mix), so the training set is stable
+    across runs/partitionings and ENCODING still covers every vector.
     """
     head = vecs.select(vec_col).first()
     if head is None or head[0] is None:
@@ -115,6 +123,20 @@ def train_pq(
         raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
     if ksub < 1:
         raise ValueError("train_pq: ksub must be >= 1")
+    if train_fraction is not None:
+        if not 0.0 < train_fraction <= 1.0:
+            raise ValueError(
+                f"train_pq: train_fraction must be in (0, 1]: {train_fraction}"
+            )
+        if train_fraction < 1.0:
+            vecs = vecs.filter(
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(0)), F.lit(1_000_000))
+                < int(train_fraction * 1_000_000)
+            )
+            if vecs.select(vec_col).first() is None:
+                raise ValueError(
+                    "train_pq: train_fraction sampled zero vectors"
+                )
     dsub = d // m
 
     spark = vecs.sparkSession

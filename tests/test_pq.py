@@ -159,3 +159,39 @@ def test_arg_validation(spark):
     codes = encode_pq(emb, model)
     with pytest.raises(ValueError, match="dim"):
         pq_adc_topk(np.zeros((1, 32)), np.array([0]), codes, model, k=1)
+
+
+def test_sampled_training_still_encodes_everything(spark):
+    """train_fraction bounds the Lloyd scans; encoding covers the FULL
+    corpus and the sampled model is deterministic across partitionings."""
+    emb = _emb(spark)
+    n = emb.count()
+    m1 = train_pq(emb, m=8, ksub=8, max_iter=3, train_fraction=0.3)
+    m2 = train_pq(emb.repartition(9), m=8, ksub=8, max_iter=3,
+                  train_fraction=0.3)
+    for a, b in zip(m1.codebooks, m2.codebooks):
+        np.testing.assert_allclose(a, b, atol=1e-12)
+    codes = encode_pq(emb, m1)
+    assert codes.count() == n  # every vector encoded, not just the sample
+    # sampled-trained reconstruction still beats random codes
+    rec = pq_reconstruct(codes, m1).join(
+        emb.withColumnRenamed("embedding", "orig"), "vec_id"
+    )
+    err = rec.selectExpr(
+        "aggregate(zip_with(approx, orig, (a, o) -> (a - cast(o as double))"
+        " * (a - cast(o as double))), cast(0.0 as double),"
+        " (acc, v) -> acc + v) as e"
+    ).agg(F.avg("e")).first()[0]
+    full = train_pq(emb, m=8, ksub=8, max_iter=3)
+    codes_f = encode_pq(emb, full)
+    rec_f = pq_reconstruct(codes_f, full).join(
+        emb.withColumnRenamed("embedding", "orig"), "vec_id"
+    )
+    err_f = rec_f.selectExpr(
+        "aggregate(zip_with(approx, orig, (a, o) -> (a - cast(o as double))"
+        " * (a - cast(o as double))), cast(0.0 as double),"
+        " (acc, v) -> acc + v) as e"
+    ).agg(F.avg("e")).first()[0]
+    assert err <= 2.0 * err_f  # sampled codebooks stay in the same class
+    with pytest.raises(ValueError, match="train_fraction"):
+        train_pq(emb, m=8, train_fraction=0.0)
