@@ -124,7 +124,9 @@ from exstream_implementation_spark.operators.pq import (  # noqa: F401
     train_pq,
 )
 from exstream_implementation_spark.operators.ivfpq import (  # noqa: F401
+    append_to_ivfpq_index,
     build_ivfpq_index,
+    ivfpq_is_stale,
     load_pq_model,
     probe_ivfpq_index,
 )

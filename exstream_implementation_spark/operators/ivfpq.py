@@ -106,11 +106,63 @@ def build_ivfpq_index(
         F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("dim")
     ).first()
     k_eff = spark.table(f"{name}_centroids").count()
+    # n_trained pins what BOTH the coarse cells and the codebooks were fit
+    # on; appends advance n_vectors only (same staleness contract as
+    # ann_index.py)
+    spark.createDataFrame(
+        [(int(stats["n"]), int(stats["n"]), int(k_eff), int(stats["dim"]),
+          model.m)],
+        "n_vectors long, n_trained long, k int, dim int, m int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
     return {
         "n_vectors": int(stats["n"]), "k_effective": int(k_eff),
         "dim": int(stats["dim"]), "m": model.m,
         "code_bytes": model.code_bytes, "raw_bytes": model.raw_bytes,
     }
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession, name: str, new_vecs: DataFrame
+) -> int:
+    """Assign + residual-encode NEW vectors against the EXISTING centroids
+    and codebooks and append their codes — the cheap between-retrains path
+    (no Lloyd, no codebook update).  Quantization error for appended
+    vectors grows as the data distribution drifts from the trained one;
+    ``ivfpq_is_stale`` measures that drift by corpus growth, exactly like
+    the raw-vector index."""
+    cents_b = F.broadcast(spark.table(f"{name}_centroids"))
+    model = load_pq_model(spark, name)
+    assigned = (
+        _assign(new_vecs, cents_b)
+        .select("cell", "vec_id", "embedding")
+        .join(cents_b, "cell")
+        .select("cell", "vec_id", F.expr(_RESIDUAL).alias("residual"))
+    )
+    codes = encode_pq(
+        assigned, model, id_col="vec_id", vec_col="residual"
+    ).join(assigned.select("vec_id", "cell"), "vec_id")
+    # catalog insert path routes rows through the existing bucket spec
+    codes.select("cell", "vec_id", "code").write.mode("append").insertInto(
+        f"{name}_codes"
+    )
+    n_new = int(new_vecs.count())
+    meta = spark.table(f"{name}_meta").first()
+    spark.createDataFrame(
+        [(int(meta["n_vectors"]) + n_new, int(meta["n_trained"]),
+          int(meta["k"]), int(meta["dim"]), int(meta["m"]))],
+        "n_vectors long, n_trained long, k int, dim int, m int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
+    return n_new
+
+
+def ivfpq_is_stale(
+    spark: SparkSession, name: str, growth_threshold: float = 0.2
+) -> bool:
+    """True when appends grew the corpus more than ``growth_threshold``
+    past what the centroids AND codebooks were trained on — time to
+    rebuild before quantization error drifts."""
+    meta = spark.table(f"{name}_meta").first()
+    return meta["n_vectors"] > meta["n_trained"] * (1.0 + growth_threshold)
 
 
 def load_pq_model(spark: SparkSession, name: str) -> PQModel:

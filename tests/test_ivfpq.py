@@ -14,7 +14,7 @@ from exstream_implementation_spark.operators.ivfpq import (
 from exstream_implementation_spark.sources import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
-_SUFFIXES = ("centroids", "codebooks", "codes")
+_SUFFIXES = ("centroids", "codebooks", "codes", "meta")
 
 
 @pytest.fixture()
@@ -131,6 +131,39 @@ def test_lifecycle_on_testdata(spark, fresh_index_name):
     explained = out._jdf.queryExecution().executedPlan().toString()
     assert f"{fresh_index_name}_codes" in explained
     assert "embeddings" not in explained
+
+
+def test_append_and_staleness(spark, fresh_index_name):
+    """Docs appended after the build are findable at probe time; growth
+    past the threshold trips the retrain signal."""
+    from exstream_implementation_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+        ivfpq_is_stale,
+    )
+
+    df, x, labels = _planted(spark)
+    first = df.filter(F.col("vec_id") < 120)
+    rest = df.filter(F.col("vec_id") >= 120)
+    build_ivfpq_index(spark, first, fresh_index_name, k_cells=6, m=8,
+                      ksub=16)
+    assert not ivfpq_is_stale(spark, fresh_index_name)
+    n = append_to_ivfpq_index(spark, fresh_index_name, rest)
+    assert n == 60
+    assert spark.table(f"{fresh_index_name}_codes").count() == 180
+    assert ivfpq_is_stale(spark, fresh_index_name)  # 50% growth > 20%
+    # an appended vector's neighbors (its cluster-mates) are served
+    got = probe_ivfpq_index(
+        spark, fresh_index_name, x[150:151], np.array([150]), nprobe=3,
+        k_neighbors=5,
+    ).collect()
+    assert len(got) == 5
+    assert all(labels[r["neighbor_id"]] == labels[150] for r in got)
+    # appended ids themselves appear as neighbors of an original query
+    got0 = probe_ivfpq_index(
+        spark, fresh_index_name, x[:1], np.arange(1), nprobe=6,
+        k_neighbors=25,
+    ).collect()
+    assert any(r["neighbor_id"] >= 120 for r in got0)
 
 
 def test_empty_queries(spark, fresh_index_name):
