@@ -152,3 +152,7 @@ from exstream_implementation_spark.operators.profile import (  # noqa: F401
     profile_columns,
     profile_top_values,
 )
+from exstream_implementation_spark.operators.textstats import (  # noqa: F401
+    compression_ratio,
+    length_buckets,
+)
