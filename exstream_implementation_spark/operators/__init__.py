@@ -95,6 +95,8 @@ from exstream_implementation_spark.operators.sharding import (  # noqa: F401
 from exstream_implementation_spark.operators.bpe import (  # noqa: F401
     apply_bpe,
     bpe_train,
+    load_merges,
+    save_merges,
     word_counts,
 )
 from exstream_implementation_spark.operators.pca import (  # noqa: F401

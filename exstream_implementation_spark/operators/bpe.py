@@ -205,3 +205,36 @@ def apply_bpe(
         "bpe_tokens",
         F.coalesce("bpe_tokens", F.array().cast("array<string>")),
     ).withColumn("n_bpe", F.size("bpe_tokens"))
+
+
+def save_merges(merges: list, path: str) -> None:
+    """Persist a learned merge list as JSON — the tokenizer artifact a
+    cold session (or the serving side of a pipeline) loads to encode
+    without retraining.  Merge ORDER is the model (ranks = positions),
+    so the format is an ordered list of [left, right] pairs.  The write
+    is atomic (tmp + rename): a crashed save never leaves a torn
+    tokenizer for a concurrent loader."""
+    import json
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump([[a, b] for a, b in merges], fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> list:
+    """Load a merge list saved by save_merges; returns the same
+    list[tuple[str, str]] shape bpe_train produces."""
+    import json
+
+    with open(path) as fh:
+        raw = json.load(fh)
+    out = []
+    for item in raw:
+        if not (isinstance(item, list) and len(item) == 2):
+            raise ValueError(f"malformed merge entry: {item!r}")
+        out.append((item[0], item[1]))
+    return out

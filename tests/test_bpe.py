@@ -152,3 +152,43 @@ def test_bad_n_merges(spark):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_train(docs, 0)
+
+
+def test_merges_round_trip_through_disk(spark, tmp_path):
+    """save_merges/load_merges: a cold loader segments identically to the
+    trainer's in-memory model, and the save is atomic."""
+    import os
+
+    from exstream_implementation_spark.operators.bpe import (
+        apply_bpe,
+        bpe_train,
+        load_merges,
+        save_merges,
+    )
+    from exstream_implementation_spark.sources import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 40")
+    )
+    merges = bpe_train(docs, n_merges=12)
+    path = str(tmp_path / "tok.json")
+    save_merges(merges, path)
+    assert not os.path.exists(path + ".tmp")  # atomic: no tmp residue
+    loaded = load_merges(path)
+    assert loaded == merges
+    a = {r["doc_id"]: list(r["bpe_tokens"])
+         for r in apply_bpe(docs, merges).collect()}
+    b = {r["doc_id"]: list(r["bpe_tokens"])
+         for r in apply_bpe(docs, loaded).collect()}
+    assert a == b
+    import pytest as _pt
+
+    import json
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as fh:
+        json.dump([["a", "b", "c"]], fh)
+    with _pt.raises(ValueError, match="malformed"):
+        load_merges(bad)

@@ -163,3 +163,45 @@ def test_latest_per_key_and_upsert_writer(spark, tmp_path):
     )
     top = latest_per_key(tied, ["k"], "seq").collect()
     assert len(top) == 1 and top[0]["v"] == "q"  # desc tie-break
+
+
+def test_upsert_writer_through_real_stream(spark, tmp_path):
+    """End-to-end Structured Streaming: a file-source CDC stream through
+    foreachBatch(upsert_batch_writer) converges to the same state as one
+    batch MERGE of the collapsed updates."""
+    from exstream_implementation_spark.operators.snapshots import (
+        latest_per_key,
+        upsert_batch_writer,
+    )
+
+    root = str(tmp_path / "cdc_stream")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, seq long, deleted boolean"
+    updates = [
+        (1, "a", 1, False), (2, "b", 1, False),
+        (1, "a2", 2, False), (3, "c", 2, False),
+        (2, None, 3, True), (4, "d", 3, False),
+    ]
+    spark.createDataFrame(updates, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_batch_writer(
+                spark, root, ["k"], seq_col="seq", delete_col="deleted"
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in read_latest(spark, root).collect()}
+    # reference: one-shot collapse of the full update log
+    ref_rows = latest_per_key(
+        spark.createDataFrame(updates, schema), ["k"], "seq"
+    ).collect()
+    want = {(r["k"], r["v"]) for r in ref_rows if not r["deleted"]}
+    assert got == want == {(1, "a2"), (3, "c"), (4, "d")}
