@@ -289,7 +289,13 @@ def prepare_corpus(
 
         tagged = assign_splits(
             chunks, cfg.split_weights, unit_col="doc_id", salt=cfg.seed
-        )
+        ).persist()
+        # the persist is the bound on upstream recomputation: without it,
+        # each split's pack + assemble re-runs the full lazy chain
+        # (quality -> dedup -> despan -> BPE apply -> chunking) — 2 scans
+        # PER SPLIT of corpus-sized work instead of one materialization
+        # of the chunk table (same pattern as train_pq/build_ivfpq_index;
+        # left cached for the caller's stage frames, LRU-evictable)
         a_parts, s_parts = [], []
         for name in cfg.split_weights:
             sub = tagged.filter(F.col("split") == name).drop("split")
@@ -321,10 +327,23 @@ def prepare_corpus(
         )
         if cfg.split_weights is not None:
             # one shard tree per split — training readers consume
-            # out_path/split=train/shard=i/ without filtering
+            # out_path/split=train/shard=i/ without filtering.  A split
+            # that received zero sequences still gets a schema-bearing
+            # empty shard=0 file: partitionBy writes nothing for an
+            # empty frame, which would leave split=val/ unreadable
+            # ('Unable to infer schema') and a root read with
+            # inconsistent partition depth.
             for name in cfg.split_weights:
+                filtered = export.filter(F.col("split") == name).drop(
+                    "split"
+                )
+                if filtered.limit(1).count() == 0:
+                    filtered.limit(0).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(f"{out_path}/split={name}/shard=0")
+                    continue
                 write_shards(
-                    export.filter(F.col("split") == name).drop("split"),
+                    filtered,
                     f"{out_path}/split={name}",
                     "seq_key",
                     cfg.n_shards,

@@ -195,6 +195,12 @@ def probe_ivfpq_index(
     residual LUT per (query, probed cell), and the codes scan is filtered
     to the probed cells (partition-prunable on the bucketed table).
     Returns (query_id, neighbor_id, adist, rank).
+
+    Self-exclusion contract (same as probe_ivf_index): a corpus vector
+    whose vec_id EQUALS the query's query_id is never returned — use
+    corpus ids as query ids to ask "neighbors of corpus member X", or
+    ids outside the corpus id space for external query vectors.  (The
+    raw scorer pq_adc_topk does NO such masking.)
     """
     q = np.asarray(queries, dtype=np.float64)
     qids = np.asarray(query_ids, dtype=np.int64)

@@ -135,12 +135,14 @@ def fit_logreg(
 def logreg_score_expr(model: LogRegModel, feature_col: str = "features") -> Column:
     """sigmoid(w . x + b) as a pure-JVM fold — scoring stays inside
     whole-stage codegen (no UDF, no broadcast)."""
+    # float(v), not {v!r}: weights are numpy scalars, and numpy >= 2.0
+    # reprs them as 'np.float64(...)' which is not SQL
     wlit = "array({})".format(
-        ", ".join(f"cast({v!r} as double)" for v in model.weights)
+        ", ".join(f"cast({float(v)!r} as double)" for v in model.weights)
     )
     dot = (
         f"aggregate(zip_with({feature_col}, {wlit}, (x, w) ->"
-        f" cast(x as double) * w), cast({model.intercept!r} as double),"
+        f" cast(x as double) * w), cast({float(model.intercept)!r} as double),"
         " (acc, v) -> acc + v)"
     )
     return F.expr(f"1.0 / (1.0 + exp(-({dot})))")

@@ -296,6 +296,15 @@ def pq_adc_topk(
     qids = np.asarray(query_ids, dtype=np.int64)
     if q.ndim != 2 or len(q) != len(qids):
         raise ValueError("pq_adc_topk: queries must be (q, d) with matching ids")
+    id_type = codes.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # encode_pq supports any id type, but this scorer emits long
+        # neighbor ids — fail at the driver with a clear message instead
+        # of a ValueError inside an executor task
+        raise ValueError(
+            f"pq_adc_topk: id column {id_col!r} must be integral, got"
+            f" {id_type} (wrap non-integral ids with a surrogate key)"
+        )
     if len(q) == 0:
         return codes.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, adist double, rank int"

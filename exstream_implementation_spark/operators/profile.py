@@ -111,6 +111,10 @@ def profile_top_values(
     missing = [c for c in names if c not in df.columns]
     if missing:
         raise ValueError(f"profile_top_values: unknown columns {missing}")
+    if any("\x1f" in c for c in names):
+        raise ValueError(
+            "profile_top_values: column names may not contain U+001F"
+        )
     stacked = df.select(
         F.explode(
             F.array(*[
@@ -133,9 +137,12 @@ def profile_top_values(
     hits = merged_summaries(pair, "key", cap)
     from pyspark.sql import Window
 
+    # split at the FIRST separator only: column names are \x1f-free (we
+    # control them), but a raw corpus VALUE may contain \x1f — taking the
+    # remainder keeps such values intact instead of truncating them
     split = hits.select(
-        F.split_part("key", F.lit("\x1f"), F.lit(1)).alias("column"),
-        F.split_part("key", F.lit("\x1f"), F.lit(2)).alias("value"),
+        F.expr("substring(key, 1, locate('\x1f', key) - 1)").alias("column"),
+        F.expr("substring(key, locate('\x1f', key) + 1)").alias("value"),
         "count_lo", "count_hi", "exact",
     )
     w = Window.partitionBy("column").orderBy(

@@ -1067,6 +1067,13 @@ def temperature_mix_policy(
     rows = df.groupBy(key).agg(size_expr.cast("double").alias("n")).collect()
     if not rows:
         raise ValueError("temperature_mix_policy: input has no rows")
+    bad = [r[key] for r in rows if r["n"] is None or r["n"] <= 0]
+    if bad:
+        raise ValueError(
+            "temperature_mix_policy: zero/NULL total size for source(s) "
+            f"{bad} — a keep fraction is undefined there (weight_col sums "
+            "to 0 or NULL)"
+        )
     sizes = {r[key]: float(r["n"]) for r in rows}
     q_raw = {s: n ** tau for s, n in sizes.items()}
     z = sum(q_raw.values())

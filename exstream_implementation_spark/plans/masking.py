@@ -54,7 +54,9 @@ def mask_tokens(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"mask_tokens: rate must be in [0, 1]: {rate}")
     decide = _decide(id_col, salt, rate)
-    mask_lit = mask_token.replace("'", "\\'")
+    # escape backslashes BEFORE quotes: the SQL string parser consumes
+    # backslash escapes, so an unescaped '\\m' would silently become 'm'
+    mask_lit = mask_token.replace("\\", "\\\\").replace("'", "\\'")
     masked = (
         f"transform({tokens_col}, (t, i) -> CASE WHEN {decide}"
         f" THEN '{mask_lit}' ELSE t END)"

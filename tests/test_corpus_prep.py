@@ -310,3 +310,25 @@ def test_split_aware_packing_never_mixes_splits(spark, tmp_path):
         assert 1 <= len(shard_dirs) <= 2
     back = spark.read.parquet(out)
     assert back.count() == stages["sequences"].count()
+
+
+def test_empty_split_still_reads_back(spark, tmp_path):
+    """A split that receives zero docs must still export a schema-bearing
+    tree: per-split AND root reads work, with consistent partition depth."""
+    import dataclasses
+
+    docs = _corpus(spark)
+    # three-way split where one name is cut to ~0 probability: with only
+    # a handful of surviving docs the 'never' split is empty by design
+    weights = {"train": 0.999999, "val": 0.0000005, "never": 0.0000005}
+    out = str(tmp_path / "shards")
+    cfg = dataclasses.replace(CFG, split_weights=weights, n_shards=2)
+    prepare_corpus(docs, benchmark=_bench(spark), cfg=cfg, out_path=out)
+    for name in weights:
+        sub = spark.read.parquet(f"{out}/split={name}")
+        assert "toks" in sub.columns  # schema present even when empty
+    root = spark.read.parquet(out)
+    assert root.count() == root.filter(F.col("split") == "train").count()
+    assert {r["split"] for r in root.select("split").distinct().collect()} == {
+        "train"
+    }

@@ -430,3 +430,18 @@ def test_temperature_mix_validation(spark):
         temperature_mix_policy(
             docs.filter(F.col("doc_id") < 0), tau=0.5, target_rows=10
         )
+
+
+def test_temperature_mix_zero_weight_source_clear_error(spark):
+    from exstream_implementation_spark.plans.dedup import (
+        temperature_mix_policy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok", 10), (2, "ok", 5), (3, "empty", 0), (4, "empty", 0)],
+        "doc_id long, source string, n_tokens int",
+    )
+    with pytest.raises(ValueError, match="empty"):
+        temperature_mix_policy(
+            df, tau=0.5, target_rows=5, weight_col="n_tokens"
+        )

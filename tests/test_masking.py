@@ -84,3 +84,11 @@ def test_degenerate_arrays_and_validation(spark):
     assert list(rows[3]["mask_positions"]) == [0]
     with pytest.raises(ValueError, match="rate"):
         mask_tokens(df, rate=1.5)
+
+def test_mask_token_with_backslash_and_quote(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"])], "doc_id long, tokens array<string>"
+    )
+    for tok in ("\\m", "it's", "a\\'x"):
+        out = mask_tokens(df, rate=1.0, mask_token=tok).collect()[0]
+        assert list(out["tokens_masked"]) == [tok, tok]

@@ -195,3 +195,17 @@ def test_sampled_training_still_encodes_everything(spark):
     assert err <= 2.0 * err_f  # sampled codebooks stay in the same class
     with pytest.raises(ValueError, match="train_fraction"):
         train_pq(emb, m=8, train_fraction=0.0)
+
+
+def test_adc_rejects_non_integral_ids(spark):
+    df = spark.createDataFrame(
+        [("a", [0.0] * 8, [0, 0])], "vec_id string, embedding array<float>,"
+        " code array<int>"
+    )
+    emb = _emb(spark).filter(F.col("vec_id") < 40)
+    model = train_pq(emb, m=8, ksub=4, max_iter=1)
+    with pytest.raises(ValueError, match="integral"):
+        pq_adc_topk(
+            np.zeros((1, 64)), np.array([0]), df.select("vec_id", "code"),
+            model, k=1,
+        )

@@ -121,3 +121,18 @@ def test_validation(spark):
         profile_columns(docs, cols=[])
     with pytest.raises(ValueError, match="unknown columns"):
         profile_top_values(docs, cols=["nope"])
+
+def test_top_values_preserve_separator_chars(spark):
+    """A raw value containing U+001F must surface intact, not truncated."""
+    df = spark.createDataFrame(
+        [(1, "a\x1fb"), (2, "a\x1fb"), (3, "a\x1fc")], "k long, v string"
+    )
+    got = {
+        r["value"]: r["count_hi"]
+        for r in profile_top_values(df, cols=["v"], k=3).collect()
+    }
+    assert got == {"a\x1fb": 2, "a\x1fc": 1}
+    with pytest.raises(ValueError, match="U\\+001F"):
+        profile_top_values(
+            df.withColumnRenamed("v", "bad\x1fname"), cols=["bad\x1fname"]
+        )
