@@ -107,6 +107,13 @@ def bpe_train(
     Returns the ordered merge list — order IS the merge priority."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive: {n_merges}")
+    # snapshot the JVM's pinned-RDD inventory: localCheckpoint pins an RDD
+    # that DataFrame.unpersist does NOT release (only the ContextCleaner
+    # frees it, asynchronously, after GC) — so this job releases its own
+    # checkpoint RDDs explicitly on exit instead of leaking pinned storage
+    # until some later GC (tests/test_cache_hygiene.py is the gate)
+    jsc = docs.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     symbols = _initial_symbols(word_counts(docs, text_col)).persist()
     merges: list[tuple[str, str]] = []
     try:
@@ -132,6 +139,10 @@ def bpe_train(
             symbols = nxt
     finally:
         symbols.unpersist()
+        leftover = jsc.getPersistentRDDs()
+        for rid in list(leftover.keySet().toArray()):
+            if rid not in before:
+                leftover.get(rid).unpersist(False)
     return merges
 
 
