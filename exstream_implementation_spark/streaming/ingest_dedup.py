@@ -708,3 +708,102 @@ def ingest_pipeline(
             watermark=None,
         )
     return out
+
+
+# --- embedding near-dup arm (the third modality next to SimHash/MinHash) -----
+#
+# Same contract as the text arms: candidates come from a banded equi-join
+# against a static index (here the random-hyperplane LSH buckets of
+# plans/similarity.py — identical md5-derived planes, so the stream-side
+# assignment is bit-equal to the batch `_buckets_spark` one), then the exact
+# cosine filters.  The bucket fold below is a PURE PROJECTION (explode over
+# tables + a nested aggregate over planes), which is what makes it legal in
+# a streaming plan — the batch builder's groupBy-per-(vec, table) form is
+# not.  The nested-lambda form loses some codegen (measured ~25% at x20 for
+# the batch path, similarity.py note) — accepted on the stream side, where
+# per-trigger volume is microbatch-sized.
+
+def _plane_weight_expr(dim: int) -> str:
+    """w[j] for (tbl, plane): the identical md5 derivation as
+    plans/similarity.py `_buckets_spark` — bit-equal buckets by design."""
+    return (
+        f"transform(sequence(0, {dim - 1}), j -> "
+        "((cast(conv(substr(md5(concat(cast(tbl as string), '_',"
+        " cast(plane as string), '_', cast(j as string))), 1, 8), 16, 10)"
+        " as bigint) % 2001) - 1000) / 1000.0)"
+    )
+
+
+def with_lsh_buckets(
+    vecs: DataFrame,
+    n_planes: int,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(input columns..., tbl, bucket) — one row per (vector, table), the
+    sign pattern of the vector against each table's hyperplanes packed into
+    a long.  Stream-safe: explode + projection, no aggregation state."""
+    tables = F.explode(
+        F.expr(f"sequence(0, {n_tables - 1})")
+    ).alias("tbl")
+    bucket = (
+        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint),"
+        " (acc, plane) -> acc + IF("
+        f"aggregate(zip_with({vec_col}, {_plane_weight_expr(dim)},"
+        " (x, y) -> cast(x as double) * y), cast(0.0 as double),"
+        " (a, v) -> a + v) > 0, shiftleft(1, plane), cast(0 as bigint)))"
+    )
+    return vecs.select("*", tables).withColumn("bucket", F.expr(bucket))
+
+
+def embedding_index_rows(
+    vecs: DataFrame,
+    n_planes: int,
+    n_tables: int = 4,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Static LSH index rows for ANY embedding frame: one row per
+    (tbl, bucket, corpus doc) carrying the corpus vector for the exact
+    re-rank (generic twin of the text arms' corpus_*_index builders)."""
+    return with_lsh_buckets(
+        vecs.select(
+            F.col(id_col).alias("corpus_doc_id"),
+            F.col(vec_col).alias("cemb"),
+        ),
+        n_planes, n_tables, vec_col="cemb", dim=dim,
+    ).select("tbl", "bucket", "corpus_doc_id", "cemb")
+
+
+def stream_embdup_vs_corpus(
+    docs: DataFrame,
+    index: DataFrame,
+    n_planes: int,
+    min_cosine: float = 0.9,
+    watermark: str | None = "10 minutes",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Flag arriving docs whose embedding is within cosine >= min_cosine of
+    any corpus vector sharing an LSH bucket (docs: doc_id, event_time,
+    embedding).  Candidates from the (tbl, bucket) equi-join; exact cosine
+    filters; one flag per (doc, corpus doc) within the watermark horizon.
+
+    Recall contract is the LSH families': only pairs agreeing on at least
+    one table's full sign pattern are candidates — the same trade the
+    batch emb_neardup_lsh makes, with the same plane-count lever."""
+    from exstream_implementation_spark.plans.similarity import _cosine_expr
+
+    probes = with_lsh_buckets(docs, n_planes, vec_col=vec_col, dim=dim)
+    flagged = (
+        probes.join(index, ["tbl", "bucket"])
+        .filter(F.col("doc_id") != F.col("corpus_doc_id"))
+        .withColumn(
+            "cosine", F.round(F.expr(_cosine_expr(vec_col, "cemb")), 6)
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("doc_id", "event_time", "corpus_doc_id", "cosine")
+    )
+    return _dedup_flags(flagged, watermark)

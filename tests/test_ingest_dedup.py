@@ -725,3 +725,92 @@ def test_admit_microbatch_flags_within_batch_pairs(spark):
         # vs corpus: both copies flag doc 1; within batch: 30 flags 20
         # (higher against lower, exactly once); the novel doc flags nothing
         assert pairs == [(20, 1), (30, 1), (30, 20)], tbl
+
+
+# --- embedding near-dup arm --------------------------------------------------
+def test_stream_bucket_fold_matches_batch_builder(spark):
+    """The stream-safe bucket projection must reproduce `_buckets_spark`'s
+    (vec_id, tbl, bucket) assignment bit-for-bit — identical md5 planes."""
+    from exstream_implementation_spark.plans.similarity import (
+        _active_planes,
+        _buckets_spark,
+    )
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        with_lsh_buckets,
+    )
+
+    planes = _active_planes(spark, SF_DIR)
+    want = {
+        (r["vec_id"], r["tbl"], r["bucket"])
+        for r in _buckets_spark(spark, SF_DIR).collect()
+    }
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    got = {
+        (r["vec_id"], r["tbl"], r["bucket"])
+        for r in with_lsh_buckets(emb, planes).select(
+            "vec_id", "tbl", "bucket"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_embdup_flags_match_batch(spark, tmp_path):
+    """An arriving exact-copy embedding flags its corpus original at
+    cosine 1.0; a far vector does not; availableNow == batch."""
+    import numpy as np
+
+    from exstream_implementation_spark.plans.similarity import (
+        _active_planes,
+    )
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        embedding_index_rows,
+        stream_embdup_vs_corpus,
+        with_event_time,
+    )
+
+    planes = _active_planes(spark, SF_DIR)
+    corpus_vecs = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    index = embedding_index_rows(
+        corpus_vecs, planes, id_col="doc_id"
+    ).persist()
+    copies = corpus_vecs.filter(F.col("doc_id").isin([2, 9])).withColumn(
+        "doc_id", F.col("doc_id") + 5000
+    )
+    rng = np.random.default_rng(3)
+    far = spark.createDataFrame(
+        [(9000, [float(x) for x in rng.normal(size=64) * 10])],
+        "doc_id long, embedding array<float>",
+    )
+    arriving = copies.unionByName(far)
+    out = str(tmp_path / "emb_arriving")
+    arriving.coalesce(1).write.mode("overwrite").parquet(out)
+
+    batch_flags = stream_embdup_vs_corpus(
+        with_event_time(arriving), index, planes, min_cosine=0.99
+    )
+    stream_src = (
+        spark.readStream.schema("doc_id long, embedding array<float>")
+        .parquet(out)
+    )
+    stream_flags = run_stream_to_memory(
+        stream_embdup_vs_corpus(
+            with_event_time(stream_src), index, planes, min_cosine=0.99
+        ),
+        "embdup_mem",
+    )
+    cols = ["doc_id", "corpus_doc_id", "cosine"]
+    got_b = {tuple(r) for r in batch_flags.select(*cols).collect()}
+    got_s = {tuple(r) for r in stream_flags.select(*cols).collect()}
+    assert got_s == got_b
+    flagged_pairs = {(d, c) for d, c, _ in got_s}
+    assert (5002, 2) in flagged_pairs and (5009, 9) in flagged_pairs
+    assert all(d != 9000 for d, _ in flagged_pairs)
+    # exact copies score cosine 1.0 after rounding
+    assert all(
+        cos == pytest.approx(1.0)
+        for d, c, cos in got_s
+        if (d, c) in {(5002, 2), (5009, 9)}
+    )
+    index.unpersist()
