@@ -58,6 +58,10 @@ class CorpusPrepConfig:
     # None = off.  Scoring is a pure-JVM projection (no UDF/broadcast).
     quality_model: object | None = None
     min_p_good: float = 0.5
+    # compression gate (operators/textstats.py): drop docs whose zlib
+    # ratio falls BELOW this — text that compresses too well is
+    # template/repetition junk the n-gram ratios miss.  None = off.
+    min_compress_ratio: float | None = None
     # tokenizer + packing
     bpe_merges: int = 64
     chunk_len: int = 64
@@ -218,6 +222,7 @@ def prepare_corpus(
       quality → deduped → despanned → decontaminated (== input when no
       benchmark) → lm_filtered (== input when max_lm_nll is None) →
       clf_filtered (== input when quality_model is None) →
+      compress_filtered (== input when min_compress_ratio is None) →
       merges (list) → tokenized → chunks → assignment →
       sequences [→ written shards at out_path/shard=i/]
 
@@ -268,6 +273,18 @@ def prepare_corpus(
             .drop("features")
         )
     stages["clf_filtered"] = cur
+
+    if cfg.min_compress_ratio is not None:
+        from exstream_implementation_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        cur = (
+            compression_ratio(cur)
+            .filter(F.col("compress_ratio") >= cfg.min_compress_ratio)
+            .drop("compress_ratio")
+        )
+    stages["compress_filtered"] = cur
 
     merges = bpe_train(cur.select("doc_id", "text"), cfg.bpe_merges)
     stages["merges"] = merges
@@ -365,6 +382,7 @@ def prepare_corpus(
                 "decontaminated",
                 "lm_filtered",
                 "clf_filtered",
+                "compress_filtered",
                 "tokenized",
                 "chunks",
                 "sequences",

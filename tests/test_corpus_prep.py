@@ -332,3 +332,49 @@ def test_empty_split_still_reads_back(spark, tmp_path):
     assert {r["split"] for r in root.select("split").distinct().collect()} == {
         "train"
     }
+
+
+def test_compression_gate_drops_repetitive_doc(spark):
+    """A stopful but heavily repeated doc passes every other gate (it is
+    unique, stopword-rich, long enough) and is dropped only by the zlib
+    compression-ratio gate."""
+    import dataclasses
+
+    spammy = (
+        10,
+        f"{STOPFUL} " + "the banner offer is a click to win " * 20,
+    )
+    docs = _corpus(spark).union(
+        spark.createDataFrame([spammy], "doc_id long, text string")
+    )
+    # the doc is periodic, so any k <= its length yields within-doc
+    # duplicate k-grams and despan would splice it away before the gate;
+    # k beyond the doc length leaves it for the compression gate to catch
+    cfg_off = dataclasses.replace(CFG, substring_k=2000)
+    stages_off = prepare_corpus(docs, cfg=cfg_off)
+    ids_off = {
+        r["doc_id"]
+        for r in stages_off["compress_filtered"].select("doc_id").collect()
+    }
+    assert 10 in ids_off
+    from exstream_implementation_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    ratios = {
+        r["doc_id"]: r["compress_ratio"]
+        for r in compression_ratio(
+            stages_off["compress_filtered"]
+        ).collect()
+    }
+    cut = min(v for k, v in ratios.items() if k != 10)
+    assert ratios[10] < cut  # the spam doc compresses best by far
+    cfg_on = dataclasses.replace(
+        cfg_off, min_compress_ratio=(ratios[10] + cut) / 2
+    )
+    stages_on = prepare_corpus(docs, cfg=cfg_on)
+    ids_on = {
+        r["doc_id"]
+        for r in stages_on["compress_filtered"].select("doc_id").collect()
+    }
+    assert ids_on == ids_off - {10}
