@@ -158,3 +158,11 @@ from exstream_implementation_spark.operators.textstats import (  # noqa: F401
     compression_ratio,
     length_buckets,
 )
+from exstream_implementation_spark.operators.drift import (  # noqa: F401
+    categorical_counts,
+    drift_report,
+    numeric_histogram,
+    psi_categorical,
+    psi_numeric,
+    reference_edges,
+)

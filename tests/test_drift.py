@@ -1,0 +1,109 @@
+"""Distribution drift (operators/drift.py): PSI hand-case parity,
+identity == 0, shift detection and monotonicity, epsilon handling for
+appearing/disappearing bins, reference-quantile binning, and the
+report verdicts."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.operators.drift import (
+    categorical_counts,
+    drift_report,
+    numeric_histogram,
+    psi_categorical,
+    psi_numeric,
+    reference_edges,
+)
+from exstream_implementation_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _num(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "x double")
+
+
+def test_histogram_and_edges(spark):
+    df = _num(spark, range(100))
+    edges = reference_edges(df, "x", n_bins=4)
+    assert len(edges) == 3
+    hist = numeric_histogram(df, "x", edges)
+    assert sum(hist.values()) == 100
+    # quantile edges split roughly evenly
+    for n in hist.values():
+        assert n == pytest.approx(25, abs=5)
+    # NULLs excluded
+    withnull = df.union(_num(spark, [1]).select(F.lit(None).cast("double")))
+    assert sum(numeric_histogram(withnull, "x", edges).values()) == 100
+    with pytest.raises(ValueError, match="ascending"):
+        numeric_histogram(df, "x", [3.0, 1.0])
+
+
+def test_psi_hand_case_and_identity(spark):
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "v string"
+    )
+    same = spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 20, "v string"
+    )
+    assert psi_categorical(ref, same, "v") == pytest.approx(0.0, abs=1e-12)
+    shifted = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 20, "v string"
+    )
+    want = (0.8 - 0.5) * math.log(0.8 / 0.5) + (0.2 - 0.5) * math.log(
+        0.2 / 0.5
+    )
+    assert psi_categorical(ref, shifted, "v") == pytest.approx(want, rel=1e-12)
+
+
+def test_numeric_shift_detected_and_monotone(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    ref = _num(spark, rng.normal(0, 1, 2000))
+    near = _num(spark, rng.normal(0.1, 1, 2000))
+    far = _num(spark, rng.normal(2.0, 1, 2000))
+    psi_same = psi_numeric(ref, ref, "x")
+    psi_near = psi_numeric(ref, near, "x")
+    psi_far = psi_numeric(ref, far, "x")
+    assert psi_same == pytest.approx(0.0, abs=1e-9)
+    assert psi_same < psi_near < psi_far
+    assert psi_far > 0.25  # a 2-sigma mean shift demands action
+
+
+def test_new_category_is_finite(spark):
+    ref = spark.createDataFrame([("a",)] * 10, "v string")
+    new = spark.createDataFrame([("a",)] * 5 + [("z",)] * 5, "v string")
+    v = psi_categorical(ref, new, "v")
+    assert math.isfinite(v) and v > 0.25  # epsilon floor, large signal
+
+
+def test_drift_report_on_testdata(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    # hash halves, NOT doc_id parity: testdata derives source from
+    # doc_id mod 20, so parity halves have disjoint sources (PSI ~23 —
+    # correctly flagged!); hash halves decorrelate
+    h = F.abs(F.xxhash64("doc_id")) % 2
+    half_a = docs.filter(h == 0)
+    half_b = docs.filter(h == 1)
+    rep = {
+        r["column"]: r
+        for r in drift_report(
+            half_a, half_b, numeric_cols=["n_chars"],
+            categorical_cols=["source", "lang"],
+        ).collect()
+    }
+    # random halves of one corpus: low-cardinality columns are stable;
+    # source has 20 categories over ~250 docs/half, so its PSI is pure
+    # sampling noise — small (an order of magnitude under the ~23 the
+    # CORRELATED parity split scores), not "stable"-small
+    assert rep["n_chars"]["verdict"] == "stable", rep["n_chars"]["psi"]
+    assert rep["lang"]["verdict"] == "stable", rep["lang"]["psi"]
+    assert rep["source"]["psi"] < 2.0
+    assert rep["n_chars"]["kind"] == "numeric"
+    with pytest.raises(ValueError, match="no columns"):
+        drift_report(half_a, half_b)
+    with pytest.raises(ValueError, match="no rows"):
+        psi_categorical(docs.filter("doc_id < 0"), docs, "source")
