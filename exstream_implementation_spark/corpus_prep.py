@@ -371,6 +371,37 @@ def prepare_corpus(
                 export, out_path, "seq_key", cfg.n_shards, seed=cfg.seed
             )
         stages["out_path"] = out_path
+        # dataset manifest: the provenance record a training job (or an
+        # auditor) reads next to the shards — full prep config, tokenizer
+        # merges, and (when counts ran) per-stage survivor counts.
+        # Deterministic in (data, cfg): no timestamps, no host state.
+        import dataclasses as _dc
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "config": {
+                k: v
+                for k, v in _dc.asdict(cfg).items()
+                if k != "quality_model"  # model weights live in code/MLops
+            },
+            "has_quality_model": cfg.quality_model is not None,
+            "bpe_merges": [list(m) for m in merges],
+            "splits": (
+                list(cfg.split_weights) if cfg.split_weights else None
+            ),
+        }
+        if counts:
+            manifest["stage_counts"] = {
+                name: stages[name].count()
+                for name in ("quality", "deduped", "despanned",
+                             "decontaminated", "sequences")
+            }
+        tmp = _os.path.join(out_path, ".manifest.json.tmp")
+        _os.makedirs(out_path, exist_ok=True)
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh, indent=1, sort_keys=True)
+        _os.replace(tmp, _os.path.join(out_path, "_MANIFEST.json"))
 
     if counts:
         stages["stage_counts"] = {

@@ -378,3 +378,27 @@ def test_compression_gate_drops_repetitive_doc(spark):
         for r in stages_on["compress_filtered"].select("doc_id").collect()
     }
     assert ids_on == ids_off - {10}
+
+
+def test_manifest_written_next_to_shards(prepped, spark):
+    """The export carries a deterministic provenance manifest: full
+    config, tokenizer merges, and stage counts (counts=True in the
+    fixture)."""
+    import json
+    import os
+
+    _, stages, out = prepped
+    path = os.path.join(out, "_MANIFEST.json")
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+    with open(path) as fh:
+        m = json.load(fh)
+    assert m["config"]["chunk_len"] == CFG.chunk_len
+    assert m["config"]["n_shards"] == CFG.n_shards
+    assert "quality_model" not in m["config"]
+    assert m["has_quality_model"] is False
+    assert [tuple(x) for x in m["bpe_merges"]] == stages["merges"]
+    assert m["splits"] is None
+    sc = m["stage_counts"]
+    assert sc["quality"] == 6 and sc["decontaminated"] == 4
+    assert sc["sequences"] == stages["sequences"].count()
