@@ -279,9 +279,16 @@ def prepare_corpus(
             compression_ratio,
         )
 
+        # NULL ratio (empty/null text, e.g. a fully-boilerplate doc the
+        # despan stage spliced to '') is UNDEFINED, not "compresses too
+        # well" — pass it through so enabling this gate never changes
+        # the fate of non-repetitive empty docs
         cur = (
             compression_ratio(cur)
-            .filter(F.col("compress_ratio") >= cfg.min_compress_ratio)
+            .filter(
+                F.col("compress_ratio").isNull()
+                | (F.col("compress_ratio") >= cfg.min_compress_ratio)
+            )
             .drop("compress_ratio")
         )
     stages["compress_filtered"] = cur
@@ -371,10 +378,33 @@ def prepare_corpus(
                 export, out_path, "seq_key", cfg.n_shards, seed=cfg.seed
             )
         stages["out_path"] = out_path
+
+    if counts:
+        # ONE count per stage, shared by the returned dict AND the
+        # manifest below (counting twice would re-run the full lazy
+        # chain once per stage per consumer)
+        stages["stage_counts"] = {
+            name: stages[name].count()
+            for name in (
+                "quality",
+                "deduped",
+                "despanned",
+                "decontaminated",
+                "lm_filtered",
+                "clf_filtered",
+                "compress_filtered",
+                "tokenized",
+                "chunks",
+                "sequences",
+            )
+        }
+
+    if out_path is not None:
         # dataset manifest: the provenance record a training job (or an
         # auditor) reads next to the shards — full prep config, tokenizer
         # merges, and (when counts ran) per-stage survivor counts.
         # Deterministic in (data, cfg): no timestamps, no host state.
+        # Atomic tmp+rename; underscore prefix so Spark readers skip it.
         import dataclasses as _dc
         import json as _json
         import os as _os
@@ -392,31 +422,11 @@ def prepare_corpus(
             ),
         }
         if counts:
-            manifest["stage_counts"] = {
-                name: stages[name].count()
-                for name in ("quality", "deduped", "despanned",
-                             "decontaminated", "sequences")
-            }
+            manifest["stage_counts"] = stages["stage_counts"]
         tmp = _os.path.join(out_path, ".manifest.json.tmp")
         _os.makedirs(out_path, exist_ok=True)
         with open(tmp, "w") as fh:
             _json.dump(manifest, fh, indent=1, sort_keys=True)
         _os.replace(tmp, _os.path.join(out_path, "_MANIFEST.json"))
 
-    if counts:
-        stages["stage_counts"] = {
-            name: stages[name].count()
-            for name in (
-                "quality",
-                "deduped",
-                "despanned",
-                "decontaminated",
-                "lm_filtered",
-                "clf_filtered",
-                "compress_filtered",
-                "tokenized",
-                "chunks",
-                "sequences",
-            )
-        }
     return stages

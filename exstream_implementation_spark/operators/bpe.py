@@ -107,13 +107,15 @@ def bpe_train(
     Returns the ordered merge list — order IS the merge priority."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive: {n_merges}")
-    # snapshot the JVM's pinned-RDD inventory: localCheckpoint pins an RDD
-    # that DataFrame.unpersist does NOT release (only the ContextCleaner
-    # frees it, asynchronously, after GC) — so this job releases its own
-    # checkpoint RDDs explicitly on exit instead of leaking pinned storage
-    # until some later GC (tests/test_cache_hygiene.py is the gate)
+    # localCheckpoint pins an RDD that DataFrame.unpersist does NOT release
+    # (only the async ContextCleaner frees it, after GC) — so this job
+    # releases its own checkpoint RDDs explicitly on exit instead of
+    # leaking pinned storage (tests/test_cache_hygiene.py is the gate).
+    # The ownership diff is taken around EACH eager checkpoint call, never
+    # entry-to-exit: a whole-function diff would also sweep caches other
+    # threads pinned on the shared context while training ran.
     jsc = docs.sparkSession.sparkContext._jsc
-    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    own_checkpoint_ids: set = set()
     symbols = _initial_symbols(word_counts(docs, text_col)).persist()
     merges: list[tuple[str, str]] = []
     try:
@@ -131,7 +133,10 @@ def bpe_train(
             nxt = symbols.withColumn("syms", _merge_expr(a, b))
             if (i + 1) % checkpoint_every == 0:
                 # cut the fold-upon-fold lineage before it compounds
-                nxt = nxt.localCheckpoint(eager=True)
+                pre = set(jsc.getPersistentRDDs().keySet().toArray())
+                nxt = nxt.localCheckpoint(eager=True)  # pins NOW (eager)
+                post = set(jsc.getPersistentRDDs().keySet().toArray())
+                own_checkpoint_ids |= post - pre
             else:
                 nxt = nxt.persist()
                 nxt.count()
@@ -141,7 +146,7 @@ def bpe_train(
         symbols.unpersist()
         leftover = jsc.getPersistentRDDs()
         for rid in list(leftover.keySet().toArray()):
-            if rid not in before:
+            if rid in own_checkpoint_ids:
                 leftover.get(rid).unpersist(False)
     return merges
 

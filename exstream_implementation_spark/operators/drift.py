@@ -116,6 +116,62 @@ def psi_categorical(ref: DataFrame, new: DataFrame, col: str) -> float:
     )
 
 
+def _bin_expr(col: str, edges: list) -> str:
+    arr = ", ".join(repr(float(e)) for e in edges)
+    return (
+        f"aggregate(array({arr}), 0, (acc, e) -> acc +"
+        f" CASE WHEN cast({col} as double) > e THEN 1 ELSE 0 END)"
+    )
+
+
+def _numeric_hists_one_pass(df: DataFrame, edges: dict) -> dict:
+    """{col: {bin: n}} for EVERY column in one aggregation: each (col,
+    bin) is a sum-CASE expression, so Catalyst fuses the whole batch
+    into a single scan (bins are bounded, the expr count is small)."""
+    aggs = []
+    for c, es in edges.items():
+        be = _bin_expr(c, es)
+        for b in range(len(es) + 1):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull() & F.expr(f"({be}) = {b}"), 1
+                    ).otherwise(0)
+                ).alias(f"{c}\x1f{b}")
+            )
+    row = df.agg(*aggs).first()
+    out: dict = {c: {} for c in edges}
+    for key, v in row.asDict().items():
+        c, b = key.split("\x1f")
+        out[c][int(b)] = int(v or 0)
+    return out
+
+
+def _categorical_counts_one_pass(df: DataFrame, cols: list) -> dict:
+    """{col: {value: n}} for every column from ONE stacked pass (the
+    profile_top_values shape; NULL values keep a NULL key)."""
+    stacked = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in cols
+            ])
+        ).alias("s")
+    ).select("s.column", "s.value")
+    rows = (
+        stacked.groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out: dict = {c: {} for c in cols}
+    for r in rows:
+        out[r["column"]][r["value"]] = int(r["n"])
+    return out
+
+
 def drift_report(
     ref: DataFrame,
     new: DataFrame,
@@ -124,14 +180,44 @@ def drift_report(
     n_bins: int = 10,
 ) -> DataFrame:
     """(column, kind, psi, verdict) for every requested column — verdict
-    uses the standard 0.1 / 0.25 thresholds."""
+    uses the standard 0.1 / 0.25 thresholds.
+
+    Batched: ONE approx_percentile aggregation derives every numeric
+    column's reference edges, ONE aggregation per side computes all
+    numeric histograms, and ONE stacked pass per side counts all
+    categorical columns — five jobs total, independent of column count
+    (the per-column psi_numeric/psi_categorical entry points stay for
+    single-column use)."""
+    numeric_cols = list(numeric_cols)
+    categorical_cols = list(categorical_cols)
     if not numeric_cols and not categorical_cols:
         raise ValueError("drift_report: no columns requested")
     rows = []
-    for c in numeric_cols:
-        rows.append((c, "numeric", psi_numeric(ref, new, c, n_bins)))
-    for c in categorical_cols:
-        rows.append((c, "categorical", psi_categorical(ref, new, c)))
+    if numeric_cols:
+        qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+        edge_row = ref.agg(*[
+            F.expr(
+                f"approx_percentile(cast({c} as double), array({qs}), 10000)"
+            ).alias(c)
+            for c in numeric_cols
+        ]).first()
+        edges = {}
+        for c in numeric_cols:
+            es = sorted(set(e for e in (edge_row[c] or []) if e is not None))
+            if not es:
+                raise ValueError(f"drift_report: no non-null values in {c!r}")
+            edges[c] = es
+        ref_h = _numeric_hists_one_pass(ref, edges)
+        new_h = _numeric_hists_one_pass(new, edges)
+        for c in numeric_cols:
+            rows.append((c, "numeric", _psi_from_counts(ref_h[c], new_h[c])))
+    if categorical_cols:
+        ref_c = _categorical_counts_one_pass(ref, categorical_cols)
+        new_c = _categorical_counts_one_pass(new, categorical_cols)
+        for c in categorical_cols:
+            rows.append(
+                (c, "categorical", _psi_from_counts(ref_c[c], new_c[c]))
+            )
     out = [
         (
             c, kind, float(v),

@@ -133,6 +133,23 @@ _BUCKET_DUCK = f"""
 """
 
 
+def plane_weight_sql(dim: int) -> str:
+    """The md5 hyperplane-weight derivation as a SQL transform over
+    component index j, for a row scoped by (tbl, plane) columns or
+    lambda vars.  SINGLE SOURCE OF TRUTH for the SQL form: the batch
+    bucket builder below, the DuckDB oracle CTE generator, and the
+    streaming ingest arm (streaming/ingest_dedup.py with_lsh_buckets)
+    must all hash to bit-identical buckets, so they all call this.
+    (lsh_buckets_vectorized mirrors it in numpy — kept in sync by the
+    pytest that pins SQL==numpy bucket equality.)"""
+    return (
+        f"transform(sequence(0, {dim - 1}), j -> "
+        "((cast(conv(substr(md5(concat(cast(tbl as string), '_',"
+        " cast(plane as string), '_', cast(j as string))), 1, 8), 16, 10)"
+        " as bigint) % 2001) - 1000) / 1000.0)"
+    )
+
+
 def _buckets_spark(spark, sf_dir):
     """(vec_id, tbl, bucket) — one row per vector per hash table; the
     hyperplane weights are md5-derived (seeded by table and plane) so both
@@ -148,11 +165,7 @@ def _buckets_spark(spark, sf_dir):
         .select(
             "tbl",
             "plane",
-            F.expr(
-                f"transform(sequence(0, {DIM - 1}), j -> "
-                "((cast(conv(substr(md5(concat(cast(tbl as string), '_', cast(plane as string), '_', cast(j as string))), 1, 8), 16, 10) as bigint)"
-                " % 2001) - 1000) / 1000.0)"
-            ).alias("w"),
+            F.expr(plane_weight_sql(DIM)).alias("w"),
         )
     )
     # NOTE (round 7): folding all planes of a table into one nested

@@ -724,14 +724,13 @@ def ingest_pipeline(
 # per-trigger volume is microbatch-sized.
 
 def _plane_weight_expr(dim: int) -> str:
-    """w[j] for (tbl, plane): the identical md5 derivation as
-    plans/similarity.py `_buckets_spark` — bit-equal buckets by design."""
-    return (
-        f"transform(sequence(0, {dim - 1}), j -> "
-        "((cast(conv(substr(md5(concat(cast(tbl as string), '_',"
-        " cast(plane as string), '_', cast(j as string))), 1, 8), 16, 10)"
-        " as bigint) % 2001) - 1000) / 1000.0)"
+    """w[j] for (tbl, plane): the single-source-of-truth md5 derivation
+    (plans/similarity.py plane_weight_sql) — bit-equal buckets by design."""
+    from exstream_implementation_spark.plans.similarity import (
+        plane_weight_sql,
     )
+
+    return plane_weight_sql(dim)
 
 
 def with_lsh_buckets(
@@ -781,22 +780,45 @@ def stream_embdup_vs_corpus(
     docs: DataFrame,
     index: DataFrame,
     n_planes: int,
+    n_tables: int = 4,
     min_cosine: float = 0.9,
     watermark: str | None = "10 minutes",
     vec_col: str = "embedding",
     dim: int = 64,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Flag arriving docs whose embedding is within cosine >= min_cosine of
     any corpus vector sharing an LSH bucket (docs: doc_id, event_time,
     embedding).  Candidates from the (tbl, bucket) equi-join; exact cosine
     filters; one flag per (doc, corpus doc) within the watermark horizon.
 
-    Recall contract is the LSH families': only pairs agreeing on at least
-    one table's full sign pattern are candidates — the same trade the
-    batch emb_neardup_lsh makes, with the same plane-count lever."""
+    ``n_planes``/``n_tables`` MUST match the values the index was built
+    with — a narrower probe side silently probes a subset of the index's
+    tables (recall loss with no error).
+
+    Recall contract: with ``multiprobe=True`` (default) each arriving doc
+    probes its own bucket PLUS every Hamming-1 flip per table — the same
+    lever that takes the batch ``emb_neardup_lsh`` from exact-bucket
+    recall to its pinned >=0.9 (probe volume x(n_planes+1), still a pure
+    projection and stream-safe).  ``multiprobe=False`` probes exact
+    buckets only: only pairs agreeing on at least one table's FULL sign
+    pattern are candidates — cheaper, strictly lower recall."""
     from exstream_implementation_spark.plans.similarity import _cosine_expr
 
-    probes = with_lsh_buckets(docs, n_planes, vec_col=vec_col, dim=dim)
+    probes = with_lsh_buckets(
+        docs, n_planes, n_tables=n_tables, vec_col=vec_col, dim=dim
+    )
+    if multiprobe:
+        # own bucket (flip = -1 sentinel) + one variant per plane bit
+        probes = probes.select(
+            "*",
+            F.explode(F.expr(f"sequence(-1, {n_planes - 1})")).alias("__flip"),
+        ).withColumn(
+            "bucket",
+            F.when(F.col("__flip") < 0, F.col("bucket")).otherwise(
+                F.expr("bucket ^ shiftleft(cast(1 as bigint), __flip)")
+            ),
+        ).drop("__flip")
     flagged = (
         probes.join(index, ["tbl", "bucket"])
         .filter(F.col("doc_id") != F.col("corpus_doc_id"))

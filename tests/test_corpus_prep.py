@@ -390,7 +390,8 @@ def test_manifest_written_next_to_shards(prepped, spark):
     _, stages, out = prepped
     path = os.path.join(out, "_MANIFEST.json")
     assert os.path.exists(path)
-    assert not os.path.exists(path + ".tmp")
+    # the ACTUAL tmp name the atomic write uses (corpus_prep.py)
+    assert not os.path.exists(os.path.join(out, ".manifest.json.tmp"))
     with open(path) as fh:
         m = json.load(fh)
     assert m["config"]["chunk_len"] == CFG.chunk_len
@@ -402,3 +403,32 @@ def test_manifest_written_next_to_shards(prepped, spark):
     sc = m["stage_counts"]
     assert sc["quality"] == 6 and sc["decontaminated"] == 4
     assert sc["sequences"] == stages["sequences"].count()
+    # all gate stages carried, and == the returned dict (one counting)
+    for k in ("lm_filtered", "clf_filtered", "compress_filtered",
+              "tokenized", "chunks"):
+        assert sc[k] == stages["stage_counts"][k]
+    assert sc == stages["stage_counts"]
+
+
+def test_compression_gate_passes_undefined_ratio(spark):
+    """A doc despanned to EMPTY text has an undefined compression ratio;
+    enabling the gate must not change its fate (NULL passes through)."""
+    import dataclasses
+
+    boiler = "subscribe to the newsletter and follow of is updates daily"
+    docs = _corpus(spark).union(
+        spark.createDataFrame(
+            [(11, boiler)], "doc_id long, text string"
+        )
+    )
+    cfg = dataclasses.replace(CFG, min_compress_ratio=0.5)
+    stages = prepare_corpus(docs, cfg=cfg)
+    texts = {
+        r["doc_id"]: r["text"] for r in stages["despanned"].collect()
+    }
+    assert texts[11].strip() == ""  # whole doc was doc 2's boilerplate
+    ids = {
+        r["doc_id"]
+        for r in stages["compress_filtered"].select("doc_id").collect()
+    }
+    assert 11 in ids  # undefined ratio: kept, same as with the gate off

@@ -107,3 +107,21 @@ def test_drift_report_on_testdata(spark):
         drift_report(half_a, half_b)
     with pytest.raises(ValueError, match="no rows"):
         psi_categorical(docs.filter("doc_id < 0"), docs, "source")
+
+def test_report_matches_per_column_entry_points(spark):
+    """The batched report (5 jobs total) must produce the same PSI as the
+    per-column psi_numeric/psi_categorical calls."""
+    docs = load_table(spark, SF_DIR, "documents")
+    h = F.abs(F.xxhash64("doc_id")) % 2
+    a, b = docs.filter(h == 0), docs.filter(h == 1)
+    rep = {
+        r["column"]: r["psi"]
+        for r in drift_report(
+            a, b, numeric_cols=["n_chars", "doc_id"],
+            categorical_cols=["source", "lang"],
+        ).collect()
+    }
+    assert rep["n_chars"] == pytest.approx(psi_numeric(a, b, "n_chars"))
+    assert rep["doc_id"] == pytest.approx(psi_numeric(a, b, "doc_id"))
+    assert rep["source"] == pytest.approx(psi_categorical(a, b, "source"))
+    assert rep["lang"] == pytest.approx(psi_categorical(a, b, "lang"))

@@ -814,3 +814,95 @@ def test_stream_embdup_flags_match_batch(spark, tmp_path):
         if (d, c) in {(5002, 2), (5009, 9)}
     )
     index.unpersist()
+
+
+def _np_planes(n_tables, n_planes, dim=64):
+    """Numpy mirror of plane_weight_sql's md5 derivation."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.zeros((n_tables, n_planes, dim))
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for j in range(dim):
+                h = hashlib.md5(f"{t}_{p}_{j}".encode()).hexdigest()[:8]
+                w[t, p, j] = ((int(h, 16) % 2001) - 1000) / 1000.0
+    return w
+
+
+def _np_buckets(v, w):
+    import numpy as np
+
+    dots = w @ v  # (tables, planes)
+    return [
+        int(sum(1 << p for p in range(w.shape[1]) if dots[t, p] > 0))
+        for t in range(w.shape[0])
+    ]
+
+
+def test_stream_embdup_multiprobe_rescues_hamming1_pair(spark):
+    """A near-identical pair whose buckets differ in EVERY table (by one
+    bit in at least one) is invisible to the exact-bucket join and found
+    by the Hamming-1 multiprobe — the batch family's recall lever."""
+    import numpy as np
+
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        embedding_index_rows,
+        stream_embdup_vs_corpus,
+        with_event_time,
+    )
+
+    n_tables, n_planes, dim = 4, 4, 64
+    w = _np_planes(n_tables, n_planes, dim)
+    rng = np.random.default_rng(12)
+    base = None
+    pert = None
+    for _ in range(8000):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        u = v + rng.normal(size=dim) * 0.04
+        u /= np.linalg.norm(u)
+        bv, bu = _np_buckets(v, w), _np_buckets(u, w)
+        ham = [bin(a ^ b).count("1") for a, b in zip(bv, bu)]
+        cos = float(v @ u)
+        if min(ham) >= 1 and any(h == 1 for h in ham) and cos >= 0.95:
+            base, pert = v, u
+            break
+    assert base is not None, "no suitable pair found in the search budget"
+    corpus = spark.createDataFrame(
+        [(1, [float(x) for x in base])], "doc_id long, embedding array<float>"
+    )
+    index = embedding_index_rows(corpus, n_planes, n_tables, id_col="doc_id")
+    arriving = with_event_time(
+        spark.createDataFrame(
+            [(5001, [float(x) for x in pert])],
+            "doc_id long, embedding array<float>",
+        )
+    )
+    exact = stream_embdup_vs_corpus(
+        arriving, index, n_planes, n_tables, min_cosine=0.94,
+        multiprobe=False,
+    )
+    assert exact.count() == 0  # all tables differ: exact join misses
+    multi = stream_embdup_vs_corpus(
+        arriving, index, n_planes, n_tables, min_cosine=0.94,
+        multiprobe=True,
+    ).collect()
+    assert [(r["doc_id"], r["corpus_doc_id"]) for r in multi] == [(5001, 1)]
+
+
+def test_stream_embdup_n_tables_respected(spark):
+    """Probe side must cover every index table: an 8-table index probed
+    with n_tables=8 yields 8 distinct probe tables (a narrower default
+    would silently skip half the index)."""
+    from exstream_implementation_spark.streaming.ingest_dedup import (
+        with_lsh_buckets,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(5)
+    got = with_lsh_buckets(emb, n_planes=4, n_tables=8)
+    tbls = {r["tbl"] for r in got.select("tbl").distinct().collect()}
+    assert tbls == set(range(8))
