@@ -160,9 +160,12 @@ from exstream_implementation_spark.operators.textstats import (  # noqa: F401
 )
 from exstream_implementation_spark.operators.drift import (  # noqa: F401
     categorical_counts,
+    drift_monitor_sink,
     drift_report,
     numeric_histogram,
+    psi_against,
     psi_categorical,
     psi_numeric,
     reference_edges,
+    reference_stats,
 )

@@ -172,6 +172,75 @@ def _categorical_counts_one_pass(df: DataFrame, cols: list) -> dict:
     return out
 
 
+def reference_stats(
+    ref: DataFrame,
+    numeric_cols: list = (),
+    categorical_cols: list = (),
+    n_bins: int = 10,
+) -> dict:
+    """Everything the comparison side needs from the reference, computed
+    ONCE: per-column quantile edges (one approx_percentile aggregation
+    for all columns), all numeric histograms (one aggregation), all
+    categorical counts (one stacked pass) — three jobs total.  The
+    returned dict is driver-sized (bins and category cardinalities are
+    bounded) and reusable across many comparisons, which is what the
+    streaming monitor amortizes."""
+    numeric_cols = list(numeric_cols)
+    categorical_cols = list(categorical_cols)
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("reference_stats: no columns requested")
+    stats: dict = {
+        "numeric_cols": numeric_cols,
+        "categorical_cols": categorical_cols,
+        "edges": {},
+        "hists": {},
+        "cats": {},
+    }
+    if numeric_cols:
+        qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+        edge_row = ref.agg(*[
+            F.expr(
+                f"approx_percentile(cast({c} as double), array({qs}), 10000)"
+            ).alias(c)
+            for c in numeric_cols
+        ]).first()
+        for c in numeric_cols:
+            es = sorted(set(e for e in (edge_row[c] or []) if e is not None))
+            if not es:
+                raise ValueError(
+                    f"reference_stats: no non-null values in {c!r}"
+                )
+            stats["edges"][c] = es
+        stats["hists"] = _numeric_hists_one_pass(ref, stats["edges"])
+    if categorical_cols:
+        stats["cats"] = _categorical_counts_one_pass(ref, categorical_cols)
+    return stats
+
+
+def psi_against(stats: dict, new: DataFrame) -> list:
+    """[(column, kind, psi)] of ``new`` vs precomputed reference_stats —
+    two jobs on the new side regardless of column count."""
+    rows = []
+    if stats["numeric_cols"]:
+        new_h = _numeric_hists_one_pass(new, stats["edges"])
+        for c in stats["numeric_cols"]:
+            rows.append(
+                (c, "numeric", _psi_from_counts(stats["hists"][c], new_h[c]))
+            )
+    if stats["categorical_cols"]:
+        new_c = _categorical_counts_one_pass(new, stats["categorical_cols"])
+        for c in stats["categorical_cols"]:
+            rows.append(
+                (c, "categorical",
+                 _psi_from_counts(stats["cats"][c], new_c[c]))
+            )
+    return rows
+
+
+def _verdict(v: float) -> str:
+    return "stable" if v < 0.1 else "moderate" if v < 0.25 else "action"
+
+
 def drift_report(
     ref: DataFrame,
     new: DataFrame,
@@ -182,49 +251,32 @@ def drift_report(
     """(column, kind, psi, verdict) for every requested column — verdict
     uses the standard 0.1 / 0.25 thresholds.
 
-    Batched: ONE approx_percentile aggregation derives every numeric
-    column's reference edges, ONE aggregation per side computes all
-    numeric histograms, and ONE stacked pass per side counts all
-    categorical columns — five jobs total, independent of column count
-    (the per-column psi_numeric/psi_categorical entry points stay for
+    Batched: reference_stats (three jobs) + psi_against (two jobs on the
+    new side) — five jobs total, independent of column count (the
+    per-column psi_numeric/psi_categorical entry points stay for
     single-column use)."""
-    numeric_cols = list(numeric_cols)
-    categorical_cols = list(categorical_cols)
-    if not numeric_cols and not categorical_cols:
-        raise ValueError("drift_report: no columns requested")
-    rows = []
-    if numeric_cols:
-        qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
-        edge_row = ref.agg(*[
-            F.expr(
-                f"approx_percentile(cast({c} as double), array({qs}), 10000)"
-            ).alias(c)
-            for c in numeric_cols
-        ]).first()
-        edges = {}
-        for c in numeric_cols:
-            es = sorted(set(e for e in (edge_row[c] or []) if e is not None))
-            if not es:
-                raise ValueError(f"drift_report: no non-null values in {c!r}")
-            edges[c] = es
-        ref_h = _numeric_hists_one_pass(ref, edges)
-        new_h = _numeric_hists_one_pass(new, edges)
-        for c in numeric_cols:
-            rows.append((c, "numeric", _psi_from_counts(ref_h[c], new_h[c])))
-    if categorical_cols:
-        ref_c = _categorical_counts_one_pass(ref, categorical_cols)
-        new_c = _categorical_counts_one_pass(new, categorical_cols)
-        for c in categorical_cols:
-            rows.append(
-                (c, "categorical", _psi_from_counts(ref_c[c], new_c[c]))
-            )
+    stats = reference_stats(ref, numeric_cols, categorical_cols, n_bins)
     out = [
-        (
-            c, kind, float(v),
-            "stable" if v < 0.1 else "moderate" if v < 0.25 else "action",
-        )
-        for c, kind, v in rows
+        (c, kind, float(v), _verdict(v))
+        for c, kind, v in psi_against(stats, new)
     ]
     return ref.sparkSession.createDataFrame(
         out, "column string, kind string, psi double, verdict string"
     )
+
+
+def drift_monitor_sink(stats: dict, sink: list):
+    """foreachBatch sink: per microbatch, append
+    (batch_id, column, kind, psi, verdict) rows to ``sink`` — the
+    reference side was computed ONCE (reference_stats), so each trigger
+    costs two aggregation jobs on the batch alone.  ``sink`` is any
+    list-like with .append (tests use a plain list; production wraps a
+    table append the same way the ingest engines do)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for c, kind, v in psi_against(stats, batch_df):
+            sink.append((int(batch_id), c, kind, float(v), _verdict(v)))
+
+    return apply

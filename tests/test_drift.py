@@ -125,3 +125,77 @@ def test_report_matches_per_column_entry_points(spark):
     assert rep["doc_id"] == pytest.approx(psi_numeric(a, b, "doc_id"))
     assert rep["source"] == pytest.approx(psi_categorical(a, b, "source"))
     assert rep["lang"] == pytest.approx(psi_categorical(a, b, "lang"))
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Reference stats computed once; a real file-source stream is
+    monitored per microbatch: an in-distribution batch reads stable, a
+    shifted batch trips the action verdict; report rows parity with the
+    batch drift_report."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.drift import (
+        drift_monitor_sink,
+        psi_against,
+        reference_stats,
+    )
+
+    rng = np.random.default_rng(8)
+    ref = spark.createDataFrame(
+        [(float(v), "a" if i % 2 else "b")
+         for i, v in enumerate(rng.normal(0, 1, 1500))],
+        "x double, v string",
+    )
+    stats = reference_stats(
+        ref, numeric_cols=["x"], categorical_cols=["v"]
+    )
+    src = str(tmp_path / "batches")
+    stable = spark.createDataFrame(
+        [(float(v), "a" if i % 2 else "b")
+         for i, v in enumerate(rng.normal(0, 1, 600))],
+        "x double, v string",
+    )
+    shifted = spark.createDataFrame(
+        [(float(v), "b") for v in rng.normal(3.0, 1, 600)],
+        "x double, v string",
+    )
+    stable.coalesce(1).write.parquet(f"{src}/f1")
+    shifted.coalesce(1).write.parquet(f"{src}/f2")
+    # one file per trigger: two microbatches
+    import glob
+
+    for f in glob.glob(f"{src}/f*/*.parquet"):
+        import shutil
+
+        shutil.move(f, f"{src}/{f.split('/')[-2]}.parquet")
+    stream = spark.readStream.schema("x double, v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    sink = []
+    q = (
+        stream.writeStream.foreachBatch(drift_monitor_sink(stats, sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(sink) == 4  # 2 batches x 2 columns
+    by_batch = {}
+    for bid, c, kind, v, verdict in sink:
+        by_batch.setdefault(bid, {})[c] = (v, verdict)
+    batches = sorted(by_batch)
+    # one batch is stable on both columns, the other trips action on both
+    flat = [
+        {c: by_batch[b][c][1] for c in ("x", "v")} for b in batches
+    ]
+    assert {"x": "stable", "v": "stable"} in flat
+    assert {"x": "action", "v": "action"} in flat
+    # parity: the monitor's psi equals a direct psi_against on the same frame
+    shifted_psi = {c: v for c, _k, v in psi_against(stats, shifted)}
+    action_batch = next(
+        b for b in batches if by_batch[b]["x"][1] == "action"
+    )
+    import pytest as _pt
+
+    assert by_batch[action_batch]["x"][0] == _pt.approx(shifted_psi["x"])
+    assert by_batch[action_batch]["v"][0] == _pt.approx(shifted_psi["v"])
