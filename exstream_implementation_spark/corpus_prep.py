@@ -67,6 +67,15 @@ class CorpusPrepConfig:
     chunk_len: int = 64
     pack_capacity: int = 256
     pack_groups: int = 64
+    # source-mix sampling (plans/dedup.py sample_mix): per-source keep
+    # fractions applied as the deterministic hash-Bernoulli AFTER the
+    # quality/dedup gates.  Provide fractions directly, or set
+    # mix_tau + mix_target_rows to derive them from the surviving
+    # per-source sizes (temperature_mix_policy).  All None = off.
+    mix_fractions: dict | None = None
+    mix_tau: float | None = None
+    mix_target_rows: int | None = None
+    source_col: str = "source"
     # leakage-safe split (plans/splits.py): assign every DOC a split and
     # pack each split separately, so a packed sequence can never mix
     # train and eval tokens.  None = no split column, single pack pool.
@@ -223,6 +232,7 @@ def prepare_corpus(
       benchmark) → lm_filtered (== input when max_lm_nll is None) →
       clf_filtered (== input when quality_model is None) →
       compress_filtered (== input when min_compress_ratio is None) →
+      mixed (== input when no mix config) →
       merges (list) → tokenized → chunks → assignment →
       sequences [→ written shards at out_path/shard=i/]
 
@@ -292,6 +302,32 @@ def prepare_corpus(
             .drop("compress_ratio")
         )
     stages["compress_filtered"] = cur
+
+    if cfg.mix_fractions is not None or cfg.mix_tau is not None:
+        from exstream_implementation_spark.plans.dedup import (
+            sample_mix,
+            temperature_mix_policy,
+        )
+
+        if cfg.mix_fractions is not None and cfg.mix_tau is not None:
+            raise ValueError(
+                "corpus_prep: set mix_fractions OR mix_tau, not both"
+            )
+        if cfg.mix_fractions is not None:
+            fractions = cfg.mix_fractions
+        else:
+            if cfg.mix_target_rows is None:
+                raise ValueError(
+                    "corpus_prep: mix_tau needs mix_target_rows"
+                )
+            # τ policy from the SURVIVING corpus's per-source sizes —
+            # one aggregate; epochs > 1 are reported in the policy, not
+            # applied (a single-pass prep keeps at most one copy)
+            fractions = temperature_mix_policy(
+                cur, cfg.mix_tau, cfg.mix_target_rows, key=cfg.source_col
+            )["fractions"]
+        cur = sample_mix(cur, fractions, key=cfg.source_col)
+    stages["mixed"] = cur
 
     merges = bpe_train(cur.select("doc_id", "text"), cfg.bpe_merges)
     stages["merges"] = merges
@@ -393,6 +429,7 @@ def prepare_corpus(
                 "lm_filtered",
                 "clf_filtered",
                 "compress_filtered",
+                "mixed",
                 "tokenized",
                 "chunks",
                 "sequences",

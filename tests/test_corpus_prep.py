@@ -432,3 +432,44 @@ def test_compression_gate_passes_undefined_ratio(spark):
         for r in stages["compress_filtered"].select("doc_id").collect()
     }
     assert 11 in ids  # undefined ratio: kept, same as with the gate off
+
+
+def test_mix_stage_samples_by_source(spark):
+    """With mix_fractions set, the mix stage keeps full-fraction sources
+    whole and drops unlisted sources; mutually-exclusive config and
+    missing target validated; default path leaves the stage identity."""
+    import dataclasses
+
+    docs = _corpus(spark).withColumn(
+        "source", F.when(F.col("doc_id") < 4, "web").otherwise("wiki")
+    )
+    cfg = dataclasses.replace(CFG, mix_fractions={"web": 1.0})
+    stages = prepare_corpus(docs, benchmark=_bench(spark), cfg=cfg)
+    pre = {
+        r["doc_id"]
+        for r in stages["compress_filtered"].select("doc_id").collect()
+    }
+    mixed = {r["doc_id"] for r in stages["mixed"].select("doc_id").collect()}
+    assert mixed == {d for d in pre if d < 4}  # wiki unlisted: dropped
+    # identity when off
+    off = prepare_corpus(docs, benchmark=_bench(spark), cfg=CFG)
+    assert {
+        r["doc_id"] for r in off["mixed"].select("doc_id").collect()
+    } == {
+        r["doc_id"]
+        for r in off["compress_filtered"].select("doc_id").collect()
+    }
+    with pytest.raises(ValueError, match="not both"):
+        prepare_corpus(
+            docs,
+            cfg=dataclasses.replace(
+                CFG, mix_fractions={"web": 1.0}, mix_tau=0.5,
+                mix_target_rows=4,
+            ),
+        )
+    with pytest.raises(ValueError, match="mix_target_rows"):
+        prepare_corpus(docs, cfg=dataclasses.replace(CFG, mix_tau=0.5))
+    # τ flavor: derives fractions from surviving sizes and keeps a subset
+    tau_cfg = dataclasses.replace(CFG, mix_tau=1.0, mix_target_rows=2)
+    t_stages = prepare_corpus(docs, benchmark=_bench(spark), cfg=tau_cfg)
+    assert t_stages["mixed"].count() <= len(pre)
