@@ -303,6 +303,15 @@ def prepare_corpus(
         )
     stages["compress_filtered"] = cur
 
+    mix_policy = None
+    if (
+        cfg.mix_target_rows is not None
+        and cfg.mix_tau is None
+        and cfg.mix_fractions is None
+    ):
+        raise ValueError(
+            "corpus_prep: mix_target_rows does nothing without mix_tau"
+        )
     if cfg.mix_fractions is not None or cfg.mix_tau is not None:
         from exstream_implementation_spark.plans.dedup import (
             sample_mix,
@@ -320,14 +329,29 @@ def prepare_corpus(
                 raise ValueError(
                     "corpus_prep: mix_tau needs mix_target_rows"
                 )
+            # persist before the policy aggregate: the size groupBy would
+            # otherwise materialize the full upstream chain once more
+            # (same reason the split branch persists its chunk table)
+            cur = cur.persist()
             # τ policy from the SURVIVING corpus's per-source sizes —
-            # one aggregate; epochs > 1 are reported in the policy, not
-            # applied (a single-pass prep keeps at most one copy)
-            fractions = temperature_mix_policy(
+            # one aggregate.  Epoch factors > 1 (demand exceeding a
+            # source) are NOT applied — a single-pass prep keeps at most
+            # one copy — but the full policy (fractions, epochs, sizes)
+            # is surfaced via stages['mix_policy'] and the manifest so
+            # an undershoot vs mix_target_rows is auditable.
+            mix_policy = temperature_mix_policy(
                 cur, cfg.mix_tau, cfg.mix_target_rows, key=cfg.source_col
-            )["fractions"]
-        cur = sample_mix(cur, fractions, key=cfg.source_col)
+            )
+            fractions = mix_policy["fractions"]
+        # DISTINCT salt from the split assignment: for string doc ids
+        # sample_mix(salt) and assign_splits(salt) hash identically, and
+        # equal salts would correlate keep-selection with split
+        # assignment (e.g. every kept row landing in 'train')
+        cur = sample_mix(
+            cur, fractions, key=cfg.source_col, salt=cfg.seed + 101
+        )
     stages["mixed"] = cur
+    stages["mix_policy"] = mix_policy
 
     merges = bpe_train(cur.select("doc_id", "text"), cfg.bpe_merges)
     stages["merges"] = merges
@@ -457,6 +481,11 @@ def prepare_corpus(
             "splits": (
                 list(cfg.split_weights) if cfg.split_weights else None
             ),
+            # τ-mixing audit trail: clamped fractions, the UNAPPLIED
+            # epoch factors (a value > 1 means the achieved corpus
+            # undershoots mix_target_rows for that source), and the
+            # surviving sizes the policy was derived from
+            "mix_policy": mix_policy,
         }
         if counts:
             manifest["stage_counts"] = stages["stage_counts"]

@@ -124,11 +124,12 @@ def _bin_expr(col: str, edges: list) -> str:
     )
 
 
-def _numeric_hists_one_pass(df: DataFrame, edges: dict) -> dict:
-    """{col: {bin: n}} for EVERY column in one aggregation: each (col,
-    bin) is a sum-CASE expression, so Catalyst fuses the whole batch
-    into a single scan (bins are bounded, the expr count is small)."""
-    aggs = []
+def _numeric_hists_one_pass(df: DataFrame, edges: dict) -> tuple:
+    """({col: {bin: n}}, n_rows) for EVERY column in one aggregation:
+    each (col, bin) is a sum-CASE expression, so Catalyst fuses the
+    whole batch into a single scan (bins are bounded, the expr count is
+    small); the row count rides in the same pass."""
+    aggs = [F.count(F.lit(1)).alias("__nrows")]
     for c, es in edges.items():
         be = _bin_expr(c, es)
         for b in range(len(es) + 1):
@@ -142,9 +143,11 @@ def _numeric_hists_one_pass(df: DataFrame, edges: dict) -> dict:
     row = df.agg(*aggs).first()
     out: dict = {c: {} for c in edges}
     for key, v in row.asDict().items():
+        if key == "__nrows":
+            continue
         c, b = key.split("\x1f")
         out[c][int(b)] = int(v or 0)
-    return out
+    return out, int(row["__nrows"])
 
 
 def _categorical_counts_one_pass(df: DataFrame, cols: list) -> dict:
@@ -211,7 +214,7 @@ def reference_stats(
                     f"reference_stats: no non-null values in {c!r}"
                 )
             stats["edges"][c] = es
-        stats["hists"] = _numeric_hists_one_pass(ref, stats["edges"])
+        stats["hists"], _n = _numeric_hists_one_pass(ref, stats["edges"])
     if categorical_cols:
         stats["cats"] = _categorical_counts_one_pass(ref, categorical_cols)
     return stats
@@ -219,21 +222,39 @@ def reference_stats(
 
 def psi_against(stats: dict, new: DataFrame) -> list:
     """[(column, kind, psi)] of ``new`` vs precomputed reference_stats —
-    two jobs on the new side regardless of column count."""
+    two jobs on the new side regardless of column count.
+
+    Robust by design for a long-running monitor: an EMPTY comparison
+    frame returns [] (nothing to report), and a non-empty frame whose
+    numeric column is all-NULL reports psi = +inf for that column (total
+    distribution loss — the strongest possible drift signal), never an
+    exception."""
     rows = []
+    n_rows = None
+    new_h: dict = {}
     if stats["numeric_cols"]:
-        new_h = _numeric_hists_one_pass(new, stats["edges"])
-        for c in stats["numeric_cols"]:
+        new_h, n_rows = _numeric_hists_one_pass(new, stats["edges"])
+    new_c: dict = {}
+    if stats["categorical_cols"]:
+        new_c = _categorical_counts_one_pass(new, stats["categorical_cols"])
+        if n_rows is None:
+            # every row contributes one (col, value) entry per column,
+            # NULL values included — so a column's total IS the row count
+            first = stats["categorical_cols"][0]
+            n_rows = sum(new_c[first].values())
+    if not n_rows:
+        return []
+    for c in stats["numeric_cols"]:
+        if sum(new_h[c].values()) == 0:  # non-empty batch, all-NULL column
+            rows.append((c, "numeric", float("inf")))
+        else:
             rows.append(
                 (c, "numeric", _psi_from_counts(stats["hists"][c], new_h[c]))
             )
-    if stats["categorical_cols"]:
-        new_c = _categorical_counts_one_pass(new, stats["categorical_cols"])
-        for c in stats["categorical_cols"]:
-            rows.append(
-                (c, "categorical",
-                 _psi_from_counts(stats["cats"][c], new_c[c]))
-            )
+    for c in stats["categorical_cols"]:
+        rows.append(
+            (c, "categorical", _psi_from_counts(stats["cats"][c], new_c[c]))
+        )
     return rows
 
 
@@ -269,13 +290,14 @@ def drift_monitor_sink(stats: dict, sink: list):
     """foreachBatch sink: per microbatch, append
     (batch_id, column, kind, psi, verdict) rows to ``sink`` — the
     reference side was computed ONCE (reference_stats), so each trigger
-    costs two aggregation jobs on the batch alone.  ``sink`` is any
-    list-like with .append (tests use a plain list; production wraps a
-    table append the same way the ingest engines do)."""
+    costs the two psi_against aggregation jobs on the batch alone (the
+    empty-batch short-circuit rides inside those aggregations — no
+    separate isEmpty job).  An all-NULL monitored column reports
+    psi = inf / 'action' rather than crashing the query.  ``sink`` is
+    any list-like with .append (tests use a plain list; production
+    wraps a table append the same way the ingest engines do)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         for c, kind, v in psi_against(stats, batch_df):
             sink.append((int(batch_id), c, kind, float(v), _verdict(v)))
 

@@ -473,3 +473,53 @@ def test_mix_stage_samples_by_source(spark):
     tau_cfg = dataclasses.replace(CFG, mix_tau=1.0, mix_target_rows=2)
     t_stages = prepare_corpus(docs, benchmark=_bench(spark), cfg=tau_cfg)
     assert t_stages["mixed"].count() <= len(pre)
+
+
+def test_mix_salt_decorrelated_from_split(spark, tmp_path):
+    """STRING doc ids hash identically in sample_mix and assign_splits;
+    with equal salts every kept row would land in 'train'.  The prep
+    derives a distinct mix salt, so kept rows span both splits, and the
+    tau policy (fractions/epochs/sizes) lands in the manifest."""
+    import dataclasses
+    import json
+    import os
+
+    rows = [
+        (f"doc{i:04d}",
+         f"{STOPFUL} distinct prose number {i} about topic t{i % 7} "
+         f"with words theme{i} and idea{i} flowing onward")
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    docs = docs.withColumn(
+        "source", F.when(F.length("doc_id") > 0, "web")
+    )
+    out = str(tmp_path / "shards")
+    cfg = dataclasses.replace(
+        CFG,
+        mix_tau=1.0,
+        mix_target_rows=60,  # keep ~half
+        split_weights={"train": 0.5, "val": 0.5},
+        n_shards=2,
+    )
+    stages = prepare_corpus(docs, cfg=cfg, out_path=out)
+    kept = stages["mixed"].count()
+    assert 0 < kept < 120
+    policy = stages["mix_policy"]
+    assert set(policy) == {"fractions", "epochs", "sizes"}
+    assert policy["fractions"]["web"] == pytest.approx(60 / 120, abs=0.01)
+    # kept rows must span BOTH splits (equal salts would collapse to one)
+    from exstream_implementation_spark.plans.splits import assign_splits
+
+    splits = {
+        r["split"]
+        for r in assign_splits(
+            stages["mixed"].select("doc_id"),
+            cfg.split_weights, unit_col="doc_id", salt=cfg.seed,
+        ).collect()
+    }
+    assert splits == {"train", "val"}
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        m = json.load(fh)
+    assert m["mix_policy"]["fractions"]["web"] == policy["fractions"]["web"]
+    assert "epochs" in m["mix_policy"]

@@ -199,3 +199,37 @@ def test_streaming_drift_monitor(spark, tmp_path):
 
     assert by_batch[action_batch]["x"][0] == _pt.approx(shifted_psi["x"])
     assert by_batch[action_batch]["v"][0] == _pt.approx(shifted_psi["v"])
+
+
+def test_monitor_survives_all_null_and_empty_batches(spark):
+    """A non-empty batch with an all-NULL monitored column reports
+    psi = inf / action (total distribution loss); an empty batch reports
+    nothing; neither crashes the sink."""
+    import math as _m
+
+    from exstream_implementation_spark.operators.drift import (
+        drift_monitor_sink,
+        psi_against,
+        reference_stats,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 7), "a") for i in range(200)], "x double, v string"
+    )
+    stats = reference_stats(ref, numeric_cols=["x"], categorical_cols=["v"])
+    allnull = spark.createDataFrame(
+        [(None, "a")] * 5, "x double, v string"
+    )
+    rows = psi_against(stats, allnull)
+    got = {c: v for c, _k, v in rows}
+    assert _m.isinf(got["x"]) and got["x"] > 0
+    assert got["v"] == pytest.approx(0.0, abs=1e-9)
+    sink = []
+    apply = drift_monitor_sink(stats, sink)
+    apply(allnull, 7)
+    assert ("x" in {r[1] for r in sink}
+            and {r[4] for r in sink if r[1] == "x"} == {"action"})
+    empty = spark.createDataFrame([], "x double, v string")
+    apply(empty, 8)
+    assert all(r[0] == 7 for r in sink)  # empty batch appended nothing
+    assert psi_against(stats, empty) == []
