@@ -8,6 +8,12 @@ from exstream_implementation_spark.operators.bucketing import (  # noqa: F401
 from exstream_implementation_spark.operators.asof import (  # noqa: F401
     asof_join_backward,
 )
+from exstream_implementation_spark.operators.approx import (  # noqa: F401
+    distinct_rollup,
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
 from exstream_implementation_spark.operators.components import (  # noqa: F401
     connected_components,
 )
