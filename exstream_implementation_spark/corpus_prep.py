@@ -62,6 +62,10 @@ class CorpusPrepConfig:
     # ratio falls BELOW this — text that compresses too well is
     # template/repetition junk the n-gram ratios miss.  None = off.
     min_compress_ratio: float | None = None
+    # per-source document cap (plans/urls.py cap_per_group): at most this
+    # many docs per source survive, smallest doc_id first — the standard
+    # "no single host/source dominates" curation lever.  None = off.
+    max_per_source: int | None = None
     # tokenizer + packing
     bpe_merges: int = 64
     chunk_len: int = 64
@@ -232,6 +236,7 @@ def prepare_corpus(
       benchmark) → lm_filtered (== input when max_lm_nll is None) →
       clf_filtered (== input when quality_model is None) →
       compress_filtered (== input when min_compress_ratio is None) →
+      capped (== input when max_per_source is None) →
       mixed (== input when no mix config) →
       merges (list) → tokenized → chunks → assignment →
       sequences [→ written shards at out_path/shard=i/]
@@ -302,6 +307,16 @@ def prepare_corpus(
             .drop("compress_ratio")
         )
     stages["compress_filtered"] = cur
+
+    if cfg.max_per_source is not None:
+        from exstream_implementation_spark.plans.urls import cap_per_group
+
+        # deterministic cap: the n smallest doc_ids per source, via the
+        # two-phase fold — a dominant source never becomes one task
+        cur = cap_per_group(
+            cur, [cfg.source_col], cfg.max_per_source, id_col="doc_id"
+        )
+    stages["capped"] = cur
 
     mix_policy = None
     if (
@@ -453,6 +468,7 @@ def prepare_corpus(
                 "lm_filtered",
                 "clf_filtered",
                 "compress_filtered",
+                "capped",
                 "mixed",
                 "tokenized",
                 "chunks",
@@ -496,3 +512,51 @@ def prepare_corpus(
         _os.replace(tmp, _os.path.join(out_path, "_MANIFEST.json"))
 
     return stages
+
+
+# Doc-level stages in pipeline order — the audit walks consecutive pairs.
+AUDIT_STAGES = (
+    "quality",
+    "deduped",
+    "despanned",
+    "decontaminated",
+    "lm_filtered",
+    "clf_filtered",
+    "compress_filtered",
+    "capped",
+    "mixed",
+)
+
+
+def drop_audit(
+    stages: dict, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document provenance for a ``prepare_corpus`` run: one row per
+    INPUT doc with ``dropped_at`` = the first stage whose output no longer
+    contains it, or ``'kept'``.  The curation counterpart of the manifest's
+    aggregate stage_counts — "why is doc X missing from my shards?" becomes
+    one filter.
+
+    Each consecutive stage pair contributes a left-anti join between two
+    id projections; every stage's id set is tracked-persisted (cache.py)
+    so the audit materializes each stage chain ONCE, not once per
+    downstream comparison, and the pins release at the next catalog query
+    / ``release_tracked()``.  Disabled stages (output == input frame)
+    contribute empty anti-joins and never appear in the result.
+    """
+    from exstream_implementation_spark import cache
+
+    prev = cache.tracked_persist(docs.select(id_col))
+    parts = []
+    for name in AUDIT_STAGES:
+        cur = cache.tracked_persist(stages[name].select(id_col))
+        parts.append(
+            prev.join(cur, id_col, "left_anti").withColumn(
+                "dropped_at", F.lit(name)
+            )
+        )
+        prev = cur
+    out = prev.withColumn("dropped_at", F.lit("kept"))
+    for p in parts:
+        out = out.unionByName(p)
+    return out

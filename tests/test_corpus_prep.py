@@ -523,3 +523,49 @@ def test_mix_salt_decorrelated_from_split(spark, tmp_path):
         m = json.load(fh)
     assert m["mix_policy"]["fractions"]["web"] == policy["fractions"]["web"]
     assert "epochs" in m["mix_policy"]
+
+
+def test_max_per_source_cap(spark):
+    import dataclasses
+
+    rows = [
+        (i, f"{STOPFUL} document number {i} with enough ordinary words", "A")
+        for i in range(6)
+    ] + [
+        (10 + i, f"{STOPFUL} other corpus item {i} plain readable text", "B")
+        for i in range(2)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cfg = dataclasses.replace(CFG, max_per_source=3)
+    stages = prepare_corpus(docs, cfg=cfg)
+    capped = {r["doc_id"] for r in stages["capped"].select("doc_id").collect()}
+    # 3 smallest doc_ids of A survive; B is under the cap and keeps both
+    assert capped == {0, 1, 2, 10, 11}
+    # with the cap off the stage is a pass-through
+    off = prepare_corpus(docs, cfg=CFG)
+    assert off["capped"].count() == off["compress_filtered"].count() == 8
+
+
+def test_drop_audit_names_the_dropping_stage(prepped, spark):
+    from exstream_implementation_spark import cache
+    from exstream_implementation_spark.corpus_prep import drop_audit
+
+    docs, stages, _ = prepped
+    fate = {
+        r["doc_id"]: r["dropped_at"]
+        for r in drop_audit(stages, docs).collect()
+    }
+    # one verdict per INPUT doc, no duplicates lost to the union
+    assert len(fate) == docs.count()
+    assert fate == {
+        0: "kept",
+        1: "deduped",
+        2: "kept",
+        3: "kept",
+        4: "decontaminated",
+        5: "quality",
+        6: "quality",
+        7: "kept",
+    }
+    # the audit's pins are tracked and fully releasable
+    assert cache.release_tracked() > 0
