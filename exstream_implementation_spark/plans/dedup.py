@@ -742,11 +742,27 @@ WITH RECURSIVE
     UNION
     SELECT r.vertex, u.b FROM reach r JOIN undirected u ON u.a = r.reached
   ),
-  comp AS (SELECT vertex, min(reached) AS component FROM reach GROUP BY vertex)
-SELECT x.doc_id, x.n_tokens,
-       cast(ceil(x.n_tokens / 32.0) AS BIGINT) AS n_chunks
-FROM ex x LEFT JOIN comp c ON c.vertex = x.doc_id
-WHERE c.vertex IS NULL OR c.component = x.doc_id
+  comp AS (SELECT vertex, min(reached) AS component FROM reach GROUP BY vertex),
+  final AS (
+    SELECT x.doc_id, x.n_tokens
+    FROM ex x LEFT JOIN comp c ON c.vertex = x.doc_id
+    WHERE c.vertex IS NULL OR c.component = x.doc_id
+  ),
+  f2 AS (
+    SELECT f.doc_id, f.n_tokens, d.source,
+           row_number() OVER (PARTITION BY d.source ORDER BY f.doc_id) AS rn
+    FROM final f JOIN documents d ON d.doc_id = f.doc_id
+  )
+-- url_norm is the ANALYTIC canonical form of the messy URL the Spark side
+-- synthesizes and runs through its general normalizer: scheme+host
+-- lowercased, :443 stripped, trailing slash trimmed, utm_* and the
+-- fragment dropped, surviving params sorted (a=1 before b=N).
+SELECT doc_id, n_tokens,
+       cast(ceil(n_tokens / 32.0) AS BIGINT) AS n_chunks,
+       'https://' || lower(source) || '.example.com/docs/' || doc_id
+         || '?a=1&b=' || (doc_id % 7) AS url_norm,
+       rn <= 10 AS cap_kept
+FROM f2
 """.format(capped_edges=_CAPPED_EDGES_SQL + ",")
 
 
@@ -831,10 +847,46 @@ def corpus_curation(spark, sf_dir):
     final = ex.join(comp, ex.doc_id == comp.vertex, "left").filter(
         F.col("vertex").isNull() | (F.col("component") == F.col("doc_id"))
     )
-    return final.select(
-        "doc_id",
-        "n_tokens",
-        F.ceil(F.col("n_tokens") / 32.0).cast("long").alias("n_chunks"),
+    # --- URL + per-source-cap branches (plans/urls.py), hash-gated -------
+    # A deterministic messy URL is synthesized per surviving doc (mixed
+    # case, default port, tracking param, unsorted params, fragment,
+    # trailing slash) and canonicalized by the GENERAL normalizer; the
+    # DuckDB oracle derives the expected canonical form analytically, so
+    # any bug in port/param/case/slash handling breaks the value hash.
+    # cap_kept flags the 10 smallest doc_ids per source — cap_per_group's
+    # two-phase fold as a membership column.
+    from exstream_implementation_spark.plans.urls import (
+        _norm_expr,
+        cap_per_group,
+    )
+
+    src = load_documents_parallel(spark, sf_dir).select("doc_id", "source")
+    base = tracked_persist(
+        final.select("doc_id", "n_tokens").join(src, "doc_id")
+    )
+    winners = (
+        cap_per_group(base.select("doc_id", "source"), ["source"], 10)
+        .select("doc_id")
+        .withColumn("__w", F.lit(True))
+    )
+    raw_url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM:443/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?b="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_source=feed&a=1#frag"),
+    )
+    return (
+        base.join(winners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.ceil(F.col("n_tokens") / 32.0).cast("long").alias("n_chunks"),
+            _norm_expr(raw_url).alias("url_norm"),
+            F.coalesce(F.col("__w"), F.lit(False)).alias("cap_kept"),
+        )
     )
 
 
