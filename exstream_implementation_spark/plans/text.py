@@ -830,3 +830,81 @@ def clean_web_text(df, text_col: str = "text", min_words: int = 3):
     plan (compose with redact_pii / repetition_metrics for the whole
     C4/Gopher-style quality pass)."""
     return c4_line_filter(strip_html(df, text_col), text_col, min_words)
+
+
+def chunk_by_separator(
+    df,
+    max_chars: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+):
+    """Boundary-respecting chunking for retrieval corpora: split each doc
+    on ``sep`` (paragraphs by default), then greedily merge CONSECUTIVE
+    units into chunks of at most ``max_chars`` characters — a unit is
+    never split, so a chunk always ends on a semantic boundary (the
+    standard RAG chunker, vs corpus_prep.chunk_tokens' fixed token grid).
+    A single unit longer than ``max_chars`` becomes its own oversized
+    chunk (splitting it mid-unit would break the boundary contract;
+    callers wanting hard caps compose with a second fixed-length pass).
+
+    Output: (id_col, chunk_idx, chunk_text, n_chars) — one row per chunk,
+    empty/whitespace docs emit nothing.
+
+    Execution: one pure-JVM ``aggregate`` fold per doc (state = finished
+    chunks + open buffer), then a posexplode — no UDF, no shuffle beyond
+    the explode, cost linear in corpus size and independent of doc count
+    per partition.
+    """
+    if max_chars <= 0:
+        raise ValueError(f"max_chars must be positive: {max_chars}")
+    sep_lit = (
+        sep.replace("\\", "\\\\")
+        .replace("'", "\\'")
+        .replace("\n", "\\n")
+        .replace("\t", "\\t")
+    )
+    units = (
+        f"filter(transform(split({text_col}, '{_re_escape_sql(sep)}'),"
+        " u -> trim(u)), u -> u != '')"
+    )
+    # fold state: (chunks array, open buffer); joining two units costs
+    # len(sep) chars — the reassembled chunk uses the ORIGINAL separator
+    fold = f"""
+    aggregate(
+      {units},
+      named_struct('chunks', cast(array() as array<string>), 'buf', ''),
+      (s, u) -> CASE
+        WHEN s.buf = '' THEN named_struct('chunks', s.chunks, 'buf', u)
+        WHEN length(s.buf) + {len(sep)} + length(u) <= {int(max_chars)}
+          THEN named_struct('chunks', s.chunks,
+                            'buf', concat(s.buf, '{sep_lit}', u))
+        ELSE named_struct('chunks', array_append(s.chunks, s.buf), 'buf', u)
+      END,
+      s -> CASE WHEN s.buf = '' THEN s.chunks
+                ELSE array_append(s.chunks, s.buf) END
+    )
+    """
+    return (
+        df.select(id_col, F.expr(fold).alias("__chunks"))
+        .select(id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk_text"))
+        .withColumn("n_chars", F.length("chunk_text"))
+    )
+
+
+def _re_escape_sql(sep: str) -> str:
+    """Escape ``sep`` for use inside a single-quoted SQL regexp literal
+    (split's pattern argument is a Java regex)."""
+    out = []
+    for ch in sep:
+        if ch in r"\.[]{}()*+?^$|":
+            out.append("\\\\" + ch)
+        elif ch == "'":
+            out.append("\\'")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\t":
+            out.append("\\t")
+        else:
+            out.append(ch)
+    return "".join(out)
