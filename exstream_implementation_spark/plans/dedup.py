@@ -1138,6 +1138,49 @@ def temperature_mix_policy(
     return {"fractions": fractions, "epochs": epochs, "sizes": sizes}
 
 
+def expand_epochs(
+    df,
+    epochs: dict,
+    key: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """Apply ``temperature_mix_policy``'s epoch factors: emit each row of
+    source s exactly ``floor(e_s)`` times plus one extra copy with
+    probability ``frac(e_s)`` (deterministic hash-Bernoulli on
+    (id, salt), the sample_mix convention) — so a source's expected
+    output volume is e_s * n_s and the realized duplication is a pure
+    function of (data, epochs, salt), independent of partitioning.
+
+    Output gains an ``epoch`` int column (0-based copy index): the unique
+    row key downstream is (id_col, epoch).  Keep leakage-safe splits by
+    assigning the split from the ORIGINAL ``id_col`` (plans/splits.py)
+    BEFORE or independent of expansion — then every epoch copy of a doc
+    lands in the same split by construction.  Sources absent from
+    ``epochs`` are dropped (the sample_mix convention); e_s < 1 behaves
+    like sampling (0 or 1 copies, keep probability e_s).
+
+    Execution: one map lookup + bounded sequence/explode per row — no
+    shuffle, no UDF; output size is the only cost, which is the point.
+    """
+    for src, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epoch factor for {src!r} must be >= 0: {e}")
+    e_map = F.create_map(
+        *[F.lit(x) for src, e in epochs.items() for x in (src, float(e))]
+    )[F.col(key)]
+    full = F.floor(e_map).cast("int")
+    frac = e_map - full
+    u = (F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt)))) % F.lit(1_000_000)) / F.lit(1_000_000.0)
+    n_copies = full + (u < frac).cast("int")
+    return (
+        df.withColumn("__nc", n_copies)
+        .filter(e_map.isNotNull() & (F.col("__nc") > 0))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
+        .drop("__nc")
+    )
+
+
 def sample_exact_k(
     df,
     group_col: str,
