@@ -245,3 +245,65 @@ def vacuum(root: str, keep: int = 2) -> list:
             shutil.rmtree(_vdir(root, v))
             removed.append(v)
     return removed
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list,
+    compare_cols: list | None = None,
+) -> DataFrame:
+    """Row-level diff between two committed versions: one row per key
+    whose state changed, with ``change`` in {'added', 'removed',
+    'changed'} — the incremental-processing primitive ("which docs do I
+    re-embed / re-index after this publish?") that turns the version
+    history into change feeds without any writer-side bookkeeping.
+
+    Unchanged keys are omitted.  ``compare_cols`` defaults to every
+    non-key column shared by both versions; comparison is null-safe
+    (a NULL→value flip is 'changed').  Cost: each side shuffles by key
+    once into a full-outer join — no corpus-sized state beyond that, and
+    when one version is CDC-small AQE broadcasts it.
+    """
+    old = read_version(spark, root, v_old)
+    new = read_version(spark, root, v_new)
+    key_cols = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    missing = [
+        c
+        for c in key_cols + list(compare_cols)
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"snapshot_diff: column(s) {missing} absent from v{v_old} or "
+            f"v{v_new}"
+        )
+
+    def fingerprint(df):
+        # null-safe content hash: hash(col) alone maps NULL and some
+        # values together across columns, so include an is-null marker
+        parts = []
+        for c in compare_cols:
+            parts += [F.col(c).isNull().cast("int"), F.col(c)]
+        fp = F.xxhash64(*parts) if parts else F.lit(0)
+        return df.select(*key_cols, fp.alias("__fp"))
+
+    o = fingerprint(old).withColumnRenamed("__fp", "__fp_old")
+    n = fingerprint(new).withColumnRenamed("__fp", "__fp_new")
+    joined = o.join(n, key_cols, "full_outer")
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("__fp_old").isNull(), F.lit("added"))
+            .when(F.col("__fp_new").isNull(), F.lit("removed"))
+            .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

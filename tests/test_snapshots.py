@@ -205,3 +205,46 @@ def test_upsert_writer_through_real_stream(spark, tmp_path):
     ).collect()
     want = {(r["k"], r["v"]) for r in ref_rows if not r["deleted"]}
     assert got == want == {(1, "a2"), (3, "c"), (4, "d")}
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from exstream_implementation_spark.operators.snapshots import (
+        publish_snapshot,
+        snapshot_diff,
+    )
+
+    root = str(tmp_path / "diffsnap")
+    v1 = publish_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+            "k long, txt string, val long",
+        ),
+        root,
+    )
+    v2 = publish_snapshot(
+        spark.createDataFrame(
+            # 1 unchanged, 2 value change, 3 removed, 4 NULL->value flip,
+            # 5 added
+            [(1, "a", 10), (2, "B", 20), (4, "now", 40), (5, "e", 50)],
+            "k long, txt string, val long",
+        ),
+        root,
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(spark, root, v1, v2, ["k"]).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+    # compare_cols narrows the fingerprint: on val alone nothing changed
+    # for keys present in both versions
+    narrowed = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(
+            spark, root, v1, v2, ["k"], compare_cols=["val"]
+        ).collect()
+    }
+    assert narrowed == {3: "removed", 5: "added"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent"):
+        snapshot_diff(spark, root, v1, v2, ["k"], compare_cols=["nope"])
