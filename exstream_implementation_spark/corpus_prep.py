@@ -311,6 +311,11 @@ def prepare_corpus(
     if cfg.max_per_source is not None:
         from exstream_implementation_spark.plans.urls import cap_per_group
 
+        # persist before the cap: cap_per_group reads its input twice
+        # (winner selection + semi-join probe), and `cur` here is the
+        # whole unmaterialized quality→dedup→despan→…→compress chain —
+        # same reason the mix/split branches persist (LRU-evictable)
+        cur = cur.persist()
         # deterministic cap: the n smallest doc_ids per source, via the
         # two-phase fold — a dominant source never becomes one task
         cur = cap_per_group(

@@ -293,9 +293,18 @@ def snapshot_diff(
         fp = F.xxhash64(*parts) if parts else F.lit(0)
         return df.select(*key_cols, fp.alias("__fp"))
 
-    o = fingerprint(old).withColumnRenamed("__fp", "__fp_old")
-    n = fingerprint(new).withColumnRenamed("__fp", "__fp_new")
-    joined = o.join(n, key_cols, "full_outer")
+    o = fingerprint(old).withColumnRenamed("__fp", "__fp_old").alias("__o")
+    n = fingerprint(new).withColumnRenamed("__fp", "__fp_new").alias("__n")
+    # null-SAFE key match: a plain equi-join can never match a NULL key,
+    # which would misreport an unchanged NULL-keyed row as removed+added
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))
+    joined = o.join(n, cond, "full_outer")
+    keys_out = [
+        F.coalesce(F.col(f"__o.{c}"), F.col(f"__n.{c}")).alias(c)
+        for c in key_cols
+    ]
     return (
         joined.withColumn(
             "change",
@@ -305,5 +314,5 @@ def snapshot_diff(
             .otherwise(F.lit(None)),
         )
         .filter(F.col("change").isNotNull())
-        .select(*key_cols, "change")
+        .select(*keys_out, "change")
     )

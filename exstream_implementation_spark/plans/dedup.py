@@ -1029,6 +1029,15 @@ from exstream_implementation_spark.canon import (  # noqa: E402
 )
 
 
+def _hash_uniform(id_col: str, salt: int) -> F.Column:
+    """Deterministic per-row uniform in [0, 1) from (id, salt) — the ONE
+    selector shared by sample_mix and expand_epochs (their bit-identical
+    agreement for e < 1 is a pinned contract; keep it structural)."""
+    return (
+        F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt)))) % F.lit(1_000_000)
+    ) / F.lit(1_000_000.0)
+
+
 def sample_mix(
     df,
     fractions: dict,
@@ -1069,9 +1078,7 @@ def sample_mix(
             ]
         )[F.col(key)]
         return df.filter(th.isNotNull() & (u_hex < th))
-    u = (F.abs(F.xxhash64(F.col(id_col), F.lit(salt))) % F.lit(1_000_000)) / F.lit(
-        1_000_000.0
-    )
+    u = _hash_uniform(id_col, salt)
     frac_col = F.create_map(
         *[F.lit(x) for kv in fractions.items() for x in kv]
     )[F.col(key)]
@@ -1171,7 +1178,7 @@ def expand_epochs(
     )[F.col(key)]
     full = F.floor(e_map).cast("int")
     frac = e_map - full
-    u = (F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt)))) % F.lit(1_000_000)) / F.lit(1_000_000.0)
+    u = _hash_uniform(id_col, salt)
     n_copies = full + (u < frac).cast("int")
     return (
         df.withColumn("__nc", n_copies)

@@ -864,9 +864,11 @@ def chunk_by_separator(
         .replace("\n", "\\n")
         .replace("\t", "\\t")
     )
+    # trim ALL whitespace (\\s), not just ASCII space — SQL trim() would
+    # keep tab/newline-edged units and diverge from str.strip() semantics
     units = (
         f"filter(transform(split({text_col}, '{_re_escape_sql(sep)}'),"
-        " u -> trim(u)), u -> u != '')"
+        " u -> regexp_replace(u, '^\\\\s+|\\\\s+$', '')), u -> u != '')"
     )
     # fold state: (chunks array, open buffer); joining two units costs
     # len(sep) chars — the reassembled chunk uses the ORIGINAL separator
@@ -897,7 +899,11 @@ def _re_escape_sql(sep: str) -> str:
     (split's pattern argument is a Java regex)."""
     out = []
     for ch in sep:
-        if ch in r"\.[]{}()*+?^$|":
+        if ch == "\\":
+            # four in the SQL literal → two after literal parsing → one
+            # escaped backslash for the regex engine
+            out.append("\\\\\\\\")
+        elif ch in r".[]{}()*+?^$|":
             out.append("\\\\" + ch)
         elif ch == "'":
             out.append("\\'")

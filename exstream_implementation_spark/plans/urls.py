@@ -64,6 +64,9 @@ TWO_LEVEL_SUFFIXES = (
 def _norm_expr(url: F.Column) -> F.Column:
     """Canonical URL as one codegen expression tree."""
     u = F.trim(url)
+    # drop the fragment FIRST: a '?' inside an SPA-style fragment
+    # ('/page#/route?x=1') must not be mistaken for the query
+    u = F.regexp_replace(u, r"(?s)#.*", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
     # default ports add nothing: http://h:80/ == http://h/
@@ -80,12 +83,14 @@ def _norm_expr(url: F.Column) -> F.Column:
     # '/a/b/' and '/a/b' are the same resource for curation purposes;
     # bare '/' collapses to '' so 'http://h/' == 'http://h'
     path = F.regexp_replace(path, r"/+$", "")
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)", 1)
     drop = "|".join(TRACKING_PARAMS)
+    # tracker NAMES match case-insensitively ('UTM_SOURCE=' is the same
+    # campaign link); surviving params keep their original case
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(f"^(?:{drop})(?:=|$)"),
+            lambda p: (p != "") & ~p.rlike(f"^(?i:{drop})(?:=|$)"),
         )
     )
     qpart = F.when(
@@ -137,16 +142,18 @@ def dedup_by_url(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep the min-``id_col`` row per canonical URL; rows whose URL does
-    not normalize (NULL canonical form) are kept unconditionally — an
-    unparseable URL is no evidence of duplication."""
+    not normalize (NULL canonical form) or that carry a NULL id are kept
+    unconditionally — an unparseable URL is no evidence of duplication,
+    and a row without an identity cannot participate in keep-min."""
     normed = normalize_urls(df, url_col, "__un")
+    dedupable = F.col("__un").isNotNull() & F.col(id_col).isNotNull()
     keep = (
-        normed.filter(F.col("__un").isNotNull())
+        normed.filter(dedupable)
         .groupBy("__un")
         .agg(F.min(id_col).alias(id_col))
     )
-    kept = normed.join(keep, ["__un", id_col], "left_semi")
-    passthrough = normed.filter(F.col("__un").isNull())
+    kept = normed.filter(dedupable).join(keep, ["__un", id_col], "left_semi")
+    passthrough = normed.filter(~dedupable)
     return kept.unionByName(passthrough).drop("__un").select(df.columns)
 
 
@@ -192,6 +199,11 @@ def cap_per_group(
         .filter(F.col("_rn") <= n)
         .select(*group_cols, id_col)
     )
-    return df.join(
-        winners, group_cols + [id_col], "left_semi"
-    ).select(df.columns)
+    # null-SAFE pullback: groupBy treats NULL as a group of its own, so
+    # the semi-join must match it too — a USING join would silently drop
+    # every NULL-keyed row instead of capping it
+    left, right = df.alias("__l"), winners.alias("__r")
+    cond = F.lit(True)
+    for c in group_cols + [id_col]:
+        cond = cond & F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+    return left.join(right, cond, "left_semi").select(df.columns)

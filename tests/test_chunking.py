@@ -107,3 +107,17 @@ def test_plan_is_udf_free_and_runs_on_testdata(spark):
     n_docs_with_text = docs.filter(F.length(F.trim("text")) > 0).count()
     assert out.select("doc_id").distinct().count() == n_docs_with_text
     assert out.filter((F.col("n_chars") > 200) & ~F.col("chunk_text").rlike(r"^\S+$")).count() == 0
+
+
+def test_whitespace_trim_matches_python_strip(spark):
+    # tab/newline-edged units and whitespace-only docs
+    rows = [(0, "\t"), (1, " hello\n\n\n\tworld  \n\nok")]
+    got, _ = _run(spark, rows, 12)
+    assert 0 not in got
+    assert got[1] == _ref_chunks(rows[1][1], 12, "\n\n")
+
+
+def test_backslash_separator(spark):
+    text = r"one\two\three four\five"
+    got, _ = _run(spark, [(0, text)], 10, sep="\\")
+    assert got[0] == _ref_chunks(text, 10, "\\")

@@ -248,3 +248,27 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="absent"):
         snapshot_diff(spark, root, v1, v2, ["k"], compare_cols=["nope"])
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark, tmp_path):
+    from exstream_implementation_spark.operators.snapshots import (
+        publish_snapshot,
+        snapshot_diff,
+    )
+
+    root = str(tmp_path / "nullsnap")
+    v1 = publish_snapshot(
+        spark.createDataFrame(
+            [(None, "same"), (1, "x")], "k long, txt string"
+        ),
+        root,
+    )
+    v2 = publish_snapshot(
+        spark.createDataFrame(
+            [(None, "same"), (1, "y")], "k long, txt string"
+        ),
+        root,
+    )
+    got = [(r["k"], r["change"]) for r in snapshot_diff(spark, root, v1, v2, ["k"]).collect()]
+    # the unchanged NULL-keyed row is NOT misreported as removed+added
+    assert got == [(1, "changed")]

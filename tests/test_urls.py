@@ -143,3 +143,47 @@ def test_cap_per_group_small_groups_and_args(spark):
     assert cap_per_group(docs, ["source"], 10**6).count() == total
     with pytest.raises(ValueError, match="positive"):
         cap_per_group(docs, ["source"], 0)
+
+
+def test_fragment_query_confusion(spark):
+    # a '?' INSIDE an SPA-style fragment is not a query
+    df = spark.createDataFrame(
+        [("https://site.com/page#/route?x=1",),
+         ("https://site.com/page#frag?utm_source=x&y=2",)],
+        "url string",
+    )
+    got = [r["url_norm"] for r in normalize_urls(df).collect()]
+    assert got == ["https://site.com/page", "https://site.com/page"]
+
+
+def test_tracking_params_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/p?UTM_SOURCE=mail",),
+         ("https://a.com/p?Fbclid=y&keep=1",)],
+        "url string",
+    )
+    got = [r["url_norm"] for r in normalize_urls(df).collect()]
+    assert got == ["https://a.com/p", "https://a.com/p?keep=1"]
+
+
+def test_cap_per_group_null_group_is_capped_not_dropped(spark):
+    rows = [(i, None if i < 5 else "s", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+    kept = sorted(
+        r["doc_id"] for r in cap_per_group(df, ["source"], 3).collect()
+    )
+    # NULL is a group of its own: 3 smallest of each group survive
+    assert kept == [0, 1, 2, 5, 6, 7]
+
+
+def test_dedup_by_url_null_id_passes_through(spark):
+    df = spark.createDataFrame(
+        [(None, "https://a.com/x"), (7, "https://a.com/x"),
+         (8, "https://a.com/x")],
+        "doc_id long, url string",
+    )
+    out = dedup_by_url(df).collect()
+    ids = sorted((r["doc_id"] is None, r["doc_id"] or -1) for r in out)
+    # keep-min over identified rows (7) + the NULL-id row passes through
+    assert len(out) == 2
+    assert {r["doc_id"] for r in out} == {None, 7}
