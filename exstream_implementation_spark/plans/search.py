@@ -715,3 +715,80 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf", "lex_rank", "dense_rank", "rank")
     )
+
+
+def best_passage(
+    results: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    max_chars: int = 400,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    query_text_col: str = "query_text",
+    score_round: int = 6,
+) -> DataFrame:
+    """Snippet extraction — the stage between retrieval and the reader in
+    a RAG pipeline: for each (query_id, doc_id) hit in ``results``, return
+    the single passage of that doc best matching the query.
+
+    Passages come from ``chunk_by_separator`` (boundary-respecting,
+    ``max_chars`` budget).  Passage score = Σ over DISTINCT query terms of
+    log(1 + tf(term, passage)) — corpus-independent lexical snippet
+    scoring (saturated tf; equal term weights), deterministic and
+    self-contained, so snippets never need the postings table.  Rounded to
+    ``score_round`` before the argmax; ties break to the EARLIEST passage.
+
+    Output: (query_id, doc_id, passage, passage_idx, p_score).
+
+    Scale shape: only HIT docs are chunked (semi-join first — the corpus
+    never explodes); ``results`` is k-bounded per query by contract, so
+    the passage×query join is |results| × passages-per-doc, and the
+    argmax is one map-side-combinable max over a struct whose ordering
+    (score desc, earliest-idx, passage) is total.
+    """
+    hits = results.select("query_id", "doc_id")
+    hit_docs = docs.select("doc_id", text_col).join(
+        hits.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    from exstream_implementation_spark.plans.text import chunk_by_separator
+
+    passages = chunk_by_separator(
+        hit_docs, max_chars, text_col=text_col, id_col="doc_id", sep=sep
+    ).select("doc_id", "chunk_idx", F.col("chunk_text").alias("passage"))
+    qterms = queries.select(
+        "query_id", F.array_distinct(_terms(query_text_col)).alias("__qt")
+    )
+    paired = hits.join(passages, "doc_id").join(F.broadcast(qterms), "query_id")
+    p_toks = _terms("passage")
+    score = F.aggregate(
+        F.col("__qt"),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.log(
+            F.lit(1.0)
+            + F.size(F.filter(p_toks, lambda x: x == t)).cast("double")
+        ),
+    )
+    scored = paired.withColumn("__s", F.round(score, score_round))
+    # argmax as one aggregate: struct ordering = score desc (negated idx
+    # keeps earliest-passage ties deterministic)
+    best = (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__s").alias("s"),
+                    (-F.col("chunk_idx")).alias("negidx"),
+                    F.col("passage").alias("p"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("b.p").alias("passage"),
+            (-F.col("b.negidx")).alias("passage_idx"),
+            F.col("b.s").alias("p_score"),
+        )
+    )
+    return best

@@ -750,3 +750,71 @@ def test_mine_hard_negatives_end_to_end_bm25(spark):
     )
     assert [r["doc_id"] for r in negs] == [r["doc_id"] for r in top[1:5]]
     assert [r["neg_rank"] for r in negs] == [1, 2, 3, 4]
+
+
+# --- best_passage (snippet extraction) ---------------------------------------
+
+
+def test_best_passage_picks_matching_paragraph(spark):
+    from exstream_implementation_spark.plans.search import best_passage
+
+    doc = "\n\n".join(
+        [
+            "intro paragraph about nothing relevant at all",
+            "the quantum cat experiment used a quantum detector twice: "
+            "quantum quantum",
+            "closing remarks mention cat once",
+        ]
+    )
+    docs = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "quantum cat")], "query_id long, query_text string"
+    )
+    hits = spark.createDataFrame([(1, 0)], "query_id long, doc_id long")
+    got = best_passage(hits, docs, queries, max_chars=80).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert "quantum detector" in r["passage"]
+    assert r["passage_idx"] == 1
+    # score = log(1+4 quantum) + log(1+1 cat), rounded to 6
+    assert r["p_score"] == pytest.approx(
+        round(math.log(5) + math.log(2), 6)
+    )
+
+
+def test_best_passage_tie_breaks_earliest_and_no_match_scores_zero(spark):
+    from exstream_implementation_spark.plans.search import best_passage
+
+    doc = "\n\n".join(["alpha beta", "alpha beta", "gamma"])
+    docs = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (2, "zzz")], "query_id long, query_text string"
+    )
+    hits = spark.createDataFrame(
+        [(1, 0), (2, 0)], "query_id long, doc_id long"
+    )
+    got = {r["query_id"]: r for r in best_passage(hits, docs, queries, max_chars=5).collect()}
+    assert got[1]["passage_idx"] == 0          # equal scores → earliest
+    assert got[2]["p_score"] == 0.0            # no term matches anywhere
+    assert got[2]["passage_idx"] == 0
+
+
+def test_best_passage_end_to_end_over_bm25(spark):
+    from exstream_implementation_spark.plans.search import best_passage
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    queries = _queries_df(spark, [(0, "sort merge join")])
+    # max_df_ratio=1.0: the tiny synthetic vocabulary makes every real
+    # word "common", and the default pruning would empty the result set —
+    # a vacuous pass
+    res = bm25_topk(spark, docs, queries, k=5, max_df_ratio=1.0, score_round=6)
+    out = best_passage(res, docs, queries, max_chars=120, sep=" ")
+    rows = out.collect()
+    assert res.count() == 5
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < len(r["passage"]) and r["p_score"] >= 0.0
+    # the extracted passage really comes from its doc
+    joined = out.join(docs, "doc_id").collect()
+    for r in joined:
+        assert r["passage"].split(" ")[0] in r["text"]
