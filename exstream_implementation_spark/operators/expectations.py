@@ -237,3 +237,72 @@ def verify(df: DataFrame, checks: list[Expectation]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         report, "check string, ok boolean, observed string, expected string"
     )
+
+
+# Row-expressible check kinds: a violation is attributable to ONE row.
+# unique / row_count need the whole dataset; referential needs a join.
+_ROW_KINDS = ("not_null", "in_range", "values_in", "matches", "satisfies")
+
+
+def _row_violation_cond(c: Expectation) -> F.Column:
+    p = c.params
+    if c.kind == "not_null":
+        return F.col(p["col"]).isNull()
+    if c.kind == "in_range":
+        bad = F.lit(False)
+        if p["lo"] is not None:
+            bad = bad | (F.col(p["col"]) < p["lo"])
+        if p["hi"] is not None:
+            bad = bad | (F.col(p["col"]) > p["hi"])
+        return bad
+    if c.kind == "values_in":
+        return (~F.col(p["col"]).isin(p["allowed"])) & F.col(p["col"]).isNotNull()
+    if c.kind == "matches":
+        return F.col(p["col"]).isNotNull() & ~F.col(p["col"]).rlike(
+            f"^(?:{p['regex']})$"
+        )
+    if c.kind == "satisfies":
+        # NULL predicate result counts as a violation: an unevaluable
+        # row is not a passing row
+        return ~F.coalesce(F.expr(p["pred"]), F.lit(False))
+    raise ValueError(
+        f"check '{c.name}' ({c.kind}) is dataset-level, not row-level — "
+        f"row routing supports {_ROW_KINDS}"
+    )
+
+
+def row_violations(df: DataFrame, checks: list[Expectation]) -> DataFrame:
+    """Append ``violations: array<string>`` naming every row-expressible
+    check the row fails (empty array = clean).  Dataset-level kinds
+    (unique/row_count/referential) raise — they cannot blame a single
+    row.  Pure projection: fuses into the scan, no extra pass.
+
+    Note the semantic shift vs ``verify``: fraction thresholds
+    (max_frac/min_frac) are DATASET gates; at row level any individual
+    failure is flagged, so routing is stricter than gating by design.
+    """
+    if not checks:
+        raise ValueError("no checks given")
+    tagged = F.array(
+        *[
+            F.when(_row_violation_cond(c), F.lit(c.name))
+            for c in checks
+        ]
+    )
+    return df.withColumn(
+        "violations", F.filter(tagged, lambda x: x.isNotNull())
+    )
+
+
+def quarantine(
+    df: DataFrame, checks: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows instead of failing jobs: (clean, quarantined) — clean
+    rows keep the input schema; quarantined rows carry ``violations``
+    naming what they failed, ready for a side sink.  One projection,
+    evaluated once per consumed branch (persist upstream if both sides
+    feed expensive chains)."""
+    v = row_violations(df, checks)
+    clean = v.filter(F.size("violations") == 0).drop("violations")
+    bad = v.filter(F.size("violations") > 0)
+    return clean, bad

@@ -146,3 +146,53 @@ def test_bad_inputs(spark):
         verify(df, [])
     with pytest.raises(ValueError):
         in_range("n")
+
+
+def test_row_violations_name_every_failed_check(spark):
+    from exstream_implementation_spark.operators.expectations import (
+        in_range,
+        matches,
+        not_null,
+        quarantine,
+        row_violations,
+        satisfies,
+        unique,
+        values_in,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 50),      # clean
+            (None, "en", 50),   # null id
+            (2, "EN", 50),      # regex fail
+            (3, "xx", -1),      # values_in fail + range fail + satisfies
+            (4, None, 50),      # null lang is NOT a matches violation
+        ],
+        "doc_id long, lang string, n long",
+    )
+    checks = [
+        not_null("doc_id"),
+        matches("lang", r"[a-z]{2}"),
+        values_in("lang", ["en", "de", "xx"]),
+        in_range("n", lo=0, hi=100),
+        satisfies("n >= 10"),
+    ]
+    got = {
+        r["doc_id"]: sorted(r["violations"])
+        for r in row_violations(df, checks).collect()
+    }
+    assert got[1] == []
+    assert got[None] == ["not_null(doc_id)"]
+    assert got[2] == ["matches(lang)", "values_in(lang)"]
+    assert got[3] == ["in_range(n)", "satisfies(n >= 10)"]
+    assert got[4] == []
+
+    clean, bad = quarantine(df, checks)
+    assert clean.columns == df.columns
+    assert {r["doc_id"] for r in clean.collect()} == {1, 4}
+    assert clean.count() + bad.count() == df.count()
+    # dataset-level checks cannot route rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dataset-level"):
+        row_violations(df, [unique("doc_id")])
