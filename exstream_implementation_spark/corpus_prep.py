@@ -66,6 +66,10 @@ class CorpusPrepConfig:
     # many docs per source survive, smallest doc_id first — the standard
     # "no single host/source dominates" curation lever.  None = off.
     max_per_source: int | None = None
+    # input contract (operators/expectations.py): row-expressible checks
+    # run FIRST; violating rows route to stages['contract_quarantine']
+    # instead of silently failing later stages.  None = off.
+    contract_checks: tuple | None = None
     # tokenizer + packing
     bpe_merges: int = 64
     chunk_len: int = 64
@@ -232,6 +236,8 @@ def prepare_corpus(
     """Run the full prep pipeline.  Returns a dict of the per-stage frames
     (lazy unless ``counts``/``out_path`` forces them):
 
+      contracted (== input when contract_checks is None; violating rows
+      in stages['contract_quarantine']) →
       quality → deduped → despanned → decontaminated (== input when no
       benchmark) → lm_filtered (== input when max_lm_nll is None) →
       clf_filtered (== input when quality_model is None) →
@@ -244,7 +250,18 @@ def prepare_corpus(
     plus ``stage_counts`` when ``counts=True``.
     """
     stages: dict = {}
-    cur = quality_filter(docs, cfg)
+    cur = docs
+    if cfg.contract_checks is not None:
+        from exstream_implementation_spark.operators.expectations import (
+            quarantine,
+        )
+
+        # malformed inputs (NULL ids/text, broken invariants) route to a
+        # side frame with named reasons BEFORE any stage can trip on them
+        cur, bad = quarantine(cur, list(cfg.contract_checks))
+        stages["contract_quarantine"] = bad
+    stages["contracted"] = cur
+    cur = quality_filter(cur, cfg)
     stages["quality"] = cur
     cur = exact_dedup(cur)
     stages["deduped"] = cur
@@ -466,6 +483,7 @@ def prepare_corpus(
         stages["stage_counts"] = {
             name: stages[name].count()
             for name in (
+                "contracted",
                 "quality",
                 "deduped",
                 "despanned",
@@ -521,6 +539,7 @@ def prepare_corpus(
 
 # Doc-level stages in pipeline order — the audit walks consecutive pairs.
 AUDIT_STAGES = (
+    "contracted",
     "quality",
     "deduped",
     "despanned",

@@ -569,3 +569,42 @@ def test_drop_audit_names_the_dropping_stage(prepped, spark):
     }
     # the audit's pins are tracked and fully releasable
     assert cache.release_tracked() > 0
+
+
+def test_contract_stage_quarantines_malformed_inputs(spark):
+    import dataclasses
+
+    from exstream_implementation_spark.corpus_prep import drop_audit
+    from exstream_implementation_spark.operators.expectations import (
+        not_null,
+        satisfies,
+    )
+
+    rows = [
+        (0, f"{STOPFUL} perfectly ordinary surviving document text here"),
+        (None, f"{STOPFUL} has words but no identity"),
+        (2, None),
+        (3, f"{STOPFUL} another ordinary surviving document right here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = dataclasses.replace(
+        CFG,
+        contract_checks=(not_null("doc_id"), satisfies("text IS NOT NULL")),
+    )
+    stages = prepare_corpus(docs, cfg=cfg)
+    q = {
+        tuple(sorted(r["violations"]))
+        for r in stages["contract_quarantine"].collect()
+    }
+    assert q == {
+        ("not_null(doc_id)",),
+        ("satisfies(text IS NOT NULL)",),
+    }
+    surv = {r["doc_id"] for r in stages["contracted"].collect()}
+    assert surv == {0, 3}
+    # the audit attributes contract drops to the first stage
+    fate = {
+        r["doc_id"]: r["dropped_at"]
+        for r in drop_audit(stages, docs).collect()
+    }
+    assert fate[2] == "contracted" and fate[0] == "kept"
