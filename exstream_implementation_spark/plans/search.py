@@ -792,3 +792,39 @@ def best_passage(
         )
     )
     return best
+
+
+def rrf_fuse_many(
+    arms: list, k: int = 10, rrf_k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion over ANY number of ranked arms — lexical,
+    dense, ANN, recency, whatever produces (query_id, doc_id, rank).
+    Generalizes the two-arm ``rrf_fuse`` (kept for its named lex/dense
+    output contract): score = Σ_arms 1/(rrf_k + rank), absent arms
+    contribute nothing.
+
+    Every arm is k-bounded per query by contract, so the union has at
+    most |arms|*k rows per query: the groupBy and the final window are
+    both bounded, corpus size never appears.
+
+    Output: (query_id, doc_id, rrf, n_arms, rank).
+    """
+    if len(arms) < 2:
+        raise ValueError(f"rrf_fuse_many needs >= 2 arms, got {len(arms)}")
+    parts = [
+        a.select("query_id", "doc_id", F.col("rank").alias("__r"))
+        for a in arms
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("__r"))).alias("rrf"),
+        F.count(F.lit(1)).alias("n_arms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "n_arms", "rank")
+    )

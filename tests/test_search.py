@@ -818,3 +818,56 @@ def test_best_passage_end_to_end_over_bm25(spark):
     joined = out.join(docs, "doc_id").collect()
     for r in joined:
         assert r["passage"].split(" ")[0] in r["text"]
+
+
+def test_rrf_fuse_many_matches_two_arm_and_three_arm_reference(spark):
+    from exstream_implementation_spark.plans.search import (
+        rrf_fuse,
+        rrf_fuse_many,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, lex_rank int",
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, dense_rank int",
+    )
+    two = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse(lex, dense, k=10).collect()
+    }
+    many = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse_many(
+            [
+                lex.withColumnRenamed("lex_rank", "rank"),
+                dense.withColumnRenamed("dense_rank", "rank"),
+            ],
+            k=10,
+        ).collect()
+    }
+    assert set(two) == set(many)
+    for d in two:
+        assert many[d] == pytest.approx(two[d], abs=1e-12)
+    # third arm shifts the winner: doc 13 ranked 1st by two arms
+    rec = spark.createDataFrame(
+        [(1, 13, 1), (1, 10, 2)], "query_id long, doc_id long, rank int"
+    )
+    fused = rrf_fuse_many(
+        [
+            lex.withColumnRenamed("lex_rank", "rank"),
+            dense.withColumnRenamed("dense_rank", "rank"),
+            rec,
+        ],
+        k=2,
+    ).collect()
+    by_rank = {r["rank"]: r for r in fused}
+    # hand-computed: docs 10, 11 and 13 all score 1/61 + 1/62 (one first
+    # place + one second place each) -> three-way tie, doc_id asc wins
+    assert by_rank[1]["doc_id"] == 10 and by_rank[2]["doc_id"] == 11
+    assert by_rank[1]["rrf"] == pytest.approx(1 / 61 + 1 / 62)
+    assert by_rank[1]["n_arms"] == 2
+    with pytest.raises(ValueError, match=">= 2"):
+        rrf_fuse_many([lex])
