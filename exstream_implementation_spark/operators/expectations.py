@@ -283,6 +283,13 @@ def row_violations(df: DataFrame, checks: list[Expectation]) -> DataFrame:
     """
     if not checks:
         raise ValueError("no checks given")
+    if "violations" in df.columns:
+        raise ValueError(
+            "row_violations: input already has a 'violations' column — "
+            "rename it first (silently overwriting user data, then "
+            "dropping it on the clean branch, is the failure mode this "
+            "guard exists for)"
+        )
     tagged = F.array(
         *[
             F.when(_row_violation_cond(c), F.lit(c.name))

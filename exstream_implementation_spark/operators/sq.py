@@ -37,15 +37,26 @@ def train_sq(embs: DataFrame, vec_col: str = "embedding") -> dict:
     rows = (
         embs.select(F.posexplode(vec_col).alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .agg(
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
         .collect()
     )
     if not rows:
         raise ValueError("train_sq: no vectors")
     by_pos = {r["pos"]: (float(r["lo"]), float(r["hi"])) for r in rows}
     dim = max(by_pos) + 1
-    if len(by_pos) != dim:
-        raise ValueError("train_sq: ragged vector lengths")
+    # positions are contiguous by construction (posexplode), so raggedness
+    # shows up as UNEQUAL per-position row counts, not as gaps: a corpus
+    # of all-equal-length vectors has every position in exactly n rows
+    counts = {int(r["cnt"]) for r in rows}
+    if len(counts) != 1:
+        raise ValueError(
+            "train_sq: ragged vector lengths (per-dimension row counts "
+            f"range {min(counts)}..{max(counts)})"
+        )
     return {
         "mins": [by_pos[i][0] for i in range(dim)],
         "maxs": [by_pos[i][1] for i in range(dim)],
@@ -87,9 +98,9 @@ def sq_encode(
             - 128
         ).cast("tinyint"),
     )
-    # nullif guards the constant dimension: 0/0 would be NULL; coalesce
-    # the whole level back to 0 (encode(min)=level 0 there)
-    code = F.transform(code, lambda c: F.coalesce(c, F.lit(-128).cast("tinyint")))
+    # constant dimension: nullif makes the division NULL, and greatest()
+    # SKIPS null arguments (Spark semantics), so the level lands on 0 and
+    # the code on -128 — decode then reconstructs exactly min_d
     return df.withColumn(out_col, code)
 
 

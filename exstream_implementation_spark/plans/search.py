@@ -758,15 +758,23 @@ def best_passage(
     qterms = queries.select(
         "query_id", F.array_distinct(_terms(query_text_col)).alias("__qt")
     )
-    paired = hits.join(passages, "doc_id").join(F.broadcast(qterms), "query_id")
-    p_toks = _terms("passage")
+    # tokenize each passage ONCE as a column — embedded in the aggregate
+    # lambda, the split would re-run per query term (no CSE inside
+    # higher-order-function lambdas)
+    paired = (
+        hits.join(passages, "doc_id")
+        .withColumn("__ptoks", _terms("passage"))
+        .join(F.broadcast(qterms), "query_id")
+    )
     score = F.aggregate(
         F.col("__qt"),
         F.lit(0.0),
         lambda acc, t: acc
         + F.log(
             F.lit(1.0)
-            + F.size(F.filter(p_toks, lambda x: x == t)).cast("double")
+            + F.size(
+                F.filter(F.col("__ptoks"), lambda x: x == t)
+            ).cast("double")
         ),
     )
     scored = paired.withColumn("__s", F.round(score, score_round))
@@ -791,7 +799,11 @@ def best_passage(
             F.col("b.s").alias("p_score"),
         )
     )
-    return best
+    # left join back to the hit list: a hit whose doc has no text (empty/
+    # NULL — a dense-arm hit can be textless) or whose query is absent
+    # still surfaces, with NULL passage columns as the explicit marker,
+    # instead of silently shrinking the k-hit result
+    return hits.join(best, ["query_id", "doc_id"], "left")
 
 
 def rrf_fuse_many(
@@ -818,8 +830,15 @@ def rrf_fuse_many(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    # round BEFORE ranking (the bm25_topk score_round contract): with 3+
+    # arms F.sum accumulates in task order, and an ulp difference between
+    # equal rank-multisets would flip the doc_id tie-break run-to-run.
+    # Contributions are >= 1/(rrf_k + k) apart when they differ at all,
+    # so 12 decimals collapses float noise without merging real scores.
     fused = u.groupBy("query_id", "doc_id").agg(
-        F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("__r"))).alias("rrf"),
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("__r"))), 12
+        ).alias("rrf"),
         F.count(F.lit(1)).alias("n_arms"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))

@@ -196,3 +196,18 @@ def test_row_violations_name_every_failed_check(spark):
 
     with _pytest.raises(ValueError, match="dataset-level"):
         row_violations(df, [unique("doc_id")])
+
+
+def test_row_violations_refuses_column_collision(spark):
+    from exstream_implementation_spark.operators.expectations import (
+        not_null,
+        row_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["old"])], "doc_id long, violations array<string>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already has"):
+        row_violations(df, [not_null("doc_id")])

@@ -871,3 +871,41 @@ def test_rrf_fuse_many_matches_two_arm_and_three_arm_reference(spark):
     assert by_rank[1]["n_arms"] == 2
     with pytest.raises(ValueError, match=">= 2"):
         rrf_fuse_many([lex])
+
+
+def test_rrf_fuse_many_is_rounded_before_ranking(spark):
+    from exstream_implementation_spark.plans.search import rrf_fuse_many
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1)], "query_id long, doc_id long, rank int"
+    )
+    c = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 3)], "query_id long, doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse_many([a, b, c], k=5).collect()}
+    # identical rank multisets -> identical ROUNDED scores -> doc_id asc
+    assert out[10]["rrf"] == out[11]["rrf"]
+    assert out[10]["rank"] == 1 and out[11]["rank"] == 2
+
+
+def test_best_passage_keeps_textless_hits_with_null_marker(spark):
+    from exstream_implementation_spark.plans.search import best_passage
+
+    docs = spark.createDataFrame(
+        [(0, "real text here"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "text")], "query_id long, query_text string"
+    )
+    hits = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2), (9, 0)], "query_id long, doc_id long"
+    )
+    got = {(r["query_id"], r["doc_id"]): r for r in best_passage(hits, docs, queries, max_chars=50).collect()}
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (9, 0)}
+    assert got[(1, 0)]["passage"] == "real text here"
+    for key in [(1, 1), (1, 2), (9, 0)]:
+        assert got[key]["passage"] is None and got[key]["p_score"] is None

@@ -100,3 +100,12 @@ def test_recall_at_5_vs_exact(spark, corpus):
     a = {(r["query_id"], r["doc_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_ragged_vectors_rejected(spark):
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        train_sq(ragged)
