@@ -14,6 +14,12 @@ from exstream_implementation_spark.operators.approx import (  # noqa: F401
     hll_estimate,
     hll_merge,
 )
+from exstream_implementation_spark.operators.sq import (  # noqa: F401
+    sq_decode,
+    sq_encode,
+    sq_topk,
+    train_sq,
+)
 from exstream_implementation_spark.operators.components import (  # noqa: F401
     connected_components,
 )
@@ -153,6 +159,7 @@ from exstream_implementation_spark.operators.snapshots import (  # noqa: F401
     publish_snapshot,
     read_latest,
     read_version,
+    snapshot_diff,
     upsert_batch_writer,
     vacuum,
 )
