@@ -3,26 +3,29 @@ per-microbatch HLL sketch appends (operators/approx.py), so "how many
 distinct docs/users/urls so far, per source" is answerable at any moment
 WITHOUT re-scanning the ingested history.
 
-The state is a tiny append-only sketch log: one row per
-(batch_id, *keys) carrying a <= 2^lgk-byte register file.  Reading the
-running totals merges the log (hll_union_agg over O(batches x groups)
-rows) — the ingest stream itself carries no aggregation state, no
-watermark, and no output-mode constraints, which is what makes this
-composable with any existing foreachBatch sink (the ingest-dedup arms
-attach it with one extra line).
+The state is a tiny sketch log: one row per (batch_id, *keys) carrying a
+<= 2^lgk-byte register file, laid out as batch_id partitions.  Reading
+the running totals merges the log (hll_union_agg over
+O(batches x groups) rows) — the ingest stream itself carries no
+aggregation state, no watermark, and no output-mode constraints, which
+is what makes this composable with any existing foreachBatch sink (the
+ingest-dedup arms attach it with one extra line).
 
-Redelivery: foreachBatch is at-least-once, and a re-run batch appends a
-row with the SAME batch_id and identical content.  Distinct estimates
-are naturally idempotent under that (HLL union is); the exact ``n_rows``
-companion would double-count, so the reader collapses duplicates by
-(batch_id, keys) first — the same read-time dedup contract as the
-ingest flag tables (streaming/ingest_dedup.py).
+Redelivery: foreachBatch is at-least-once.  The sink is idempotent at
+WRITE time — the log is partitioned by ``batch_id`` and written with
+dynamic partition overwrite, so a retried batch REPLACES exactly its own
+partition (the ingest flag-table contract, streaming/ingest_dedup.py
+``_write_flags``; the bare append path is not idempotent under retry).
+The reader still collapses per-(batch_id, build-keys) duplicates as
+defense in depth, keeping the exact ``n_rows`` companion correct even if
+a non-conforming writer appends.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from exstream_implementation_spark.operators.approx import (
     SKETCH_COL,
@@ -35,22 +38,38 @@ from exstream_implementation_spark.operators.approx import (
 def sketch_sink(
     log_path: str, keys: list[str], col: str, lgk: int = 12
 ):
-    """A foreachBatch function (or one stage of a composite sink): append
-    this microbatch's per-group sketches to the log.  Batches with no
-    rows append nothing."""
+    """A foreachBatch function (or one stage of a composite sink): write
+    this microbatch's per-group sketches into its own ``batch_id``
+    partition of the log.  Empty batches write nothing (without the
+    guard, a global groupBy over an empty batch would emit one junk
+    row when ``keys=[]``)."""
     keys = list(keys)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
         sk = hll_build(batch, keys, col, lgk=lgk).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
-        sk.write.mode("append").parquet(log_path)
+        # dynamic partition overwrite: a redelivered batch replaces its
+        # own partition instead of appending a duplicate row set.  The
+        # mode must be a SESSION conf (ingest_dedup._write_flags pins
+        # why); save/restore around the write.
+        spark = batch.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            sk.write.mode("overwrite").partitionBy("batch_id").parquet(
+                log_path
+            )
+        finally:
+            spark.conf.set(key, prev)
 
     return _sink
 
 
 def start_distinct_monitor(
-    spark: SparkSession,
     stream_df: DataFrame,
     log_path: str,
     keys: list[str],
@@ -72,15 +91,24 @@ def running_distinct(
     spark: SparkSession, log_path: str, keys: list[str]
 ) -> DataFrame:
     """Current running totals from the sketch log: (*keys, hll_sketch,
-    n_rows, distinct_est).  Duplicate (batch_id, keys) rows from
-    redelivered batches collapse to one before the merge so ``n_rows``
-    stays exact."""
+    n_rows, distinct_est).  A log that does not exist yet (the monitor
+    started but no batch has committed) yields an EMPTY frame — with
+    string-typed key columns, since nothing has recorded the real types
+    — rather than a path error."""
     keys = list(keys)
-    log = spark.read.parquet(log_path)
-    # redelivery dedup happens at the LOG's grain (batch_id x its build
-    # keys), never at the requested rollup grain — grouping by a coarser
-    # grain here would collapse distinct log rows into one arbitrary
-    # survivor and silently lose their sketches
+    try:
+        log = spark.read.parquet(log_path)
+    except AnalysisException:
+        key_schema = "".join(f"{k} string, " for k in keys)
+        return spark.createDataFrame(
+            [],
+            f"{key_schema}{SKETCH_COL} binary, n_rows long, "
+            "distinct_est long",
+        )
+    # duplicate collapse happens at the LOG's grain (batch_id x its
+    # build keys), never at the requested rollup grain — grouping by a
+    # coarser grain here would collapse distinct log rows into one
+    # arbitrary survivor and silently lose their sketches
     log_keys = [
         c for c in log.columns if c not in (SKETCH_COL, "n_rows", "batch_id")
     ]

@@ -1,16 +1,13 @@
 """Streaming distinct monitor (streaming/stats.py): an availableNow
-drain's running totals match a batch HLL over the same data exactly,
-n_rows stays exact across microbatches, redelivered batches don't
-double-count, and the rollup lattice works off the same log."""
+drain's running totals match a batch HLL over the same data, n_rows
+stays exact across microbatches, redelivered batches replace their own
+partition (write-time idempotency), empty batches and a not-yet-created
+log are handled, and the rollup lattice works off the same log."""
 
 import math
 
 from pyspark.sql import functions as F
 
-from exstream_implementation_spark.operators.approx import (
-    hll_build,
-    hll_estimate,
-)
 from exstream_implementation_spark.streaming.ingest_dedup import (
     documents_stream,
 )
@@ -24,18 +21,12 @@ SF_DIR = "/root/testdata/sf0.001"
 TOL = 6 * 1.04 / math.sqrt(2**12)
 
 
-def _doc_dir(spark, tmp_path, n_files=4):
+def test_stream_matches_batch_and_exact_envelope(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     d = str(tmp_path / "docs_in")
-    docs.repartition(n_files).write.parquet(d)
-    return d, docs
-
-
-def test_stream_matches_batch_and_exact_envelope(spark, tmp_path):
-    d, docs = _doc_dir(spark, tmp_path)
+    docs.repartition(4).write.parquet(d)
     log = str(tmp_path / "sketch_log")
     q = start_distinct_monitor(
-        spark,
         documents_stream(spark, d, max_files_per_trigger=1),
         log,
         ["source"],
@@ -43,7 +34,9 @@ def test_stream_matches_batch_and_exact_envelope(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False (no raise) on timeout — assert it so
+    # a slow run fails loudly instead of reading a half-populated log
+    assert q.awaitTermination(300)
     got = {
         r["source"]: r for r in running_distinct(spark, log, ["source"]).collect()
     }
@@ -70,8 +63,12 @@ def test_stream_matches_batch_and_exact_envelope(spark, tmp_path):
     assert abs(glob["distinct_est"] - total_exact) <= max(2, TOL * total_exact)
 
 
-def test_redelivered_batch_does_not_double_count(spark, tmp_path):
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+def test_redelivered_batch_replaces_its_partition(spark, tmp_path):
+    # deterministic subset — an unordered limit() could legally pick a
+    # different row set on each recomputation
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
     log = str(tmp_path / "redeliver_log")
     sink = sketch_sink(log, ["source"], "doc_id")
     sink(docs, 7)
@@ -85,6 +82,15 @@ def test_redelivered_batch_does_not_double_count(spark, tmp_path):
         for r in running_distinct(spark, log, ["source"]).collect()
     }
     assert after == before
+    # write-time idempotency: exactly one log row per (batch, source)
+    per = (
+        spark.read.parquet(log)
+        .groupBy("batch_id", "source")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per == 1
     # a genuinely NEW batch does count
     sink(docs, 8)
     bumped = {
@@ -93,3 +99,20 @@ def test_redelivered_batch_does_not_double_count(spark, tmp_path):
     }
     for s, (n, _) in before.items():
         assert bumped[s] == 2 * n
+
+
+def test_empty_batch_and_missing_log(spark, tmp_path):
+    log = str(tmp_path / "never_written")
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    # empty batch writes nothing, even at the global grain
+    sketch_sink(log, [], "doc_id")(empty, 0)
+    out = running_distinct(spark, log, [])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "hll_sketch",
+        "n_rows",
+        "distinct_est",
+    ]
+    # and a keyed read of a missing log keeps the key columns
+    keyed = running_distinct(spark, log, ["source"])
+    assert keyed.count() == 0 and keyed.columns[0] == "source"
