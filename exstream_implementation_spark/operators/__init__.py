@@ -14,6 +14,13 @@ from exstream_implementation_spark.operators.approx import (  # noqa: F401
     hll_estimate,
     hll_merge,
 )
+from exstream_implementation_spark.operators.kll import (  # noqa: F401
+    KLLSketch,
+    kll_build,
+    kll_merge,
+    kll_quantiles,
+    quantile_rollup,
+)
 from exstream_implementation_spark.operators.sq import (  # noqa: F401
     sq_decode,
     sq_encode,

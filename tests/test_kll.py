@@ -1,0 +1,181 @@
+"""Mergeable KLL quantile sketches (operators/kll.py): estimates land
+inside the rank-error envelope of the exact quantiles, merged/rolled-up
+sketches stay in-envelope (merging neither loses nor double-counts
+weight — item weight is EXACTLY additive), small groups are exact order
+statistics, and null/argument semantics are pinned (same contract shape
+as test_approx.py pins for the HLL distinct sketches)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.operators.kll import (
+    KLLSketch,
+    kll_build,
+    kll_merge,
+    kll_quantiles,
+    quantile_rollup,
+)
+from exstream_implementation_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 200
+QS = [0.01, 0.1, 0.5, 0.9, 0.99]
+# KLL rank error for k=200 is ~1.15% at high confidence (DataSketches
+# publishes 1.33% at 99% for k=200); 2% gives deterministic-test margin.
+RANK_TOL = 0.02
+
+
+def _max_rank_err(estimates, exact_sorted, qs=QS):
+    n = len(exact_sorted)
+    return max(
+        abs(np.searchsorted(exact_sorted, est, side="left") / n - q)
+        for q, est in zip(qs, estimates)
+    )
+
+
+def test_global_quantiles_within_envelope(spark):
+    events = load_table(spark, SF_DIR, "events")
+    got = kll_quantiles(kll_build(events, [], "value", k=K), QS).collect()
+    assert len(got) == 1
+    exact = np.sort(
+        np.array(
+            [
+                r["value"]
+                for r in events.select("value").collect()
+                if r["value"] is not None
+            ]
+        )
+    )
+    assert got[0]["n_rows"] == len(exact)
+    assert _max_rank_err(got[0]["quantiles"], exact) <= RANK_TOL
+
+
+def test_grouped_rollup_lattice(spark):
+    """Fine-grain sketches (per event_type) merged to the global grain
+    estimate the SAME distribution as a direct global build — one sketch
+    table serves every grouping in its lattice."""
+    events = load_table(spark, SF_DIR, "events")
+    detail = kll_build(events, ["event_type"], "value", k=K)
+    rows = {
+        r["event_type"]: r
+        for r in kll_quantiles(detail, QS).collect()
+    }
+    pdf = events.select("event_type", "value").toPandas()
+    pdf = pdf[pdf["value"].notna()]
+    # each per-group sketch is in-envelope for its own group
+    for etype, sub in pdf.groupby("event_type"):
+        exact = np.sort(sub["value"].to_numpy())
+        assert rows[etype]["n_rows"] == len(exact)
+        assert _max_rank_err(rows[etype]["quantiles"], exact) <= RANK_TOL
+    # and the rollup of the detail table is in-envelope globally
+    global_row = kll_quantiles(kll_merge(detail, []), QS).collect()[0]
+    exact_all = np.sort(pdf["value"].to_numpy())
+    assert global_row["n_rows"] == len(exact_all)
+    assert _max_rank_err(global_row["quantiles"], exact_all) <= RANK_TOL
+
+
+def test_incremental_accumulation_is_exactly_weight_additive(spark):
+    """Yesterday's sketch + today's batch sketch == running state: the
+    merged n_rows is exactly the sum, the merged internal item weight
+    equals n_rows exactly (KLL compaction conserves weight), and the
+    estimates cover the union distribution."""
+    events = load_table(spark, SF_DIR, "events")
+    day1 = events.filter(F.col("event_id") % 2 == 0)
+    day2 = events.filter(F.col("event_id") % 2 == 1)
+    s1 = kll_build(day1, [], "value", k=K)
+    s2 = kll_build(day2, [], "value", k=K)
+    merged = kll_quantiles(
+        kll_merge(s1.unionByName(s2), []), QS
+    ).collect()[0]
+    n1 = day1.filter(F.col("value").isNotNull()).count()
+    n2 = day2.filter(F.col("value").isNotNull()).count()
+    assert merged["n_rows"] == n1 + n2
+    sk = KLLSketch.from_rows(K, merged["kll_levels"])
+    assert sk.weight() == merged["n_rows"]
+    exact = np.sort(
+        np.array(
+            [
+                r["value"]
+                for r in events.select("value").collect()
+                if r["value"] is not None
+            ]
+        )
+    )
+    assert _max_rank_err(merged["quantiles"], exact) <= RANK_TOL
+
+
+def test_small_groups_are_exact_order_statistics(spark):
+    """Below k items nothing ever compacts: quantiles are exact type-1
+    order statistics."""
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    got = {
+        r["g"]: r
+        for r in kll_quantiles(
+            kll_build(df, ["g"], "v", k=K), [0.0, 0.5, 1.0]
+        ).collect()
+    }
+    for g in range(4):
+        vals = sorted(float(4 * i + g) for i in range(25))
+        lo, mid, hi = got[g]["quantiles"]
+        assert lo == vals[0] and hi == vals[-1]
+        assert mid in (vals[12], vals[13])
+        assert got[g]["n_rows"] == 25
+
+
+def test_nulls_do_not_enter_the_sketch(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,)], "v double"
+    )
+    got = kll_quantiles(kll_build(df, [], "v", k=K), [0.5]).collect()[0]
+    assert got["n_rows"] == 3
+    assert got["quantiles"][0] == 2.0
+
+
+def test_all_null_group_yields_empty_sketch(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 5.0)], "g string, v double"
+    )
+    got = {
+        r["g"]: r
+        for r in kll_quantiles(kll_build(df, ["g"], "v", k=K), [0.5]).collect()
+    }
+    assert got["a"]["n_rows"] == 0
+    assert got["a"]["quantiles"][0] is None
+    assert got["b"]["quantiles"][0] == 5.0
+
+
+def test_deterministic_across_rebuilds(spark):
+    events = load_table(spark, SF_DIR, "events")
+    a = kll_build(events, [], "value", k=64).collect()[0]
+    b = kll_build(events, [], "value", k=64).collect()[0]
+    assert a["kll_levels"] == b["kll_levels"]
+    assert a["n_rows"] == b["n_rows"]
+
+
+def test_rollup_convenience_matches_steps(spark):
+    events = load_table(spark, SF_DIR, "events")
+    via_rollup = quantile_rollup(
+        events, ["event_type"], "value", [], QS, k=K
+    ).collect()[0]
+    via_steps = kll_quantiles(
+        kll_merge(kll_build(events, ["event_type"], "value", k=K), []), QS
+    ).collect()[0]
+    assert via_rollup["n_rows"] == via_steps["n_rows"]
+    # same lattice, same envelope; sketches themselves are deterministic
+    assert via_rollup["kll_levels"] == via_steps["kll_levels"]
+
+
+def test_argument_validation(spark):
+    events = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="k must be >= 8"):
+        kll_build(events, [], "value", k=4)
+    with pytest.raises(ValueError, match="keys must be a list"):
+        kll_build(events, "event_type", "value")
+    sk = kll_build(events, [], "value", k=16)
+    with pytest.raises(ValueError, match="quantile must be"):
+        kll_quantiles(sk, [1.5]).collect()
+    with pytest.raises(ValueError, match="different k"):
+        KLLSketch(16).merge(KLLSketch(32))
