@@ -14,6 +14,13 @@ from exstream_implementation_spark.operators.approx import (  # noqa: F401
     hll_estimate,
     hll_merge,
 )
+from exstream_implementation_spark.operators.bloom import (  # noqa: F401
+    BloomFilter,
+    bloom_chunks,
+    bloom_params,
+    build_bloom,
+    might_contain,
+)
 from exstream_implementation_spark.operators.kll import (  # noqa: F401
     KLLSketch,
     kll_build,
