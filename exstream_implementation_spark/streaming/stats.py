@@ -1,7 +1,9 @@
-"""Streaming corpus statistics — running distinct counts maintained as
-per-microbatch HLL sketch appends (operators/approx.py), so "how many
-distinct docs/users/urls so far, per source" is answerable at any moment
-WITHOUT re-scanning the ingested history.
+"""Streaming corpus statistics — running distinct counts (HLL,
+operators/approx.py) and running quantiles (KLL, operators/kll.py)
+maintained as per-microbatch sketch appends, so "how many distinct
+docs/users/urls so far, per source" and "what is p50/p99 of doc length
+so far, per source" are answerable at any moment WITHOUT re-scanning the
+ingested history.
 
 The state is a tiny sketch log: one row per (batch_id, *keys) carrying a
 <= 2^lgk-byte register file, laid out as batch_id partitions.  Reading
@@ -33,6 +35,29 @@ from exstream_implementation_spark.operators.approx import (
     hll_estimate,
     hll_merge,
 )
+from exstream_implementation_spark.operators.kll import (
+    K_COL,
+    LEVELS_COL,
+    kll_build,
+    kll_merge,
+    kll_quantiles,
+)
+
+
+def _overwrite_batch_partition(sk: DataFrame, log_path: str) -> None:
+    """Write one microbatch's sketch rows into their own ``batch_id``
+    partition.  Dynamic partition overwrite: a redelivered batch replaces
+    its own partition instead of appending a duplicate row set.  The mode
+    must be a SESSION conf (ingest_dedup._write_flags pins why);
+    save/restore around the write."""
+    spark = sk.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        sk.write.mode("overwrite").partitionBy("batch_id").parquet(log_path)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def sketch_sink(
@@ -51,20 +76,7 @@ def sketch_sink(
         sk = hll_build(batch, keys, col, lgk=lgk).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
-        # dynamic partition overwrite: a redelivered batch replaces its
-        # own partition instead of appending a duplicate row set.  The
-        # mode must be a SESSION conf (ingest_dedup._write_flags pins
-        # why); save/restore around the write.
-        spark = batch.sparkSession
-        key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
-        try:
-            sk.write.mode("overwrite").partitionBy("batch_id").parquet(
-                log_path
-            )
-        finally:
-            spark.conf.set(key, prev)
+        _overwrite_batch_partition(sk, log_path)
 
     return _sink
 
@@ -123,3 +135,80 @@ def running_distinct(
         F.first("n_rows").alias("n_rows"),
     )
     return hll_estimate(hll_merge(per_batch, keys))
+
+
+# --- running quantiles (KLL sketch log) --------------------------------------
+def quantile_sketch_sink(
+    log_path: str, keys: list[str], col: str, k: int = 200
+):
+    """The KLL twin of ``sketch_sink``: per-microbatch quantile sketches
+    into a ``batch_id``-partitioned log, write-time idempotent under
+    redelivery.  Same composability contract — one extra line in any
+    existing foreachBatch sink."""
+    keys = list(keys)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sk = kll_build(batch, keys, col, k=k).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        _overwrite_batch_partition(sk, log_path)
+
+    return _sink
+
+
+def start_quantile_monitor(
+    stream_df: DataFrame,
+    log_path: str,
+    keys: list[str],
+    col: str,
+    checkpoint: str,
+    k: int = 200,
+    available_now: bool = False,
+):
+    """Attach the quantile sketch sink to a streaming frame and start it."""
+    writer = stream_df.writeStream.foreachBatch(
+        quantile_sketch_sink(log_path, keys, col, k=k)
+    ).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def running_quantiles(
+    spark: SparkSession, log_path: str, keys: list[str], qs: list
+) -> DataFrame:
+    """Current running quantiles from the KLL sketch log:
+    (*keys, kll_levels, kll_k, n_rows, quantiles).  Same contracts as
+    ``running_distinct``: a not-yet-created log yields an empty frame
+    (string-typed keys), rollups happen at merge time off the one log,
+    and per-(batch_id, build-keys) duplicates collapse as defense in
+    depth behind the write-time idempotency."""
+    keys = list(keys)
+    try:
+        log = spark.read.parquet(log_path)
+    except AnalysisException:
+        key_schema = "".join(f"{k} string, " for k in keys)
+        return spark.createDataFrame(
+            [],
+            f"{key_schema}{LEVELS_COL} array<array<double>>, "
+            f"{K_COL} int, n_rows long, quantiles array<double>",
+        )
+    log_keys = [
+        c
+        for c in log.columns
+        if c not in (LEVELS_COL, K_COL, "n_rows", "batch_id")
+    ]
+    missing = [k for k in keys if k not in log_keys]
+    if missing:
+        raise ValueError(
+            f"running_quantiles: key(s) {missing} not in the sketch log "
+            f"(built with keys {log_keys})"
+        )
+    per_batch = log.groupBy("batch_id", *log_keys).agg(
+        F.first(LEVELS_COL).alias(LEVELS_COL),
+        F.first(K_COL).alias(K_COL),
+        F.first("n_rows").alias("n_rows"),
+    )
+    return kll_quantiles(kll_merge(per_batch, keys), qs)

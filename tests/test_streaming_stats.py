@@ -116,3 +116,103 @@ def test_empty_batch_and_missing_log(spark, tmp_path):
     # and a keyed read of a missing log keeps the key columns
     keyed = running_distinct(spark, log, ["source"])
     assert keyed.count() == 0 and keyed.columns[0] == "source"
+
+
+# --- running quantiles (KLL twin) --------------------------------------------
+def test_quantile_stream_matches_batch_envelope(spark, tmp_path):
+    """An availableNow drain's running quantiles sit inside the KLL rank
+    envelope of the exact full-corpus quantiles, per group and rolled up
+    globally from the SAME log; n_rows stays exact."""
+    import numpy as np
+
+    from exstream_implementation_spark.streaming.stats import (
+        running_quantiles,
+        start_quantile_monitor,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = str(tmp_path / "docs_in_q")
+    docs.repartition(4).write.parquet(d)
+    log = str(tmp_path / "kll_log")
+    q = start_quantile_monitor(
+        documents_stream(spark, d, max_files_per_trigger=1),
+        log,
+        ["source"],
+        "n_chars",
+        checkpoint=str(tmp_path / "ckpt_q"),
+        available_now=True,
+    )
+    assert q.awaitTermination(300)
+    qs = [0.1, 0.5, 0.9]
+    got = {
+        r["source"]: r
+        for r in running_quantiles(spark, log, ["source"], qs).collect()
+    }
+    pdf = docs.select("source", "n_chars").toPandas()
+    pdf = pdf[pdf["n_chars"].notna()]
+    def in_envelope(exact, prob, est, tol=0.02):
+        # a tied value occupies the whole rank interval [left, right); the
+        # estimate is in-envelope if that interval touches prob +/- tol
+        n = len(exact)
+        lo = np.searchsorted(exact, est, side="left") / n
+        hi = np.searchsorted(exact, est, side="right") / n
+        return lo - tol <= prob <= hi + tol
+
+    for src, sub in pdf.groupby("source"):
+        exact = np.sort(sub["n_chars"].to_numpy())
+        assert got[src]["n_rows"] == len(exact)
+        for prob, est in zip(qs, got[src]["quantiles"]):
+            assert in_envelope(exact, prob, est), (src, prob)
+    glob = running_quantiles(spark, log, [], qs).collect()[0]
+    exact_all = np.sort(pdf["n_chars"].to_numpy())
+    assert glob["n_rows"] == len(exact_all)
+    for prob, est in zip(qs, glob["quantiles"]):
+        assert in_envelope(exact_all, prob, est), prob
+
+
+def test_quantile_redelivery_and_missing_log(spark, tmp_path):
+    from exstream_implementation_spark.streaming.stats import (
+        quantile_sketch_sink,
+        running_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    log = str(tmp_path / "kll_redeliver")
+    sink = quantile_sketch_sink(log, ["source"], "n_chars", k=64)
+    sink(docs, 7)
+    before = {
+        r["source"]: (r["n_rows"], r["quantiles"])
+        for r in running_quantiles(spark, log, ["source"], [0.5]).collect()
+    }
+    sink(docs, 7)  # redelivery: same batch_id replaces its own partition
+    after = {
+        r["source"]: (r["n_rows"], r["quantiles"])
+        for r in running_quantiles(spark, log, ["source"], [0.5]).collect()
+    }
+    assert after == before
+    sink(docs, 8)  # a genuinely new batch doubles the weight
+    bumped = {
+        r["source"]: r["n_rows"]
+        for r in running_quantiles(spark, log, ["source"], [0.5]).collect()
+    }
+    for s, (n, _) in before.items():
+        assert bumped[s] == 2 * n
+    # missing log: empty frame, schema intact, key columns preserved
+    missing = running_quantiles(
+        spark, str(tmp_path / "never_q"), ["source"], [0.5]
+    )
+    assert missing.count() == 0 and missing.columns[0] == "source"
+    # empty batch writes nothing even at the global grain
+    empty = spark.createDataFrame([], "n_chars long, source string")
+    quantile_sketch_sink(str(tmp_path / "never_q2"), [], "n_chars")(empty, 0)
+    assert (
+        running_quantiles(spark, str(tmp_path / "never_q2"), [], [0.5]).count()
+        == 0
+    )
+    # asking for a key the log wasn't built with fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="not in the sketch log"):
+        running_quantiles(spark, log, ["lang"], [0.5]).collect()
