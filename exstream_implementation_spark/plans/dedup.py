@@ -1269,6 +1269,77 @@ def sample_exact_k(
     return df.join(winners, [group_col, id_col], "left_semi").select(df.columns)
 
 
+def sample_weighted_k(
+    df,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """EXACTLY k rows per group, drawn WITHOUT replacement with
+    probability proportional to ``weight_col`` — the quality-weighted
+    curation primitive ("keep the best 10k docs per language, favoring
+    high quality scores, but never deterministically: low-quality docs
+    still get in with proportional probability").
+
+    Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    reservoir"): give each row the key u^(1/w) for u ~ Uniform(0,1) and
+    keep the k LARGEST keys — equivalently the k smallest -ln(u)/w,
+    which is an Exponential(w) draw, so the winner distribution matches
+    sequential weighted draws without replacement exactly.  u is the
+    deterministic (id, salt) hash uniform (same family as sample_mix's
+    selector, shifted to the OPEN interval so ln never sees 0), so the
+    sample is a pure function of (row identity, salt, weights) —
+    independent of partitioning, reproducible across runs, and a
+    different ``salt`` draws an independent sample.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row has selection probability 0; a negative weight is undefined).
+    Scale shape: the same two-phase fold as ``sample_exact_k`` — each
+    shuffle partition folds its (group, partition) slice to k
+    candidates, the per-group window exact-ranks <= partitions*k rows,
+    winners semi-join back; never a full per-group sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    from pyspark.sql import Window
+
+    # (0, 1) open-interval uniform: +0.5 bucket centering keeps ln(u)
+    # finite at both ends (ANSI mode makes ln(0) a hard error)
+    u = (
+        (F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt))))
+         % F.lit(1_000_000))
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    tagged = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(group_col, id_col, key.alias("_h"))
+    )
+    part = (
+        tagged.groupBy(group_col, F.spark_partition_id().alias("_p"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("_h", id_col))), 1, k
+            ).alias("top")
+        )
+        .select(group_col, F.explode("top").alias("c"))
+        .select(
+            group_col,
+            F.col("c._h").alias("_h"),
+            F.col(f"c.{id_col}").alias(id_col),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.asc("_h"), F.asc(id_col))
+    winners = (
+        part.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, id_col)
+    )
+    return df.join(winners, [group_col, id_col], "left_semi").select(df.columns)
+
+
 # Catalog gate: a graded mix over the testdata's 20 sources (full / half /
 # quarter epochs, tail dropped) with the md5-portable selector, so DuckDB
 # reproduces the EXACT kept set — the gate proves the sampler is a pure

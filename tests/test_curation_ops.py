@@ -445,3 +445,86 @@ def test_temperature_mix_zero_weight_source_clear_error(spark):
         temperature_mix_policy(
             df, tau=0.5, target_rows=5, weight_col="n_tokens"
         )
+
+
+# --- weighted exact-k sampling (Efraimidis-Spirakis) --------------------------
+def test_sample_weighted_k_quota_and_determinism(spark):
+    from exstream_implementation_spark.plans.dedup import sample_weighted_k
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("w", (F.col("doc_id") % 5 + 1).cast("double"))
+    )
+    got = sample_weighted_k(docs, "source", 7, "w")
+    counts = {r["source"]: r["c"] for r in
+              got.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    sizes = {r["source"]: r["c"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    for src, n in sizes.items():
+        assert counts[src] == min(7, n), src
+    # column order preserved; deterministic across reruns and partitionings
+    assert got.columns == docs.columns
+    a = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_weighted_k(docs.repartition(13), "source", 7, "w")
+        .select("doc_id").collect()
+    )
+    assert a == b
+    # a different salt draws a different sample
+    c = sorted(
+        r["doc_id"]
+        for r in sample_weighted_k(docs, "source", 7, "w", salt=1)
+        .select("doc_id").collect()
+    )
+    assert a != c
+
+
+def test_sample_weighted_k_probability_proportional_to_weight(spark):
+    """k=1 over many independent salts: the ES winner frequency for item
+    i must approach w_i / sum(w) — the defining property of weighted
+    sampling without replacement (first draw)."""
+    from exstream_implementation_spark.plans.dedup import sample_weighted_k
+
+    n_salts = 3000
+    items = [(i, float(w)) for i, w in enumerate([1.0, 2.0, 3.0, 4.0])]
+    base = spark.createDataFrame(items, "item long, w double")
+    salts = spark.range(n_salts).select(F.col("id").alias("salt"))
+    # one job: ES key per (salt, item), argmin per salt — the same formula
+    # sample_weighted_k ranks by, evaluated over all salts at once
+    u = (
+        (F.abs(F.xxhash64(F.col("item"), F.col("salt")))
+         % F.lit(1_000_000)) + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    keyed = salts.crossJoin(base).select(
+        "salt", "item", "w", (-F.log(u) / F.col("w")).alias("key")
+    )
+    winners = (
+        keyed.groupBy("salt")
+        .agg(F.min(F.struct("key", "item")).alias("m"))
+        .select(F.col("m.item").alias("item"))
+        .groupBy("item")
+        .count()
+        .collect()
+    )
+    freq = {r["item"]: r["count"] / n_salts for r in winners}
+    for i, w in items:
+        expect = w / 10.0
+        # 5-sigma binomial envelope keeps this deterministic-safe
+        sigma = (expect * (1 - expect) / n_salts) ** 0.5
+        assert abs(freq.get(i, 0.0) - expect) <= 5 * sigma, (i, freq)
+
+
+def test_sample_weighted_k_weight_edge_cases(spark):
+    from exstream_implementation_spark.plans.dedup import sample_weighted_k
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, None), ("a", 3, 0.0), ("a", 4, -1.0),
+         ("a", 5, 0.5)],
+        "g string, doc_id long, w double",
+    )
+    got = sample_weighted_k(df, "g", 10, "w")
+    # null / zero / negative weights are excluded even when k has room
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 5]
+    with pytest.raises(ValueError, match="k must be positive"):
+        sample_weighted_k(df, "g", 0, "w")
