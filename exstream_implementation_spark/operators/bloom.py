@@ -36,7 +36,7 @@ regardless of input partitioning (OR is commutative) and across rebuilds
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterator
 
 import numpy as np
@@ -59,9 +59,18 @@ class BloomFilter:
     m_bits: int
     k_hashes: int
     seed: int
+    # memoized TorrentBroadcast of ``bits`` — probing the same filter
+    # repeatedly must not pin a fresh bitmap copy per call
+    _bc: object = field(default=None, compare=False, repr=False)
 
     def fill_ratio(self) -> float:
         return float(np.unpackbits(self.bits).sum()) / self.m_bits
+
+    def broadcast(self, sc):
+        """The (memoized) executor-side handle for ``bits``."""
+        if self._bc is None:
+            object.__setattr__(self, "_bc", sc.broadcast(self.bits))
+        return self._bc
 
 
 def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
@@ -87,11 +96,19 @@ def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
 
 def _positions(col: str, m_bits: int, k_hashes: int, seed: int) -> Column:
     """array<long> of the k bit positions for ``col`` — pure JVM codegen
-    (xxhash64 + pmod), evaluated identically at build and probe time."""
+    (xxhash64 + pmod), evaluated identically at build and probe time.
+
+    The value is canonicalized to STRING before hashing: xxhash64 hashes
+    IntegerType and LongType (etc.) differently, so without the cast a
+    probe column of a different numeric width than the build column would
+    miss every member — a false negative, the one error class a Bloom
+    filter must never produce."""
     return F.array(
         *[
             F.pmod(
-                F.xxhash64(F.lit(seed), F.lit(i), F.col(col)),
+                F.xxhash64(
+                    F.lit(seed), F.lit(i), F.col(col).cast("string")
+                ),
                 F.lit(m_bits),
             )
             for i in range(k_hashes)
@@ -124,13 +141,18 @@ def bloom_chunks(
             p = np.concatenate(pdf["__pos"].to_numpy())
             cid = p // CHUNK_BITS
             local = p % CHUNK_BITS
-            for c in np.unique(cid):
+            # one argsort groups positions by chunk — O(n log n) per
+            # batch; a per-chunk boolean mask would rescan the full
+            # position array once per touched chunk (quadratic when a
+            # dense partition touches thousands of chunks)
+            order = np.argsort(cid, kind="stable")
+            uniq, starts = np.unique(cid[order], return_index=True)
+            for c, sel in zip(uniq, np.split(local[order], starts[1:])):
                 chunk = acc.get(int(c))
                 if chunk is None:
                     chunk = acc[int(c)] = np.zeros(
                         _CHUNK_BYTES, dtype=np.uint8
                     )
-                sel = local[cid == c]
                 np.bitwise_or.at(
                     chunk,
                     sel >> 3,
@@ -205,8 +227,9 @@ def might_contain(
     """Append a boolean: False is DEFINITE absence, True means present
     with probability >= 1 - fpp.  Nulls are never members.  Positions are
     JVM codegen; the bit lookup is one Arrow-vectorized numpy gather
-    against the TorrentBroadcast bitmap."""
-    bc = df.sparkSession.sparkContext.broadcast(bloom.bits)
+    against the TorrentBroadcast bitmap (memoized on the filter — probing
+    the same BloomFilter many times reuses one broadcast)."""
+    bc = bloom.broadcast(df.sparkSession.sparkContext)
 
     @F.pandas_udf("boolean")
     def probe(pos: pd.Series) -> pd.Series:

@@ -177,10 +177,10 @@ class KLLSketch:
 
 
 # --- Spark wiring ------------------------------------------------------------
-def _check_keys(keys) -> list:
-    if not isinstance(keys, (list, tuple)):
-        raise ValueError(f"keys must be a list of column names: {keys!r}")
-    return list(keys)
+# one key-validation helper for both sketch-table families
+from exstream_implementation_spark.operators.approx import (  # noqa: E402
+    _check_keys,
+)
 
 
 def _key_ddl(df: DataFrame, keys: list) -> str:

@@ -952,6 +952,9 @@ def decontaminate(
             might_contain,
         )
 
+        # the bloom arm reads bench_grams three times (count, chunk scan,
+        # the final exact join); persist so the shingle plan runs once
+        bench_grams = tracked_persist(bench_grams)
         n_bench = bench_grams.count()
         if n_bench > 0:
             flt = build_bloom(
@@ -1240,10 +1243,21 @@ def sample_exact_k(
     """
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
-    from pyspark.sql import Window
-
     h = F.xxhash64(F.col(id_col), F.lit(int(salt)))
     tagged = df.select(group_col, id_col).withColumn("_h", h)
+    return _fold_smallest_k(df, tagged, group_col, id_col, k)
+
+
+def _fold_smallest_k(df, tagged, group_col: str, id_col: str, k: int):
+    """The two-phase exact-k fold shared by sample_exact_k and
+    sample_weighted_k: ``tagged`` is (group, id, _h); keep the k rows
+    with the SMALLEST ``_h`` per group (ties by id), then semi-join the
+    winners back so sampled rows keep all their columns.  Each shuffle
+    partition folds its (group, partition) slice to k candidates first,
+    so the per-group window exact-ranks <= partitions*k rows — never a
+    full per-group sort."""
+    from pyspark.sql import Window
+
     part = (
         tagged.groupBy(group_col, F.spark_partition_id().alias("_p"))
         .agg(
@@ -1303,41 +1317,24 @@ def sample_weighted_k(
     """
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
-    from pyspark.sql import Window
-
-    # (0, 1) open-interval uniform: +0.5 bucket centering keeps ln(u)
-    # finite at both ends (ANSI mode makes ln(0) a hard error)
+    # (0, 1) open-interval uniform at 2^53 granularity (the full double
+    # mantissa): +0.5 bucket centering keeps ln(u) finite at both ends
+    # (ANSI mode makes ln(0) a hard error).  The coarse 1e6-bucket
+    # _hash_uniform is NOT reused here — it exists for Bernoulli
+    # thresholds; a continuous ES key needs collision-free granularity,
+    # else same-weight rows tie and the id tie-break (not chance) would
+    # decide boundary admissions in groups larger than the bucket count.
+    two53 = 1 << 53
     u = (
-        (F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt))))
-         % F.lit(1_000_000))
+        (F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt)))) % F.lit(two53))
         + F.lit(0.5)
-    ) / F.lit(1_000_000.0)
+    ) / F.lit(float(two53))
     key = -F.log(u) / F.col(weight_col).cast("double")
     tagged = (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .select(group_col, id_col, key.alias("_h"))
     )
-    part = (
-        tagged.groupBy(group_col, F.spark_partition_id().alias("_p"))
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("_h", id_col))), 1, k
-            ).alias("top")
-        )
-        .select(group_col, F.explode("top").alias("c"))
-        .select(
-            group_col,
-            F.col("c._h").alias("_h"),
-            F.col(f"c.{id_col}").alias(id_col),
-        )
-    )
-    w = Window.partitionBy(group_col).orderBy(F.asc("_h"), F.asc(id_col))
-    winners = (
-        part.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(group_col, id_col)
-    )
-    return df.join(winners, [group_col, id_col], "left_semi").select(df.columns)
+    return _fold_smallest_k(df, tagged, group_col, id_col, k)
 
 
 # Catalog gate: a graded mix over the testdata's 20 sources (full / half /

@@ -47,17 +47,21 @@ from exstream_implementation_spark.operators.kll import (
 def _overwrite_batch_partition(sk: DataFrame, log_path: str) -> None:
     """Write one microbatch's sketch rows into their own ``batch_id``
     partition.  Dynamic partition overwrite: a redelivered batch replaces
-    its own partition instead of appending a duplicate row set.  The mode
-    must be a SESSION conf (ingest_dedup._write_flags pins why);
-    save/restore around the write."""
-    spark = sk.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        sk.write.mode("overwrite").partitionBy("batch_id").parquet(log_path)
-    finally:
-        spark.conf.set(key, prev)
+    its own partition instead of appending a duplicate row set.
+
+    The mode is a PER-WRITER option, not the session conf: this is a
+    path-based parquet write, where ``option("partitionOverwriteMode")``
+    is honored (unlike the ``insertInto`` path in
+    ingest_dedup._write_flags, which must set the session conf).  A
+    session-conf set/restore here would race when two sketch sinks share
+    one SparkSession — the loser's write would run in STATIC mode and
+    mode("overwrite") would truncate the whole log."""
+    (
+        sk.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(log_path)
+    )
 
 
 def sketch_sink(

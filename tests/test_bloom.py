@@ -137,3 +137,22 @@ def test_decontaminate_bloom_prefilter_is_exact(spark):
     assert sorted(exact.collect(), key=key) == sorted(
         bloomed.collect(), key=key
     )
+
+
+def test_cross_width_numeric_probe_has_no_false_negatives(spark):
+    """xxhash64 hashes int and bigint differently; the canonical
+    cast-to-string in _positions makes build/probe agree across numeric
+    widths — without it every member would probe as definitely-absent."""
+    ints = spark.range(500).select(F.col("id").cast("int").alias("v"))
+    flt = build_bloom(ints, "v", n_items=500, fpp=0.01)
+    longs = spark.range(500).select(F.col("id").alias("v"))  # bigint
+    misses = (
+        might_contain(longs, "v", flt)
+        .filter(~F.col("might_contain"))
+        .count()
+    )
+    assert misses == 0
+    # repeated probes reuse ONE broadcast of the bitmap
+    assert flt.broadcast(spark.sparkContext) is flt.broadcast(
+        spark.sparkContext
+    )
