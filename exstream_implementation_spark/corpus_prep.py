@@ -66,6 +66,13 @@ class CorpusPrepConfig:
     # many docs per source survive, smallest doc_id first — the standard
     # "no single host/source dominates" curation lever.  None = off.
     max_per_source: int | None = None
+    # weighted cap (plans/dedup.py sample_weighted_k): when set together
+    # with max_per_source, the cap samples WITHOUT replacement with
+    # probability proportional to this column (e.g. a quality score the
+    # caller attached) instead of keeping the smallest doc_ids — the
+    # "prefer good docs under the quota, but stochastically" lever.
+    # Rows with NULL/non-positive weight never survive the cap.
+    cap_weight_col: str | None = None
     # input contract (operators/expectations.py): row-expressible checks
     # run FIRST; violating rows route to stages['contract_quarantine']
     # instead of silently failing later stages.  None = off.
@@ -333,11 +340,29 @@ def prepare_corpus(
         # whole unmaterialized quality→dedup→despan→…→compress chain —
         # same reason the mix/split branches persist (LRU-evictable)
         cur = cur.persist()
-        # deterministic cap: the n smallest doc_ids per source, via the
-        # two-phase fold — a dominant source never becomes one task
-        cur = cap_per_group(
-            cur, [cfg.source_col], cfg.max_per_source, id_col="doc_id"
-        )
+        if cfg.cap_weight_col is not None:
+            from exstream_implementation_spark.plans.dedup import (
+                sample_weighted_k,
+            )
+
+            # quality-weighted quota: ES sampling without replacement,
+            # deterministic in (doc_id, seed, weights) — same two-phase
+            # fold, so a dominant source never becomes one task
+            cur = sample_weighted_k(
+                cur,
+                cfg.source_col,
+                cfg.max_per_source,
+                cfg.cap_weight_col,
+                id_col="doc_id",
+                salt=cfg.seed,
+            )
+        else:
+            # deterministic cap: the n smallest doc_ids per source, via
+            # the two-phase fold — a dominant source never becomes one
+            # task
+            cur = cap_per_group(
+                cur, [cfg.source_col], cfg.max_per_source, id_col="doc_id"
+            )
     stages["capped"] = cur
 
     mix_policy = None
