@@ -50,6 +50,10 @@ class CorpusPrepConfig:
     substring_mod: int | None = 8
     # decontamination: drop docs with any benchmark 3-gram overlap
     decontam_max_overlap: float = 0.0
+    # consolidated-benchmark scale path: when set, decontamination
+    # Bloom-prefilters corpus grams map-side before the verify join
+    # (operators/bloom.py; kept set provably identical).  None = off.
+    decontam_bloom_fpp: float | None = None
     # LM quality gate (plans/lm.py): drop docs whose bigram stupid-backoff
     # NLL (trained on the surviving corpus itself) exceeds this; None = off
     max_lm_nll: float | None = None
@@ -148,12 +152,18 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def drop_contaminated(
-    docs: DataFrame, benchmark: DataFrame, max_overlap: float
+    docs: DataFrame,
+    benchmark: DataFrame,
+    max_overlap: float,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Drop docs whose distinct-3-gram overlap with the benchmark exceeds
     ``max_overlap`` (same ratio as plans/dedup.py decontaminate).  The
     benchmark gram side is benchmark-sized, so AQE broadcasts it and the
-    corpus never shuffles."""
+    corpus never shuffles.  ``bloom_fpp`` enables the consolidated-
+    benchmark scale path (plans/dedup.py decontaminate pins the design):
+    a Bloom prefilter discards ~(1-fpp) of corpus grams map-side before
+    the verify join — the kept set is provably identical."""
     bench_grams = (
         benchmark.select(
             F.explode(
@@ -163,9 +173,27 @@ def drop_contaminated(
         .distinct()
     )
     g = docs.withColumn("__grams", _word_3grams_from_text("text"))
+    exploded = g.select("doc_id", F.explode("__grams").alias("gram"))
+    if bloom_fpp is not None:
+        from exstream_implementation_spark.cache import tracked_persist
+        from exstream_implementation_spark.operators.bloom import (
+            build_bloom,
+            might_contain,
+        )
+
+        bench_grams = tracked_persist(bench_grams)
+        n_bench = bench_grams.count()
+        if n_bench > 0:
+            flt = build_bloom(
+                bench_grams, "gram", n_items=n_bench, fpp=bloom_fpp
+            )
+            exploded = (
+                might_contain(exploded, "gram", flt, "__mc")
+                .filter(F.col("__mc"))
+                .drop("__mc")
+            )
     hits = (
-        g.select("doc_id", F.explode("__grams").alias("gram"))
-        .join(bench_grams, "gram")
+        exploded.join(bench_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("__n_hit"))
     )
@@ -277,7 +305,12 @@ def prepare_corpus(
     ).drop("n_removed_chars")
     stages["despanned"] = cur
     if benchmark is not None:
-        cur = drop_contaminated(cur, benchmark, cfg.decontam_max_overlap)
+        cur = drop_contaminated(
+            cur,
+            benchmark,
+            cfg.decontam_max_overlap,
+            bloom_fpp=cfg.decontam_bloom_fpp,
+        )
     stages["decontaminated"] = cur
 
     if cfg.max_lm_nll is not None:

@@ -655,3 +655,49 @@ def test_weighted_cap_prefers_heavy_docs_and_respects_quota(spark):
         .collect()
     }
     assert 0 not in capped2
+
+
+def test_decontaminate_bloom_arm_keeps_identical_set(spark):
+    import dataclasses
+
+    from exstream_implementation_spark.corpus_prep import drop_contaminated
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"{STOPFUL} document number {i} with enough ordinary words",
+             "A")
+            for i in range(8)
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = docs.filter(F.col("doc_id") == 3).select("text")
+    exact = {
+        r["doc_id"]
+        for r in drop_contaminated(docs, bench, 0.3).select("doc_id").collect()
+    }
+    bloomed = {
+        r["doc_id"]
+        for r in drop_contaminated(docs, bench, 0.3, bloom_fpp=0.01)
+        .select("doc_id")
+        .collect()
+    }
+    assert bloomed == exact
+    # and through the pipeline config knob
+    cfg = dataclasses.replace(CFG, decontam_bloom_fpp=0.01)
+    via_cfg = {
+        r["doc_id"]
+        for r in prepare_corpus(docs, benchmark=bench, cfg=cfg)[
+            "decontaminated"
+        ]
+        .select("doc_id")
+        .collect()
+    }
+    via_exact = {
+        r["doc_id"]
+        for r in prepare_corpus(docs, benchmark=bench, cfg=CFG)[
+            "decontaminated"
+        ]
+        .select("doc_id")
+        .collect()
+    }
+    assert via_cfg == via_exact
