@@ -63,6 +63,7 @@ from exstream_implementation_spark.operators.multimodal import (  # noqa: F401
     attach_audio_payload,
     attach_gif_payload,
     attach_image_payload,
+    audio_features,
     audio_stats,
     attach_payload,
     decode_image,

@@ -467,6 +467,85 @@ def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(batches, schema)
 
 
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Spectral feature extraction over the decoded PCM16 stream — the
+    step a speech/audio curation pipeline runs after ``audio_stats``'s
+    amplitude screen: zero-crossing rate, power-spectral centroid, and
+    the dominant frequency (all Hz), via one numpy rfft per stream in
+    the same Arrow-batched mapInPandas shape.
+
+    These are physical quantities with a physics oracle (pinned by
+    tests): a pure sine at f has dominant_freq_hz == f to within one
+    DFT bin, zcr_hz == 2f, and spectral centroid -> f.  Multi-channel
+    streams are mixed to mono by per-sample mean first (the standard
+    analysis convention).  No SQL oracle slot: DuckDB has no FFT — the
+    honest catalog boundary, same class as C10."""
+    schema = (
+        f"{id_col} long, n_samples int, sample_rate int, "
+        "duration_s double, zcr_hz double, spectral_centroid_hz double, "
+        "dominant_freq_hz double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {
+                id_col: [], "n_samples": [], "sample_rate": [],
+                "duration_s": [], "zcr_hz": [],
+                "spectral_centroid_hz": [], "dominant_freq_hz": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                if n < 2:
+                    continue
+                # zero-crossing rate: sign changes per second (a pure
+                # sine at f crosses zero 2f times a second)
+                zc = int(np.count_nonzero(np.diff(np.signbit(mono))))
+                zcr = zc * rate / n
+                spec = np.abs(np.fft.rfft(mono))
+                power = spec * spec
+                freqs = np.fft.rfftfreq(n, 1.0 / rate)
+                # exclude DC from both features: a constant offset is
+                # loudness bias, not pitch content
+                p = power[1:]
+                tot = float(p.sum())
+                centroid = (
+                    float((freqs[1:] * p).sum() / tot) if tot > 0 else 0.0
+                )
+                dom = (
+                    float(freqs[1 + int(np.argmax(p))]) if tot > 0 else 0.0
+                )
+                rows[id_col].append(did)
+                rows["n_samples"].append(n)
+                rows["sample_rate"].append(rate)
+                rows["duration_s"].append(n / rate)
+                rows["zcr_hz"].append(zcr)
+                rows["spectral_centroid_hz"].append(centroid)
+                rows["dominant_freq_hz"].append(dom)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows[id_col], dtype="int64"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int32"),
+                    "sample_rate": pd.Series(
+                        rows["sample_rate"], dtype="int32"
+                    ),
+                    "duration_s": pd.Series(
+                        rows["duration_s"], dtype="float64"
+                    ),
+                    "zcr_hz": pd.Series(rows["zcr_hz"], dtype="float64"),
+                    "spectral_centroid_hz": pd.Series(
+                        rows["spectral_centroid_hz"], dtype="float64"
+                    ),
+                    "dominant_freq_hz": pd.Series(
+                        rows["dominant_freq_hz"], dtype="float64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema)
+
+
 N_FRAMES = 4
 
 

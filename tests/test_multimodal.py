@@ -252,3 +252,49 @@ def test_spark_audio_stats_match_local(spark):
         assert (n, rate) == (N_AUDIO_SAMPLES, AUDIO_RATE)
         assert mean == float(s.sum()) / len(s)
         assert rms == math.sqrt(float((s * s).sum()) / len(s))
+
+
+def test_audio_features_physics_oracle(spark):
+    """Spectral features carry a PHYSICS oracle: a pure sine at f must
+    report dominant_freq_hz == f to within one DFT bin, zcr_hz == 2f up
+    to crossing discreteness, and a power centroid near f (leakage
+    spreads a non-bin-aligned tone slightly).  Stereo streams mix to
+    mono first."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    rate, n = 8000, 4096
+    t = np.arange(n) / rate
+
+    def sine(f, amp=10000):
+        return (amp * np.sin(2 * np.pi * f * t)).astype(np.int16)
+
+    payloads = [
+        (1, bytearray(encode_wav(sine(440.0), rate))),
+        (2, bytearray(encode_wav(sine(1000.0), rate))),
+        (
+            3,
+            bytearray(
+                encode_wav(
+                    np.stack([sine(250.0), sine(250.0)], axis=1), rate
+                )
+            ),
+        ),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_features(df).collect()}
+    binw = rate / n
+    for did, f in [(1, 440.0), (2, 1000.0), (3, 250.0)]:
+        r = got[did]
+        assert r["sample_rate"] == rate and r["n_samples"] == n
+        assert abs(r["duration_s"] - n / rate) < 1e-12
+        assert abs(r["dominant_freq_hz"] - f) <= binw, (did, r)
+        assert abs(r["zcr_hz"] - 2 * f) <= 2 * binw + 2, (did, r)
+        assert abs(r["spectral_centroid_hz"] - f) <= 0.05 * f + binw, (
+            did,
+            r,
+        )
