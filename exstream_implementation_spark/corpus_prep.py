@@ -175,23 +175,13 @@ def drop_contaminated(
     g = docs.withColumn("__grams", _word_3grams_from_text("text"))
     exploded = g.select("doc_id", F.explode("__grams").alias("gram"))
     if bloom_fpp is not None:
-        from exstream_implementation_spark.cache import tracked_persist
         from exstream_implementation_spark.operators.bloom import (
-            build_bloom,
-            might_contain,
+            bloom_prefilter,
         )
 
-        bench_grams = tracked_persist(bench_grams)
-        n_bench = bench_grams.count()
-        if n_bench > 0:
-            flt = build_bloom(
-                bench_grams, "gram", n_items=n_bench, fpp=bloom_fpp
-            )
-            exploded = (
-                might_contain(exploded, "gram", flt, "__mc")
-                .filter(F.col("__mc"))
-                .drop("__mc")
-            )
+        exploded, bench_grams = bloom_prefilter(
+            exploded, bench_grams, "gram", bloom_fpp
+        )
     hits = (
         exploded.join(bench_grams, "gram")
         .groupBy("doc_id")
@@ -285,6 +275,13 @@ def prepare_corpus(
     plus ``stage_counts`` when ``counts=True``.
     """
     stages: dict = {}
+    if cfg.cap_weight_col is not None and cfg.max_per_source is None:
+        # fail loudly: a weight column with no quota is a do-nothing
+        # config (same contract as mix_target_rows without mix_tau)
+        raise ValueError(
+            "cap_weight_col requires max_per_source (the weighted cap "
+            "samples AGAINST a quota)"
+        )
     cur = docs
     if cfg.contract_checks is not None:
         from exstream_implementation_spark.operators.expectations import (

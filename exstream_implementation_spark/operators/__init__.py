@@ -18,6 +18,7 @@ from exstream_implementation_spark.operators.bloom import (  # noqa: F401
     BloomFilter,
     bloom_chunks,
     bloom_params,
+    bloom_prefilter,
     build_bloom,
     might_contain,
 )

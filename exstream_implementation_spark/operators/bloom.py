@@ -62,14 +62,18 @@ class BloomFilter:
     # memoized TorrentBroadcast of ``bits`` — probing the same filter
     # repeatedly must not pin a fresh bitmap copy per call
     _bc: object = field(default=None, compare=False, repr=False)
+    _bc_sc: object = field(default=None, compare=False, repr=False)
 
     def fill_ratio(self) -> float:
         return float(np.unpackbits(self.bits).sum()) / self.m_bits
 
     def broadcast(self, sc):
-        """The (memoized) executor-side handle for ``bits``."""
-        if self._bc is None:
+        """The (memoized per SparkContext) executor-side handle for
+        ``bits`` — a filter that outlives a context restart re-broadcasts
+        on the live context instead of handing out a destroyed handle."""
+        if self._bc is None or self._bc_sc is not sc:
             object.__setattr__(self, "_bc", sc.broadcast(self.bits))
+            object.__setattr__(self, "_bc_sc", sc)
         return self._bc
 
 
@@ -99,10 +103,13 @@ def _positions(col: str, m_bits: int, k_hashes: int, seed: int) -> Column:
     (xxhash64 + pmod), evaluated identically at build and probe time.
 
     The value is canonicalized to STRING before hashing: xxhash64 hashes
-    IntegerType and LongType (etc.) differently, so without the cast a
-    probe column of a different numeric width than the build column would
-    miss every member — a false negative, the one error class a Bloom
-    filter must never produce."""
+    IntegerType and LongType differently, so without the cast a probe
+    column of a different INTEGER WIDTH than the build column would miss
+    every member — a false negative, the one error class a Bloom filter
+    must never produce.  The canonicalization covers integer widths only:
+    int 1 and double 1.0 render as '1' vs '1.0', so build and probe must
+    still present the same logical type family (cast consistently at the
+    call site when mixing)."""
     return F.array(
         *[
             F.pmod(
@@ -246,3 +253,27 @@ def might_contain(
             probe(_positions(col, bloom.m_bits, bloom.k_hashes, bloom.seed))
         ),
     )
+
+
+def bloom_prefilter(
+    probe: DataFrame, members: DataFrame, col: str, fpp: float
+) -> tuple[DataFrame, DataFrame]:
+    """The standard prefilter composition shared by the decontamination
+    arms (plans/dedup.decontaminate, corpus_prep.drop_contaminated):
+    persist ``members`` (it is read again by the bloom build and by the
+    caller's verify join), build its filter eagerly, and return
+    (``probe`` filtered to might-contain rows, the persisted ``members``).
+    An empty member set skips the filter — the caller's exact join
+    against it yields nothing anyway."""
+    from exstream_implementation_spark.cache import tracked_persist
+
+    members = tracked_persist(members)
+    n = members.count()
+    if n > 0:
+        flt = build_bloom(members, col, n_items=n, fpp=fpp)
+        probe = (
+            might_contain(probe, col, flt, "__bloom_mc")
+            .filter(F.col("__bloom_mc"))
+            .drop("__bloom_mc")
+        )
+    return probe, members

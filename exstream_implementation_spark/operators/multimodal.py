@@ -497,7 +497,16 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 samples, rate = decode_wav(bytes(payload))
                 mono = samples.astype(np.float64).mean(axis=1)
                 n = len(mono)
+                rows[id_col].append(did)
+                rows["n_samples"].append(n)
+                rows["sample_rate"].append(rate)
+                rows["duration_s"].append(n / rate)
                 if n < 2:
+                    # a degenerate stream still gets its row — NULL
+                    # features, never a silently vanished document
+                    rows["zcr_hz"].append(None)
+                    rows["spectral_centroid_hz"].append(None)
+                    rows["dominant_freq_hz"].append(None)
                     continue
                 # zero-crossing rate: sign changes per second (a pure
                 # sine at f crosses zero 2f times a second)
@@ -516,10 +525,6 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 dom = (
                     float(freqs[1 + int(np.argmax(p))]) if tot > 0 else 0.0
                 )
-                rows[id_col].append(did)
-                rows["n_samples"].append(n)
-                rows["sample_rate"].append(rate)
-                rows["duration_s"].append(n / rate)
                 rows["zcr_hz"].append(zcr)
                 rows["spectral_centroid_hz"].append(centroid)
                 rows["dominant_freq_hz"].append(dom)
@@ -533,12 +538,14 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "duration_s": pd.Series(
                         rows["duration_s"], dtype="float64"
                     ),
-                    "zcr_hz": pd.Series(rows["zcr_hz"], dtype="float64"),
+                    # nullable Float64: a plain float64 Series would turn
+                    # the degenerate-stream None into NaN, not SQL NULL
+                    "zcr_hz": pd.Series(rows["zcr_hz"], dtype="Float64"),
                     "spectral_centroid_hz": pd.Series(
-                        rows["spectral_centroid_hz"], dtype="float64"
+                        rows["spectral_centroid_hz"], dtype="Float64"
                     ),
                     "dominant_freq_hz": pd.Series(
-                        rows["dominant_freq_hz"], dtype="float64"
+                        rows["dominant_freq_hz"], dtype="Float64"
                     ),
                 }
             )

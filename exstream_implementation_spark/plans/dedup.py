@@ -948,23 +948,10 @@ def decontaminate(
     e = grams.select("doc_id", F.explode("grams").alias("gram"))
     if bloom_fpp is not None:
         from exstream_implementation_spark.operators.bloom import (
-            build_bloom,
-            might_contain,
+            bloom_prefilter,
         )
 
-        # the bloom arm reads bench_grams three times (count, chunk scan,
-        # the final exact join); persist so the shingle plan runs once
-        bench_grams = tracked_persist(bench_grams)
-        n_bench = bench_grams.count()
-        if n_bench > 0:
-            flt = build_bloom(
-                bench_grams, "gram", n_items=n_bench, fpp=bloom_fpp
-            )
-            e = (
-                might_contain(e, "gram", flt, "__mc")
-                .filter(F.col("__mc"))
-                .drop("__mc")
-            )
+        e, bench_grams = bloom_prefilter(e, bench_grams, "gram", bloom_fpp)
     # real eval benchmarks are MB-sized (≪ 1M distinct 3-grams) so this join
     # normally broadcasts and the corpus never shuffles — but the hint is
     # left to AQE's runtime-size conversion rather than forced, so an
@@ -1317,21 +1304,28 @@ def sample_weighted_k(
     """
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
-    # (0, 1) open-interval uniform at 2^53 granularity (the full double
-    # mantissa): +0.5 bucket centering keeps ln(u) finite at both ends
-    # (ANSI mode makes ln(0) a hard error).  The coarse 1e6-bucket
-    # _hash_uniform is NOT reused here — it exists for Bernoulli
-    # thresholds; a continuous ES key needs collision-free granularity,
-    # else same-weight rows tie and the id tie-break (not chance) would
-    # decide boundary admissions in groups larger than the bucket count.
-    two53 = 1 << 53
+    # (0, 1) open-interval uniform at 2^52 granularity: +0.5 bucket
+    # centering keeps ln(u) finite at both ends (ANSI mode makes ln(0) a
+    # hard error), and 2^52 — not 2^53 — because x+0.5 must be EXACTLY
+    # representable for every bucket x (ULP is 0.5 up to 2^52, 1 beyond,
+    # where +0.5 would round x to a shared neighbor and reintroduce
+    # collisions, with x = 2^53-1 rounding to u = 1.0 → key 0, an
+    # unconditional winner).  The coarse 1e6-bucket _hash_uniform is NOT
+    # reused here — it exists for Bernoulli thresholds; a continuous ES
+    # key needs collision-free granularity, else same-weight rows tie
+    # and the id tie-break (not chance) decides boundary admissions.
+    two52 = 1 << 52
     u = (
-        (F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt)))) % F.lit(two53))
+        (F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt)))) % F.lit(two52))
         + F.lit(0.5)
-    ) / F.lit(float(two53))
-    key = -F.log(u) / F.col(weight_col).cast("double")
+    ) / F.lit(float(two52))
+    w_dbl = F.col(weight_col).cast("double")
+    key = -F.log(u) / w_dbl
     tagged = (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        # NaN needs its own guard: Spark orders NaN above every number,
+        # so `NaN > 0` is TRUE and a 0/0 quality score would slip the
+        # positivity filter, then win under-quota slots with a NaN key
+        df.filter(w_dbl.isNotNull() & ~F.isnan(w_dbl) & (w_dbl > 0))
         .select(group_col, id_col, key.alias("_h"))
     )
     return _fold_smallest_k(df, tagged, group_col, id_col, k)

@@ -701,3 +701,14 @@ def test_decontaminate_bloom_arm_keeps_identical_set(spark):
         .collect()
     }
     assert via_cfg == via_exact
+
+
+def test_weighted_cap_without_quota_fails_loudly(spark):
+    import dataclasses
+
+    docs = spark.createDataFrame(
+        [(0, "x", "A", 1.0)], "doc_id long, text string, source string, q double"
+    )
+    cfg = dataclasses.replace(CFG, cap_weight_col="q")  # no max_per_source
+    with pytest.raises(ValueError, match="cap_weight_col requires"):
+        prepare_corpus(docs, cfg=cfg)

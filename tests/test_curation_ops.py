@@ -492,11 +492,11 @@ def test_sample_weighted_k_probability_proportional_to_weight(spark):
     salts = spark.range(n_salts).select(F.col("id").alias("salt"))
     # one job: ES key per (salt, item), argmin per salt — the same formula
     # sample_weighted_k ranks by, evaluated over all salts at once
-    two53 = 1 << 53
+    two52 = 1 << 52
     u = (
         (F.abs(F.xxhash64(F.col("item"), F.col("salt")))
-         % F.lit(two53)) + F.lit(0.5)
-    ) / F.lit(float(two53))
+         % F.lit(two52)) + F.lit(0.5)
+    ) / F.lit(float(two52))
     keyed = salts.crossJoin(base).select(
         "salt", "item", "w", (-F.log(u) / F.col("w")).alias("key")
     )

@@ -298,3 +298,37 @@ def test_audio_features_physics_oracle(spark):
             did,
             r,
         )
+
+
+def test_audio_features_degenerate_stream_gets_null_row(spark):
+    """A 1-sample WAV must surface with NULL features, never silently
+    vanish from the output (a doc that disappears joins to nothing and
+    is lost without a quarantine entry)."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    payloads = [
+        (1, bytearray(encode_wav(np.array([123], dtype=np.int16), 8000))),
+        (
+            2,
+            bytearray(
+                encode_wav(
+                    (10000 * np.sin(2 * np.pi * 500 * np.arange(2048) / 8000))
+                    .astype(np.int16),
+                    8000,
+                )
+            ),
+        ),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_features(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_samples"] == 1
+    assert got[1]["zcr_hz"] is None
+    assert got[1]["spectral_centroid_hz"] is None
+    assert got[1]["dominant_freq_hz"] is None
+    assert got[2]["dominant_freq_hz"] is not None
