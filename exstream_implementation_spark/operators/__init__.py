@@ -196,5 +196,6 @@ from exstream_implementation_spark.operators.drift import (  # noqa: F401
     psi_categorical,
     psi_numeric,
     reference_edges,
+    reference_edges_from_sketch,
     reference_stats,
 )

@@ -83,6 +83,35 @@ def reference_edges(
     return edges
 
 
+def reference_edges_from_sketch(sketch_table: DataFrame, n_bins: int = 10) -> list:
+    """Quantile bin edges from a GLOBAL-grain KLL sketch row
+    (operators/kll.py) — the incremental twin of ``reference_edges``:
+    when the reference corpus is tracked as a streaming sketch log
+    (streaming/stats.py running_quantiles), edges refresh by merging
+    yesterday's log with today's batch instead of rescanning the
+    reference snapshot.  Duplicates from skew collapse, same contract as
+    the approx_percentile path."""
+    from exstream_implementation_spark.operators.kll import kll_quantiles
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    rows = kll_quantiles(sketch_table, qs).take(2)
+    if len(rows) != 1:
+        raise ValueError(
+            "reference_edges_from_sketch: expected exactly one sketch row "
+            f"(the GLOBAL grain — kll_merge(sketches, [])); got {len(rows)}"
+        )
+    edges = sorted(
+        set(e for e in (rows[0]["quantiles"] or []) if e is not None)
+    )
+    if not edges:
+        raise ValueError(
+            "reference_edges_from_sketch: the sketch is empty"
+        )
+    return edges
+
+
 def _psi_from_counts(ref: dict, new: dict) -> float:
     keys = set(ref) | set(new)
     ref_total = sum(ref.values())

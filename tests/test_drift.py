@@ -233,3 +233,39 @@ def test_monitor_survives_all_null_and_empty_batches(spark):
     apply(empty, 8)
     assert all(r[0] == 7 for r in sink)  # empty batch appended nothing
     assert psi_against(stats, empty) == []
+
+
+def test_reference_edges_from_sketch_agree_with_scan_edges(spark):
+    """Edges derived from the KLL sketch state bracket the same ranks as
+    the approx_percentile scan edges: every sketch edge sits within the
+    KLL rank envelope of its target quantile, so a PSI computed against
+    either edge set bins the same distribution."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.drift import (
+        reference_edges_from_sketch,
+    )
+    from exstream_implementation_spark.operators.kll import kll_build
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sketch = kll_build(events, [], "value", k=200)
+    edges = reference_edges_from_sketch(sketch, n_bins=10)
+    assert edges == sorted(edges) and len(edges) >= 2
+    vals = np.sort(
+        np.array(
+            [
+                r["value"]
+                for r in events.select("value").collect()
+                if r["value"] is not None
+            ]
+        )
+    )
+    for i, e in enumerate(edges, start=1):
+        rank = np.searchsorted(vals, e, side="left") / len(vals)
+        assert abs(rank - i / 10) <= 0.02, (i, e)
+    # grouped (non-global) sketch tables are rejected loudly
+    import pytest
+
+    grouped = kll_build(events, ["event_type"], "value", k=64)
+    with pytest.raises(ValueError, match="exactly one sketch row"):
+        reference_edges_from_sketch(grouped)
