@@ -62,6 +62,28 @@ def run(spark, sf_dir: str) -> dict:
             spark, sf_dir, benchmark=bench, max_overlap=0.1, bloom_fpp=0.01
         ).count()
     )
+
+    # weighted exact-k: quality-weighted per-source quota over documents
+    from exstream_implementation_spark.plans.dedup import sample_weighted_k
+
+    weighted = docs.withColumn(
+        "q", (F.col("doc_id") % 7 + 1).cast("double")
+    )
+    _, timings["sample_weighted_k_100"] = _timed(
+        lambda: sample_weighted_k(weighted, "source", 100, "q").count()
+    )
+
+    # spectral audio features over real PCM16 payloads, one per doc
+    from exstream_implementation_spark.operators.multimodal import (
+        attach_audio_payload,
+        audio_features,
+    )
+
+    _, timings["audio_features"] = _timed(
+        lambda: audio_features(
+            attach_audio_payload(docs.select("doc_id"))
+        ).count()
+    )
     return {"events_rows": int(n_rows), "timings_s": timings}
 
 
