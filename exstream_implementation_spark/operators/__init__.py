@@ -104,6 +104,7 @@ from exstream_implementation_spark.operators.slicing import (  # noqa: F401
     slice_intervals,
 )
 from exstream_implementation_spark.operators.kmeans import (  # noqa: F401
+    cluster_balanced_sample,
     kmeans_train,
 )
 from exstream_implementation_spark.operators.packing import (  # noqa: F401
