@@ -134,10 +134,28 @@ def merged_summaries(df: DataFrame, col: str, capacity: int) -> DataFrame:
     eviction-floor-corrected bounds), BEFORE any top-k cut — exposed so
     callers that re-rank within groups (operators/profile.py) can cut
     per group instead of globally."""
-    parts = partition_summaries(df, col, capacity)
-    # total eviction floor across partitions — one tiny agg (<= one row
-    # per partition after the distinct)
-    floors = parts.select("pid", "floor").distinct()
+    return merge_summary_units(
+        partition_summaries(df, col, capacity), ["pid"]
+    )
+
+
+def merge_summary_units(parts: DataFrame, unit_cols: list) -> DataFrame:
+    """Merge space-saving summaries over any DISJOINT cover of the data —
+    each distinct ``unit_cols`` tuple is one summary (a partition, or a
+    (batch_id, pid) cell of a streaming sketch log).  The bound math is
+    cover-agnostic: an untracked key's count within a unit is <= that
+    unit's eviction floor, so
+
+      count_hi(x) = sum_tracked(count_hi_u(x))
+                  + sum_{u not tracking x}(floor_u)
+
+    computed relationally exactly as the per-partition merge does.  The
+    presence guarantee also carries over: sum_u(n_u/cap) = n/cap, so a
+    globally heavy key is locally heavy in some unit and gets reported."""
+    unit_cols = list(unit_cols)
+    # total eviction floor across units — one tiny agg (<= one row per
+    # unit after the distinct)
+    floors = parts.select(*unit_cols, "floor").distinct()
     total_floor = F.broadcast(
         floors.agg(F.coalesce(F.sum("floor"), F.lit(0)).alias("__tf"))
     )

@@ -216,3 +216,78 @@ def running_quantiles(
         F.first("n_rows").alias("n_rows"),
     )
     return kll_quantiles(kll_merge(per_batch, keys), qs)
+
+
+# --- running heavy hitters (space-saving summary log) -------------------------
+def heavy_hitters_sink(log_path: str, col: str, capacity: int):
+    """The space-saving twin of ``sketch_sink``: per-microbatch partition
+    summaries (operators/sketches.py) into a ``batch_id``-partitioned
+    log.  Each (batch_id, pid) cell is a true summary of disjoint data,
+    so the cover-agnostic merge reads running heavy hitters off the log
+    with the same presence/bounds guarantees as one batch pass."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from exstream_implementation_spark.operators.sketches import (
+            partition_summaries,
+        )
+
+        parts = partition_summaries(batch, col, capacity).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        _overwrite_batch_partition(parts, log_path)
+
+    return _sink
+
+
+def start_heavy_hitters_monitor(
+    stream_df: DataFrame,
+    log_path: str,
+    col: str,
+    checkpoint: str,
+    capacity: int = 256,
+    available_now: bool = False,
+):
+    """Attach the heavy-hitters summary sink to a streaming frame."""
+    writer = stream_df.writeStream.foreachBatch(
+        heavy_hitters_sink(log_path, col, capacity)
+    ).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def running_heavy_hitters(
+    spark: SparkSession, log_path: str, k: int
+) -> DataFrame:
+    """Current top-``k`` candidates from the summary log:
+    (key, count_lo, count_hi, exact) ordered by count_hi desc, key asc.
+    Same contracts as the other readers: a not-yet-created log yields an
+    empty frame; the log's (batch_id, pid) cells merge with the exact
+    cover-agnostic bound math of operators/sketches.py."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from exstream_implementation_spark.operators.sketches import (
+        merge_summary_units,
+    )
+
+    try:
+        log = spark.read.parquet(log_path)
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "key string, count_lo long, count_hi long, exact boolean"
+        )
+    # defense in depth behind the write-time idempotency, same as the
+    # other readers: collapse per-(batch, pid, key) duplicates a
+    # non-conforming appender could have left, which would double counts
+    per_cell = log.groupBy("batch_id", "pid", "key").agg(
+        F.first("count_hi").alias("count_hi"),
+        F.first("err").alias("err"),
+        F.first("floor").alias("floor"),
+    )
+    return (
+        merge_summary_units(per_cell, ["batch_id", "pid"])
+        .orderBy(F.desc("count_hi"), F.asc("key"))
+        .limit(k)
+    )

@@ -216,3 +216,87 @@ def test_quantile_redelivery_and_missing_log(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in the sketch log"):
         running_quantiles(spark, log, ["lang"], [0.5]).collect()
+
+
+# --- running heavy hitters (space-saving twin) --------------------------------
+def test_heavy_hitters_stream_matches_batch_bounds(spark, tmp_path):
+    """An availableNow drain's running heavy hitters carry valid bounds
+    around the exact counts (count_lo <= true <= count_hi), report the
+    genuinely heavy keys, and match the one-shot batch sketch's top set
+    over the same data."""
+    from exstream_implementation_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from exstream_implementation_spark.streaming.stats import (
+        running_heavy_hitters,
+        start_heavy_hitters_monitor,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = str(tmp_path / "docs_in_hh")
+    docs.repartition(4).write.parquet(d)
+    log = str(tmp_path / "hh_log")
+    q = start_heavy_hitters_monitor(
+        documents_stream(spark, d, max_files_per_trigger=1),
+        log,
+        "lang",
+        checkpoint=str(tmp_path / "ckpt_hh"),
+        capacity=64,
+        available_now=True,
+    )
+    assert q.awaitTermination(300)
+    got = running_heavy_hitters(spark, log, 5).collect()
+    exact = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    assert len(got) == min(5, len(exact))
+    for r in got:
+        assert r["count_lo"] <= exact[r["key"]] <= r["count_hi"], r
+    # the reported set matches the one-shot batch sketch's top set
+    batch_top = {
+        r["key"] for r in heavy_hitters(docs, "lang", 5, capacity=64).collect()
+    }
+    assert {r["key"] for r in got} == batch_top
+    # the true heaviest key is reported first-or-tied (bounds ordering)
+    heaviest = max(exact, key=exact.get)
+    assert heaviest in {r["key"] for r in got}
+
+
+def test_heavy_hitters_redelivery_and_missing_log(spark, tmp_path):
+    from exstream_implementation_spark.streaming.stats import (
+        heavy_hitters_sink,
+        running_heavy_hitters,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    log = str(tmp_path / "hh_redeliver")
+    sink = heavy_hitters_sink(log, "lang", 64)
+    sink(docs, 3)
+    before = {
+        (r["key"], r["count_lo"], r["count_hi"])
+        for r in running_heavy_hitters(spark, log, 10).collect()
+    }
+    sink(docs, 3)  # redelivered batch replaces its own partition
+    after = {
+        (r["key"], r["count_lo"], r["count_hi"])
+        for r in running_heavy_hitters(spark, log, 10).collect()
+    }
+    assert after == before
+    sink(docs, 4)  # a genuinely new batch doubles every bound
+    doubled = {
+        r["key"]: (r["count_lo"], r["count_hi"])
+        for r in running_heavy_hitters(spark, log, 10).collect()
+    }
+    for key, lo, hi in before:
+        assert doubled[key] == (2 * lo, 2 * hi)
+    # missing log: empty frame with the reader schema
+    missing = running_heavy_hitters(spark, str(tmp_path / "never_hh"), 3)
+    assert missing.count() == 0
+    assert missing.columns == ["key", "count_lo", "count_hi", "exact"]
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        running_heavy_hitters(spark, log, 0)
