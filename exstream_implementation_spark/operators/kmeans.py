@@ -71,13 +71,24 @@ def kmeans_train(
         inertia = assigned.agg(F.sum("sqdist")).first()[0]
         if inertia is None:  # zero input vectors — fail with a clear message
             raise ValueError("kmeans_train: input has no vectors")
-        # element-wise mean per cell: explode components, mean per (cell, pos)
+        # element-wise mean per cell: explode components, mean per (cell, pos).
+        # The sum goes through DECIMAL, not double: decimal addition is
+        # associative, so the mean — and therefore every centroid, every
+        # assignment, and anything sampled from the cells — is bit-identical
+        # regardless of input partitioning (float partial-sum order would
+        # let a near-boundary vector flip cells across repartitionings).
+        # 12 fractional digits comfortably exceed the float32 inputs'
+        # precision; 38-digit headroom covers ~1e26 rows per cell.
         comps = assigned.select(
             "cell", F.posexplode(F.col("embedding").cast("array<double>"))
         )
         new_rows = (
             comps.groupBy("cell", "pos")
-            .agg(F.avg("col").alias("m"))
+            .agg(
+                F.avg(F.col("col").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("m")
+            )
             .groupBy("cell")
             .agg(
                 F.array_sort(
@@ -128,11 +139,17 @@ def cluster_balanced_sample(
     """
     if per_cell <= 0:
         raise ValueError(f"per_cell must be positive: {per_cell}")
+    if n_cells <= 0:
+        raise ValueError(f"n_cells must be positive: {n_cells}")
+    from exstream_implementation_spark.cache import tracked_persist
     from exstream_implementation_spark.plans.dedup import sample_exact_k
 
     centroids, _ = kmeans_train(vecs, n_cells, max_iter=max_iter)
-    assigned = _assign(vecs, centroids).select(
-        "vec_id", "embedding", "cell"
+    # persisted: sample_exact_k reads the assignment from BOTH sides
+    # (winner tagging and the semi-join probe) — without the pin the
+    # broadcast-distance scan + per-vector window would run twice
+    assigned = tracked_persist(
+        _assign(vecs, centroids).select("vec_id", "embedding", "cell")
     )
     return sample_exact_k(
         assigned, "cell", per_cell, id_col="vec_id", salt=salt

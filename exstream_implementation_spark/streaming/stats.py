@@ -85,6 +85,18 @@ def sketch_sink(
     return _sink
 
 
+def _start_monitor(
+    stream_df: DataFrame, sink, checkpoint: str, available_now: bool
+):
+    """The one sink-attach shape every monitor shares."""
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_distinct_monitor(
     stream_df: DataFrame,
     log_path: str,
@@ -95,12 +107,12 @@ def start_distinct_monitor(
     available_now: bool = False,
 ):
     """Attach the sketch sink to a streaming frame and start it."""
-    writer = stream_df.writeStream.foreachBatch(
-        sketch_sink(log_path, keys, col, lgk=lgk)
-    ).option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_monitor(
+        stream_df,
+        sketch_sink(log_path, keys, col, lgk=lgk),
+        checkpoint,
+        available_now,
+    )
 
 
 def running_distinct(
@@ -172,12 +184,12 @@ def start_quantile_monitor(
     available_now: bool = False,
 ):
     """Attach the quantile sketch sink to a streaming frame and start it."""
-    writer = stream_df.writeStream.foreachBatch(
-        quantile_sketch_sink(log_path, keys, col, k=k)
-    ).option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_monitor(
+        stream_df,
+        quantile_sketch_sink(log_path, keys, col, k=k),
+        checkpoint,
+        available_now,
+    )
 
 
 def running_quantiles(
@@ -225,6 +237,10 @@ def heavy_hitters_sink(log_path: str, col: str, capacity: int):
     log.  Each (batch_id, pid) cell is a true summary of disjoint data,
     so the cover-agnostic merge reads running heavy hitters off the log
     with the same presence/bounds guarantees as one batch pass."""
+    if capacity < 1:
+        # validate at construction: deferring this into the first
+        # non-empty microbatch would kill the running query instead
+        raise ValueError(f"capacity must be >= 1: {capacity}")
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -250,12 +266,12 @@ def start_heavy_hitters_monitor(
     available_now: bool = False,
 ):
     """Attach the heavy-hitters summary sink to a streaming frame."""
-    writer = stream_df.writeStream.foreachBatch(
-        heavy_hitters_sink(log_path, col, capacity)
-    ).option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_monitor(
+        stream_df,
+        heavy_hitters_sink(log_path, col, capacity),
+        checkpoint,
+        available_now,
+    )
 
 
 def running_heavy_hitters(

@@ -247,7 +247,7 @@ def test_reference_edges_from_sketch_agree_with_scan_edges(spark):
     )
     from exstream_implementation_spark.operators.kll import kll_build
 
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events = load_table(spark, SF_DIR, "events")
     sketch = kll_build(events, [], "value", k=200)
     edges = reference_edges_from_sketch(sketch, n_bins=10)
     assert edges == sorted(edges) and len(edges) >= 2

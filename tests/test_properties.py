@@ -869,3 +869,48 @@ def test_emb_neardup_hot_bucket_cap_mechanism(spark, tmp_path):
     # design, but the bulk of random-random pairs never touch a hot bucket
     rr = lambda s: {(a, b) for a, b in s if a < 1000 and b < 1000}
     assert rr(uncapped) and len(rr(capped)) >= 0.9 * len(rr(uncapped))
+
+
+# --- cluster-balanced diversity sampling (operators/kmeans.py) ---------------
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from exstream_implementation_spark.operators.kmeans import (
+        cluster_balanced_sample,
+    )
+
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    got = cluster_balanced_sample(vecs, n_cells=6, per_cell=10)
+    rows = got.collect()
+    # output rows come from the input, keep their embedding, carry a cell
+    ids = {r["vec_id"] for r in rows}
+    assert ids <= {r["vec_id"] for r in vecs.select("vec_id").collect()}
+    # quota: never more than per_cell from any cell, and a cell smaller
+    # than the quota contributes all its members
+    per = (
+        got.groupBy("cell").agg(F.count("*").alias("c")).collect()
+    )
+    assert all(r["c"] <= 10 for r in per)
+    assert len(rows) == sum(r["c"] for r in per)
+    # deterministic across re-runs and partitionings
+    again = {
+        r["vec_id"]
+        for r in cluster_balanced_sample(
+            vecs.repartition(7), n_cells=6, per_cell=10
+        ).collect()
+    }
+    assert ids == again
+    # a different salt draws a different sample from the SAME clusters
+    other = {
+        r["vec_id"]
+        for r in cluster_balanced_sample(
+            vecs, n_cells=6, per_cell=10, salt=3
+        ).collect()
+    }
+    assert ids != other
+    import pytest
+
+    with pytest.raises(ValueError, match="per_cell"):
+        cluster_balanced_sample(vecs, n_cells=4, per_cell=0)
