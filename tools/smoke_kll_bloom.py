@@ -84,6 +84,22 @@ def run(spark, sf_dir: str) -> dict:
             attach_audio_payload(docs.select("doc_id"))
         ).count()
     )
+
+    # diversity sampling: Lloyd (5 iters, 16 cells) + exact-k per cell
+    from exstream_implementation_spark.cache import release_tracked
+    from exstream_implementation_spark.operators.kmeans import (
+        cluster_balanced_sample,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    _, timings["cluster_balanced_sample_16x50"] = _timed(
+        lambda: cluster_balanced_sample(
+            vecs, n_cells=16, per_cell=50, max_iter=5
+        ).count()
+    )
+    release_tracked()
     return {"events_rows": int(n_rows), "timings_s": timings}
 
 
