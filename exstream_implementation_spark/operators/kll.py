@@ -183,6 +183,15 @@ from exstream_implementation_spark.operators.approx import (  # noqa: E402
 )
 
 
+def _clean_key(x):
+    """pandas surfaces missing group keys as float NaN even for integer
+    columns (groupby(dropna=False) on the build side, applyInPandas
+    group frames on the merge side); Arrow needs a real None there."""
+    if isinstance(x, float) and math.isnan(x):
+        return None
+    return x
+
+
 def _key_ddl(df: DataFrame, keys: list) -> str:
     parts = [
         f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
@@ -233,16 +242,9 @@ def kll_build(
                 if s is None:
                     s = sketches[()] = KLLSketch(k)
                 s.extend(pdf["__v"].to_numpy(dtype=np.float64))
-        def _clean(x):
-            # pandas groupby(dropna=False) surfaces missing keys as float
-            # NaN even for integer columns; Arrow needs a real None there
-            if isinstance(x, float) and math.isnan(x):
-                return None
-            return x
-
         if sketches:
             rows = {
-                name: [_clean(gk[i]) for gk in sketches]
+                name: [_clean_key(gk[i]) for gk in sketches]
                 for i, name in enumerate(keys)
             }
             rows[LEVELS_COL] = [s.to_rows() for s in sketches.values()]
@@ -274,7 +276,7 @@ def kll_merge(sketches: DataFrame, keys: list) -> DataFrame:
             key=lambda r: tuple(tuple(float(v) for v in lv) for lv in r),
         ):
             acc.merge(KLLSketch.from_rows(k, rows))
-        out = {name: [pdf[name].iloc[0]] for name in keys}
+        out = {name: [_clean_key(pdf[name].iloc[0])] for name in keys}
         out[LEVELS_COL] = [acc.to_rows()]
         out[K_COL] = k
         out["n_rows"] = int(pdf["n_rows"].sum())

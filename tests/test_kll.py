@@ -179,3 +179,21 @@ def test_argument_validation(spark):
         kll_quantiles(sk, [1.5]).collect()
     with pytest.raises(ValueError, match="different k"):
         KLLSketch(16).merge(KLLSketch(32))
+
+
+def test_null_integer_group_key_survives_build_and_merge(spark):
+    """A NULL key in an INTEGER group column must come through the
+    partition build AND the applyInPandas merge as SQL NULL (pandas
+    surfaces it as float NaN on both sides; an unconverted NaN would
+    fail the long-typed Arrow conversion)."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (None, 2.0), (None, 4.0), (2, 8.0)],
+        "g long, v double",
+    )
+    got = {
+        r["g"]: r
+        for r in kll_quantiles(kll_build(df, ["g"], "v", k=16), [0.5]).collect()
+    }
+    assert set(got) == {1, 2, None}
+    assert got[None]["n_rows"] == 2
+    assert got[None]["quantiles"][0] in (2.0, 4.0)
