@@ -116,9 +116,14 @@ from exstream_implementation_spark.operators.zorder import (  # noqa: F401
     zorder_key,
 )
 from exstream_implementation_spark.operators.sharding import (  # noqa: F401
+    assign_range_shards,
     assign_shards,
+    prune_range_shards,
+    range_shard_bounds,
+    read_range_shards,
     shard_balance,
     shuffle_shard,
+    write_range_shards,
     write_shards,
 )
 from exstream_implementation_spark.operators.bpe import (  # noqa: F401

@@ -23,7 +23,7 @@ input partitioning; a keyed hash depends only on row identity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # distinct salts so the shard assignment and the within-shard order are
@@ -95,3 +95,243 @@ def shard_balance(df_sharded: DataFrame) -> DataFrame:
     """Rows per shard — one map-side-combined aggregate, for balance
     monitoring/alerting at export time."""
     return df_sharded.groupBy("shard").agg(F.count("*").alias("rows"))
+
+
+# --- range-partitioned sorted shards + min/max manifest ---------------------
+#
+# The OTHER canonical shard layout: where the hash shuffle above randomizes
+# (what a training loader wants), a RANGE layout clusters (what a serving /
+# time-series / id-range reader wants) — shard i holds a contiguous key
+# range, rows sorted by key within the shard, and a manifest records each
+# shard's (key_min, key_max, rows) so a range query opens only the shards
+# that can contain it (file-level data skipping, the same idea parquet
+# row-group stats implement one level down; cf. operators/zorder.py for the
+# multi-column variant of the layout question).
+#
+# Boundary keys are EXACT quantile split points, not repartitionByRange's
+# sampled ones: sampled boundaries change run-to-run and with input layout,
+# which breaks the "re-export reproduces byte-identical shards" contract the
+# hash path above pins.  Exactness costs one narrow aggregation of the key
+# column — (key, count) — plus the offset-stitched prefix sum from
+# operators/ranking.py (per-partition sums + an O(#partitions) driver
+# collect), never a single-partition sort.
+
+_MANIFEST = "_RANGE_MANIFEST.json"
+
+
+def range_shard_bounds(
+    df: DataFrame, key_col: str, n_shards: int
+) -> list:
+    """Exact upper-boundary keys splitting df into ``n_shards`` equal-count
+    key ranges: bound i is the key at global row rank ceil(rows*(i+1)/N),
+    i = 0..N-2.  Deterministic in (data, n_shards) — independent of input
+    partitioning.  Equal keys never split across shards, so a key hotter
+    than rows/N yields duplicate bounds, which collapse to fewer, larger
+    shards (inherent to any range layout; the manifest records reality).
+
+    Cost: one map-side-combined (key, count) aggregation, one range
+    exchange of that NARROW table, an O(#partitions) sizes collect, and an
+    O(n_shards) boundary collect.  The data table itself is not touched.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    if n_shards == 1:
+        return []
+    spark = df.sparkSession
+    from exstream_implementation_spark.cache import tracked_persist
+
+    kc = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # persist BEFORE the sizes job: repartitionByRange samples to pick its
+    # partition boundaries, so an unpersisted plan can re-sample onto
+    # different boundaries between the sizes job and the boundary job
+    # (operators/ranking.py global_row_number pins the same discipline)
+    ordered = tracked_persist(
+        kc.repartitionByRange(p, key_col)
+        .sortWithinPartitions(key_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["_pid"]: r["s"]
+        for r in ordered.groupBy("_pid")
+        .agg(F.sum("_n").alias("s"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    if total == 0:
+        return []
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    # global cumulative row count at each key = partition offset + local
+    # running sum; a key is boundary i iff target_i lands in
+    # (cum - _n, cum] — each target crossed by exactly one key row
+    targets = [
+        -(-total * (i + 1) // n_shards) for i in range(n_shards - 1)
+    ]  # ceil
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(pid, o) for pid, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ordered.join(off, "_pid").withColumn(
+        "_cum", F.col("_off") + F.sum("_n").over(w)
+    )
+    t_arr = F.array(*[F.lit(t) for t in targets])
+    hits = cum.select(
+        F.col(key_col),
+        F.filter(
+            t_arr,
+            lambda t: (t > F.col("_cum") - F.col("_n"))
+            & (t <= F.col("_cum")),
+        ).alias("_hit"),
+    ).filter(F.size("_hit") > 0)
+    bounds = sorted({r[key_col] for r in hits.collect()})
+    return bounds
+
+
+def assign_range_shards(
+    df: DataFrame, key_col: str, bounds: list
+) -> DataFrame:
+    """Add ``shard`` = number of bounds strictly below the key (so shard i
+    holds keys in (bounds[i-1], bounds[i]], shard 0 everything up to
+    bounds[0], the last shard everything above).  NULL keys are rejected —
+    a range layout has no defined place for them; filter or impute first."""
+    if df.filter(F.col(key_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"range sharding: NULL {key_col} has no defined range; "
+            "filter or impute NULL keys first"
+        )
+    if not bounds:
+        return df.withColumn("shard", F.lit(0))
+    b_arr = F.array(*[F.lit(b) for b in bounds])
+    return df.withColumn(
+        "shard",
+        F.size(F.filter(b_arr, lambda b: b < F.col(key_col))).cast("int"),
+    )
+
+
+def write_range_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    fmt: str = "parquet",
+) -> dict:
+    """Export ``path/shard=i/`` with contiguous key ranges, rows sorted by
+    key within each shard, ONE data file per shard (same partitionBy
+    guarantee as write_shards), plus ``_RANGE_MANIFEST.json`` recording per
+    shard (shard, key_min, key_max, rows) — the pruning index
+    ``read_range_shards`` consumes.  Returns the manifest dict.
+
+    Empty input still writes a schema-bearing empty shard=0 file so the
+    export root stays readable (the corpus_prep empty-split convention).
+    """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format: {fmt}")
+    import json
+    import os
+
+    bounds = range_shard_bounds(df, key_col, n_shards)
+    assigned = assign_range_shards(df, key_col, bounds)
+    (
+        assigned.repartition(max(len(bounds) + 1, 1), "shard")
+        .sortWithinPartitions("shard", key_col)
+        .write.mode("overwrite")
+        .format(fmt)
+        .partitionBy("shard")
+        .save(path)
+    )
+    stats = (
+        assigned.groupBy("shard")
+        .agg(
+            F.min(key_col).alias("key_min"),
+            F.max(key_col).alias("key_max"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
+    )
+    if not stats:  # empty input: keep the root readable
+        df.limit(0).drop("shard").write.mode("overwrite").format(
+            fmt
+        ).save(os.path.join(path, "shard=0"))
+    manifest = {
+        "key_col": key_col,
+        "fmt": fmt,
+        "n_shards_requested": n_shards,
+        "shards": sorted(
+            (
+                {
+                    "shard": r["shard"],
+                    "key_min": r["key_min"],
+                    "key_max": r["key_max"],
+                    "rows": r["rows"],
+                }
+                for r in stats
+            ),
+            key=lambda s: s["shard"],
+        ),
+    }
+    tmp = os.path.join(path, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        # keys must round-trip through JSON for pruning to compare them
+        # faithfully — numeric and string keys do; anything else (e.g.
+        # timestamps) serializes via str() and the caller must prune with
+        # the same string form
+        json.dump(manifest, fh, indent=1, sort_keys=True, default=str)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+    return manifest
+
+
+def prune_range_shards(path: str, lo=None, hi=None) -> list:
+    """Shard ids whose [key_min, key_max] intersects [lo, hi] (None =
+    unbounded) — the manifest read, no data touched."""
+    import json
+    import os
+
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    out = []
+    for s in manifest["shards"]:
+        if lo is not None and s["key_max"] < lo:
+            continue
+        if hi is not None and s["key_min"] > hi:
+            continue
+        out.append(s["shard"])
+    return out
+
+
+def read_range_shards(spark, path: str, lo=None, hi=None) -> DataFrame:
+    """Rows with ``lo <= key <= hi`` (either side None = unbounded),
+    scanning ONLY the shards the manifest says can contain the range.
+    Pruning is a performance lever; the residual filter carries the
+    semantics, so a stale manifest can cost speed but never correctness
+    within the scanned shards."""
+    import json
+    import os
+
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    key_col, fmt = manifest["key_col"], manifest["fmt"]
+    keep = prune_range_shards(path, lo, hi)
+    if not keep:
+        empty = (
+            spark.read.format(fmt)
+            .option("basePath", path)
+            .load(os.path.join(path, "shard=*"))
+            .limit(0)
+        )
+        return empty
+    reader = spark.read.format(fmt).option("basePath", path)
+    df = reader.load([os.path.join(path, f"shard={i}") for i in keep])
+    if lo is not None:
+        df = df.filter(F.col(key_col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(key_col) <= F.lit(hi))
+    return df
