@@ -251,6 +251,100 @@ def assemble_sequences(
     )
 
 
+def pack_and_sequence(chunks: DataFrame, cfg: CorpusPrepConfig):
+    """(assignment, sequences) from the chunk table — per-split FFD packing
+    when ``cfg.split_weights`` is set, a single pool otherwise.  Factored so
+    the incremental pipeline packs each increment through the identical
+    path."""
+    if cfg.split_weights is not None:
+        # the split is a pure hash of doc_id (plans/splits.py), so
+        # re-deriving it on the chunk table costs a projection and stays
+        # consistent with any doc-level assignment of the same
+        # (weights, salt).  Packing runs once per split: FFD never sees
+        # chunks from two splits, so no packed sequence can leak eval
+        # tokens into training.
+        from exstream_implementation_spark.plans.splits import (
+            assign_splits,
+        )
+
+        tagged = assign_splits(
+            chunks, cfg.split_weights, unit_col="doc_id", salt=cfg.seed
+        ).persist()
+        # the persist is the bound on upstream recomputation: without it,
+        # each split's pack + assemble re-runs the full lazy chain
+        # (quality -> dedup -> despan -> BPE apply -> chunking) — 2 scans
+        # PER SPLIT of corpus-sized work instead of one materialization
+        # of the chunk table (same pattern as train_pq/build_ivfpq_index;
+        # left cached for the caller's stage frames, LRU-evictable)
+        a_parts, s_parts = [], []
+        for name in cfg.split_weights:
+            sub = tagged.filter(F.col("split") == name).drop("split")
+            a = pack_sequences(
+                sub, cfg.pack_capacity, num_groups=cfg.pack_groups
+            )
+            a_parts.append(a.withColumn("split", F.lit(name)))
+            s_parts.append(
+                assemble_sequences(sub, a).withColumn("split", F.lit(name))
+            )
+        assignment = a_parts[0]
+        for p in a_parts[1:]:
+            assignment = assignment.unionByName(p)
+        sequences = s_parts[0]
+        for p in s_parts[1:]:
+            sequences = sequences.unionByName(p)
+    else:
+        assignment = pack_sequences(
+            chunks, cfg.pack_capacity, num_groups=cfg.pack_groups
+        )
+        sequences = assemble_sequences(chunks, assignment)
+    return assignment, sequences
+
+
+def export_sequences(
+    sequences: DataFrame, cfg: CorpusPrepConfig, out_path: str
+) -> None:
+    """Shard-export the packed sequences under ``out_path`` — one shard
+    tree per split when ``cfg.split_weights`` is set; schema-bearing empty
+    files keep every tree readable.  Factored for the incremental path."""
+    export = sequences.withColumn(
+        "seq_key",
+        F.concat_ws("_", F.col("pack_group"), F.col("seq_id")),
+    )
+    if cfg.split_weights is not None:
+        # one shard tree per split — training readers consume
+        # out_path/split=train/shard=i/ without filtering.  A split
+        # that received zero sequences still gets a schema-bearing
+        # empty shard=0 file: partitionBy writes nothing for an
+        # empty frame, which would leave split=val/ unreadable
+        # ('Unable to infer schema') and a root read with
+        # inconsistent partition depth.
+        for name in cfg.split_weights:
+            filtered = export.filter(F.col("split") == name).drop("split")
+            if filtered.limit(1).count() == 0:
+                filtered.limit(0).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{out_path}/split={name}/shard=0")
+                continue
+            write_shards(
+                filtered,
+                f"{out_path}/split={name}",
+                "seq_key",
+                cfg.n_shards,
+                seed=cfg.seed,
+            )
+    else:
+        if export.limit(1).count() == 0:
+            # same readability convention for an empty single-pool export
+            # (an all-dropped increment is a normal outcome, not an error)
+            export.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                f"{out_path}/shard=0"
+            )
+        else:
+            write_shards(
+                export, out_path, "seq_key", cfg.n_shards, seed=cfg.seed
+            )
+
+
 def prepare_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -452,83 +546,12 @@ def prepare_corpus(
 
     chunks = chunk_tokens(tokenized, cfg.chunk_len)
     stages["chunks"] = chunks
-    if cfg.split_weights is not None:
-        # the split is a pure hash of doc_id (plans/splits.py), so
-        # re-deriving it on the chunk table costs a projection and stays
-        # consistent with any doc-level assignment of the same
-        # (weights, salt).  Packing runs once per split: FFD never sees
-        # chunks from two splits, so no packed sequence can leak eval
-        # tokens into training.
-        from exstream_implementation_spark.plans.splits import (
-            assign_splits,
-        )
-
-        tagged = assign_splits(
-            chunks, cfg.split_weights, unit_col="doc_id", salt=cfg.seed
-        ).persist()
-        # the persist is the bound on upstream recomputation: without it,
-        # each split's pack + assemble re-runs the full lazy chain
-        # (quality -> dedup -> despan -> BPE apply -> chunking) — 2 scans
-        # PER SPLIT of corpus-sized work instead of one materialization
-        # of the chunk table (same pattern as train_pq/build_ivfpq_index;
-        # left cached for the caller's stage frames, LRU-evictable)
-        a_parts, s_parts = [], []
-        for name in cfg.split_weights:
-            sub = tagged.filter(F.col("split") == name).drop("split")
-            a = pack_sequences(
-                sub, cfg.pack_capacity, num_groups=cfg.pack_groups
-            )
-            a_parts.append(a.withColumn("split", F.lit(name)))
-            s_parts.append(
-                assemble_sequences(sub, a).withColumn("split", F.lit(name))
-            )
-        assignment = a_parts[0]
-        for p in a_parts[1:]:
-            assignment = assignment.unionByName(p)
-        sequences = s_parts[0]
-        for p in s_parts[1:]:
-            sequences = sequences.unionByName(p)
-    else:
-        assignment = pack_sequences(
-            chunks, cfg.pack_capacity, num_groups=cfg.pack_groups
-        )
-        sequences = assemble_sequences(chunks, assignment)
+    assignment, sequences = pack_and_sequence(chunks, cfg)
     stages["assignment"] = assignment
     stages["sequences"] = sequences
 
     if out_path is not None:
-        export = sequences.withColumn(
-            "seq_key",
-            F.concat_ws("_", F.col("pack_group"), F.col("seq_id")),
-        )
-        if cfg.split_weights is not None:
-            # one shard tree per split — training readers consume
-            # out_path/split=train/shard=i/ without filtering.  A split
-            # that received zero sequences still gets a schema-bearing
-            # empty shard=0 file: partitionBy writes nothing for an
-            # empty frame, which would leave split=val/ unreadable
-            # ('Unable to infer schema') and a root read with
-            # inconsistent partition depth.
-            for name in cfg.split_weights:
-                filtered = export.filter(F.col("split") == name).drop(
-                    "split"
-                )
-                if filtered.limit(1).count() == 0:
-                    filtered.limit(0).coalesce(1).write.mode(
-                        "overwrite"
-                    ).parquet(f"{out_path}/split={name}/shard=0")
-                    continue
-                write_shards(
-                    filtered,
-                    f"{out_path}/split={name}",
-                    "seq_key",
-                    cfg.n_shards,
-                    seed=cfg.seed,
-                )
-        else:
-            write_shards(
-                export, out_path, "seq_key", cfg.n_shards, seed=cfg.seed
-            )
+        export_sequences(sequences, cfg, out_path)
         stages["out_path"] = out_path
 
     if counts:

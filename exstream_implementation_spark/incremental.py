@@ -1,0 +1,571 @@
+"""Incremental corpus preparation — the daily-crawl loop over
+``corpus_prep.prepare_corpus``.
+
+A 100 TB corpus is not built once: batches arrive (a crawl dump, a day of
+ingest) and reprocessing the whole corpus per batch is O(corpus) per
+increment.  This module processes ONLY the new batch against persisted,
+versioned pipeline state, at O(batch) cost per stage plus joins against
+state tables that are themselves sub-corpus-sized (distinct hashes,
+sampled anchors, per-source counts, LM count tables):
+
+  state        what it answers                      size
+  ---------    ----------------------------------   -----------------------
+  hashes       exact dedup vs all prior batches     1 row / distinct doc
+  anchors      substring dedup vs all prior text    1 long / k-gram anchor
+                                                    (/ mod with sampling)
+  source       remaining per-source cap quota       1 row / source
+  merges.json  frozen BPE tokenizer                 O(merges)
+  lm_*         frozen bigram quality LM (opt-in)    O(vocab)
+
+**Equivalence contract** (pytest-pinned): when batch doc_ids are strictly
+increasing across batches (enforced — see ``max_doc_id``), the surviving
+document set and the cleaned text of every doc-level stage up to ``mixed``
+are IDENTICAL to a from-scratch ``prepare_corpus`` over the union, because
+every keep-first convention (exact dedup min-doc_id, substring keep-first
+min-(doc_id, pos), deterministic cap smallest-doc_id, per-doc hash
+Bernoulli mix) resolves "first" to the earlier batch.  Three deviations
+are inherent to incrementality and documented rather than hidden:
+
+  * the BPE tokenizer and the LM quality gate are FROZEN from the initial
+    build (a from-scratch run would retrain on the union) — the standard
+    operational choice: tokenizer identity across increments is a
+    requirement for the training job, not a compromise;
+  * τ-derived mix fractions are frozen from the initial corpus's source
+    sizes (``mix_fractions`` passed explicitly are identical by
+    construction);
+  * the weighted cap (``cap_weight_col``) tops up remaining quota with ES
+    sampling over the NEW batch only — prior winners are already exported
+    and cannot be retracted, so this is quota top-up semantics, not
+    from-scratch ES over the union.
+
+**Atomicity**: each increment writes its shard tree (overwrite-idempotent),
+publishes new immutable versions of every state table
+(operators/snapshots.py), and only then atomically replaces
+``_STATE.json`` — which records the exact version of each table to read.
+A crashed increment leaves orphan versions above the committed pointer
+(vacuumable) and the state file untouched; re-running the increment is
+safe and produces the same output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.corpus_prep import (
+    CorpusPrepConfig,
+    _norm_hash,
+    chunk_tokens,
+    drop_contaminated,
+    exact_dedup,
+    export_sequences,
+    pack_and_sequence,
+    prepare_corpus,
+    quality_filter,
+)
+from exstream_implementation_spark.operators.bpe import (
+    apply_bpe,
+    load_merges,
+    save_merges,
+)
+from exstream_implementation_spark.operators.snapshots import (
+    publish_snapshot,
+    read_version,
+)
+from exstream_implementation_spark.plans.substring import (
+    duplicated_positions,
+    gram_anchors,
+    remove_spans,
+    spans_from_positions,
+)
+
+_STATE_FILE = "_STATE.json"
+# state tables that live as versioned snapshot roots under state_path
+_TABLES = ("hashes", "anchors", "source_counts")
+_LM_TABLES = ("lm_unigrams", "lm_bigrams", "lm_totals")
+
+
+def _state_path(root: str) -> str:
+    return os.path.join(root, _STATE_FILE)
+
+
+def _write_state(root: str, state: dict) -> None:
+    tmp = os.path.join(root, f".{_STATE_FILE}.tmp")
+    os.makedirs(root, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(state, fh, indent=1, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _state_path(root))  # the atomic commit
+
+
+def read_state(root: str) -> dict:
+    p = _state_path(root)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no committed prep state under {root} — run init_prep_state"
+        )
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _benchmark_digest(benchmark: DataFrame) -> dict:
+    """Order-independent identity of the decontamination benchmark: the
+    same benchmark must be supplied to every increment, or batches stop
+    being comparable — a digest mismatch fails loudly instead.  Sum of
+    per-row text hashes in decimal (associative, overflow-safe)."""
+    row = benchmark.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.xxhash64("text").cast("decimal(38,0)")).alias("hs"),
+    ).first()
+    return {"rows": row["rows"], "hash_sum": str(row["hs"])}
+
+
+def _cfg_to_json(cfg: CorpusPrepConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    # non-serializable / per-call inputs: the model and contract checks
+    # are re-supplied to each prepare_increment call
+    d.pop("quality_model", None)
+    d.pop("contract_checks", None)
+    return d
+
+
+def _cfg_from_json(
+    d: dict, quality_model=None, contract_checks=None
+) -> CorpusPrepConfig:
+    kw = dict(d)
+    if kw.get("mix_fractions") is not None:
+        kw["mix_fractions"] = dict(kw["mix_fractions"])
+    if kw.get("split_weights") is not None:
+        kw["split_weights"] = dict(kw["split_weights"])
+    return CorpusPrepConfig(
+        **kw,
+        quality_model=quality_model,
+        contract_checks=contract_checks,
+    )
+
+
+def _max_id(docs: DataFrame, id_col: str = "doc_id"):
+    r = docs.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    return r["lo"], r["hi"]
+
+
+def init_prep_state(
+    docs: DataFrame,
+    state_path: str,
+    benchmark: DataFrame | None = None,
+    cfg: CorpusPrepConfig = CorpusPrepConfig(),
+    out_path: str | None = None,
+    counts: bool = False,
+) -> dict:
+    """Full ``prepare_corpus`` over the initial corpus, then persist the
+    pipeline state the increments join against.  Shards (when
+    ``out_path``) land under ``out_path/increment=0``.  Returns the stage
+    dict with ``state`` added."""
+    if os.path.exists(_state_path(state_path)):
+        raise ValueError(
+            f"prep state already committed under {state_path}; "
+            "increments must go through prepare_increment"
+        )
+    inc_out = f"{out_path}/increment=0" if out_path is not None else None
+    stages = prepare_corpus(
+        docs, benchmark, cfg, out_path=inc_out, counts=counts
+    )
+
+    # ---- derive state from the run's own stage frames -------------------
+    # persist the two stage frames the derivations re-scan (plan-matched
+    # by CacheManager, so the capped chain reuses them too; LRU-evictable)
+    stages["quality"] = stages["quality"].persist()
+    stages["deduped"] = stages["deduped"].persist()
+    # hashes: distinct content hashes of every QUALITY-surviving doc — the
+    # exact-dedup stage of a from-scratch union run groups by this hash, so
+    # membership (not the winner id) is what future batches need
+    hashes = (
+        stages["quality"].select(_norm_hash("text").alias("__ch")).distinct()
+    )
+    # anchors: the substring stage's witness set over the DEDUPED stage
+    # texts (pre-despan — exactly what a union run would explode); with
+    # mod sampling both copies of a span select identical witnesses, so
+    # membership against this set is sufficient for keep-first detection
+    anchors = (
+        gram_anchors(
+            stages["deduped"],
+            k=cfg.substring_k,
+            mod=cfg.substring_mod,
+        )
+        .select("anchor")
+        .distinct()
+    )
+    src_counts = (
+        stages["capped"]
+        .groupBy(cfg.source_col)
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+
+    versions = {
+        "hashes": publish_snapshot(
+            hashes, os.path.join(state_path, "hashes")
+        ),
+        "anchors": publish_snapshot(
+            anchors, os.path.join(state_path, "anchors")
+        ),
+        "source_counts": publish_snapshot(
+            src_counts, os.path.join(state_path, "source_counts")
+        ),
+    }
+    if cfg.max_lm_nll is not None:
+        # freeze the LM the initial run gated with: retrain the identical
+        # tables (train_bigram_lm is deterministic in its input) on the
+        # same stage prepare_corpus trained on, and persist them
+        from exstream_implementation_spark.plans.lm import train_bigram_lm
+
+        lm = train_bigram_lm(stages["decontaminated"])
+        versions["lm_unigrams"] = publish_snapshot(
+            lm["unigrams"], os.path.join(state_path, "lm_unigrams")
+        )
+        versions["lm_bigrams"] = publish_snapshot(
+            lm["bigrams"], os.path.join(state_path, "lm_bigrams")
+        )
+        versions["lm_totals"] = publish_snapshot(
+            lm["totals"], os.path.join(state_path, "lm_totals")
+        )
+
+    save_merges(
+        stages["merges"], os.path.join(state_path, "merges.json")
+    )
+
+    _, max_doc_id = _max_id(docs)
+    mix_policy = stages.get("mix_policy")
+    state = {
+        "config": _cfg_to_json(cfg),
+        "has_quality_model": cfg.quality_model is not None,
+        "has_contract_checks": cfg.contract_checks is not None,
+        # τ-derived fractions freeze here; explicit fractions pass through
+        "mix_fractions": (
+            mix_policy["fractions"]
+            if mix_policy is not None
+            else cfg.mix_fractions
+        ),
+        "benchmark_digest": (
+            _benchmark_digest(benchmark) if benchmark is not None else None
+        ),
+        "max_doc_id": max_doc_id,
+        "n_increments": 1,
+        "versions": versions,
+    }
+    _write_state(state_path, state)
+    stages["state"] = state
+    return stages
+
+
+def prepare_increment(
+    new_docs: DataFrame,
+    state_path: str,
+    benchmark: DataFrame | None = None,
+    quality_model=None,
+    contract_checks: tuple | None = None,
+    out_path: str | None = None,
+    counts: bool = False,
+) -> dict:
+    """Run the prep pipeline over ONE new batch against committed state.
+
+    ``new_docs`` doc_ids must all exceed every id previously seen (checked
+    eagerly) — the monotonicity that makes every keep-first convention
+    resolve to "the earlier batch wins" and the equivalence contract hold.
+    ``benchmark`` / ``quality_model`` / ``contract_checks`` are re-supplied
+    per call (frames and models don't serialize into state); the benchmark
+    is digest-checked against the one the state was built with.
+
+    Returns the stage dict (same keys as ``prepare_corpus``) plus
+    ``state`` (the NEWLY committed state) and ``increment`` (this batch's
+    index, also its ``out_path/increment=i`` directory).
+    """
+    spark = new_docs.sparkSession
+    state = read_state(state_path)
+    cfg = _cfg_from_json(
+        state["config"],
+        quality_model=quality_model,
+        contract_checks=contract_checks,
+    )
+    if state["has_quality_model"] and quality_model is None:
+        raise ValueError(
+            "state was built with a quality_model; pass the same model to "
+            "prepare_increment"
+        )
+    if state["benchmark_digest"] is not None:
+        if benchmark is None:
+            raise ValueError(
+                "state was built with a decontamination benchmark; the "
+                "same benchmark frame must be supplied to every increment"
+            )
+        got = _benchmark_digest(benchmark)
+        if got != state["benchmark_digest"]:
+            raise ValueError(
+                "benchmark digest mismatch: increments must decontaminate "
+                f"against the state's benchmark (state="
+                f"{state['benchmark_digest']}, got={got})"
+            )
+    elif benchmark is not None:
+        raise ValueError(
+            "state was built WITHOUT a benchmark; rebuild state to add "
+            "decontamination (a benchmark applied only to later batches "
+            "would make batches incomparable)"
+        )
+
+    lo, hi = _max_id(new_docs)
+    if lo is None:
+        raise ValueError("prepare_increment: empty batch")
+    if lo <= state["max_doc_id"]:
+        raise ValueError(
+            f"batch doc_ids must exceed all previously seen ids "
+            f"(min new id {lo} <= state max {state['max_doc_id']}); "
+            "monotone ids are what make keep-first conventions resolve "
+            "to the earlier batch"
+        )
+
+    def _tbl(name: str) -> DataFrame:
+        return read_version(
+            spark,
+            os.path.join(state_path, name),
+            state["versions"][name],
+        )
+
+    stages: dict = {}
+    cur = new_docs
+    if contract_checks is not None:
+        from exstream_implementation_spark.operators.expectations import (
+            quarantine,
+        )
+
+        cur, bad = quarantine(cur, list(contract_checks))
+        stages["contract_quarantine"] = bad
+    stages["contracted"] = cur
+
+    cur = quality_filter(cur, cfg)
+    stages["quality"] = cur
+    # the state update below needs this batch's quality-survivor hashes;
+    # persist so the (hashes, dedup, downstream) consumers share one
+    # materialization of the quality scan (LRU-evictable)
+    cur = cur.persist()
+    new_hashes = cur.select(_norm_hash("text").alias("__ch")).distinct()
+
+    # ---- exact dedup: within batch, then against all prior batches ------
+    cur = exact_dedup(cur)
+    cur = (
+        cur.withColumn("__ch", _norm_hash("text"))
+        .join(_tbl("hashes"), "__ch", "left_anti")
+        .drop("__ch")
+    )
+    stages["deduped"] = cur
+    cur = cur.persist()  # anchors + despan + state update share this scan
+
+    # ---- substring dedup: spans duplicated against prior batches OR
+    # earlier within this batch (keep-globally-first) ----------------------
+    a_new = gram_anchors(cur, k=cfg.substring_k, mod=cfg.substring_mod)
+    state_anchors = _tbl("anchors")
+    old_hit = a_new.join(state_anchors, "anchor", "left_semi").select(
+        "doc_id", "pos"
+    )
+    fresh = a_new.join(state_anchors, "anchor", "left_anti")
+    in_batch = duplicated_positions(fresh, "doc_id", policy="keep_first")
+    dup_pos = old_hit.unionByName(in_batch)
+    spans = spans_from_positions(dup_pos, cfg.substring_k)
+    cur = remove_spans(cur, spans).drop("n_removed_chars")
+    stages["despanned"] = cur
+
+    if benchmark is not None:
+        cur = drop_contaminated(
+            cur,
+            benchmark,
+            cfg.decontam_max_overlap,
+            bloom_fpp=cfg.decontam_bloom_fpp,
+        )
+    stages["decontaminated"] = cur
+
+    if cfg.max_lm_nll is not None:
+        from exstream_implementation_spark.plans.lm import score_lm_nll
+
+        lm = {
+            "unigrams": _tbl("lm_unigrams"),
+            "bigrams": _tbl("lm_bigrams"),
+            "totals": _tbl("lm_totals"),
+        }
+        cur = (
+            score_lm_nll(cur, lm)
+            .filter(F.col("lm_nll") <= cfg.max_lm_nll)
+            .drop("lm_nll")
+        )
+    stages["lm_filtered"] = cur
+
+    if quality_model is not None:
+        from exstream_implementation_spark.operators.logreg import (
+            doc_quality_features,
+            logreg_score_expr,
+        )
+
+        cur = (
+            doc_quality_features(cur)
+            .filter(logreg_score_expr(quality_model) >= cfg.min_p_good)
+            .drop("features")
+        )
+    stages["clf_filtered"] = cur
+
+    if cfg.min_compress_ratio is not None:
+        from exstream_implementation_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        cur = (
+            compression_ratio(cur)
+            .filter(
+                F.col("compress_ratio").isNull()
+                | (F.col("compress_ratio") >= cfg.min_compress_ratio)
+            )
+            .drop("compress_ratio")
+        )
+    stages["compress_filtered"] = cur
+
+    if cfg.max_per_source is not None:
+        from exstream_implementation_spark.plans.urls import cap_per_group
+
+        cur = cur.persist()  # cap reads its input twice (corpus_prep note)
+        # remaining quota per source = cap − already admitted; sources the
+        # state has never seen keep the full default quota
+        quotas = _tbl("source_counts").select(
+            F.col(cfg.source_col),
+            F.greatest(
+                F.lit(cfg.max_per_source) - F.col("n_admitted"), F.lit(0)
+            ).alias("quota"),
+        )
+        if cfg.cap_weight_col is not None:
+            from exstream_implementation_spark.plans.dedup import (
+                es_sampling_key,
+            )
+
+            # weighted top-up: order the remaining-quota cap by the SAME
+            # ES key sample_weighted_k uses (factored there), with the
+            # same NULL/NaN/non-positive weight exclusions
+            w_dbl = F.col(cfg.cap_weight_col).cast("double")
+            cur = (
+                cur.filter(
+                    w_dbl.isNotNull() & ~F.isnan(w_dbl) & (w_dbl > 0)
+                )
+                .withColumn(
+                    "__es",
+                    es_sampling_key(
+                        "doc_id", cfg.cap_weight_col, cfg.seed
+                    ),
+                )
+            )
+            cur = cap_per_group(
+                cur,
+                [cfg.source_col],
+                cfg.max_per_source,
+                order_col="__es",
+                id_col="doc_id",
+                quotas=quotas,
+            ).drop("__es")
+        else:
+            cur = cap_per_group(
+                cur,
+                [cfg.source_col],
+                cfg.max_per_source,
+                id_col="doc_id",
+                quotas=quotas,
+            )
+    stages["capped"] = cur
+
+    if state["mix_fractions"] is not None:
+        from exstream_implementation_spark.plans.dedup import sample_mix
+
+        cur = sample_mix(
+            cur,
+            state["mix_fractions"],
+            key=cfg.source_col,
+            salt=cfg.seed + 101,
+        )
+    stages["mixed"] = cur
+    cur = cur.persist()  # state update + tokenize share the survivor set
+
+    merges = load_merges(os.path.join(state_path, "merges.json"))
+    stages["merges"] = merges
+    tokenized = apply_bpe(cur, merges)
+    stages["tokenized"] = tokenized
+
+    chunks = chunk_tokens(tokenized, cfg.chunk_len)
+    stages["chunks"] = chunks
+    assignment, sequences = pack_and_sequence(chunks, cfg)
+    stages["assignment"] = assignment
+    stages["sequences"] = sequences
+
+    increment = state["n_increments"]
+    if out_path is not None:
+        export_sequences(
+            sequences, cfg, f"{out_path}/increment={increment}"
+        )
+        stages["out_path"] = f"{out_path}/increment={increment}"
+
+    if counts:
+        stages["stage_counts"] = {
+            name: stages[name].count()
+            for name in (
+                "contracted",
+                "quality",
+                "deduped",
+                "despanned",
+                "decontaminated",
+                "lm_filtered",
+                "clf_filtered",
+                "compress_filtered",
+                "capped",
+                "mixed",
+                "tokenized",
+                "chunks",
+                "sequences",
+            )
+        }
+
+    # ---- publish the next state (versions first, pointer file last) -----
+    versions = dict(state["versions"])
+    versions["hashes"] = publish_snapshot(
+        _tbl("hashes").unionByName(new_hashes).distinct(),
+        os.path.join(state_path, "hashes"),
+    )
+    versions["anchors"] = publish_snapshot(
+        state_anchors.unionByName(
+            gram_anchors(
+                stages["deduped"],
+                k=cfg.substring_k,
+                mod=cfg.substring_mod,
+            ).select("anchor")
+        ).distinct(),
+        os.path.join(state_path, "anchors"),
+    )
+    new_counts = (
+        stages["capped"]
+        .groupBy(cfg.source_col)
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+    versions["source_counts"] = publish_snapshot(
+        _tbl("source_counts")
+        .unionByName(new_counts)
+        .groupBy(cfg.source_col)
+        .agg(F.sum("n_admitted").alias("n_admitted")),
+        os.path.join(state_path, "source_counts"),
+    )
+    new_state = {
+        **state,
+        "max_doc_id": hi,
+        "n_increments": increment + 1,
+        "versions": versions,
+    }
+    _write_state(state_path, new_state)
+    stages["state"] = new_state
+    stages["increment"] = increment
+    return stages

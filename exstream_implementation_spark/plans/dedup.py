@@ -1270,6 +1270,20 @@ def _fold_smallest_k(df, tagged, group_col: str, id_col: str, k: int):
     return df.join(winners, [group_col, id_col], "left_semi").select(df.columns)
 
 
+def es_sampling_key(id_col: str, weight_col: str, salt: int) -> F.Column:
+    """The Efraimidis-Spirakis sampling key -ln(u)/w — smallest keys win.
+    u is the deterministic open-interval (id, salt) hash uniform at 2^52
+    granularity (see ``sample_weighted_k`` for why 2^52, not 2^53, and why
+    the coarse Bernoulli ``_hash_uniform`` is NOT reused).  Factored so the
+    incremental pipeline's quota top-up orders by the IDENTICAL key."""
+    two52 = 1 << 52
+    u = (
+        (F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt)))) % F.lit(two52))
+        + F.lit(0.5)
+    ) / F.lit(float(two52))
+    return -F.log(u) / F.col(weight_col).cast("double")
+
+
 def sample_weighted_k(
     df,
     group_col: str,
@@ -1314,13 +1328,8 @@ def sample_weighted_k(
     # reused here — it exists for Bernoulli thresholds; a continuous ES
     # key needs collision-free granularity, else same-weight rows tie
     # and the id tie-break (not chance) decides boundary admissions.
-    two52 = 1 << 52
-    u = (
-        (F.abs(F.xxhash64(F.col(id_col), F.lit(int(salt)))) % F.lit(two52))
-        + F.lit(0.5)
-    ) / F.lit(float(two52))
     w_dbl = F.col(weight_col).cast("double")
-    key = -F.log(u) / w_dbl
+    key = es_sampling_key(id_col, weight_col, salt)
     tagged = (
         # NaN needs its own guard: Spark orders NaN above every number,
         # so `NaN > 0` is TRUE and a 0/0 quality score would slip the

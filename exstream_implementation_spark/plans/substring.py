@@ -265,6 +265,17 @@ def dup_spans(
         policy,
         via,
     )
+    return spans_from_positions(dp, k, id_col)
+
+
+def spans_from_positions(
+    dup_pos: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, spans) from raw duplicated positions: union the [pos, pos+k)
+    windows into merged sorted intervals — the island fold ``dup_spans``
+    uses, factored so callers that derive positions differently (e.g. the
+    incremental pipeline, which also matches against a persisted anchor
+    state) reuse the identical merge semantics."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.coalesce(
         F.max(F.col("pos") + k).over(
@@ -272,7 +283,7 @@ def dup_spans(
         ),
         F.lit(0),
     )
-    islands = dp.withColumn(
+    islands = dup_pos.withColumn(
         "__island",
         F.sum((F.col("pos") > prev_end).cast("int")).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
@@ -307,6 +318,21 @@ def substring_dedup(
     globally first occurrence survive).  Returns the input columns with
     ``text_col`` rewritten plus ``n_removed_chars``; column order kept."""
     spans = dup_spans(docs, k, text_col, id_col, policy, hashed, mod, via)
+    return remove_spans(docs, spans, text_col, id_col)
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Splice the given (id, spans) intervals out of each document's text —
+    the removal step of ``substring_dedup``, factored for callers that
+    compute spans differently.  Spans must be sorted and disjoint (the
+    ``spans_from_positions`` contract).  Docs absent from ``spans`` pass
+    through unchanged; output = input columns with ``text_col`` rewritten
+    plus ``n_removed_chars``, column order kept."""
     t = F.col(text_col)
     # splice: walk the sorted disjoint spans, keeping [cur, start) each
     # time, then the tail.  Pure-JVM fold; text is resolved from the row.

@@ -1,0 +1,284 @@
+"""Incremental corpus preparation (incremental.py): the equivalence
+contract — with monotone doc_ids, init+increments produce the SAME
+surviving documents and cleaned text as one from-scratch prepare_corpus
+over the union, for every doc-level stage through 'mixed' — plus the
+guards (monotone ids, benchmark digest, frozen model presence), frozen
+tokenizer identity, quota top-up, and readable per-increment exports."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from exstream_implementation_spark.corpus_prep import (
+    AUDIT_STAGES,
+    CorpusPrepConfig,
+    prepare_corpus,
+)
+from exstream_implementation_spark.incremental import (
+    init_prep_state,
+    prepare_increment,
+    read_state,
+)
+
+STOPFUL = "the a and of is to in on"
+BOILER = "subscribe to the newsletter and follow of is updates daily ok"
+
+
+def _doc(i, body, src):
+    return (i, f"{STOPFUL} {body}", src)
+
+
+def _batches(spark):
+    """Three batches with every cross-batch phenomenon planted."""
+    b1 = [
+        _doc(0, "alpha beta gamma delta epsilon zeta eta theta", "srcA"),
+        _doc(1, f"unique prose about rivers {BOILER} more rivers", "srcA"),
+        _doc(2, "calm ordinary writing that survives every stage", "srcB"),
+        _doc(3, "another batch one survivor with plain words here", "srcB"),
+    ]
+    b2 = [
+        # 10: exact duplicate of doc 0 (cross-batch dedup)
+        _doc(10, "alpha beta gamma delta epsilon zeta eta theta", "srcB"),
+        # 11: carries doc 1's boilerplate span (cross-batch substring)
+        _doc(11, f"mountain text here {BOILER} further mountains", "srcA"),
+        # 12/13: share a NEW span within batch 2 (in-batch substring)
+        _doc(12, f"fresh shared passage appears twice {BOILER[::-1]}", "srcB"),
+        _doc(13, f"other words fresh shared passage appears twice end", "srcB"),
+        # 14: contaminated by the benchmark 3-gram run
+        _doc(14, "casual words then secret eval answer here now ok", "srcA"),
+        # 15: fails quality (no stop words, long)
+        (15, " ".join(f"w{i}" for i in range(30)), "srcA"),
+        # 16-18: srcA flood to cross the per-source cap boundary
+        _doc(16, "flood document one with ordinary filler words", "srcA"),
+        _doc(17, "flood document two with ordinary filler words", "srcA"),
+        _doc(18, "flood document three with ordinary filler words", "srcA"),
+    ]
+    b3 = [
+        # 20: duplicate of a BATCH-2 doc (state must have grown)
+        _doc(20, f"mountain text here {BOILER} further mountains", "srcB"),
+        # 21: clean third-batch survivor
+        _doc(21, "third batch brings calm new material to keep", "srcB"),
+        # 22: re-carries doc 1's boilerplate (old state still applies)
+        _doc(22, f"valley text now {BOILER} further valleys", "srcA"),
+    ]
+    schema = "doc_id long, text string, source string"
+    return (
+        spark.createDataFrame(b1, schema),
+        spark.createDataFrame(b2, schema),
+        spark.createDataFrame(b3, schema),
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(0, "secret eval answer here")], "qid long, text string"
+    )
+
+
+CFG = CorpusPrepConfig(
+    min_tokens=8,
+    min_stop_ratio=0.1,
+    substring_k=12,
+    substring_mod=None,
+    max_per_source=4,
+    mix_fractions={"srcA": 1.0, "srcB": 0.75},
+    bpe_merges=8,
+    chunk_len=8,
+    pack_capacity=16,
+    pack_groups=4,
+    n_shards=2,
+)
+
+
+@pytest.fixture(scope="module")
+def run(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("inc")
+    state, out = str(root / "state"), str(root / "out")
+    b1, b2, b3 = _batches(spark)
+    s0 = init_prep_state(
+        b1, state, benchmark=_bench(spark), cfg=CFG, out_path=out
+    )
+    s1 = prepare_increment(
+        b2, state, benchmark=_bench(spark), out_path=out, counts=True
+    )
+    s2 = prepare_increment(
+        b3, state, benchmark=_bench(spark), out_path=out, counts=True
+    )
+    full = prepare_corpus(b1.unionByName(b2).unionByName(b3), _bench(spark), CFG)
+    return {
+        "state_path": state,
+        "out": out,
+        "batches": (b1, b2, b3),
+        "incs": (s0, s1, s2),
+        "full": full,
+    }
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_stagewise_parity_with_from_scratch(run):
+    s0, s1, s2 = run["incs"]
+    full = run["full"]
+    for stage in AUDIT_STAGES:
+        inc_ids = _ids(s0[stage]) + _ids(s1[stage]) + _ids(s2[stage])
+        assert sorted(inc_ids) == _ids(full[stage]), stage
+
+
+def test_cleaned_text_parity(run):
+    s0, s1, s2 = run["incs"]
+    full_txt = {
+        r["doc_id"]: r["text"]
+        for r in run["full"]["despanned"].select("doc_id", "text").collect()
+    }
+    inc_txt = {}
+    for s in (s0, s1, s2):
+        for r in s["despanned"].select("doc_id", "text").collect():
+            inc_txt[r["doc_id"]] = r["text"]
+    assert inc_txt == full_txt
+    # the planted cross-batch boilerplate really was removed from the
+    # LATER copies only
+    assert BOILER in inc_txt[1]
+    assert BOILER not in inc_txt[11]
+    assert BOILER not in inc_txt[22]
+
+
+def test_planted_phenomena(run):
+    _, s1, s2 = run["incs"]
+    ids1, ids2 = _ids(s1["mixed"]), _ids(s2["mixed"])
+    assert 10 not in ids1  # cross-batch exact dup dropped
+    assert 14 not in ids1  # contaminated dropped
+    assert 15 not in ids1  # quality-failed dropped
+    assert 20 not in ids2  # dup of a batch-2 doc: state grew between incs
+    # in-batch substring pair: later doc lost the shared span
+    txt = {
+        r["doc_id"]: r["text"]
+        for r in s1["despanned"].select("doc_id", "text").collect()
+    }
+    assert "fresh shared passage appears twice" in txt[12]
+    assert "fresh shared passage appears twice" not in txt[13]
+
+
+def test_cap_quota_never_exceeded_across_batches(run):
+    s0, s1, s2 = run["incs"]
+    from collections import Counter
+
+    per_src = Counter()
+    for s in (s0, s1, s2):
+        for r in s["capped"].select("source").collect():
+            per_src[r["source"]] += 1
+    assert all(v <= CFG.max_per_source for v in per_src.values()), per_src
+    # the srcA flood actually hit the boundary
+    assert per_src["srcA"] == CFG.max_per_source
+
+
+def test_frozen_tokenizer(run):
+    s0, s1, s2 = run["incs"]
+    assert s1["merges"] == s0["merges"] == s2["merges"]
+
+
+def test_state_advances_and_rerun_guard(run, spark):
+    st = read_state(run["state_path"])
+    assert st["n_increments"] == 3
+    assert st["max_doc_id"] == 22
+    for t in ("hashes", "anchors", "source_counts"):
+        assert st["versions"][t] == 3  # init + two increments
+    # replaying an already-processed batch fails the monotone guard
+    b1, b2, _ = run["batches"]
+    with pytest.raises(ValueError, match="monotone|exceed"):
+        prepare_increment(b2, run["state_path"], benchmark=_bench(spark))
+
+
+def test_benchmark_guards(run, spark, tmp_path):
+    wrong = spark.createDataFrame(
+        [(0, "a different benchmark")], "qid long, text string"
+    )
+    nxt = spark.createDataFrame(
+        [(100, f"{STOPFUL} guard probe text words", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="digest"):
+        prepare_increment(nxt, run["state_path"], benchmark=wrong)
+    with pytest.raises(ValueError, match="benchmark"):
+        prepare_increment(nxt, run["state_path"], benchmark=None)
+    # a state built WITHOUT a benchmark rejects one appearing later
+    b1, _, _ = run["batches"]
+    state2 = str(tmp_path / "state2")
+    init_prep_state(b1, state2, cfg=CFG)
+    with pytest.raises(ValueError, match="WITHOUT"):
+        prepare_increment(nxt, state2, benchmark=_bench(spark))
+
+
+def test_init_refuses_existing_state(run, spark):
+    b1, _, _ = run["batches"]
+    with pytest.raises(ValueError, match="already committed"):
+        init_prep_state(b1, run["state_path"], cfg=CFG)
+
+
+def test_export_tree_reads_back(run, spark):
+    for i in range(3):
+        p = os.path.join(run["out"], f"increment={i}")
+        assert os.path.isdir(p), p
+        df = spark.read.option("basePath", p).parquet(
+            os.path.join(p, "shard=*")
+        )
+        assert df.count() >= 0 and "toks" in df.columns
+
+
+def test_all_dropped_increment_exports_readable_empty(run, spark, tmp_path):
+    # every doc fails quality: the increment is a no-op but must still
+    # commit state and leave a readable (empty) shard tree
+    dead = spark.createDataFrame(
+        [(200, "tiny", "srcA"), (201, " ".join(f"w{i}" for i in range(30)), "srcB")],
+        "doc_id long, text string, source string",
+    )
+    s = prepare_increment(
+        dead,
+        run["state_path"],
+        benchmark=_bench(spark),
+        out_path=str(tmp_path / "out2"),
+        counts=True,
+    )
+    assert s["stage_counts"]["mixed"] == 0
+    p = s["out_path"]
+    back = spark.read.option("basePath", p).parquet(os.path.join(p, "shard=*"))
+    assert back.count() == 0
+    st = read_state(run["state_path"])
+    assert st["n_increments"] == 4 and st["max_doc_id"] == 201
+
+
+def test_weighted_cap_tops_up_quota(spark, tmp_path):
+    cfg = CorpusPrepConfig(
+        min_tokens=4,
+        min_stop_ratio=0.0,
+        substring_k=40,
+        substring_mod=None,
+        max_per_source=3,
+        cap_weight_col="w",
+        bpe_merges=4,
+        chunk_len=8,
+        pack_capacity=16,
+        pack_groups=2,
+        n_shards=2,
+    )
+    schema = "doc_id long, text string, source string, w double"
+    mk = lambda i, w: (  # noqa: E731
+        i,
+        f"{STOPFUL} distinct filler body number {i} with words",
+        "s",
+        w,
+    )
+    b1 = spark.createDataFrame([mk(0, 1.0), mk(1, 1.0)], schema)
+    b2 = spark.createDataFrame(
+        [mk(10, 5.0), mk(11, 5.0), mk(12, 0.0), mk(13, None)], schema
+    )
+    state = str(tmp_path / "state")
+    s0 = init_prep_state(b1, state, cfg=cfg)
+    assert len(_ids(s0["capped"])) == 2  # under quota at init
+    s1 = prepare_increment(b2, state)
+    got = _ids(s1["capped"])
+    assert len(got) == 1  # remaining quota = 3 - 2
+    assert got[0] in (10, 11)  # zero/NULL weights can never win
