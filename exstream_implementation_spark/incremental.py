@@ -84,13 +84,47 @@ from exstream_implementation_spark.plans.substring import (
 )
 
 _STATE_FILE = "_STATE.json"
-# state tables that live as versioned snapshot roots under state_path
-_TABLES = ("hashes", "anchors", "source_counts")
-_LM_TABLES = ("lm_unigrams", "lm_bigrams", "lm_totals")
+# membership state lives as APPEND-ONLY batch-partitioned logs: an
+# increment writes ONLY its batch's rows to <state>/<name>/batch=i/ —
+# O(batch) per increment, where a versioned-snapshot rewrite of the union
+# would be O(corpus) per increment (measured: at x20 the snapshot form
+# made an increment SLOWER than a full rebuild).  Duplicates ACROSS
+# batches are harmless — both consumers are semi/anti membership joins —
+# so no global distinct is ever needed; rows are distinct within a batch
+# only.  Readers union exactly the batches committed in _STATE.json, so a
+# crashed increment's orphan batch dir is invisible and a retry's
+# mode=overwrite write is idempotent.
+_LOGS = ("hashes", "anchors")
+# small / write-once state keeps the versioned-snapshot form
+# (operators/snapshots.py): per-source counts are source-cardinality-sized
+# and need the summed union; the LM tables are frozen at init.
+# maps the persisted table name to train_bigram_lm's dict key
+_LM_TABLES = {
+    "lm_unigrams": "unigrams",
+    "lm_bigrams": "bigrams",
+    "lm_totals": "totals",
+}
 
 
 def _state_path(root: str) -> str:
     return os.path.join(root, _STATE_FILE)
+
+
+def _append_log(df: DataFrame, root: str, name: str, dirname: str) -> str:
+    """Write one batch's rows to the log — overwrite of the single batch
+    directory, so a retried increment replaces its own partition."""
+    df.write.mode("overwrite").parquet(os.path.join(root, name, dirname))
+    return dirname
+
+
+def _read_log(
+    spark: SparkSession, root: str, name: str, dirs: list
+) -> DataFrame:
+    """Union of the COMMITTED batch directories only (orphans from crashed
+    increments or compactions are never read)."""
+    return spark.read.parquet(
+        *[os.path.join(root, name, d) for d in dirs]
+    )
 
 
 def _write_state(root: str, state: dict) -> None:
@@ -208,13 +242,11 @@ def init_prep_state(
         .agg(F.count(F.lit(1)).alias("n_admitted"))
     )
 
+    logs = {
+        "hashes": [_append_log(hashes, state_path, "hashes", "batch=0")],
+        "anchors": [_append_log(anchors, state_path, "anchors", "batch=0")],
+    }
     versions = {
-        "hashes": publish_snapshot(
-            hashes, os.path.join(state_path, "hashes")
-        ),
-        "anchors": publish_snapshot(
-            anchors, os.path.join(state_path, "anchors")
-        ),
         "source_counts": publish_snapshot(
             src_counts, os.path.join(state_path, "source_counts")
         ),
@@ -226,15 +258,10 @@ def init_prep_state(
         from exstream_implementation_spark.plans.lm import train_bigram_lm
 
         lm = train_bigram_lm(stages["decontaminated"])
-        versions["lm_unigrams"] = publish_snapshot(
-            lm["unigrams"], os.path.join(state_path, "lm_unigrams")
-        )
-        versions["lm_bigrams"] = publish_snapshot(
-            lm["bigrams"], os.path.join(state_path, "lm_bigrams")
-        )
-        versions["lm_totals"] = publish_snapshot(
-            lm["totals"], os.path.join(state_path, "lm_totals")
-        )
+        for table, key in _LM_TABLES.items():
+            versions[table] = publish_snapshot(
+                lm[key], os.path.join(state_path, table)
+            )
 
     save_merges(
         stages["merges"], os.path.join(state_path, "merges.json")
@@ -258,6 +285,7 @@ def init_prep_state(
         "max_doc_id": max_doc_id,
         "n_increments": 1,
         "versions": versions,
+        "logs": logs,
     }
     _write_state(state_path, state)
     stages["state"] = state
@@ -285,6 +313,12 @@ def prepare_increment(
     Returns the stage dict (same keys as ``prepare_corpus``) plus
     ``state`` (the NEWLY committed state) and ``increment`` (this batch's
     index, also its ``out_path/increment=i`` directory).
+
+    Scale contract: state logs are only ever STREAMED (one scan per
+    membership stage, zero state-side exchanges — the batch side
+    broadcasts).  That assumes the batch's hash/anchor projections fit a
+    broadcast (a few MB per 5k docs); for batches beyond broadcast size,
+    split the input and run several increments — each is atomic anyway.
     """
     spark = new_docs.sparkSession
     state = read_state(state_path)
@@ -293,10 +327,26 @@ def prepare_increment(
         quality_model=quality_model,
         contract_checks=contract_checks,
     )
-    if state["has_quality_model"] and quality_model is None:
+    # both-direction guards: a filter chain that differs from the one the
+    # state was built with silently breaks batch comparability (same class
+    # as the benchmark digest check below)
+    if state["has_quality_model"] != (quality_model is not None):
         raise ValueError(
-            "state was built with a quality_model; pass the same model to "
+            "state was built WITH a quality_model; pass the same model to "
             "prepare_increment"
+            if state["has_quality_model"]
+            else "state was built WITHOUT a quality_model; a model applied "
+            "only to later batches would make batches incomparable — "
+            "rebuild state to add it"
+        )
+    if state["has_contract_checks"] != (contract_checks is not None):
+        raise ValueError(
+            "state was built WITH contract_checks; pass the same checks to "
+            "prepare_increment"
+            if state["has_contract_checks"]
+            else "state was built WITHOUT contract_checks; checks applied "
+            "only to later batches would make batches incomparable — "
+            "rebuild state to add them"
         )
     if state["benchmark_digest"] is not None:
         if benchmark is None:
@@ -330,6 +380,8 @@ def prepare_increment(
         )
 
     def _tbl(name: str) -> DataFrame:
+        if name in _LOGS:
+            return _read_log(spark, state_path, name, state["logs"][name])
         return read_version(
             spark,
             os.path.join(state_path, name),
@@ -356,23 +408,37 @@ def prepare_increment(
     new_hashes = cur.select(_norm_hash("text").alias("__ch")).distinct()
 
     # ---- exact dedup: within batch, then against all prior batches ------
-    cur = exact_dedup(cur)
-    cur = (
-        cur.withColumn("__ch", _norm_hash("text"))
-        .join(_tbl("hashes"), "__ch", "left_anti")
-        .drop("__ch")
+    # membership-join shape (both dedup stages): the state log is
+    # corpus-sized, the batch is small — so the state side is STREAMED
+    # exactly once against a BROADCAST of the batch side (inner join, no
+    # state exchange), the batch-sized match set comes back, and the
+    # batch resolves against it with a broadcast anti-join.  The naive
+    # batch.join(state, 'left_semi'/'left_anti') form shuffles the whole
+    # state log twice per increment — measured dominant at 300x.
+    cur = exact_dedup(cur).withColumn("__ch", _norm_hash("text"))
+    dup_ch = (
+        _tbl("hashes")
+        .join(F.broadcast(cur.select("__ch").distinct()), "__ch")
+        .distinct()  # batch-sized: at most one row per batch hash
     )
+    cur = cur.join(F.broadcast(dup_ch), "__ch", "left_anti").drop("__ch")
     stages["deduped"] = cur
     cur = cur.persist()  # anchors + despan + state update share this scan
 
     # ---- substring dedup: spans duplicated against prior batches OR
     # earlier within this batch (keep-globally-first) ----------------------
-    a_new = gram_anchors(cur, k=cfg.substring_k, mod=cfg.substring_mod)
-    state_anchors = _tbl("anchors")
-    old_hit = a_new.join(state_anchors, "anchor", "left_semi").select(
-        "doc_id", "pos"
+    a_new = gram_anchors(
+        cur, k=cfg.substring_k, mod=cfg.substring_mod
+    ).persist()  # hit-join + fresh anti + state append share it
+    old_hit = (
+        _tbl("anchors")
+        .join(F.broadcast(a_new), "anchor")
+        .select("doc_id", "pos")
+        .distinct()  # cross-batch duplicate anchors collapse batch-side
     )
-    fresh = a_new.join(state_anchors, "anchor", "left_anti")
+    fresh = a_new.join(
+        F.broadcast(old_hit), ["doc_id", "pos"], "left_anti"
+    )
     in_batch = duplicated_positions(fresh, "doc_id", policy="keep_first")
     dup_pos = old_hit.unionByName(in_batch)
     spans = spans_from_positions(dup_pos, cfg.substring_k)
@@ -391,11 +457,7 @@ def prepare_increment(
     if cfg.max_lm_nll is not None:
         from exstream_implementation_spark.plans.lm import score_lm_nll
 
-        lm = {
-            "unigrams": _tbl("lm_unigrams"),
-            "bigrams": _tbl("lm_bigrams"),
-            "totals": _tbl("lm_totals"),
-        }
+        lm = {key: _tbl(table) for table, key in _LM_TABLES.items()}
         cur = (
             score_lm_nll(cur, lm)
             .filter(F.col("lm_nll") <= cfg.max_lm_nll)
@@ -531,22 +593,46 @@ def prepare_increment(
             )
         }
 
-    # ---- publish the next state (versions first, pointer file last) -----
+    if out_path is not None:
+        # per-increment provenance next to the shards — the same record
+        # prepare_corpus writes for increment 0 (which exports through it)
+        manifest = {
+            "increment": increment,
+            "config": state["config"],
+            "has_quality_model": state["has_quality_model"],
+            "bpe_merges": [list(m) for m in merges],
+            "splits": (
+                list(cfg.split_weights) if cfg.split_weights else None
+            ),
+            "mix_fractions": state["mix_fractions"],
+        }
+        if counts:
+            manifest["stage_counts"] = stages["stage_counts"]
+        inc_dir = f"{out_path}/increment={increment}"
+        tmp = os.path.join(inc_dir, ".manifest.json.tmp")
+        os.makedirs(inc_dir, exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(inc_dir, "_MANIFEST.json"))
+
+    # ---- publish the next state (data first, pointer file last) ---------
+    # logs: ONLY this batch's rows — O(batch) writes (a_new is the same
+    # anchor frame the despan matching used, over the cached deduped scan)
+    logs = {name: list(dirs) for name, dirs in state["logs"].items()}
+    logs["hashes"].append(
+        _append_log(
+            new_hashes, state_path, "hashes", f"batch={increment}"
+        )
+    )
+    logs["anchors"].append(
+        _append_log(
+            a_new.select("anchor").distinct(),
+            state_path,
+            "anchors",
+            f"batch={increment}",
+        )
+    )
     versions = dict(state["versions"])
-    versions["hashes"] = publish_snapshot(
-        _tbl("hashes").unionByName(new_hashes).distinct(),
-        os.path.join(state_path, "hashes"),
-    )
-    versions["anchors"] = publish_snapshot(
-        state_anchors.unionByName(
-            gram_anchors(
-                stages["deduped"],
-                k=cfg.substring_k,
-                mod=cfg.substring_mod,
-            ).select("anchor")
-        ).distinct(),
-        os.path.join(state_path, "anchors"),
-    )
     new_counts = (
         stages["capped"]
         .groupBy(cfg.source_col)
@@ -564,8 +650,46 @@ def prepare_increment(
         "max_doc_id": hi,
         "n_increments": increment + 1,
         "versions": versions,
+        "logs": logs,
     }
     _write_state(state_path, new_state)
     stages["state"] = new_state
     stages["increment"] = increment
     return stages
+
+
+def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
+    """Fold each membership log's committed batch directories into ONE
+    deduplicated directory and commit a state that reads only it — bounds
+    the per-increment file count after many increments (the log twin of
+    ``operators/snapshots.compact_snapshot``).  Readers are never exposed
+    to a half-compacted state: the merged directory is written first, the
+    state pointer swaps last, and the now-unreferenced batch directories
+    are removed only AFTER the commit (a crash mid-cleanup leaves harmless
+    orphans, not a broken state).  Returns the new state."""
+    import shutil
+
+    state = read_state(state_path)
+    gen = state["n_increments"]
+    if all(
+        state["logs"][name] == [f"compact={gen}"] for name in _LOGS
+    ):
+        # already compacted at this generation — re-running would read
+        # and overwrite the same directory in one job
+        return state
+    logs = {}
+    for name in _LOGS:
+        merged = _read_log(
+            spark, state_path, name, state["logs"][name]
+        ).distinct()
+        logs[name] = [
+            _append_log(merged, state_path, name, f"compact={gen}")
+        ]
+    new_state = {**state, "logs": logs}
+    _write_state(state_path, new_state)
+    for name in _LOGS:  # post-commit cleanup of unreferenced directories
+        for d in state["logs"][name]:
+            shutil.rmtree(
+                os.path.join(state_path, name, d), ignore_errors=True
+            )
+    return new_state

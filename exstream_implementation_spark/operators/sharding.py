@@ -137,20 +137,36 @@ def range_shard_bounds(
         raise ValueError(f"n_shards must be >= 1: {n_shards}")
     if n_shards == 1:
         return []
-    spark = df.sparkSession
+    return _bounds_from_counts(_key_counts(df, key_col), key_col, n_shards)
+
+
+def _key_counts(df: DataFrame, key_col: str) -> DataFrame:
+    """Persisted, range-ordered (key, _n, _pid) — the ONE narrow aggregate
+    of the data table that bounds, NULL validation, and the manifest stats
+    all derive from."""
     from exstream_implementation_spark.cache import tracked_persist
 
     kc = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # persist BEFORE the sizes job: repartitionByRange samples to pick its
     # partition boundaries, so an unpersisted plan can re-sample onto
     # different boundaries between the sizes job and the boundary job
     # (operators/ranking.py global_row_number pins the same discipline)
-    ordered = tracked_persist(
+    return tracked_persist(
         kc.repartitionByRange(p, key_col)
         .sortWithinPartitions(key_col)
         .withColumn("_pid", F.spark_partition_id())
     )
+
+
+def _bounds_from_counts(
+    ordered: DataFrame, key_col: str, n_shards: int
+) -> list:
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    if n_shards == 1:
+        return []
+    spark = ordered.sparkSession
     sizes = {
         r["_pid"]: r["s"]
         for r in ordered.groupBy("_pid")
@@ -196,25 +212,30 @@ def range_shard_bounds(
     return bounds
 
 
+def _shard_expr(key_col: str, bounds: list) -> F.Column:
+    """shard = number of bounds strictly below the key."""
+    if not bounds:
+        return F.lit(0)
+    b_arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(b_arr, lambda b: b < F.col(key_col))).cast("int")
+
+
 def assign_range_shards(
     df: DataFrame, key_col: str, bounds: list
 ) -> DataFrame:
     """Add ``shard`` = number of bounds strictly below the key (so shard i
     holds keys in (bounds[i-1], bounds[i]], shard 0 everything up to
     bounds[0], the last shard everything above).  NULL keys are rejected —
-    a range layout has no defined place for them; filter or impute first."""
+    a range layout has no defined place for them; filter or impute first.
+    (The NULL check is one eager pass over the key column;
+    ``write_range_shards`` performs it on its narrow key-count table
+    instead and skips this one.)"""
     if df.filter(F.col(key_col).isNull()).limit(1).count() > 0:
         raise ValueError(
             f"range sharding: NULL {key_col} has no defined range; "
             "filter or impute NULL keys first"
         )
-    if not bounds:
-        return df.withColumn("shard", F.lit(0))
-    b_arr = F.array(*[F.lit(b) for b in bounds])
-    return df.withColumn(
-        "shard",
-        F.size(F.filter(b_arr, lambda b: b < F.col(key_col))).cast("int"),
-    )
+    return df.withColumn("shard", _shard_expr(key_col, bounds))
 
 
 def write_range_shards(
@@ -235,13 +256,28 @@ def write_range_shards(
     """
     if fmt not in ("parquet", "json"):
         raise ValueError(f"unsupported shard format: {fmt}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
     import json
     import os
 
-    bounds = range_shard_bounds(df, key_col, n_shards)
-    assigned = assign_range_shards(df, key_col, bounds)
+    # the data table is scanned exactly TWICE: the narrow (key, count)
+    # aggregate below, and the write itself.  NULL validation and the
+    # manifest stats both derive from the persisted key-count table, so
+    # they can never disagree with the bounds — and an expensive upstream
+    # lineage is not re-executed per bookkeeping pass.
+    kc = _key_counts(df, key_col)
+    if kc.filter(F.col(key_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"range sharding: NULL {key_col} has no defined range; "
+            "filter or impute NULL keys first"
+        )
+    bounds = (
+        _bounds_from_counts(kc, key_col, n_shards) if n_shards > 1 else []
+    )
     (
-        assigned.repartition(max(len(bounds) + 1, 1), "shard")
+        df.withColumn("shard", _shard_expr(key_col, bounds))
+        .repartition(max(len(bounds) + 1, 1), "shard")
         .sortWithinPartitions("shard", key_col)
         .write.mode("overwrite")
         .format(fmt)
@@ -249,18 +285,19 @@ def write_range_shards(
         .save(path)
     )
     stats = (
-        assigned.groupBy("shard")
+        kc.withColumn("shard", _shard_expr(key_col, bounds))
+        .groupBy("shard")
         .agg(
             F.min(key_col).alias("key_min"),
             F.max(key_col).alias("key_max"),
-            F.count(F.lit(1)).alias("rows"),
+            F.sum("_n").alias("rows"),
         )
         .collect()
     )
     if not stats:  # empty input: keep the root readable
-        df.limit(0).drop("shard").write.mode("overwrite").format(
-            fmt
-        ).save(os.path.join(path, "shard=0"))
+        df.limit(0).write.mode("overwrite").format(fmt).save(
+            os.path.join(path, "shard=0")
+        )
     manifest = {
         "key_col": key_col,
         "fmt": fmt,

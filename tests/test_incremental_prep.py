@@ -181,11 +181,20 @@ def test_frozen_tokenizer(run):
 
 
 def test_state_advances_and_rerun_guard(run, spark):
+    # >= not ==: another test in this module legitimately commits a later
+    # increment, so the assertions must hold under any test order
     st = read_state(run["state_path"])
-    assert st["n_increments"] == 3
-    assert st["max_doc_id"] == 22
-    for t in ("hashes", "anchors", "source_counts"):
-        assert st["versions"][t] == 3  # init + two increments
+    assert st["n_increments"] >= 3
+    assert st["max_doc_id"] >= 22
+    # snapshot version matches the increment count; every committed log
+    # directory exists on disk
+    assert st["versions"]["source_counts"] == st["n_increments"]
+    for log in ("hashes", "anchors"):
+        assert len(st["logs"][log]) == st["n_increments"]
+        for d in st["logs"][log]:
+            assert os.path.isdir(
+                os.path.join(run["state_path"], log, d)
+            ), (log, d)
     # replaying an already-processed batch fails the monotone guard
     b1, b2, _ = run["batches"]
     with pytest.raises(ValueError, match="monotone|exceed"):
@@ -210,6 +219,17 @@ def test_benchmark_guards(run, spark, tmp_path):
     init_prep_state(b1, state2, cfg=CFG)
     with pytest.raises(ValueError, match="WITHOUT"):
         prepare_increment(nxt, state2, benchmark=_bench(spark))
+    # the filter-chain guards fire in BOTH directions (same class as the
+    # benchmark digest): a model/checks appearing only on later batches
+    # would silently change what later batches keep
+    with pytest.raises(ValueError, match="WITHOUT a quality_model"):
+        prepare_increment(nxt, state2, quality_model=object())
+    from exstream_implementation_spark.operators.expectations import (
+        not_null,
+    )
+
+    with pytest.raises(ValueError, match="WITHOUT contract_checks"):
+        prepare_increment(nxt, state2, contract_checks=(not_null("doc_id"),))
 
 
 def test_init_refuses_existing_state(run, spark):
@@ -226,6 +246,10 @@ def test_export_tree_reads_back(run, spark):
             os.path.join(p, "shard=*")
         )
         assert df.count() >= 0 and "toks" in df.columns
+        # every increment carries its provenance manifest (increment 0's
+        # is written by prepare_corpus, later ones by prepare_increment)
+        m = json.load(open(os.path.join(p, "_MANIFEST.json")))
+        assert m["bpe_merges"], (i, m)
 
 
 def test_all_dropped_increment_exports_readable_empty(run, spark, tmp_path):
@@ -235,6 +259,7 @@ def test_all_dropped_increment_exports_readable_empty(run, spark, tmp_path):
         [(200, "tiny", "srcA"), (201, " ".join(f"w{i}" for i in range(30)), "srcB")],
         "doc_id long, text string, source string",
     )
+    n_before = read_state(run["state_path"])["n_increments"]
     s = prepare_increment(
         dead,
         run["state_path"],
@@ -247,7 +272,40 @@ def test_all_dropped_increment_exports_readable_empty(run, spark, tmp_path):
     back = spark.read.option("basePath", p).parquet(os.path.join(p, "shard=*"))
     assert back.count() == 0
     st = read_state(run["state_path"])
-    assert st["n_increments"] == 4 and st["max_doc_id"] == 201
+    assert st["n_increments"] == n_before + 1 and st["max_doc_id"] == 201
+
+
+def test_compaction_preserves_membership(spark, tmp_path):
+    from exstream_implementation_spark.incremental import (
+        compact_prep_state,
+    )
+
+    b1, b2, _ = _batches(spark)
+    state = str(tmp_path / "state")
+    init_prep_state(b1, state, benchmark=_bench(spark), cfg=CFG)
+    prepare_increment(b2, state, benchmark=_bench(spark))
+    st = compact_prep_state(spark, state)
+    for log in ("hashes", "anchors"):
+        assert st["logs"][log] == ["compact=2"]
+        # unreferenced batch directories were vacuumed post-commit
+        assert not os.path.isdir(os.path.join(state, log, "batch=0"))
+    # idempotent: a re-run at the same generation is a no-op
+    assert compact_prep_state(spark, state)["logs"] == st["logs"]
+    # membership against compacted state still works: an exact dup of a
+    # batch-1 doc and a carrier of its boilerplate both get caught
+    b3 = spark.createDataFrame(
+        [
+            _doc(30, "alpha beta gamma delta epsilon zeta eta theta", "srcB"),
+            _doc(31, f"fresh prose here {BOILER} trailing words", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    s = prepare_increment(b3, state, benchmark=_bench(spark))
+    assert _ids(s["deduped"]) == [31]
+    txt = {r["doc_id"]: r["text"] for r in s["despanned"].collect()}
+    assert BOILER not in txt[31]
+    # the post-compaction increment appended a fresh batch directory
+    assert read_state(state)["logs"]["hashes"] == ["compact=2", "batch=2"]
 
 
 def test_weighted_cap_tops_up_quota(spark, tmp_path):

@@ -1,0 +1,144 @@
+"""Incremental-prep scale smoke: prove an increment costs O(batch), not
+O(corpus).
+
+Builds the x20 documents replica (100k docs), runs
+
+  init       init_prep_state over the first 95% (the standing corpus)
+  increment  prepare_increment over the remaining 5% (the daily batch)
+  rebuild    from-scratch prepare_corpus over the union (what the
+             increment replaces)
+
+each with a real shard export (the stage that forces the whole chain),
+and reports wall times.  The claim under test: t_increment tracks the
+batch, so rebuild/increment >> 1 and grows with corpus/batch.
+
+Usage: PYTHONPATH=/root/repo python tools/incremental_smoke.py [N]
+Writes docs/SCALE_SMOKE_R9_S5.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def _docs_replica(spark, n: int) -> str:
+    """Documents-only N× replica (same semantics as scale_smoke's
+    documents branch: doc_id shifts, per-replica token prefix so replica
+    token spaces are disjoint and cross-replica pairs share nothing) —
+    built with ONE crossJoin against a replica range, so the plan stays
+    constant-size at any N instead of a union of N branches."""
+    from pyspark.sql import functions as F
+
+    out = f"/root/repo/.scale/inc_docs_x{n}"
+    done = f"{out}/_SUCCESS"
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    reps = spark.range(n).select(F.col("id").alias("rep"))
+    scaled = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * (mx + 1)).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, '\\\\s+'),"
+            " x -> concat('r', cast(rep as string), x)), ' ')"
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    scaled.write.parquet(f"{out}/documents.parquet")
+    with open(done, "w") as fh:
+        fh.write(f"n={n}")
+    return out
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    from exstream_implementation_spark.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+    from exstream_implementation_spark.incremental import (
+        init_prep_state,
+        prepare_increment,
+    )
+    from exstream_implementation_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="incremental-smoke")
+    sf_dir = _docs_replica(spark, n)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    # FIXED batch size (~5k docs) regardless of corpus scale, so
+    # t_increment is comparable across replications: the claim is that it
+    # tracks the batch while t_full_rebuild tracks the corpus
+    total = docs.count()
+    frac = max(0.0, 1.0 - 5000.0 / total)
+    cutoff = docs.selectExpr(
+        f"percentile_approx(doc_id, {frac}, 10000) as c"
+    ).first()["c"]
+    standing = docs.filter(F.col("doc_id") <= cutoff)
+    batch = docs.filter(F.col("doc_id") > cutoff)
+    n_standing, n_batch = standing.count(), batch.count()
+
+    cfg = CorpusPrepConfig(
+        substring_mod=8,
+        max_per_source=200_000,
+        bpe_merges=16,
+        n_shards=8,
+    )
+    work = tempfile.mkdtemp(prefix="inc_smoke_")
+    out = {
+        "replication": n,
+        "standing_docs": n_standing,
+        "batch_docs": n_batch,
+    }
+    try:
+        t0 = time.monotonic()
+        init_prep_state(
+            standing,
+            f"{work}/state",
+            cfg=cfg,
+            out_path=f"{work}/out",
+        )
+        out["t_init_s"] = round(time.monotonic() - t0, 2)
+
+        t0 = time.monotonic()
+        prepare_increment(batch, f"{work}/state", out_path=f"{work}/out")
+        out["t_increment_s"] = round(time.monotonic() - t0, 2)
+
+        t0 = time.monotonic()
+        prepare_corpus(docs, None, cfg, out_path=f"{work}/rebuild")
+        out["t_full_rebuild_s"] = round(time.monotonic() - t0, 2)
+        out["rebuild_over_increment"] = round(
+            out["t_full_rebuild_s"] / out["t_increment_s"], 2
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    dst = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "SCALE_SMOKE_R9_S5.json",
+    )
+    merged = {}
+    if os.path.exists(dst):
+        with open(dst) as fh:
+            merged = json.load(fh)
+    merged[f"x{n}"] = out
+    with open(dst, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
