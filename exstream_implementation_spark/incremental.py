@@ -144,7 +144,15 @@ def read_state(root: str) -> dict:
             f"no committed prep state under {root} — run init_prep_state"
         )
     with open(p) as fh:
-        return json.load(fh)
+        state = json.load(fh)
+    if "logs" not in state:
+        # fail with a migration message, not a KeyError three stages in
+        raise ValueError(
+            f"prep state under {root} was committed by an older, "
+            "incompatible layout (no membership logs); rebuild it with "
+            "init_prep_state over the full corpus"
+        )
+    return state
 
 
 def _benchmark_digest(benchmark: DataFrame) -> dict:
@@ -435,6 +443,11 @@ def prepare_increment(
         .join(F.broadcast(a_new), "anchor")
         .select("doc_id", "pos")
         .distinct()  # cross-batch duplicate anchors collapse batch-side
+        # persist: old_hit is batch-sized but its lineage scans the
+        # corpus-sized anchors log, and it feeds BOTH the fresh anti-join
+        # and dup_pos — unpersisted, every downstream materialization
+        # (and each counts=True stage count) would rescan the log
+        .persist()
     )
     fresh = a_new.join(
         F.broadcast(old_hit), ["doc_id", "pos"], "left_anti"
@@ -692,4 +705,23 @@ def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
             shutil.rmtree(
                 os.path.join(state_path, name, d), ignore_errors=True
             )
+    # the snapshot-form tables accrete one immutable version per increment;
+    # compaction is the natural point to vacuum them too, or the state
+    # directory's file count still grows without bound.  keep is computed
+    # so the version _STATE.json references ALWAYS survives: a crashed
+    # increment can leave the snapshot root's own pointer ahead of the
+    # state-referenced version, and vacuum(keep=1) would then retain only
+    # the orphan and delete the version the committed state reads.
+    from exstream_implementation_spark.operators.snapshots import (
+        list_versions,
+        vacuum,
+    )
+
+    for name in ("source_counts", *_LM_TABLES):
+        root = os.path.join(state_path, name)
+        if not os.path.isdir(root):
+            continue
+        newest = list_versions(root)[-1]
+        keep = max(1, newest - state["versions"][name] + 1)
+        vacuum(root, keep=keep)
     return new_state

@@ -289,6 +289,15 @@ def test_compaction_preserves_membership(spark, tmp_path):
         assert st["logs"][log] == ["compact=2"]
         # unreferenced batch directories were vacuumed post-commit
         assert not os.path.isdir(os.path.join(state, log, "batch=0"))
+    # superseded snapshot versions vacuumed, the state-referenced one kept
+    assert not os.path.isdir(os.path.join(state, "source_counts", "v=000001"))
+    assert os.path.isdir(
+        os.path.join(
+            state,
+            "source_counts",
+            f"v={st['versions']['source_counts']:06d}",
+        )
+    )
     # idempotent: a re-run at the same generation is a no-op
     assert compact_prep_state(spark, state)["logs"] == st["logs"]
     # membership against compacted state still works: an exact dup of a

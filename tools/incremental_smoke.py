@@ -25,8 +25,6 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(__file__))
-
 
 def _docs_replica(spark, n: int) -> str:
     """Documents-only N× replica (same semantics as scale_smoke's
