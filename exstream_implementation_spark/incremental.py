@@ -671,6 +671,70 @@ def prepare_increment(
     return stages
 
 
+def incremental_prep_writer(
+    state_path: str,
+    out_path: str | None = None,
+    benchmark: DataFrame | None = None,
+    quality_model=None,
+    contract_checks: tuple | None = None,
+):
+    """foreachBatch sink driving ``prepare_increment`` from Structured
+    Streaming — raw document stream in, curated per-increment shard trees
+    out, EXACTLY-ONCE under foreachBatch's at-least-once redelivery.
+
+    The redelivery fence is CONTENT-based, riding the module's monotone-id
+    contract rather than microbatch ids (which restart at 0 on checkpoint
+    loss and would silently skip genuinely new data):
+
+      max(batch ids) <= committed max_doc_id  → every id was already part
+          of a committed increment: the batch is a replay, skip it;
+      min(batch ids) <= committed max_doc_id < max(batch ids) → a replay
+          FUSED with new data (e.g. checkpoint loss compacting old and new
+          files into one microbatch): fail loudly — silently dropping or
+          double-processing either half would be wrong;
+      otherwise → a new batch; process it.  A crash anywhere before the
+          increment's atomic state commit leaves no trace (shard and log
+          writes are overwrite-idempotent), so the retry re-runs cleanly.
+
+    Empty microbatches are skipped.  Requires a state already committed by
+    ``init_prep_state`` (the tokenizer must be trained on a standing
+    corpus before a stream can be encoded against it).
+
+    Usage::
+
+        q = (docs_stream.writeStream
+             .foreachBatch(incremental_prep_writer(state, out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        state = read_state(state_path)  # also rejects pre-log layouts
+        lo, hi = _max_id(batch_df)
+        if lo is None:
+            return  # empty microbatch
+        if hi <= state["max_doc_id"]:
+            return  # replay of a committed increment
+        if lo <= state["max_doc_id"]:
+            raise ValueError(
+                f"stream batch {batch_id} mixes already-committed ids "
+                f"(min {lo} <= committed max {state['max_doc_id']}) with "
+                f"new ones (max {hi}) — split the replayed and new data "
+                "(this happens when a lost checkpoint compacts old and "
+                "new files into one microbatch)"
+            )
+        prepare_increment(
+            batch_df,
+            state_path,
+            benchmark=benchmark,
+            quality_model=quality_model,
+            contract_checks=contract_checks,
+            out_path=out_path,
+        )
+
+    return _admit
+
+
 def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
     """Fold each membership log's committed batch directories into ONE
     deduplicated directory and commit a state that reads only it — bounds

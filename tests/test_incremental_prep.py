@@ -317,6 +317,72 @@ def test_compaction_preserves_membership(spark, tmp_path):
     assert read_state(state)["logs"]["hashes"] == ["compact=2", "batch=2"]
 
 
+def test_streaming_writer_exactly_once(spark, tmp_path):
+    from exstream_implementation_spark.incremental import (
+        incremental_prep_writer,
+    )
+
+    b1, b2, b3 = _batches(spark)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    init_prep_state(b1, state, benchmark=_bench(spark), cfg=CFG, out_path=out)
+    fn = incremental_prep_writer(state, out, benchmark=_bench(spark))
+
+    # direct-call semantics first: process, then redeliver the same batch
+    fn(b2, 0)
+    st = read_state(state)
+    assert st["n_increments"] == 2 and st["max_doc_id"] == 18
+    fn(b2, 1)  # redelivery AFTER commit: content fence skips it
+    assert read_state(state) == st
+    # an empty microbatch is a no-op
+    fn(b2.limit(0), 2)
+    assert read_state(state) == st
+    # a replay FUSED with new data fails loudly instead of silently
+    # dropping or double-processing either half
+    with pytest.raises(ValueError, match="mixes already-committed"):
+        fn(b2.unionByName(b3), 3)
+    fn(b3, 4)
+    st2 = read_state(state)
+    assert st2["n_increments"] == 3 and st2["max_doc_id"] == 22
+
+    # a real stream: one availableNow drain over a parquet directory
+    src = str(tmp_path / "src")
+    nxt = spark.createDataFrame(
+        [_doc(40, "stream borne survivor document with plain words", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    nxt.write.parquet(src)
+    q = (
+        spark.readStream.schema(nxt.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            incremental_prep_writer(state, out, benchmark=_bench(spark))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    st3 = read_state(state)
+    assert st3["n_increments"] == 4 and st3["max_doc_id"] == 40
+    assert os.path.isdir(os.path.join(out, "increment=3"))
+    # checkpoint loss: a fresh checkpoint re-offers batch 0 with the SAME
+    # docs — the dedupe token makes the replay a no-op instead of a
+    # monotone-guard crash
+    q2 = (
+        spark.readStream.schema(nxt.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            incremental_prep_writer(state, out, benchmark=_bench(spark))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert read_state(state) == st3
+
+
 def test_weighted_cap_tops_up_quota(spark, tmp_path):
     cfg = CorpusPrepConfig(
         min_tokens=4,
