@@ -25,11 +25,7 @@ from exstream_implementation_spark.corpus_prep import (
     CorpusPrepConfig,
     _norm_hash,
 )
-from exstream_implementation_spark.operators.kll import (
-    kll_build,
-    kll_merge,
-    kll_quantiles,
-)
+from exstream_implementation_spark.operators.kll import quantile_rollup
 from exstream_implementation_spark.operators.profile import profile_columns
 from exstream_implementation_spark.plans.text import STOP_EN
 
@@ -63,35 +59,35 @@ def corpus_datasheet(
     core = docs.agg(
         F.count(F.lit(1)).alias("rows"),
         F.count_distinct(_norm_hash(text_col)).alias("distinct_texts"),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("null_texts"),
         F.sum(F.length(text_col)).alias("total_chars"),
         F.sum(n_toks.cast("long")).alias("total_tokens"),
         F.sum(quality_ok.cast("long")).alias("quality_pass"),
     ).first()
     rows = core["rows"]
+    null_texts = int(core["null_texts"] or 0)
+    # dedup_exact convention: NULL texts hash to NULL, which
+    # count_distinct skips but which form exactly ONE dedup group — add
+    # it back or every NULL row counts as a duplicate
+    text_groups = core["distinct_texts"] + (1 if null_texts else 0)
 
-    lengths = kll_quantiles(
-        kll_merge(
-            kll_build(
-                docs.select(
-                    F.lit(0).alias("__g"), F.length(text_col).alias("__len")
-                ),
-                ["__g"],
-                "__len",
-            ),
-            ["__g"],
-        ),
-        _QS,
+    lengths = quantile_rollup(
+        docs.select(F.length(text_col).alias("__len")), [], "__len", [], _QS
     ).first()
+    quantiles = lengths["quantiles"] if lengths is not None else None
+    if quantiles is not None and any(v is None for v in quantiles):
+        quantiles = None  # sketch absorbed zero values (all-NULL text)
 
     report = {
         "rows": rows,
         "total_chars": int(core["total_chars"] or 0),
         "total_ws_tokens": int(core["total_tokens"] or 0),
         "distinct_texts": core["distinct_texts"],
-        # fraction of rows that are an exact (normalized) duplicate of
-        # some other row's text — the dedup_exact convention
+        "null_texts": null_texts,
+        # fraction of rows dedup_exact would drop: 1 - groups/rows, where
+        # NULL texts are one group like any other
         "exact_dup_frac": (
-            round(1.0 - core["distinct_texts"] / rows, 6) if rows else None
+            round(1.0 - text_groups / rows, 6) if rows else None
         ),
         "quality_gate": {
             "min_tokens": cfg.min_tokens,
@@ -103,21 +99,25 @@ def corpus_datasheet(
             ),
         },
         "char_length_quantiles": (
-            dict(zip([f"p{int(q * 100)}" for q in _QS], lengths["quantiles"]))
-            if lengths is not None
+            dict(zip([f"p{int(q * 100)}" for q in _QS], quantiles))
+            if quantiles is not None
             else None
         ),
         "columns": [r.asDict() for r in profile_columns(docs).collect()],
     }
 
     if source_col is not None:
+        # persist across the two actions (top-N collect + count), or the
+        # corpus-scanning groupBy lineage executes twice
         by_src = (
             docs.groupBy(source_col)
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc(source_col))
+            .persist()
         )
         top = by_src.limit(top_sources).collect()
         n_sources = by_src.count()
+        by_src.unpersist()
         top_n = sum(r["n"] for r in top)
         report["sources"] = {
             "n_sources": n_sources,
@@ -132,6 +132,19 @@ def corpus_datasheet(
             .collect()
         }
     return report
+
+
+def _md_cell(v, max_len: int = 48) -> str:
+    """A value safe inside one markdown table cell: newlines and pipes
+    escaped, long values truncated — the column profile's min/max of a
+    text column is a whole DOCUMENT otherwise, and any embedded newline
+    or '|' would break the table."""
+    s = "" if v is None else str(v)
+    s = s.replace("\\", "\\\\").replace("|", "\\|")
+    s = s.replace("\n", "\\n").replace("\r", "\\r")
+    if len(s) > max_len:
+        s = s[: max_len - 1] + "…"
+    return s
 
 
 def datasheet_markdown(report: dict, title: str = "Corpus datasheet") -> str:
@@ -160,7 +173,7 @@ def datasheet_markdown(report: dict, title: str = "Corpus datasheet") -> str:
         L.append("| source | rows |")
         L.append("|---|---|")
         for name, n in s["top"]:
-            L.append(f"| {name} | {n} |")
+            L.append(f"| {_md_cell(name)} | {n} |")
         if s["rest_rows"]:
             L.append(f"| (rest) | {s['rest_rows']} |")
     if "languages" in report:
@@ -173,6 +186,7 @@ def datasheet_markdown(report: dict, title: str = "Corpus datasheet") -> str:
     for c in report["columns"]:
         L.append(
             f"| {c['column']} | {c['dtype']} | {c['n_null']} | "
-            f"{c['approx_distinct']} | {c['min']} | {c['max']} |"
+            f"{c['approx_distinct']} | {_md_cell(c['min'])} | "
+            f"{_md_cell(c['max'])} |"
         )
     return "\n".join(L) + "\n"

@@ -275,9 +275,13 @@ def init_prep_state(
         stages["merges"], os.path.join(state_path, "merges.json")
     )
 
-    _, max_doc_id = _max_id(docs)
+    min_doc_id, max_doc_id = _max_id(docs)
     mix_policy = stages.get("mix_policy")
     state = {
+        # committed per-batch input id ranges — the streaming writer's
+        # replay fence needs them to tell "this exact batch was already
+        # processed" apart from "new data arrived out of id order"
+        "id_ranges": [[min_doc_id, max_doc_id]],
         "config": _cfg_to_json(cfg),
         "has_quality_model": cfg.quality_model is not None,
         "has_contract_checks": cfg.contract_checks is not None,
@@ -664,6 +668,7 @@ def prepare_increment(
         "n_increments": increment + 1,
         "versions": versions,
         "logs": logs,
+        "id_ranges": state.get("id_ranges", []) + [[lo, hi]],
     }
     _write_state(state_path, new_state)
     stages["state"] = new_state
@@ -686,19 +691,24 @@ def incremental_prep_writer(
     contract rather than microbatch ids (which restart at 0 on checkpoint
     loss and would silently skip genuinely new data):
 
-      max(batch ids) <= committed max_doc_id  → every id was already part
-          of a committed increment: the batch is a replay, skip it;
-      min(batch ids) <= committed max_doc_id < max(batch ids) → a replay
-          FUSED with new data (e.g. checkpoint loss compacting old and new
-          files into one microbatch): fail loudly — silently dropping or
-          double-processing either half would be wrong;
+      batch [min, max] == a COMMITTED increment's input range → the batch
+          is a replay of that increment: skip it (only an exact range
+          match skips — "some id <= committed max" alone could be new
+          data that arrived out of id order, and silently dropping it
+          would be data loss);
+      any batch id <= committed max_doc_id, without an exact range match
+          → out-of-order or fused-with-replay data: fail loudly — the
+          monotone-id contract is broken and neither skipping nor
+          processing is safe;
       otherwise → a new batch; process it.  A crash anywhere before the
           increment's atomic state commit leaves no trace (shard and log
           writes are overwrite-idempotent), so the retry re-runs cleanly.
 
-    Empty microbatches are skipped.  Requires a state already committed by
-    ``init_prep_state`` (the tokenizer must be trained on a standing
-    corpus before a stream can be encoded against it).
+    Empty microbatches are skipped; a non-empty batch whose ids are all
+    NULL fails loudly (it would otherwise masquerade as empty).  Requires
+    a state already committed by ``init_prep_state`` (the tokenizer must
+    be trained on a standing corpus before a stream can be encoded
+    against it).
 
     Usage::
 
@@ -712,16 +722,22 @@ def incremental_prep_writer(
         state = read_state(state_path)  # also rejects pre-log layouts
         lo, hi = _max_id(batch_df)
         if lo is None:
+            if batch_df.limit(1).count() > 0:
+                raise ValueError(
+                    f"stream batch {batch_id} has rows but only NULL "
+                    "doc_ids — refusing to classify it as empty"
+                )
             return  # empty microbatch
-        if hi <= state["max_doc_id"]:
-            return  # replay of a committed increment
+        if [lo, hi] in state.get("id_ranges", []):
+            return  # exact replay of a committed increment
         if lo <= state["max_doc_id"]:
             raise ValueError(
-                f"stream batch {batch_id} mixes already-committed ids "
-                f"(min {lo} <= committed max {state['max_doc_id']}) with "
-                f"new ones (max {hi}) — split the replayed and new data "
-                "(this happens when a lost checkpoint compacts old and "
-                "new files into one microbatch)"
+                f"stream batch {batch_id} carries ids at or below the "
+                f"committed max ({lo}..{hi} vs max "
+                f"{state['max_doc_id']}) and is NOT an exact replay of a "
+                "committed increment — out-of-order arrival or a lost "
+                "checkpoint compacting replayed and new files into one "
+                "microbatch; split or re-id the data"
             )
         prepare_increment(
             batch_df,

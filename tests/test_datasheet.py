@@ -83,6 +83,44 @@ def test_optional_sections_skip(spark):
     assert "## Sources" not in md and "## Columns" in md
 
 
+def test_null_texts_form_one_dedup_group(spark):
+    rows = [(i, f"distinct text {i}", "s") for i in range(7)] + [
+        (10, None, "s"),
+        (11, None, "s"),
+        (12, None, "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = corpus_datasheet(df)
+    # 7 distinct texts + 1 NULL group = 8 groups over 10 rows
+    assert r["null_texts"] == 3
+    assert r["exact_dup_frac"] == round(1 - 8 / 10, 6)
+
+
+def test_all_null_text_renders_without_quantiles(spark):
+    df = spark.createDataFrame(
+        [(1, None, "s"), (2, None, "s")],
+        "doc_id long, text string, source string",
+    )
+    r = corpus_datasheet(df)
+    assert r["char_length_quantiles"] is None
+    md = datasheet_markdown(r)  # must not crash formatting None
+    assert "text length" not in md
+
+
+def test_markdown_survives_hostile_text(spark):
+    hostile = "first line\nsecond | cell-breaking | line\rand more " + "x" * 200
+    df = spark.createDataFrame(
+        [(1, hostile, "a|b\nc")], "doc_id long, text string, source string"
+    )
+    md = datasheet_markdown(corpus_datasheet(df))
+    for line in md.splitlines():
+        if line.startswith("|"):
+            assert "\r" not in line
+            # escaped pipes only — every cell boundary is ' | '
+            assert line.count("|") - line.count("\\|") in (3, 4, 7)
+    assert "second" not in md or "\\n" in md  # newline was escaped
+
+
 def test_missing_text_col_rejected(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="text column"):

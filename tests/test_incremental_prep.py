@@ -339,11 +339,26 @@ def test_streaming_writer_exactly_once(spark, tmp_path):
     assert read_state(state) == st
     # a replay FUSED with new data fails loudly instead of silently
     # dropping or double-processing either half
-    with pytest.raises(ValueError, match="mixes already-committed"):
+    with pytest.raises(ValueError, match="NOT an exact replay"):
         fn(b2.unionByName(b3), 3)
     fn(b3, 4)
     st2 = read_state(state)
     assert st2["n_increments"] == 3 and st2["max_doc_id"] == 22
+    # genuinely NEW data arriving out of id order (id 19 was never
+    # committed but sits below max 22): loud error, never a silent skip
+    straggler = spark.createDataFrame(
+        [_doc(19, "late arriving document with plain words here", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="NOT an exact replay"):
+        fn(straggler, 5)
+    # rows with only NULL ids must not masquerade as an empty batch
+    nulls = spark.createDataFrame(
+        [(None, "null id doc", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        fn(nulls, 6)
 
     # a real stream: one availableNow drain over a parquet directory
     src = str(tmp_path / "src")
