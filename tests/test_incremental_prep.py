@@ -398,6 +398,25 @@ def test_streaming_writer_exactly_once(spark, tmp_path):
     assert read_state(state) == st3
 
 
+def test_drop_audit_composes_with_increments(run):
+    # the per-document provenance audit (corpus_prep.drop_audit) works
+    # unchanged over an increment's stage dict: every input doc of batch 2
+    # gets a dropped_at verdict naming the first stage that lost it
+    from exstream_implementation_spark.corpus_prep import drop_audit
+
+    _, s1, _ = run["incs"]
+    _, b2, _ = run["batches"]
+    audit = {
+        r["doc_id"]: r["dropped_at"]
+        for r in drop_audit(s1, b2).collect()
+    }
+    assert set(audit) == {r["doc_id"] for r in b2.select("doc_id").collect()}
+    assert audit[10] == "deduped"  # cross-batch exact dup
+    assert audit[14] == "decontaminated"
+    assert audit[15] == "quality"
+    assert audit[11] == "kept"
+
+
 def test_weighted_cap_tops_up_quota(spark, tmp_path):
     cfg = CorpusPrepConfig(
         min_tokens=4,
