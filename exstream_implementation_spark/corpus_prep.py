@@ -351,6 +351,7 @@ def prepare_corpus(
     cfg: CorpusPrepConfig = CorpusPrepConfig(),
     out_path: str | None = None,
     counts: bool = False,
+    datasheet: bool = False,
 ) -> dict:
     """Run the full prep pipeline.  Returns a dict of the per-stage frames
     (lazy unless ``counts``/``out_path`` forces them):
@@ -611,6 +612,28 @@ def prepare_corpus(
         with open(tmp, "w") as fh:
             _json.dump(manifest, fh, indent=1, sort_keys=True)
         _os.replace(tmp, _os.path.join(out_path, "_MANIFEST.json"))
+
+    if datasheet and out_path is not None:
+        # opt-in: the Datasheets-for-Datasets record of the SURVIVING
+        # corpus (the mixed stage — what the shards were built from),
+        # written next to the manifest.  Costs the datasheet's bounded
+        # extra passes, hence opt-in.
+        from exstream_implementation_spark.datasheet import (
+            corpus_datasheet,
+            datasheet_markdown,
+        )
+
+        md = datasheet_markdown(
+            corpus_datasheet(
+                stages["mixed"], source_col=cfg.source_col, cfg=cfg
+            ),
+            title="Corpus datasheet (surviving documents)",
+        )
+        tmp = _os.path.join(out_path, ".datasheet.md.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(md)
+        _os.replace(tmp, _os.path.join(out_path, "_DATASHEET.md"))
+        stages["datasheet_markdown"] = md
 
     return stages
 

@@ -312,6 +312,7 @@ def prepare_increment(
     contract_checks: tuple | None = None,
     out_path: str | None = None,
     counts: bool = False,
+    datasheet: bool = False,
 ) -> dict:
     """Run the prep pipeline over ONE new batch against committed state.
 
@@ -631,6 +632,28 @@ def prepare_increment(
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         os.replace(tmp, os.path.join(inc_dir, "_MANIFEST.json"))
+
+        if datasheet:
+            # opt-in per-increment datasheet of this batch's survivors —
+            # mirrors prepare_corpus(datasheet=True)
+            from exstream_implementation_spark.datasheet import (
+                corpus_datasheet,
+                datasheet_markdown,
+            )
+
+            md = datasheet_markdown(
+                corpus_datasheet(
+                stages["mixed"], source_col=cfg.source_col, cfg=cfg
+            ),
+                title=(
+                    f"Corpus datasheet (increment {increment} survivors)"
+                ),
+            )
+            tmp = os.path.join(inc_dir, ".datasheet.md.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(md)
+            os.replace(tmp, os.path.join(inc_dir, "_DATASHEET.md"))
+            stages["datasheet_markdown"] = md
 
     # ---- publish the next state (data first, pointer file last) ---------
     # logs: ONLY this batch's rows — O(batch) writes (a_new is the same

@@ -121,6 +121,30 @@ def test_markdown_survives_hostile_text(spark):
     assert "second" not in md or "\\n" in md  # newline was escaped
 
 
+def test_datasheet_exported_next_to_shards(spark, tmp_path):
+    import os
+
+    from exstream_implementation_spark.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    ).filter("doc_id < 120")
+    cfg = CorpusPrepConfig(substring_mod=8, bpe_merges=8, n_shards=2)
+    out = str(tmp_path / "out")
+    stages = prepare_corpus(docs, None, cfg, out_path=out, datasheet=True)
+    p = os.path.join(out, "_DATASHEET.md")
+    assert os.path.exists(p)
+    md = open(p).read()
+    assert md == stages["datasheet_markdown"]
+    assert md.startswith("# Corpus datasheet (surviving documents)")
+    # the datasheet describes the SURVIVORS, not the raw input
+    n_mixed = stages["mixed"].count()
+    assert f"- rows: **{n_mixed}**" in md
+
+
 def test_missing_text_col_rejected(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="text column"):
