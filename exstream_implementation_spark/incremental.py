@@ -774,6 +774,34 @@ def incremental_prep_writer(
     return _admit
 
 
+def describe_prep_state(spark: SparkSession, state_path: str) -> dict:
+    """Operational summary of a committed prep state: increments, id
+    coverage, per-log committed directory and row counts, snapshot
+    versions, and the frozen-artifact flags — the "what is this state
+    directory?" answer without reading code.  Row counts are metadata-
+    cheap (parquet footer counts, no shuffle)."""
+    state = read_state(state_path)
+    logs = {}
+    for name in _LOGS:
+        dirs = state["logs"][name]
+        logs[name] = {
+            "dirs": list(dirs),
+            "rows": _read_log(spark, state_path, name, dirs).count(),
+        }
+    return {
+        "n_increments": state["n_increments"],
+        "max_doc_id": state["max_doc_id"],
+        "id_ranges": state.get("id_ranges", []),
+        "logs": logs,
+        "snapshot_versions": state["versions"],
+        "has_quality_model": state["has_quality_model"],
+        "has_contract_checks": state["has_contract_checks"],
+        "has_benchmark": state["benchmark_digest"] is not None,
+        "mix_fractions": state["mix_fractions"],
+        "config": state["config"],
+    }
+
+
 def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
     """Fold each membership log's committed batch directories into ONE
     deduplicated directory and commit a state that reads only it — bounds

@@ -398,6 +398,21 @@ def test_streaming_writer_exactly_once(spark, tmp_path):
     assert read_state(state) == st3
 
 
+def test_describe_prep_state(run, spark):
+    from exstream_implementation_spark.incremental import (
+        describe_prep_state,
+    )
+
+    d = describe_prep_state(spark, run["state_path"])
+    assert d["n_increments"] >= 3
+    assert d["has_benchmark"] and not d["has_quality_model"]
+    assert len(d["id_ranges"]) == d["n_increments"]
+    for name in ("hashes", "anchors"):
+        assert d["logs"][name]["rows"] > 0
+        assert len(d["logs"][name]["dirs"]) == d["n_increments"]
+    assert d["config"]["max_per_source"] == CFG.max_per_source
+
+
 def test_drop_audit_composes_with_increments(run):
     # the per-document provenance audit (corpus_prep.drop_audit) works
     # unchanged over an increment's stage dict: every input doc of batch 2
