@@ -10,32 +10,75 @@ cover the operator families a 100 TB deployment leans on: scan+agg, windows,
 broadcast join, leap cut, minhash/ngram dedup, ANN, text scoring.
 
 "value"/"queries" are single-shot first-run timings — the series the
-per-round BENCH_r{N}.json files have always recorded.  Two additions (r09)
-make cross-round comparison honest without breaking that series:
-  * "queries_warm"/"value_warm": a second identical pass (steady-state —
+per-round BENCH_r{N}.json files have always recorded.  The rest of the line
+exists to ADJUDICATE host drift rather than document it (r09's recorded
+cold total moved +31% on an unchanged engine; the canaries said "slow host
+window" but nothing enforced that reading):
+
+  * "queries_warm"/"value_warm": per-query MEDIAN over
+    $SPARK_GRAFT_BENCH_REPEATS (default 3) identical steady-state passes —
     session caches from the first pass may be reused, as a long-lived
-    deployed engine would);
-  * "machine_probe": fixed-size CPU + Spark-scheduler canaries, so
-    environmental drift between rounds (r08 measured ~20% uniform machine
-    slowdown) is a recorded number, not an argument.
+    deployed engine would.  Medians absorb one-off scheduler hiccups that a
+    single-shot number cannot.
+  * "queries_warm_spread": per-query [min, max] across the warm repeats —
+    a per-query move smaller than its own spread is noise by definition.
+  * "machine_probe_before"/"machine_probe_after": fixed-size CPU + Spark-
+    scheduler canaries (each the median of 3 runs) taken BEFORE the first
+    timed pass and AFTER the last, so a host that changed speed mid-suite
+    is visible, not inferred.
+  * "value_warm_normalized": value_warm × (pinned reference spark-probe /
+    observed spark-probe).  The pinned constants are the mid-band of the
+    probe's recorded r08-r09 history on the round-7/8 hosts (spark probe
+    band 0.25-0.53 s → 0.32; numpy band ~0.17-0.21 → 0.20); a round whose
+    raw totals move with the probe but whose normalized total is flat is a
+    host story, full stop.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+# pinned reference canaries (see module docstring for provenance)
+REF_PROBE_SPARK_S = 0.32
+REF_PROBE_NUMPY_S = 0.20
+
+
+def _probe(spark, np) -> dict[str, float]:
+    """Fixed-size, data-independent machine-speed canaries: raw CPU via a
+    numpy matmul, scheduler+codegen via a constant-size Spark range agg.
+    Median of 3 so the canary itself isn't a single-shot number."""
+    numpy_t, spark_t = [], []
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((1500, 1500))
+    for _ in range(3):
+        t0 = time.time()
+        (m @ m).sum()
+        numpy_t.append(time.time() - t0)
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 % 7) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        spark_t.append(time.time() - t0)
+    return {
+        "numpy_matmul_s": round(statistics.median(numpy_t), 3),
+        "spark_range_agg_s": round(statistics.median(spark_t), 3),
+    }
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from exstream_implementation_spark.session import get_spark
     from exstream_implementation_spark.plans import QUERIES
     import __spark_entry__ as entrymod
+    import numpy as np
 
     spark = get_spark(app_name="exstream-spark-bench")
 
@@ -87,27 +130,42 @@ def main():
             timings[name] = round(time.time() - t0, 3)
         return timings
 
+    probe_before = _probe(spark, np)
+
     timings = one_pass()  # first-run: the historical BENCH series
-    warm = one_pass()  # steady-state: session caches may be reused
+    warm_passes = [one_pass() for _ in range(repeats)]  # steady-state
+
+    probe_after = _probe(spark, np)
 
     from exstream_implementation_spark import cache
 
     cache.release_tracked()
 
-    # machine-speed canaries (fixed size, data-independent): raw CPU via
-    # numpy matmul, scheduler+codegen via a constant-size Spark range agg
-    import numpy as np
-
-    rng = np.random.default_rng(7)
-    m = rng.standard_normal((1500, 1500))
-    t0 = time.time()
-    (m @ m).sum()
-    probe_numpy = round(time.time() - t0, 3)
-    t0 = time.time()
-    spark.range(0, 200_000_000, 1, 32).selectExpr(
-        "sum(id * 3 % 7) AS s"
-    ).write.format("noop").mode("overwrite").save()
-    probe_spark = round(time.time() - t0, 3)
+    qnames = list(timings)
+    warm = {
+        q: round(statistics.median(p[q] for p in warm_passes), 3)
+        for q in qnames
+    }
+    warm_spread = {
+        q: [
+            round(min(p[q] for p in warm_passes), 3),
+            round(max(p[q] for p in warm_passes), 3),
+        ]
+        for q in qnames
+    }
+    value_warm = round(sum(warm.values()), 3)
+    # host-speed correction: scale the warm total by how much slower/faster
+    # the observed scheduler canary is than the pinned reference canary
+    # (median of before/after, so a mid-suite speed change averages in)
+    observed_probe = statistics.median(
+        [
+            probe_before["spark_range_agg_s"],
+            probe_after["spark_range_agg_s"],
+        ]
+    )
+    value_warm_normalized = round(
+        value_warm * (REF_PROBE_SPARK_S / observed_probe), 3
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -118,12 +176,19 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "value_warm": round(sum(warm.values()), 3),
+                "value_warm": value_warm,
                 "queries_warm": warm,
-                "machine_probe": {
-                    "numpy_matmul_s": probe_numpy,
-                    "spark_range_agg_s": probe_spark,
+                "queries_warm_spread": warm_spread,
+                "warm_repeats": repeats,
+                "value_warm_normalized": value_warm_normalized,
+                "probe_reference": {
+                    "spark_range_agg_s": REF_PROBE_SPARK_S,
+                    "numpy_matmul_s": REF_PROBE_NUMPY_S,
                 },
+                "machine_probe_before": probe_before,
+                "machine_probe_after": probe_after,
+                # kept for cross-round tooling that reads the r09 key
+                "machine_probe": probe_before,
             }
         )
     )

@@ -215,6 +215,16 @@ def init_prep_state(
             f"prep state already committed under {state_path}; "
             "increments must go through prepare_increment"
         )
+    # eager empty-corpus guard (mirrors prepare_increment's "empty batch"
+    # check): committing max_doc_id=null would make every later
+    # prepare_increment fail with an opaque TypeError on the id fence
+    min_doc_id, max_doc_id = _max_id(docs)
+    if max_doc_id is None:
+        raise ValueError(
+            "init_prep_state: empty initial corpus (or all-NULL doc_ids) — "
+            "the tokenizer/LM/state must be trained on a standing corpus; "
+            "supply a non-empty frame"
+        )
     inc_out = f"{out_path}/increment=0" if out_path is not None else None
     stages = prepare_corpus(
         docs, benchmark, cfg, out_path=inc_out, counts=counts
@@ -275,7 +285,6 @@ def init_prep_state(
         stages["merges"], os.path.join(state_path, "merges.json")
     )
 
-    min_doc_id, max_doc_id = _max_id(docs)
     mix_policy = stages.get("mix_policy")
     state = {
         # committed per-batch input id ranges — the streaming writer's
@@ -633,27 +642,29 @@ def prepare_increment(
             json.dump(manifest, fh, indent=1, sort_keys=True)
         os.replace(tmp, os.path.join(inc_dir, "_MANIFEST.json"))
 
-        if datasheet:
-            # opt-in per-increment datasheet of this batch's survivors —
-            # mirrors prepare_corpus(datasheet=True)
-            from exstream_implementation_spark.datasheet import (
-                corpus_datasheet,
-                datasheet_markdown,
-            )
+    if datasheet:
+        # opt-in per-increment datasheet of this batch's survivors —
+        # mirrors prepare_corpus(datasheet=True).  Computed regardless of
+        # out_path (callers may want only the in-memory markdown); the
+        # file write needs an export directory to land next to.
+        from exstream_implementation_spark.datasheet import (
+            corpus_datasheet,
+            datasheet_markdown,
+        )
 
-            md = datasheet_markdown(
-                corpus_datasheet(
+        md = datasheet_markdown(
+            corpus_datasheet(
                 stages["mixed"], source_col=cfg.source_col, cfg=cfg
             ),
-                title=(
-                    f"Corpus datasheet (increment {increment} survivors)"
-                ),
-            )
+            title=f"Corpus datasheet (increment {increment} survivors)",
+        )
+        stages["datasheet_markdown"] = md
+        if out_path is not None:
+            inc_dir = f"{out_path}/increment={increment}"
             tmp = os.path.join(inc_dir, ".datasheet.md.tmp")
             with open(tmp, "w") as fh:
                 fh.write(md)
             os.replace(tmp, os.path.join(inc_dir, "_DATASHEET.md"))
-            stages["datasheet_markdown"] = md
 
     # ---- publish the next state (data first, pointer file last) ---------
     # logs: ONLY this batch's rows — O(batch) writes (a_new is the same
@@ -693,6 +704,20 @@ def prepare_increment(
         "logs": logs,
         "id_ranges": state.get("id_ranges", []) + [[lo, hi]],
     }
+    # single-writer fence: the read-check-then-commit protocol assumes one
+    # writer per state_path.  Re-read at commit time and fail LOUDLY if a
+    # concurrent increment committed in between — a silent last-write-wins
+    # here would drop the other increment's log/range entries from state
+    # while its parquet logs stay on disk (orphaned, never read again).
+    committed = read_state(state_path)
+    if committed["n_increments"] != state["n_increments"]:
+        raise RuntimeError(
+            f"concurrent prep-state writer detected under {state_path}: "
+            f"state advanced from n_increments={state['n_increments']} to "
+            f"{committed['n_increments']} during this increment.  The "
+            "state protocol is single-writer; serialize increments (one "
+            "stream/process per state_path) and re-run this batch."
+        )
     _write_state(state_path, new_state)
     stages["state"] = new_state
     stages["increment"] = increment
@@ -709,6 +734,12 @@ def incremental_prep_writer(
     """foreachBatch sink driving ``prepare_increment`` from Structured
     Streaming — raw document stream in, curated per-increment shard trees
     out, EXACTLY-ONCE under foreachBatch's at-least-once redelivery.
+
+    SINGLE-WRITER: exactly one query/process may drive a given
+    ``state_path``.  The read-check-then-commit fence assumes it, and
+    ``prepare_increment`` re-checks at commit time — two writers racing
+    one state root fail loudly (RuntimeError) rather than silently
+    dropping an increment's log/range entries.
 
     The redelivery fence is CONTENT-based, riding the module's monotone-id
     contract rather than microbatch ids (which restart at 0 on checkpoint

@@ -147,7 +147,16 @@ def _key_counts(df: DataFrame, key_col: str) -> DataFrame:
     from exstream_implementation_spark.cache import tracked_persist
 
     kc = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # shuffle.partitions can be non-numeric ("auto" on AQE-managed
+    # platforms) — fall back to the frame's own partitioning, then a
+    # fixed default, rather than throwing on the conf parse
+    try:
+        p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        try:
+            p = max(df.rdd.getNumPartitions(), 1)
+        except Exception:
+            p = 200
     # persist BEFORE the sizes job: repartitionByRange samples to pick its
     # partition boundaries, so an unpersisted plan can re-sample onto
     # different boundaries between the sizes job and the boundary job
@@ -294,13 +303,21 @@ def write_range_shards(
         )
         .collect()
     )
-    if not stats:  # empty input: keep the root readable
+    if not stats and fmt == "parquet":
+        # empty input: keep the root readable for a direct spark.read.
+        # Parquet only — an empty JSON file is schema-less, so the JSON
+        # empty case is served from the manifest's recorded schema
+        # (read_range_shards constructs the empty frame from it).
         df.limit(0).write.mode("overwrite").format(fmt).save(
             os.path.join(path, "shard=0")
         )
     manifest = {
         "key_col": key_col,
         "fmt": fmt,
+        # the frame's schema (sans the added shard column) — lets readers
+        # build a typed empty frame when pruning eliminates every shard
+        # or the export itself was empty (JSON files can't carry schema)
+        "schema": json.loads(df.schema.json()),
         "n_shards_requested": n_shards,
         "shards": sorted(
             (
@@ -358,7 +375,25 @@ def read_range_shards(spark, path: str, lo=None, hi=None) -> DataFrame:
     key_col, fmt = manifest["key_col"], manifest["fmt"]
     keep = prune_range_shards(path, lo, hi)
     if not keep:
-        empty = (
+        if "schema" in manifest:
+            # typed empty frame straight from the manifest — no file scan,
+            # and the only correct path for JSON (whose empty files carry
+            # no schema to infer).  `shard` is appended to mirror the
+            # partition column the non-pruned read path discovers.
+            from pyspark.sql.types import (
+                IntegerType,
+                StructField,
+                StructType,
+            )
+
+            st = StructType.fromJson(manifest["schema"])
+            if "shard" not in st.names:
+                st = StructType(
+                    list(st.fields)
+                    + [StructField("shard", IntegerType(), True)]
+                )
+            return spark.createDataFrame([], st)
+        empty = (  # pre-schema manifests: infer from the parquet files
             spark.read.format(fmt)
             .option("basePath", path)
             .load(os.path.join(path, "shard=*"))

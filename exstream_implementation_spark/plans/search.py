@@ -178,12 +178,20 @@ def bm25_topk(
     text_col: str = "text",
     prebuilt: bool = False,
     score_round: int | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25.
 
     ``queries``: (query_id int, query_text string) — small by contract.
     Returns (query_id, doc_id, score double, rank int), rank 1..k, ties
     broken by doc_id ascending (deterministic).
+
+    ``toks_col`` (ad-hoc path only): name of an existing token-array
+    column on ``docs_or_postings`` — callers that already tokenized (and
+    possibly cached) the corpus pass it so BM25 reuses that frame instead
+    of re-splitting the raw text.  Empty tokens are re-filtered here (an
+    array filter is free next to a second corpus scan), so a raw
+    ``split(lower(text), '\\s+')`` column is acceptable as-is.
 
     ``score_round``: round the score to N decimals BEFORE ranking.  This is
     the cross-engine determinism knob (the oracle-gated catalog branch uses
@@ -237,10 +245,13 @@ def bm25_topk(
                 [], "query_id int, doc_id bigint, score double, rank int"
             )
         vocab_terms = sorted({t for _, t in qterms_local})
+        tok_arr = (
+            F.filter(F.col(toks_col), lambda t: t != F.lit(""))
+            if toks_col is not None
+            else _terms(text_col)
+        )
         toks = (
-            docs_or_postings.select(
-                F.col("doc_id"), _terms(text_col).alias("toks")
-            )
+            docs_or_postings.select(F.col("doc_id"), tok_arr.alias("toks"))
             .withColumn("dl", F.size("toks"))
             .filter(F.col("dl") > 0)
         )

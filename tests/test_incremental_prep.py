@@ -464,3 +464,65 @@ def test_weighted_cap_tops_up_quota(spark, tmp_path):
     got = _ids(s1["capped"])
     assert len(got) == 1  # remaining quota = 3 - 2
     assert got[0] in (10, 11)  # zero/NULL weights can never win
+
+
+def test_init_rejects_empty_corpus(spark, tmp_path):
+    # committing max_doc_id=null would break every later increment's id
+    # fence with an opaque TypeError — fail eagerly and descriptively
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    state = str(tmp_path / "state_empty")
+    with pytest.raises(ValueError, match="empty initial corpus"):
+        init_prep_state(empty, state, cfg=CFG)
+    assert not os.path.exists(os.path.join(state, "_STATE.json"))
+
+
+def test_datasheet_without_out_path(run, spark):
+    # datasheet=True must yield the in-memory markdown even when no export
+    # directory was requested (the file write alone needs out_path)
+    docs = spark.createDataFrame(
+        [
+            (900, f"{STOPFUL} datasheet only run body words here", "srcA"),
+            (901, f"{STOPFUL} second datasheet body with words", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    s = prepare_increment(
+        docs,
+        run["state_path"],
+        benchmark=_bench(spark),
+        out_path=None,
+        datasheet=True,
+    )
+    md = s["datasheet_markdown"]
+    assert md.startswith("#") and "increment" in md
+
+
+def test_concurrent_writer_fails_loudly(run, spark, monkeypatch):
+    # the single-writer fence: if the on-disk state advances between this
+    # increment's entry read and its commit, fail instead of last-write-wins
+    import exstream_implementation_spark.incremental as inc
+
+    real = inc.read_state
+    calls = {"n": 0}
+
+    def racy(root):
+        st = real(root)
+        calls["n"] += 1
+        if calls["n"] > 1:  # commit-time re-read: simulate a racer
+            st = {**st, "n_increments": st["n_increments"] + 1}
+        return st
+
+    monkeypatch.setattr(inc, "read_state", racy)
+    docs = spark.createDataFrame(
+        [(950, f"{STOPFUL} racer detection body with words", "srcA")],
+        "doc_id long, text string, source string",
+    )
+    n_before = real(run["state_path"])["n_increments"]
+    with pytest.raises(RuntimeError, match="concurrent prep-state writer"):
+        prepare_increment(
+            docs, run["state_path"], benchmark=_bench(spark)
+        )
+    # the losing increment committed nothing
+    assert real(run["state_path"])["n_increments"] == n_before

@@ -143,6 +143,41 @@ def test_write_empty_input_keeps_root_readable(spark, docs, tmp_path):
     assert "text" in back.columns
 
 
+def test_json_empty_export_and_pruned_read(spark, docs, tmp_path):
+    # JSON shards: empty export and pruned-to-nothing reads must come back
+    # typed from the manifest schema (empty JSON files carry no schema)
+    path = str(tmp_path / "json_empty")
+    manifest = write_range_shards(docs.limit(0), path, "doc_id", 4, fmt="json")
+    assert manifest["shards"] == []
+    back = read_range_shards(spark, path)
+    assert back.count() == 0
+    assert "text" in back.columns and "shard" in back.columns
+    assert dict(back.dtypes)["doc_id"] == "bigint"
+
+    # non-empty JSON export: pruned read equals a full filter, and a
+    # range that prunes every shard still returns a typed empty frame
+    path2 = str(tmp_path / "json_full")
+    write_range_shards(docs, path2, "doc_id", 4, fmt="json")
+    got = sorted(
+        r["doc_id"]
+        for r in read_range_shards(spark, path2, 50, 90)
+        .select("doc_id")
+        .collect()
+    )
+    expect = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") >= 50) & (F.col("doc_id") <= 90)
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert got == expect
+    nothing = read_range_shards(spark, path2, 10_000, 20_000)
+    assert nothing.count() == 0
+    assert "text" in nothing.columns
+
+
 def test_string_keys(spark, docs, tmp_path):
     path = str(tmp_path / "by_source")
     write_range_shards(docs, path, "source", 4)
