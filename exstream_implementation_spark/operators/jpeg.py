@@ -2,8 +2,8 @@
 
 Completes the multimodal decode story (operators/multimodal.py): BMP and PNG
 were real as of r07/r08; this adds baseline sequential DCT JPEG (SOI/DQT/
-SOF0/DHT/SOS, 8-bit, 4:4:4, optimized per-image Huffman tables), the format
-actual training corpora arrive in.
+SOF0/DHT/SOS, 8-bit, 4:4:4 and chroma-subsampled, optimized per-image
+Huffman tables), the format actual training corpora arrive in.
 
 Scope and honesty:
   * ``encode_jpeg`` writes a spec-conformant baseline JFIF stream: level
@@ -13,10 +13,12 @@ Scope and honesty:
     DHT — no memorized Annex K constants to get subtly wrong) → byte-stuffed
     entropy stream.
   * ``decode_jpeg`` parses the marker stream and inverts each step, reading
-    quant + Huffman tables FROM THE FILE, so it decodes any baseline 4:4:4
-    8-bit JPEG, not just our own.  Progressive (SOF2), subsampled,
-    12-bit, arithmetic-coded and restart-interval streams refuse loudly
-    with NotImplementedError — swap in PIL/libjpeg-turbo on a real cluster.
+    quant + Huffman tables FROM THE FILE, so it decodes any baseline 8-bit
+    JPEG — 4:4:4 AND chroma-subsampled (4:2:0/4:2:2/4:4:0, any integer
+    factor ratio; nearest-neighbor chroma upsample) — not just our own.
+    Progressive (SOF2), 12-bit, arithmetic-coded and restart-interval
+    streams refuse loudly with NotImplementedError — swap in
+    PIL/libjpeg-turbo on a real cluster.
   * JPEG is lossy: round-trips are exact only for DC-flat blocks; tests pin
     exactness there and PSNR elsewhere, plus pure-math invariants (DCT
     orthonormality, zigzag involution) that a shared encoder/decoder bug
@@ -308,35 +310,71 @@ def _extend(bits: int, size: int) -> int:
 
 
 # --- encoder -----------------------------------------------------------------
-def _blocks(channel: np.ndarray) -> np.ndarray:
-    """(h, w) → (n_blocks, 8, 8), edge-replicated to multiples of 8."""
-    h, w = channel.shape
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.pad(channel, ((0, H - h), (0, W - w)), mode="edge")
-    return (
-        padded.reshape(H // 8, 8, W // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-    )
+_SUBSAMPLING = {
+    # component (h, v) sampling factors, Y Cb Cr
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, optimized tables)."""
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (optimized tables).
+
+    ``subsampling``: "444" (default — byte-stable with earlier rounds),
+    "422", or "420" (2×2 box-averaged chroma, the variant virtually all
+    web JPEGs use).  Interleaved MCUs per ITU T.81 §A.2.3: each MCU
+    carries h_i×v_i blocks per component in raster order within the MCU.
+    """
     h, w, c = arr.shape
     if c != 3:
         raise ValueError("encode_jpeg expects (h, w, 3) RGB")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {set(_SUBSAMPLING)}")
+    factors = _SUBSAMPLING[subsampling]
+    hmax = max(f for f, _ in factors)
+    vmax = max(v for _, v in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     ql, qc = _quality_tables(quality)
     ycc = rgb_to_ycbcr(arr.astype(np.float64))
 
-    # DCT + quantize all components
+    # per component: box-downsample chroma, pad to full MCU coverage,
+    # DCT + quantize, then reorder blocks raster → MCU-scan order (for
+    # 4:4:4 the reorder is the identity, keeping that path byte-stable)
     comp_coefs = []
-    for ci in range(3):
-        blocks = _blocks(ycc[:, :, ci]) - 128.0
+    for ci, (fh, fv) in enumerate(factors):
+        ch = ycc[:, :, ci]
+        sy, sx = vmax // fv, hmax // fh
+        if sy > 1 or sx > 1:
+            ph, pw = -(-h // sy) * sy, -(-w // sx) * sx
+            p = np.pad(ch, ((0, ph - h), (0, pw - w)), mode="edge")
+            ch = p.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+        chh, chw = ch.shape
+        CH, CW = mcuy * fv * 8, mcux * fh * 8
+        p = np.pad(ch, ((0, CH - chh), (0, CW - chw)), mode="edge") - 128.0
+        blocks = (
+            p.reshape(CH // 8, 8, CW // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
         coefs = np.einsum("ij,njk,lk->nil", DCT, blocks, DCT)
         q = ql if ci == 0 else qc
-        comp_coefs.append(
-            np.round(coefs / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        zz = np.round(coefs / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        nbx = CW // 8
+        order = np.array(
+            [
+                (my * fv + by) * nbx + (mx * fh + bx)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for by in range(fv)
+                for bx in range(fh)
+            ],
+            dtype=np.int64,
         )
+        comp_coefs.append(zz[order])
 
     # symbol statistics → optimal tables (luma: tables 0, chroma: tables 1)
     def symbols(ci):
@@ -374,44 +412,48 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     dc_c = _HuffTable(_optimal_code_lengths(freq([stats[1][0], stats[2][0]])))
     ac_c = _HuffTable(_optimal_code_lengths(freq([stats[1][1], stats[2][1]])))
 
-    # entropy-code interleaved MCUs (4:4:4 → one block per component)
+    # entropy-code interleaved MCUs: h_i×v_i blocks per component per MCU,
+    # consumed sequentially from each component's scan-ordered block list
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    n_mcu = comp_coefs[0].shape[0]
-    for m in range(n_mcu):
+    cursor = [0, 0, 0]
+    blocks_per_mcu = [fh * fv for fh, fv in factors]
+    for m in range(mcux * mcuy):
         for ci in range(3):
-            dct_t = dc_l if ci == 0 else dc_c
-            act_t = ac_l if ci == 0 else ac_c
-            blk = comp_coefs[ci][m]
-            diff = int(blk[0]) - prev_dc[ci]
-            prev_dc[ci] = int(blk[0])
-            size = _category(diff)
-            code, ln = dct_t.codes[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            run = 0
-            ac = blk[1:]
-            nz = np.nonzero(ac)[0]
-            last = nz[-1] if len(nz) else -1
-            for i in range(63):
-                if i > last:
-                    code, ln = act_t.codes[0x00]
-                    bw.write(code, ln)
-                    break
-                v = int(ac[i])
-                if v == 0:
-                    run += 1
-                    if run == 16:
-                        code, ln = act_t.codes[0xF0]
+            for _ in range(blocks_per_mcu[ci]):
+                dct_t = dc_l if ci == 0 else dc_c
+                act_t = ac_l if ci == 0 else ac_c
+                blk = comp_coefs[ci][cursor[ci]]
+                cursor[ci] += 1
+                diff = int(blk[0]) - prev_dc[ci]
+                prev_dc[ci] = int(blk[0])
+                size = _category(diff)
+                code, ln = dct_t.codes[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+                run = 0
+                ac = blk[1:]
+                nz = np.nonzero(ac)[0]
+                last = nz[-1] if len(nz) else -1
+                for i in range(63):
+                    if i > last:
+                        code, ln = act_t.codes[0x00]
                         bw.write(code, ln)
+                        break
+                    v = int(ac[i])
+                    if v == 0:
+                        run += 1
+                        if run == 16:
+                            code, ln = act_t.codes[0xF0]
+                            bw.write(code, ln)
+                            run = 0
+                    else:
+                        size = _category(v)
+                        code, ln = act_t.codes[(run << 4) | size]
+                        bw.write(code, ln)
+                        bw.write(v if v > 0 else v + (1 << size) - 1, size)
                         run = 0
-                else:
-                    size = _category(v)
-                    code, ln = act_t.codes[(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(v if v > 0 else v + (1 << size) - 1, size)
-                    run = 0
 
     # marker stream
     def seg(marker, payload):
@@ -421,10 +463,12 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tq, q in ((0, ql), (1, qc)):
         out += seg(0xFFDB, bytes([tq]) + bytes(q.reshape(-1)[ZIGZAG].tolist()))
+    sof_comps = []
+    for ci, (fh, fv) in enumerate(factors):
+        sof_comps += [ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1]
     out += seg(
         0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        struct.pack(">BHHB", 8, h, w, 3) + bytes(sof_comps),
     )
     for tc_th, t in ((0x00, dc_l), (0x10, ac_l), (0x01, dc_c), (0x11, ac_c)):
         out += seg(0xFFC4, bytes([tc_th]) + t.dht_payload())
@@ -436,10 +480,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
 
 # --- decoder -----------------------------------------------------------------
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline 4:4:4 8-bit JFIF bytes → (h, w, 3) uint8 RGB.
+    """Baseline 8-bit JFIF bytes → (h, w, 3) uint8 RGB.
 
-    Tables come from the file (DQT/DHT); refuses progressive/subsampled/
-    12-bit/restart-interval streams with NotImplementedError."""
+    Tables come from the file (DQT/DHT).  Any integer sampling-factor
+    combination where max_factor % factor == 0 decodes (4:4:4, 4:2:0,
+    4:2:2, 4:4:0, ... — i.e. the baseline streams real corpora carry);
+    subsampled chroma is nearest-neighbor upsampled before YCbCr→RGB.
+    Refuses progressive/12-bit/restart-interval streams with
+    NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
     pos = 2
@@ -483,11 +531,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                fh, fv = samp >> 4, samp & 0xF
+                if not (1 <= fh <= 4 and 1 <= fv <= 4):
+                    raise ValueError(f"bad sampling factors {fh}x{fv}")
+                comps.append((cid, tq, fh, fv))
             sof = (h, w, comps)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
             raise NotImplementedError(
@@ -522,49 +569,80 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(comps) != 3 or len(scan_comps) != 3:
         raise NotImplementedError("only 3-component (YCbCr) JPEG decodes here")
 
+    # MCU geometry from the sampling factors (T.81 §A.2.3): an MCU covers
+    # 8·hmax × 8·vmax pixels; component i contributes fh_i×fv_i blocks per
+    # MCU, raster order within the MCU
+    hmax = max(fh for _, _, fh, _ in comps)
+    vmax = max(fv for _, _, _, fv in comps)
+    for cid, _, fh, fv in comps:
+        if hmax % fh or vmax % fv:
+            raise NotImplementedError(
+                f"non-integer upsample ratio for component {cid} "
+                f"({fh}x{fv} vs max {hmax}x{vmax})"
+            )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
     # entropy data runs until the EOI marker
     end = payload.rfind(b"\xff\xd9")
     reader = _BitReader(payload[data_start : end if end > 0 else len(payload)])
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    n_mcu = (H // 8) * (W // 8)
-    comp_q = {cid: qt[tq] for cid, tq in comps}
-    planes = {cid: np.zeros((n_mcu, 8, 8)) for cid, _ in comps}
-    prev_dc = {cid: 0 for cid, _ in comps}
-    for m in range(n_mcu):
-        for cid, td, ta in scan_comps:
-            dc_idx, ac_idx = huff[(0, td)], huff[(1, ta)]
-            size = _decode_symbol(reader, dc_idx)
-            diff = _extend(reader.read_bits(size), size)
-            prev_dc[cid] += diff
-            zz = np.zeros(64, dtype=np.int64)
-            zz[0] = prev_dc[cid]
-            k = 1
-            while k < 64:
-                sym = _decode_symbol(reader, ac_idx)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16
-                    continue
-                k += run
-                if k >= 64:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            blk = np.zeros(64, dtype=np.float64)
-            blk[ZIGZAG] = zz
-            planes[cid][m] = blk.reshape(8, 8) * comp_q[cid]
+    comp_q = {cid: qt[tq] for cid, tq, _, _ in comps}
+    comp_f = {cid: (fh, fv) for cid, _, fh, fv in comps}
+    # per component: block grid covering the full MCU lattice
+    grids = {
+        cid: np.zeros((mcuy * fv, mcux * fh, 8, 8))
+        for cid, _, fh, fv in comps
+    }
+    prev_dc = {cid: 0 for cid, _, _, _ in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, td, ta in scan_comps:
+                fh, fv = comp_f[cid]
+                dc_idx, ac_idx = huff[(0, td)], huff[(1, ta)]
+                for by in range(fv):
+                    for bx in range(fh):
+                        size = _decode_symbol(reader, dc_idx)
+                        diff = _extend(reader.read_bits(size), size)
+                        prev_dc[cid] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_symbol(reader, ac_idx)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16
+                                continue
+                            k += run
+                            if k >= 64:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[ZIGZAG] = zz
+                        grids[cid][my * fv + by, mx * fh + bx] = (
+                            blk.reshape(8, 8) * comp_q[cid]
+                        )
 
-    # inverse DCT + reassemble
+    # inverse DCT, crop each component to its own resolution, upsample
+    # subsampled components (nearest neighbor) to full frame
     chans = []
-    for cid, _ in comps:
-        spatial = (
-            np.einsum("ji,njk,kl->nil", DCT, planes[cid], DCT) + 128.0
-        )
-        grid = spatial.reshape(H // 8, W // 8, 8, 8).transpose(0, 2, 1, 3)
-        chans.append(grid.reshape(H, W)[:h, :w])
+    for cid, _, fh, fv in comps:
+        nby, nbx = grids[cid].shape[:2]
+        blocks = grids[cid].reshape(nby * nbx, 8, 8)
+        spatial = np.einsum("ji,njk,kl->nil", DCT, blocks, DCT) + 128.0
+        grid = spatial.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+        plane = grid.reshape(nby * 8, nbx * 8)
+        ch = -(-h * fv // vmax)  # component resolution (T.81 §A.1.1)
+        cw = -(-w * fh // hmax)
+        plane = plane[:ch, :cw]
+        sy, sx = vmax // fv, hmax // fh
+        if sy > 1 or sx > 1:
+            plane = plane.repeat(sy, axis=0).repeat(sx, axis=1)
+        chans.append(plane[:h, :w])
     ycc = np.stack(chans, axis=-1)
     return np.clip(np.round(ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)

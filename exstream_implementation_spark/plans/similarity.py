@@ -114,14 +114,22 @@ def ann_topk_cosine(spark, sf_dir):
 # 100 TB; candidate volume is governed by (L, k, H) per deployment.
 N_TABLES = 4
 
-_BUCKET_DUCK = f"""
+def bucket_duck_sql(planes: int = N_PLANES) -> str:
+    """DuckDB CTE fragment materializing the (vec_id, tbl, bucket) LSH
+    assignment at a GIVEN plane count — the oracle-side twin of
+    ``_buckets_spark``.  The catalog registers it at the ``N_PLANES``
+    floor (exact for the driver's sf0.01 gate); the at-scale sweep
+    regenerates it with ``_active_planes`` via ``scaled_lsh_oracles`` so
+    the oracle mirrors the engine's log-scaled plane count instead of
+    being excluded above sf0.01."""
+    return f"""
     e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
     proj AS (
       SELECT vec_id, t.range AS tbl, p.range AS plane,
              sum(emb[j.range + 1]
                  * (((('0x' || substr(md5(t.range::VARCHAR || '_' || p.range::VARCHAR || '_' || j.range::VARCHAR), 1, 8))::BIGINT
                       % 2001) - 1000) / 1000.0)) AS dot
-      FROM e, range({N_TABLES}) t, range({N_PLANES}) p, range({DIM}) j
+      FROM e, range({N_TABLES}) t, range({planes}) p, range({DIM}) j
       GROUP BY vec_id, t.range, p.range
     ),
     buckets AS (
@@ -131,6 +139,9 @@ _BUCKET_DUCK = f"""
       FROM proj GROUP BY vec_id, tbl
     )
 """
+
+
+_BUCKET_DUCK = bucket_duck_sql(N_PLANES)
 
 
 def plane_weight_sql(dim: int) -> str:
@@ -216,8 +227,9 @@ def ann_lsh_buckets(spark, sf_dir):
 #     Hamming distance 1 (k+1 probes per table).  Exact cosine re-ranks the
 #     deduplicated candidate set.  At cluster scale (table, bucket) is the
 #     partitioning key, so a query touches L·(k+1) partitions, not the corpus.
-_ANN_LSH_DUCK = f"""
-    WITH {_BUCKET_DUCK},
+def ann_lsh_duck_sql(planes: int = N_PLANES) -> str:
+    return f"""
+    WITH {bucket_duck_sql(planes)},
     be AS (SELECT e.vec_id, e.emb, b.tbl, b.bucket
            FROM e JOIN buckets b USING (vec_id)),
     q AS (SELECT vec_id AS query_id, emb AS qemb FROM e
@@ -228,7 +240,7 @@ _ANN_LSH_DUCK = f"""
       SELECT query_id, tbl, bucket AS pbucket FROM qb
       UNION
       SELECT query_id, tbl, CAST(xor(bucket, 1 << m.range) AS BIGINT)
-      FROM qb, range({N_PLANES}) m
+      FROM qb, range({planes}) m
     ),
     cand AS (
       SELECT DISTINCT p.query_id, be.vec_id AS neighbor_id
@@ -253,6 +265,9 @@ _ANN_LSH_DUCK = f"""
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
     """
+
+
+_ANN_LSH_DUCK = ann_lsh_duck_sql(N_PLANES)
 
 
 # catalog slot: ann_bucketed_topk below unions this with the IVF twin under
@@ -562,15 +577,34 @@ def ann_ivf_trained_topk(
 #     (query_id, neighbor_id, cosine, rank), so the union is a zero-shuffle
 #     UnionExec over two independently-planned searches — same evidence as two
 #     catalog slots, one driver-budget entry (round-2 consolidation pattern).
-@query(
-    "ann_bucketed_topk",
-    oracle=f"""
+def ann_bucketed_duck_sql(planes: int = N_PLANES) -> str:
+    return f"""
     SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
-    FROM ({_ANN_LSH_DUCK})
+    FROM ({ann_lsh_duck_sql(planes)})
     UNION ALL
     SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank
     FROM ({_ANN_IVF_DUCK})
-    """,
+    """
+
+
+def scaled_lsh_oracles(spark, sf_dir) -> dict[str, str]:
+    """Oracle SQL for the two LSH-bucketed catalog queries REGENERATED at
+    the plane count the engine actually uses for ``sf_dir`` (the
+    ``_active_planes`` log-scaling).  The catalog registers the N_PLANES
+    floor — exact at the driver's sf0.01 gate; at-scale sweeps
+    (tools/check_correctness.py with SPARK_GRAFT_CHECK_SF) swap these in
+    so the hash gate follows the engine's adaptive index instead of
+    excluding the two queries above sf0.01."""
+    planes = _active_planes(spark, sf_dir)
+    return {
+        "ann_bucketed_topk": ann_bucketed_duck_sql(planes),
+        "emb_neardup_lsh": emb_neardup_duck_sql(planes),
+    }
+
+
+@query(
+    "ann_bucketed_topk",
+    oracle=ann_bucketed_duck_sql(N_PLANES),
 )
 def ann_bucketed_topk(spark, sf_dir):
     lsh = ann_lsh_topk(spark, sf_dir).select(
@@ -843,33 +877,48 @@ def lsh_buckets_vectorized(spark, sf_dir):
 
 
 
-@query(
-    "emb_neardup_lsh",
-    oracle=f"""
-    WITH {_BUCKET_DUCK},
+def emb_neardup_duck_sql(planes: int = N_PLANES) -> str:
+    """Banded-form oracle for ``emb_neardup_lsh`` — the same shape the
+    Spark side runs: UPWARD-only Hamming-1 probes (half the probe rows of
+    the old symmetric ±flip form), per-VECTOR norms computed once and
+    joined in (the old form folded both norms per candidate pair), and
+    pair dedup AFTER the cosine filter (the old pre-filter DISTINCT
+    shuffled the full candidate set — the formulation that temp-spilled
+    DuckDB at the 20× corpus).  Same final relation: cosine filtered on
+    the raw value, rounded to 5 dp, one row per unordered pair."""
+    return f"""
+    WITH {bucket_duck_sql(planes)},
+    en AS (SELECT vec_id, emb,
+                  sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
     probes AS (
       SELECT vec_id, tbl, bucket AS pbucket FROM buckets
-      UNION
-      SELECT vec_id, tbl, CAST(xor(bucket, 1 << m.range) AS BIGINT)
-      FROM buckets, range({N_PLANES}) m
+      UNION ALL
+      SELECT vec_id, tbl, CAST(bucket | (1 << m.range) AS BIGINT)
+      FROM buckets, range({planes}) m
+      WHERE (bucket & (1 << m.range)) = 0
     ),
     cand AS (
-      SELECT DISTINCT p.vec_id AS vec_a, b.vec_id AS vec_b
+      SELECT least(p.vec_id, b.vec_id) AS vec_a,
+             greatest(p.vec_id, b.vec_id) AS vec_b
       FROM probes p
       JOIN buckets b ON b.tbl = p.tbl AND b.bucket = p.pbucket
-      WHERE p.vec_id < b.vec_id
+      WHERE p.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) AS cos
+      FROM cand c
+      JOIN en ea ON ea.vec_id = c.vec_a
+      JOIN en eb ON eb.vec_id = c.vec_b
     )
-    SELECT c.vec_a, c.vec_b,
-           round(list_dot_product(ea.emb, eb.emb)
-                 / (sqrt(list_dot_product(ea.emb, ea.emb))
-                    * sqrt(list_dot_product(eb.emb, eb.emb))), 5) AS cosine
-    FROM cand c
-    JOIN e ea ON ea.vec_id = c.vec_a
-    JOIN e eb ON eb.vec_id = c.vec_b
-    WHERE list_dot_product(ea.emb, eb.emb)
-          / (sqrt(list_dot_product(ea.emb, ea.emb))
-             * sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.3
-    """,
+    SELECT DISTINCT vec_a, vec_b, round(cos, 5) AS cosine
+    FROM scored WHERE cos >= 0.3
+    """
+
+
+@query(
+    "emb_neardup_lsh",
+    oracle=emb_neardup_duck_sql(N_PLANES),
 )
 def emb_neardup_lsh(
     spark,

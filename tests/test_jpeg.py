@@ -105,14 +105,84 @@ def test_refuses_unsupported_variants():
     prog[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
-    # 4:2:0 subsampling: component 1 sampling factor 0x22
-    sub = bytearray(b)
-    sub[sof + 11] = 0x22  # comp 1 sampling byte (sof+4 payload, +7 within)
+    # 12-bit precision
+    deep = bytearray(b)
+    deep[sof + 4] = 12
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(sub))
+        decode_jpeg(bytes(deep))
     # not a JPEG at all
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+
+@pytest.mark.parametrize("sub", ["420", "422"])
+@pytest.mark.parametrize("h,w", [(16, 16), (37, 53), (9, 8), (17, 31)])
+def test_subsampled_roundtrip_psnr(sub, h, w):
+    # chroma subsampling is lossy in chroma only: a smooth image must
+    # round-trip within a PSNR envelope at every edge-padding geometry
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(x * 3 + y * 2) % 256, (x + y * 4) % 256, (255 - x * 2 - y) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+    assert dec.shape == (h, w, 3)
+    assert _psnr(dec, img) > 32.0, (sub, h, w)
+
+
+def test_subsampled_flat_roundtrips_exactly():
+    # constant color → DC-only blocks in Y AND the box-averaged chroma:
+    # 4:2:0 must be exact here despite the 2×2 average + upsample
+    for level in (0, 77, 200, 255):
+        img = np.full((24, 40, 3), level, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=85, subsampling="420"))
+        assert int(np.abs(out.astype(int) - level).max()) <= 1, level
+
+
+def test_subsampled_sof_declares_factors():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    b = encode_jpeg(img, subsampling="420")
+    sof = b.find(b"\xff\xc0")
+    assert b[sof + 11] == 0x22  # Y: 2x2
+    assert b[sof + 14] == 0x11 and b[sof + 17] == 0x11  # Cb/Cr: 1x1
+
+
+def test_decodes_foreign_handbuilt_420_stream():
+    """A 4:2:0 stream assembled BY HAND — fixed (non-optimized) Huffman
+    tables, identity quantization, different table layout from our
+    encoder — so the decode path is exercised against a stream our own
+    encoder could never have produced.  16×16 constant RGB(200,200,200):
+    Y DC = 8·(200-128) = 576 in the first Y block, every later diff 0,
+    chroma DC 0 → decoded frame must be exactly 200 everywhere."""
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    # identity quant table tq=0 (natural order == any order when all 1s)
+    out += seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    # SOF0: 8-bit 16x16, Y 2x2 tq0, Cb/Cr 1x1 tq0
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    # DC table 0: canonical {sym 0: '0' (1 bit), sym 10: '10' (2 bits)}
+    dc_bits = [1, 1] + [0] * 14
+    out += seg(0xFFC4, bytes([0x00] + dc_bits + [0, 10]))
+    # AC table 0: single symbol EOB '0'
+    ac_bits = [1] + [0] * 15
+    out += seg(0xFFC4, bytes([0x10] + ac_bits + [0]))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    # entropy: Y1 = DC sym 10 ('10') + 576 in 10 bits + EOB ('0');
+    # Y2-4, Cb, Cr = DC sym 0 ('0') + EOB ('0'); pad with 1s
+    bits = "10" + format(576, "010b") + "0" + "00" * 5
+    bits += "1" * (-len(bits) % 8)
+    out += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    out += b"\xff\xd9"
+    dec = decode_jpeg(bytes(out))
+    assert dec.shape == (16, 16, 3)
+    assert (dec == 200).all()
 
 
 def test_spark_image_stats_over_jpeg_payloads(spark):

@@ -18,10 +18,11 @@ import time
 
 import duckdb
 
-# NOTE: the LSH oracles (ann_bucketed_topk, emb_neardup_lsh) are generated with
-# the fixed N_PLANES floor and only hash-match at sf <= 0.01, where the
-# adaptive plane count equals the floor (plans/similarity._active_planes);
-# at sf0.1+ the engine deliberately uses finer tables than the oracle.
+# The LSH oracles (ann_bucketed_topk, emb_neardup_lsh) are regenerated in
+# main() at the plane count the engine uses for SF_DIR
+# (plans/similarity.scaled_lsh_oracles), so the hash gate follows the
+# engine's log-scaled index at every SF instead of excluding those two
+# queries above sf0.01.
 SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -104,6 +105,17 @@ def main():
 
     names = sys.argv[1:] or list(QUERIES)
     spark = get_spark(app_name="check-correctness", shuffle_partitions=16)
+
+    # LSH oracles follow the engine's log-scaled plane count for the
+    # chosen SF dir (identical to the registered floor at sf <= 0.01, so
+    # the driver-facing ORACLES stay static strings)
+    from exstream_implementation_spark.plans.similarity import (
+        scaled_lsh_oracles,
+    )
+
+    oracles = dict(ORACLES)
+    oracles.update(scaled_lsh_oracles(spark, SF_DIR))
+
     con = duckdb.connect()
     for t in TABLES:
         # testdata ships single-file tables; Spark-written replicas (the
@@ -127,13 +139,13 @@ def main():
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1
             continue
-        if name not in ORACLES:
+        if name not in oracles:
             print(f"WEAK {name}: rows={len(srows)} (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             n_weak += 1
             continue
         try:
-            res = con.execute(ORACLES[name])
+            res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             # one execution feeds both views: arrow table → pandas (dtype
             # parity check) and python rows (value hash) — re-running the
