@@ -29,7 +29,12 @@ are inherent to incrementality and documented rather than hidden:
   * the BPE tokenizer and the LM quality gate are FROZEN from the initial
     build (a from-scratch run would retrain on the union) — the standard
     operational choice: tokenizer identity across increments is a
-    requirement for the training job, not a compromise;
+    requirement for the training job, not a compromise.  Frozen is
+    MONITORED, not blind: every increment records how the frozen
+    artifacts fit its batch (``_artifact_stats``) and
+    ``prep_state_is_stale`` / ``describe_prep_state`` surface a staleness
+    verdict against the init-time baseline; the retrain path is a full
+    rebuild under a new state root;
   * τ-derived mix fractions are frozen from the initial corpus's source
     sizes (``mix_fractions`` passed explicitly are identical by
     construction);
@@ -104,6 +109,119 @@ _LM_TABLES = {
     "lm_bigrams": "bigrams",
     "lm_totals": "totals",
 }
+
+
+def _artifact_stats(
+    docs: DataFrame,
+    merges: list,
+    lm: dict | None,
+    text_col: str = "text",
+    max_docs: int = 100_000,
+) -> dict:
+    """How well the FROZEN artifacts fit one batch — the staleness signal
+    (mirrors the ANN index's lifecycle, operators/ann_index.py, for the
+    two artifacts the frozen-forever deviation covers):
+
+      * ``bpe_tokens_per_word``: mean BPE pieces per word under the frozen
+        merges.  Drifted text (new language, new domain) stops matching
+        the learned merges and segments toward characters, so this rises
+        toward word-length+1.  One apply_bpe pass — distinct-word encode,
+        batch-scan cost.
+      * ``lm_mean_nll``: mean per-doc NLL under the frozen bigram LM
+        (only when the state carries LM tables).  Domain shift raises it.
+
+    Measured on the CONTRACTED batch (pre-quality), deliberately: a
+    shifted-domain batch may fail the English-tuned quality heuristics
+    entirely, and the staleness gate must see the incoming distribution,
+    not just its survivors.
+
+    Bounded: both stats are MEANS, so they are estimated on a
+    deterministic hash sample capped at ``max_docs`` — the init-time
+    baseline over a multi-million-doc standing corpus must not cost a
+    full-corpus BPE pass (increments are batch-sized and usually fit
+    under the cap untouched)."""
+    from exstream_implementation_spark.operators.bpe import apply_bpe
+
+    n = docs.count()
+    if n > max_docs:
+        frac = max_docs / n
+        docs = docs.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000))
+            < int(frac * 1_000_000)
+        )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    enc = apply_bpe(docs.select("doc_id", text_col), merges)
+    agg = (
+        enc.select(F.size(toks).alias("__nw"), "n_bpe")
+        .agg(F.sum("__nw").alias("words"), F.sum("n_bpe").alias("pieces"))
+        .first()
+    )
+    words = int(agg["words"] or 0)
+    stats: dict = {
+        "n_words": words,
+        "bpe_tokens_per_word": (
+            round(float(agg["pieces"]) / words, 6) if words else None
+        ),
+    }
+    if lm is not None:
+        from exstream_implementation_spark.plans.lm import score_lm_nll
+
+        nll = (
+            score_lm_nll(docs, lm, text_col=text_col)
+            .agg(F.avg("lm_nll"))
+            .first()[0]
+        )
+        stats["lm_mean_nll"] = (
+            round(float(nll), 6) if nll is not None else None
+        )
+    return stats
+
+
+def prep_state_is_stale(
+    state: dict,
+    tokens_per_word_tol: float = 0.25,
+    lm_nll_tol: float = 1.0,
+) -> dict:
+    """Staleness verdict for the frozen tokenizer/LM: compares the LATEST
+    increment's artifact stats against the init-time baseline.
+
+      stale when  tokens_per_word > baseline * (1 + tokens_per_word_tol)
+              or  lm_mean_nll     > baseline + lm_nll_tol   (nats)
+
+    Returns {stale, reasons, baseline, latest}.  The retrain path is a
+    full rebuild under a NEW state root (init_prep_state over the union)
+    — merges/LM identity across increments is the module's contract, so
+    there is deliberately no in-place retrain.  States committed before
+    the gate existed report stale=False with reasons=[] (no baseline)."""
+    base = state.get("artifact_baseline")
+    hist = state.get("increment_artifact_stats", [])
+    out = {
+        "stale": False,
+        "reasons": [],
+        "baseline": base,
+        "latest": hist[-1] if hist else None,
+    }
+    if not base or not hist:
+        return out
+    last = hist[-1]
+    tw0, tw = base.get("bpe_tokens_per_word"), last.get("bpe_tokens_per_word")
+    if tw0 and tw and tw > tw0 * (1.0 + tokens_per_word_tol):
+        out["reasons"].append(
+            f"tokenizer: {tw:.3f} BPE tokens/word vs baseline {tw0:.3f} "
+            f"(> +{tokens_per_word_tol:.0%}) — frozen merges no longer "
+            "fit the incoming text; rebuild state over the union"
+        )
+    n0, n1 = base.get("lm_mean_nll"), last.get("lm_mean_nll")
+    if n0 is not None and n1 is not None and n1 > n0 + lm_nll_tol:
+        out["reasons"].append(
+            f"lm: mean NLL {n1:.3f} vs baseline {n0:.3f} "
+            f"(> +{lm_nll_tol} nats) — frozen bigram LM is scoring a "
+            "shifted domain; rebuild state over the union"
+        )
+    out["stale"] = bool(out["reasons"])
+    return out
 
 
 def _state_path(root: str) -> str:
@@ -269,6 +387,7 @@ def init_prep_state(
             src_counts, os.path.join(state_path, "source_counts")
         ),
     }
+    lm = None
     if cfg.max_lm_nll is not None:
         # freeze the LM the initial run gated with: retrain the identical
         # tables (train_bigram_lm is deterministic in its input) on the
@@ -283,6 +402,12 @@ def init_prep_state(
 
     save_merges(
         stages["merges"], os.path.join(state_path, "merges.json")
+    )
+
+    # staleness baseline: how the just-frozen artifacts fit the corpus
+    # they were trained on — every increment's stats compare against this
+    artifact_baseline = _artifact_stats(
+        stages.get("contracted", docs), stages["merges"], lm
     )
 
     mix_policy = stages.get("mix_policy")
@@ -307,6 +432,8 @@ def init_prep_state(
         "n_increments": 1,
         "versions": versions,
         "logs": logs,
+        "artifact_baseline": artifact_baseline,
+        "increment_artifact_stats": [],
     }
     _write_state(state_path, state)
     stages["state"] = state
@@ -696,6 +823,14 @@ def prepare_increment(
         .agg(F.sum("n_admitted").alias("n_admitted")),
         os.path.join(state_path, "source_counts"),
     )
+    # staleness stats: frozen-artifact fit of THIS batch (one batch scan;
+    # pre-gate states have no baseline and simply skip the comparison)
+    lm_frames = (
+        {key: _tbl(table) for table, key in _LM_TABLES.items()}
+        if cfg.max_lm_nll is not None
+        else None
+    )
+    batch_stats = _artifact_stats(stages["contracted"], merges, lm_frames)
     new_state = {
         **state,
         "max_doc_id": hi,
@@ -703,6 +838,9 @@ def prepare_increment(
         "versions": versions,
         "logs": logs,
         "id_ranges": state.get("id_ranges", []) + [[lo, hi]],
+        "increment_artifact_stats": (
+            state.get("increment_artifact_stats", []) + [batch_stats]
+        ),
     }
     # single-writer fence: the read-check-then-commit protocol assumes one
     # writer per state_path.  Re-read at commit time and fail LOUDLY if a
@@ -830,6 +968,7 @@ def describe_prep_state(spark: SparkSession, state_path: str) -> dict:
         "has_benchmark": state["benchmark_digest"] is not None,
         "mix_fractions": state["mix_fractions"],
         "config": state["config"],
+        "staleness": prep_state_is_stale(state),
     }
 
 

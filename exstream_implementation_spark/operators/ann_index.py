@@ -86,16 +86,24 @@ def append_to_ivf_index(
 ) -> int:
     """Assign NEW vectors against the EXISTING centroids and append them to
     the bucketed assignment table — the cheap between-retrains path (no
-    Lloyd iteration).  Returns the appended count.  ``ivf_index_is_stale``
+    Lloyd iteration).  Returns the count actually appended: vec_ids
+    already indexed are skipped (anti-join — the shared idempotent-append
+    contract, operators/index_lifecycle.py), so a redelivered batch is a
+    no-op and the meta count never double-counts.  ``ivf_index_is_stale``
     keeps measuring growth against the TRAINED corpus size, so repeated
     appends still trip the retrain threshold once centroids drift."""
+    from exstream_implementation_spark.operators.index_lifecycle import (
+        idempotent_append,
+    )
+
     cents = F.broadcast(spark.table(f"{name}_centroids"))
     assign = _assign(new_vecs, cents).select("cell", "vec_id", "embedding")
-    # append through the catalog insert path: Spark routes rows of an
-    # existing bucketed table through its bucket spec, so probe joins keep
+    # shared append contract (operators/index_lifecycle.py): anti-join on
+    # vec_id makes a redelivered batch a no-op, and the catalog insert
+    # path routes rows through the bucket spec so probe joins keep
     # reading co-located buckets
-    assign.write.mode("append").insertInto(f"{name}_assign")
-    n_new = new_vecs.count()
+    appended = idempotent_append(assign, f"{name}_assign", ["vec_id"])
+    n_new = appended.count()
     # .first() materializes the old row driver-side, so the overwrite builds
     # from a local relation — no read-from-the-table-being-overwritten hazard
     meta = spark.table(f"{name}_meta").first()
@@ -135,9 +143,12 @@ def ivf_index_is_stale(
     longer reflect the data distribution and recall decays; the caller
     should rebuild.  Appends advance n_vectors but not n_trained, so
     incremental growth still trips this check."""
+    from exstream_implementation_spark.operators.index_lifecycle import (
+        growth_is_stale,
+    )
+
     trained = spark.table(f"{name}_meta").first()["n_trained"]
-    current = vecs.count()
-    return current > trained * (1.0 + growth_threshold)
+    return growth_is_stale(vecs.count(), int(trained), growth_threshold)
 
 
 def probe_ivf_index(

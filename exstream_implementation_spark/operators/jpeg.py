@@ -16,7 +16,8 @@ Scope and honesty:
     quant + Huffman tables FROM THE FILE, so it decodes any baseline 8-bit
     JPEG — 4:4:4 AND chroma-subsampled (4:2:0/4:2:2/4:4:0, any integer
     factor ratio; nearest-neighbor chroma upsample) — not just our own.
-    Progressive (SOF2), 12-bit, arithmetic-coded and restart-interval
+    Restart intervals (DRI/RSTn) decode with predictor resets and
+    sequence checking.  Progressive (SOF2), 12-bit and arithmetic-coded
     streams refuse loudly with NotImplementedError — swap in
     PIL/libjpeg-turbo on a real cluster.
   * JPEG is lossy: round-trips are exact only for DC-flat blocks; tests pin
@@ -253,6 +254,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding) and emit RSTn — markers are written raw,
+        never byte-stuffed (T.81 §E.2.4)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -285,6 +294,23 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def consume_restart(self) -> int:
+        """Byte-align and consume one RSTn marker (T.81 §E.2.4): discard
+        the current byte's padding bits, expect 0xFF 0xD0-0xD7, return n.
+        The caller resets its DC predictors."""
+        self.acc = 0
+        self.nbits = 0  # byte-align: drop pad bits of the partial byte
+        while self.pos < len(self.data) and self.data[self.pos] == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0xFF:  # spec-legal fill byte run
+                self.pos += 1
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return nxt - 0xD0
+            break
+        raise ValueError("expected RSTn marker at restart interval")
 
 
 def _decode_symbol(reader: _BitReader, index) -> int:
@@ -319,7 +345,10 @@ _SUBSAMPLING = {
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes (optimized tables).
 
@@ -327,6 +356,11 @@ def encode_jpeg(
     "422", or "420" (2×2 box-averaged chroma, the variant virtually all
     web JPEGs use).  Interleaved MCUs per ITU T.81 §A.2.3: each MCU
     carries h_i×v_i blocks per component in raster order within the MCU.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (DC predictors reset — the error-resilience feature
+    most camera/web encoders enable).  0 (default) omits DRI entirely,
+    keeping earlier rounds' streams byte-stable.
     """
     h, w, c = arr.shape
     if c != 3:
@@ -376,11 +410,17 @@ def encode_jpeg(
         )
         comp_coefs.append(zz[order])
 
-    # symbol statistics → optimal tables (luma: tables 0, chroma: tables 1)
+    # symbol statistics → optimal tables (luma: tables 0, chroma: tables 1).
+    # DC predictor resets must mirror the emission loop's restart resets
+    # exactly, or the optimized table lacks codes for post-reset categories
     def symbols(ci):
         dc_syms, ac_syms = [], []
         prev = 0
-        for blk in comp_coefs[ci]:
+        bpm = factors[ci][0] * factors[ci][1]
+        reset_every = restart_interval * bpm if restart_interval else 0
+        for bi, blk in enumerate(comp_coefs[ci]):
+            if reset_every and bi and bi % reset_every == 0:
+                prev = 0
             diff = int(blk[0]) - prev
             prev = int(blk[0])
             dc_syms.append(_category(diff))
@@ -418,7 +458,11 @@ def encode_jpeg(
     prev_dc = [0, 0, 0]
     cursor = [0, 0, 0]
     blocks_per_mcu = [fh * fv for fh, fv in factors]
-    for m in range(mcux * mcuy):
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart((m // restart_interval - 1) % 8)
+            prev_dc = [0, 0, 0]
         for ci in range(3):
             for _ in range(blocks_per_mcu[ci]):
                 dct_t = dc_l if ci == 0 else dc_c
@@ -472,6 +516,8 @@ def encode_jpeg(
     )
     for tc_th, t in ((0x00, dc_l), (0x10, ac_l), (0x01, dc_c), (0x11, ac_c)):
         out += seg(0xFFC4, bytes([tc_th]) + t.dht_payload())
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
@@ -486,7 +532,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     combination where max_factor % factor == 0 decodes (4:4:4, 4:2:0,
     4:2:2, 4:4:0, ... — i.e. the baseline streams real corpora carry);
     subsampled chroma is nearest-neighbor upsampled before YCbCr→RGB.
-    Refuses progressive/12-bit/restart-interval streams with
+    Restart intervals (DRI/RSTn) are honored (DC predictor resets, RST
+    sequence checked).  Refuses progressive/12-bit streams with
     NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
@@ -496,6 +543,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sof = None
     scan_comps = None
     data_start = None
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -553,7 +601,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(tc_th >> 4, tc_th & 0xF)] = index
                 bpos += 17 + nv
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals unsupported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:
             ns = body[0]
             scan_comps = [
@@ -594,8 +642,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for cid, _, fh, fv in comps
     }
     prev_dc = {cid: 0 for cid, _, _, _ in comps}
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_idx
+                and mcu_idx % restart_interval == 0
+            ):
+                got = reader.consume_restart()
+                want = (mcu_idx // restart_interval - 1) % 8
+                if got != want:
+                    raise ValueError(
+                        f"RST sequence error: expected RST{want}, "
+                        f"got RST{got}"
+                    )
+                prev_dc = {cid: 0 for cid, _, _, _ in comps}
+            mcu_idx += 1
             for cid, td, ta in scan_comps:
                 fh, fv = comp_f[cid]
                 dc_idx, ac_idx = huff[(0, td)], huff[(1, ta)]

@@ -62,6 +62,16 @@ class PQModel:
     dsub: int                      # d / m
     codebooks: tuple               # m arrays, each (ksub_i, dsub) float64
     inertia: tuple                 # per-iteration total inertia history
+    # OPQ-style pre-rotation (Ge et al. 2013, "Optimized Product
+    # Quantization", parametric variant): quantization happens in the
+    # rotated frame y = (x - mean) @ rotation, where rotation is the PCA
+    # basis with its columns PERMUTED so each subspace receives a
+    # balanced share of the variance (greedy log-eigenvalue allocation —
+    # the faiss OPQ init).  Rotation is orthonormal, so rotated-space L2
+    # == original-space L2 and the ADC==reconstruction identity survives
+    # verbatim; None (default) = classic PQ, bit-identical to r09.
+    rotation: np.ndarray | None = None   # (d, d), columns = rotated axes
+    mean: np.ndarray | None = None       # (d,)
 
     @property
     def code_bytes(self) -> int:
@@ -75,6 +85,30 @@ class PQModel:
     @property
     def compression(self) -> float:
         return self.raw_bytes / self.code_bytes
+
+
+def _balanced_eig_permutation(eigvals: np.ndarray, m: int,
+                              dsub: int) -> np.ndarray:
+    """Column permutation assigning principal axes to subspaces so the
+    per-subspace variance PRODUCTS balance (greedy: next-largest
+    eigenvalue goes to the open subspace with the smallest log-product —
+    the standard parametric-OPQ allocation).  Returns perm such that
+    rotated dims [i*dsub, (i+1)*dsub) belong to subspace i."""
+    logs = np.log(np.maximum(np.asarray(eigvals, dtype=np.float64), 1e-12))
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    totals = np.zeros(m)
+    for axis in np.argsort(-logs):          # descending variance
+        open_b = [b for b in range(m) if len(buckets[b]) < dsub]
+        tgt = min(open_b, key=lambda b: totals[b])
+        buckets[tgt].append(int(axis))
+        totals[tgt] += logs[axis]
+    return np.array([a for b in buckets for a in b], dtype=np.int64)
+
+
+def _rotate_batch(x: np.ndarray, model: PQModel) -> np.ndarray:
+    if model.rotation is None:
+        return x
+    return (x - model.mean) @ model.rotation
 
 
 def _subvectors(vecs: DataFrame, id_col: str, vec_col: str, m: int,
@@ -99,8 +133,15 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float | None = None,
+    opq: bool = False,
 ) -> PQModel:
     """Train an m-subspace, ksub-centroid product quantizer.
+
+    ``opq=True`` learns a PCA pre-rotation with balanced eigenvalue
+    allocation first (parametric OPQ) and trains the codebooks in the
+    rotated frame; encode/reconstruct/ADC apply it transparently.  Worth
+    it exactly when the embedding dimensions are correlated/anisotropic
+    (real encoder output); a no-op in quality on isotropic data.
 
     One Lloyd loop over the exploded (sub, subvec) table trains every
     subspace simultaneously; init is deterministic (the ksub lowest ids'
@@ -138,6 +179,30 @@ def train_pq(
                     "train_pq: train_fraction sampled zero vectors"
                 )
     dsub = d // m
+
+    rotation = mean = None
+    if opq:
+        from exstream_implementation_spark.operators.pca import (
+            PCAModel,
+            fit_pca,
+            transform_pca,
+        )
+
+        # full-rank PCA on the (possibly sampled) training frame; both
+        # model halves — rotation and codebooks — see the same sample
+        pca = fit_pca(vecs, vec_col=vec_col, k=d)
+        perm = _balanced_eig_permutation(pca.eigvals, m, dsub)
+        rotation = pca.components[:, perm]
+        mean = pca.mean
+        rot_model = PCAModel(
+            mean=mean,
+            components=rotation,
+            eigvals=pca.eigvals[perm],
+            explained_ratio=pca.explained_ratio[perm],
+        )
+        vecs = transform_pca(vecs, rot_model, vec_col=vec_col,
+                             out_col="__rot")
+        vec_col = "__rot"
 
     spark = vecs.sparkSession
     subs = _subvectors(vecs, id_col, vec_col, m, dsub).persist()
@@ -200,7 +265,7 @@ def train_pq(
             raise ValueError(f"train_pq: subspace {i} lost all centroids")
         books.append(np.array([r["cemb"] for r in rows], dtype=np.float64))
     return PQModel(dim=d, m=m, dsub=dsub, codebooks=tuple(books),
-                   inertia=tuple(history))
+                   inertia=tuple(history), rotation=rotation, mean=mean)
 
 
 def _check_model(model: PQModel, d: int) -> None:
@@ -230,6 +295,7 @@ def encode_pq(
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             _check_model(model, x.shape[1])
+            x = _rotate_batch(x, model)
             codes = np.empty((len(x), m), dtype=np.int32)
             for i in range(m):
                 xs = x[:, i * dsub:(i + 1) * dsub]
@@ -260,6 +326,10 @@ def pq_reconstruct(codes: DataFrame, model: PQModel,
             rec = np.concatenate(
                 [books[i][cmat[:, i]] for i in range(model.m)], axis=1
             )
+            if model.rotation is not None:
+                # codes live in the rotated frame: de-rotate so the
+                # reconstruction approximates the ORIGINAL vector
+                rec = rec @ model.rotation.T + model.mean
             yield pd.DataFrame(
                 {"__id": pdf[id_col].to_numpy(), "approx": list(rec)}
             )
@@ -310,6 +380,9 @@ def pq_adc_topk(
             [], "query_id long, neighbor_id long, adist double, rank int"
         )
     _check_model(model, q.shape[1])
+    # rotation is orthonormal, so the rotated-space ADC below equals the
+    # original-space L2 to the de-rotated reconstruction exactly
+    q = _rotate_batch(q, model)
     m, dsub = model.m, model.dsub
     books = model.codebooks
     # LUT[qi][i][c] = || q_sub - centroid ||^2 : q * m tables of ksub entries

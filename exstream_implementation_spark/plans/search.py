@@ -113,13 +113,19 @@ def append_postings(
     through the catalog insert path so rows land in the table's term
     buckets.  Returns the number of newly indexed documents.
     """
+    from exstream_implementation_spark.operators.index_lifecycle import (
+        idempotent_append,
+    )
+
     indexed = spark.table(table).select("doc_id").distinct()
     fresh = new_docs.join(indexed, "doc_id", "left_anti")
-    posts = build_postings(fresh, text_col)
-    # localCheckpoint before writing to the table the lineage reads —
-    # the foreachBatch read-then-append trap (streaming/ingest_dedup.py)
-    posts = posts.localCheckpoint(eager=True)
-    posts.write.mode("append").insertInto(table)
+    # the anti-join must run on DOC ids before tokenization (a (term, doc)
+    # anti-join would re-tokenize the whole batch just to learn it's a
+    # replay), so the shared append dedupes on the postings' natural key
+    # after the doc-level cut — same result, one contract
+    posts = idempotent_append(
+        build_postings(fresh, text_col), table, ["term", "doc_id"]
+    )
     return posts.select("doc_id").distinct().count()
 
 

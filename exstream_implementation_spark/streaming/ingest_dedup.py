@@ -423,8 +423,8 @@ def compact_neardup_index(spark: SparkSession, name: str) -> dict:
     Writes go through a staging table + catalog rename, never an overwrite
     of a table being read (Spark rejects that lineage, and a failed rewrite
     must not destroy the live index)."""
-    from exstream_implementation_spark.operators.bucketing import (
-        write_bucketed,
+    from exstream_implementation_spark.operators.index_lifecycle import (
+        compact_bucketed_table,
     )
 
     counts = {}
@@ -433,21 +433,9 @@ def compact_neardup_index(spark: SparkSession, name: str) -> dict:
         ("sh_idx", ("band_id", "band_val")),
         ("mh_idx", ("band_id", "band_hash")),
     ):
-        tbl, staging = f"{name}_{suffix}", f"{name}_{suffix}_staging"
-        spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        n_buckets = spark.sql(f"DESCRIBE EXTENDED {tbl}").filter(
-            "col_name = 'Num Buckets'"
-        ).first()
-        write_bucketed(
-            spark.table(tbl),
-            staging,
-            list(keys),
-            n_buckets=int(n_buckets["data_type"]) if n_buckets else 16,
-            sort_cols=list(keys),
+        counts[suffix] = compact_bucketed_table(
+            spark, f"{name}_{suffix}", list(keys)
         )
-        counts[suffix] = spark.table(staging).count()
-        spark.sql(f"DROP TABLE {tbl}")
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {tbl}")
     meta = spark.table(f"{name}_meta").first()
     spark.createDataFrame(
         [(int(meta["n_docs"]), int(meta["n_docs"]))],
@@ -464,9 +452,15 @@ def neardup_index_is_stale(
     the index CORRECT (band rows are exact functions of the doc, unlike IVF
     centroids) but accumulate small files and skew band partitions — past the
     threshold the caller should rewrite the index tables and reset n_base."""
+    from exstream_implementation_spark.operators.index_lifecycle import (
+        growth_is_stale,
+    )
+
     spark.catalog.refreshTable(f"{name}_meta")
     meta = spark.table(f"{name}_meta").first()
-    return meta["n_docs"] > meta["n_base"] * (1.0 + growth_threshold) + 1
+    return growth_is_stale(
+        int(meta["n_docs"]), int(meta["n_base"]), growth_threshold
+    )
 
 
 def _write_flags(flags: DataFrame, table: str) -> None:

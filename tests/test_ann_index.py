@@ -150,3 +150,36 @@ def test_append_then_probe_finds_new_vectors(spark, vecs, index):
     assert not ivf_index_is_stale(
         spark, NAME, vecs.unionByName(clones), growth_threshold=0.2
     )
+
+
+def test_append_redelivery_is_noop(spark, vecs, index):
+    # the shared index-lifecycle contract (operators/index_lifecycle.py):
+    # a redelivered append batch must change nothing — not the assign
+    # table, not the meta count
+    from exstream_implementation_spark.operators.ann_index import (
+        append_to_ivf_index,
+    )
+
+    clones = vecs.filter(F.col("vec_id") < 4).withColumn(
+        "vec_id", F.col("vec_id") + 700_000
+    )
+    assert append_to_ivf_index(spark, NAME, clones) == 4
+    n1 = spark.table(f"{NAME}_assign").count()
+    _, _, meta1 = load_ivf_index(spark, NAME)
+    assert append_to_ivf_index(spark, NAME, clones) == 0  # replay
+    assert spark.table(f"{NAME}_assign").count() == n1
+    _, _, meta2 = load_ivf_index(spark, NAME)
+    assert meta2["n_vectors"] == meta1["n_vectors"]
+
+
+def test_growth_is_stale_rule():
+    from exstream_implementation_spark.operators.index_lifecycle import (
+        growth_is_stale,
+    )
+
+    assert not growth_is_stale(500, 500, 0.2)
+    assert not growth_is_stale(601, 500, 0.2)  # exactly at threshold + 1
+    assert growth_is_stale(650, 500, 0.2)
+    assert not growth_is_stale(650, 500, 0.5)
+    # the +1 guard: a tiny base never trips on its first append
+    assert not growth_is_stale(1, 0, 0.2)

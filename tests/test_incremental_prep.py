@@ -526,3 +526,84 @@ def test_concurrent_writer_fails_loudly(run, spark, monkeypatch):
         )
     # the losing increment committed nothing
     assert real(run["state_path"])["n_increments"] == n_before
+
+
+def test_staleness_gate_trips_on_domain_shift(spark, tmp_path):
+    # frozen tokenizer monitoring: a batch of long unseen-alphabet words
+    # segments toward characters under the frozen merges, raising
+    # bpe_tokens_per_word far past the init baseline — the gate must trip
+    # even though the quality filter drops every shifted doc
+    from exstream_implementation_spark.incremental import (
+        describe_prep_state,
+        prep_state_is_stale,
+    )
+
+    cfg = CorpusPrepConfig(
+        min_tokens=4,
+        min_stop_ratio=0.1,
+        substring_k=40,
+        substring_mod=None,
+        bpe_merges=12,
+        chunk_len=8,
+        pack_capacity=16,
+        pack_groups=2,
+        n_shards=2,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (i, f"{STOPFUL} steady prose about rivers and stones {i}", "s")
+            for i in range(8)
+        ],
+        "doc_id long, text string, source string",
+    )
+    state = str(tmp_path / "state")
+    init_prep_state(b1, state, cfg=cfg)
+    st0 = read_state(state)
+    base = st0["artifact_baseline"]
+    assert base["bpe_tokens_per_word"] is not None
+    assert not prep_state_is_stale(st0)["stale"]
+
+    # in-domain increment: gate stays quiet
+    b2 = spark.createDataFrame(
+        [(20, f"{STOPFUL} more steady prose about rivers flowing", "s")],
+        "doc_id long, text string, source string",
+    )
+    prepare_increment(b2, state)
+    assert not prep_state_is_stale(read_state(state))["stale"]
+
+    # domain-shifted increment: unseen alphabet, long words
+    shifted = " ".join("zqxvkwjzqxvk" + str(i) for i in range(12))
+    b3 = spark.createDataFrame(
+        [(30, shifted, "s"), (31, shifted[::-1], "s")],
+        "doc_id long, text string, source string",
+    )
+    prepare_increment(b3, state)
+    verdict = prep_state_is_stale(read_state(state))
+    assert verdict["stale"]
+    assert any("tokenizer" in r for r in verdict["reasons"])
+    d = describe_prep_state(spark, state)
+    assert d["staleness"]["stale"]
+
+
+def test_prep_state_is_stale_lm_and_missing_baseline():
+    from exstream_implementation_spark.incremental import prep_state_is_stale
+
+    # pre-gate state (no baseline): never stale
+    assert not prep_state_is_stale({"n_increments": 3})["stale"]
+    # lm drift alone trips with its own reason
+    st = {
+        "artifact_baseline": {
+            "bpe_tokens_per_word": 4.0,
+            "lm_mean_nll": 3.0,
+        },
+        "increment_artifact_stats": [
+            {"bpe_tokens_per_word": 4.1, "lm_mean_nll": 4.5}
+        ],
+    }
+    v = prep_state_is_stale(st)
+    assert v["stale"] and any("lm:" in r for r in v["reasons"])
+    # inside both tolerances: quiet
+    st["increment_artifact_stats"] = [
+        {"bpe_tokens_per_word": 4.5, "lm_mean_nll": 3.5}
+    ]
+    assert not prep_state_is_stale(st)["stale"]

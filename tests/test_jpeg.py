@@ -228,3 +228,43 @@ def test_fill_bytes_and_standalone_markers_in_header():
     # run that merges into the following APP0 marker's leading 0xFF
     padded = plain[:2] + b"\xff\x01\xff\xd0\xff\xff" + plain[2:]
     assert (decode_jpeg(padded) == decode_jpeg(plain)).all()
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_restart_intervals_roundtrip(sub, ri):
+    # DRI/RSTn streams must decode pixel-identically to the same image
+    # encoded WITHOUT restarts (restarts change framing, not content),
+    # and ri=0 must stay byte-stable with earlier rounds' streams
+    y, x = np.mgrid[0:37, 0:53]
+    img = np.stack(
+        [(x * 3 + y * 2) % 256, (x + y * 4) % 256, (255 - x - y) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+    dec = decode_jpeg(
+        encode_jpeg(img, quality=90, subsampling=sub, restart_interval=ri)
+    )
+    assert (dec == base).all()
+    assert encode_jpeg(img, quality=90, subsampling=sub) == encode_jpeg(
+        img, quality=90, subsampling=sub, restart_interval=0
+    )
+
+
+def test_restart_sequence_error_detected():
+    # corrupting an RST marker's sequence number must fail loudly, not
+    # silently desynchronize the DC predictors
+    img = (np.arange(32 * 32 * 3, dtype=np.uint8) % 251).reshape(32, 32, 3)
+    b = bytearray(encode_jpeg(img, quality=85, restart_interval=2))
+    sos = bytes(b).find(b"\xff\xda")
+    # find the first RST marker in the entropy stream and bump its index
+    i = sos + 2
+    while i < len(b) - 1:
+        if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7:
+            b[i + 1] = 0xD0 + ((b[i + 1] - 0xD0 + 1) % 8)
+            break
+        i += 1
+    else:
+        pytest.fail("no RST marker found")
+    with pytest.raises(ValueError, match="RST sequence"):
+        decode_jpeg(bytes(b))

@@ -209,3 +209,70 @@ def test_adc_rejects_non_integral_ids(spark):
             np.zeros((1, 64)), np.array([0]), df.select("vec_id", "code"),
             model, k=1,
         )
+
+
+def _anisotropic(spark, n=400, d=32, seed=5):
+    """Strongly correlated dims — the regime OPQ exists for: a few
+    high-variance directions NOT axis-aligned, so fixed axis-slicing
+    wastes codebook capacity while a PCA rotation concentrates it."""
+    rng = np.random.default_rng(seed)
+    scales = np.concatenate([np.full(4, 10.0), np.full(d - 4, 0.3)])
+    basis, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    x = (rng.normal(size=(n, d)) * scales) @ basis.T
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    return df, x
+
+
+def test_opq_rotation_preserves_adc_identity(spark):
+    # the exact ADC == ||q - reconstruct||^2 identity must survive the
+    # rotation verbatim (reconstruction is de-rotated to original space)
+    df, x = _anisotropic(spark, n=150)
+    model = train_pq(df, m=8, ksub=8, max_iter=4, opq=True)
+    assert model.rotation is not None and model.mean is not None
+    # rotation is orthonormal
+    assert np.allclose(model.rotation @ model.rotation.T, np.eye(32), atol=1e-9)
+    codes = encode_pq(df, model).persist()
+    rec = {
+        r["vec_id"]: np.array(r["approx"])
+        for r in pq_reconstruct(codes, model).collect()
+    }
+    q, qids = x[:3], np.arange(3)
+    top = pq_adc_topk(q, qids, codes, model, k=150, dist_round=9).collect()
+    for r in top:
+        want = float(np.sum((q[r["query_id"]] - rec[r["neighbor_id"]]) ** 2))
+        assert r["adist"] == pytest.approx(want, abs=1e-5)
+    codes.unpersist()
+
+
+def test_opq_beats_plain_pq_on_anisotropic_data(spark):
+    # same budget (m=8, ksub=8): rotated codebooks must reconstruct the
+    # anisotropic corpus strictly better than axis-aligned ones
+    df, x = _anisotropic(spark)
+
+    def recon_err(opq):
+        model = train_pq(df, m=8, ksub=8, max_iter=6, opq=opq)
+        rows = pq_reconstruct(encode_pq(df, model), model).collect()
+        rec = np.stack(
+            [np.array(r["approx"])
+             for r in sorted(rows, key=lambda r: r["vec_id"])]
+        )
+        return float(np.mean(np.sum((x - rec) ** 2, axis=1)))
+
+    err_plain, err_opq = recon_err(False), recon_err(True)
+    assert err_opq < err_plain * 0.7, (err_plain, err_opq)
+
+
+def test_balanced_permutation_properties():
+    from exstream_implementation_spark.operators.pq import (
+        _balanced_eig_permutation,
+    )
+
+    eig = np.array([100.0, 50.0, 10.0, 5.0, 1.0, 0.5, 0.1, 0.05])
+    perm = _balanced_eig_permutation(eig, m=4, dsub=2)
+    assert sorted(perm.tolist()) == list(range(8))
+    # the two largest eigenvalues land in DIFFERENT subspaces
+    s_of = {int(a): i // 2 for i, a in enumerate(perm)}
+    assert s_of[0] != s_of[1]

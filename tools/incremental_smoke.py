@@ -113,6 +113,25 @@ def main() -> int:
         prepare_increment(batch, f"{work}/state", out_path=f"{work}/out")
         out["t_increment_s"] = round(time.monotonic() - t0, 2)
 
+        # state-side floor: how much of the increment is just scanning
+        # the membership logs (the O(corpus-ish) part that cannot shrink
+        # with batch size — everything else in an increment is O(batch))
+        from exstream_implementation_spark.incremental import (
+            _read_log,
+            read_state,
+        )
+
+        st = read_state(f"{work}/state")
+        for log_name in ("hashes", "anchors"):
+            t0 = time.monotonic()
+            rows = _read_log(
+                spark, f"{work}/state", log_name, st["logs"][log_name]
+            ).count()
+            out[f"t_{log_name}_log_scan_s"] = round(
+                time.monotonic() - t0, 2
+            )
+            out[f"{log_name}_log_rows"] = rows
+
         t0 = time.monotonic()
         prepare_corpus(docs, None, cfg, out_path=f"{work}/rebuild")
         out["t_full_rebuild_s"] = round(time.monotonic() - t0, 2)
