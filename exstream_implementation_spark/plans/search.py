@@ -30,13 +30,16 @@ Scale design (the part that matters at 100 TB):
   so the final exact row_number window ranks at most ``partitions * k``
   rows per query, never the full candidate set.
 
-Corpus constants (N, avgdl) are fetched with one bounded 1-row collect
-(same contract as the k-row centroid fetch in operators/kmeans.py:71).
+Corpus constants (N, avgdl): the prebuilt/wide-vocab paths fetch them with
+one bounded 1-row collect (same contract as the k-row centroid fetch in
+operators/kmeans.py:71); the fused ad-hoc path broadcast-joins the 1-row
+stats aggregate into the scoring projection instead, so the whole
+retrieval is a single job.
 """
 
 from __future__ import annotations
 
-import math
+
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -176,7 +179,7 @@ def query_term_weights(
 def bm25_topk(
     spark: SparkSession,
     docs_or_postings: DataFrame,
-    queries: DataFrame,
+    queries,
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
@@ -188,7 +191,9 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents per query under BM25.
 
-    ``queries``: (query_id int, query_text string) — small by contract.
+    ``queries``: (query_id int, query_text string) DataFrame — small by
+    contract — or a literal ``[(query_id, query_text), ...]`` list (a
+    constant query batch skips the driver collect job entirely).
     Returns (query_id, doc_id, score double, rank int), rank 1..k, ties
     broken by doc_id ascending (deterministic).
 
@@ -208,6 +213,12 @@ def bm25_topk(
     identically everywhere.
     """
     scored: DataFrame | None = None
+    if prebuilt and isinstance(queries, list):
+        # the prebuilt path joins the query frame distributed — lift a
+        # literal list into a frame there
+        queries = spark.createDataFrame(
+            queries, "query_id int, query_text string"
+        )
     if prebuilt:
         # postings-table path (the served deployment): the table is cheap to
         # re-scan (bucketed, columnar), so stats/df/tf all read it directly.
@@ -237,7 +248,15 @@ def bm25_topk(
         # Vocabularies too wide for a fused counter row / projection
         # (> _FUSED_VOCAB_MAX) fall back to the distributed explode+join
         # formulation.
-        qrows = queries.select("query_id", "query_text").collect()
+        # a literal [(query_id, query_text)] list skips the collect job —
+        # callers with a constant query batch (the catalog branch) save a
+        # full scheduler round-trip per invocation
+        if isinstance(queries, list):
+            qrows = [
+                {"query_id": qid, "query_text": qt} for qid, qt in queries
+            ]
+        else:
+            qrows = queries.select("query_id", "query_text").collect()
         qterms_local: list[tuple[int, str]] = []
         for r in qrows:
             seen: list[str] = []
@@ -262,62 +281,61 @@ def bm25_topk(
             .filter(F.col("dl") > 0)
         )
         if len(vocab_terms) <= _FUSED_VOCAB_MAX:
-            aggs = [F.count("*").alias("n"), F.avg("dl").alias("avgdl")] + [
-                F.sum(F.array_contains("toks", t).cast("int")).alias(f"_df{i}")
-                for i, t in enumerate(vocab_terms)
-            ]
-            row = toks.agg(*aggs).first()
-            n_docs, avgdl = int(row["n"] or 0), float(row["avgdl"] or 0.0)
-            if n_docs == 0:
-                return spark.createDataFrame(
-                    [], "query_id int, doc_id bigint, score double, rank int"
-                )
-            dfmap = {
-                t: int(row[f"_df{i}"] or 0) for i, t in enumerate(vocab_terms)
-            }
-            wrows = [
-                (
-                    qid,
-                    t,
-                    # same op order as the column expression it replaces, so
-                    # the double matches the prebuilt path to the last ulp
-                    math.log(
-                        1.0
-                        + (float(n_docs) - dfmap[t] + 0.5) / (dfmap[t] + 0.5)
-                    ),
-                )
-                for qid, t in qterms_local
-                if 0 < dfmap[t] <= max_df_ratio * n_docs
-            ]
-            if not wrows:
-                return spark.createDataFrame(
-                    [], "query_id int, doc_id bigint, score double, rank int"
-                )
-            by_query: dict[int, list[tuple[str, float]]] = {}
-            for qid, t, w in wrows:
-                by_query.setdefault(qid, []).append((t, w))
+            # ONE job: the corpus-stats aggregate (n, avgdl, per-vocab-term
+            # df — all partial-combined in one pass) broadcast-joins into
+            # the scoring projection instead of being fetched to the driver
+            # first.  The old two-job shape (stats .first(), then a
+            # projection built from driver literals) cost a blocking
+            # scheduler round-trip per invocation — the dominant warm-path
+            # cost on human-scale corpora — and bought nothing at scale,
+            # since both jobs read the same scan.
+            stats = toks.agg(
+                F.count("*").cast("double").alias("__n"),
+                F.avg("dl").alias("__avgdl"),
+                *[
+                    F.sum(F.array_contains("toks", t).cast("int"))
+                    .cast("double")
+                    .alias(f"__df{i}")
+                    for i, t in enumerate(vocab_terms)
+                ],
+            )
+            idx = {t: i for i, t in enumerate(vocab_terms)}
+            by_query: dict[int, list[str]] = {}
+            for qid, t in qterms_local:
+                by_query.setdefault(qid, []).append(t)
             # one O(dl) pass keeps only query-term occurrences; per-term tf
             # then scans that (usually tiny) matched list
             matched = F.filter(
                 F.col("toks"), lambda x: x.isin(vocab_terms)
             ).alias("matched")
-            docs_m = toks.select("doc_id", "dl", matched).filter(
-                F.size("matched") > 0
+            docs_m = (
+                toks.select("doc_id", "dl", matched)
+                .filter(F.size("matched") > 0)
+                .crossJoin(F.broadcast(stats))  # 1-row stats side
             )
 
-            def _qscore(terms: list[tuple[str, float]]):
+            def _qscore(terms: list[str]):
                 # fixed summation order (query-term order); same formula as
                 # the hits path: idf * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl))
                 denom_tail = k1 * (
-                    1.0 - b + b * F.col("dl") / F.lit(avgdl)
+                    1.0 - b + b * F.col("dl") / F.col("__avgdl")
                 )
                 parts = []
-                for t, w in terms:
+                for t in terms:
+                    dfc = F.col(f"__df{idx[t]}")
+                    idf = F.log(
+                        F.lit(1.0) + (F.col("__n") - dfc + 0.5) / (dfc + 0.5)
+                    )
                     tf = F.size(
                         F.filter(F.col("matched"), lambda x: x == F.lit(t))
                     )
+                    # stop-term cap in-expression (mirrors the driver-side
+                    # wrows filter); df=0 terms contribute 0 via tf=0
                     parts.append(
-                        F.lit(w) * ((tf * (k1 + 1.0)) / (tf + denom_tail))
+                        F.when(
+                            dfc <= F.lit(float(max_df_ratio)) * F.col("__n"),
+                            idf * ((tf * (k1 + 1.0)) / (tf + denom_tail)),
+                        ).otherwise(F.lit(0.0))
                     )
                 score = parts[0]
                 for p in parts[1:]:

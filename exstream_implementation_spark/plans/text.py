@@ -449,11 +449,10 @@ def text_fingerprint(spark, sf_dir):
 
     from exstream_implementation_spark.plans.search import bm25_topk
 
-    qdf = spark.createDataFrame(BM25_Q, "query_id int, query_text string")
     bm = bm25_topk(
         spark,
         d,
-        qdf,
+        BM25_Q,  # literal batch: no query-frame collect job
         k=BM25_K,
         max_df_ratio=1.0,
         score_round=6,

@@ -111,15 +111,20 @@ def test_stop_term_pruning_drops_high_df_terms(spark):
 
 
 def test_corpus_never_shuffles_to_meet_queries(spark):
-    """Ad-hoc scoring is a pure projection over the docs scan — no join of
-    any kind touches the corpus (the driver-side weights are inlined as
-    literals), and the only shuffles are the bounded top-k fold/window."""
+    """Ad-hoc scoring never shuffles the corpus: the ONLY join in the plan
+    is the broadcast of the 1-row stats aggregate into the scoring
+    projection (BroadcastNestedLoopJoin, build side = one row), and the
+    only shuffles are the bounded top-k fold/window."""
     docs_df = load_table(spark, SF_DIR, "documents")
     plan = bm25_topk(
         spark, docs_df, _queries_df(spark, [(1, "alpha beta")]), k=5
     )._jdf.queryExecution().executedPlan().toString()
-    for op in ("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin", "Join"):
+    for op in ("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin"):
         assert op not in plan, op
+    # exactly one join: the 1-row stats broadcast (never the corpus side)
+    assert plan.count("Join") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    ) == 1, plan
 
 
 def test_partial_topk_tiebreak_matches_final_window(spark):
