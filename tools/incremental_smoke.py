@@ -87,7 +87,17 @@ def main() -> int:
     batch = docs.filter(F.col("doc_id") > cutoff)
     n_standing, n_batch = standing.count(), batch.count()
 
+    # min_stop_ratio MUST be 0 here: the replica prefixes every token with
+    # rN (to keep replica token spaces disjoint), so no English stopwords
+    # survive and the default 0.02 gate would empty the corpus at stage 1
+    # — the r9 runs of this tool had exactly that bug, so their recorded
+    # trend (0.86x/1.55x/1.70x) measured a quality-emptied pipeline
+    # (hashes/anchors logs held 0 rows).  With the gate open the pipeline
+    # carries the full corpus through dedup/substring/BPE/shard and the
+    # rebuild-vs-increment ratio is measured on real volume.
     cfg = CorpusPrepConfig(
+        min_tokens=5,
+        min_stop_ratio=0.0,
         substring_mod=8,
         max_per_source=200_000,
         bpe_merges=16,
