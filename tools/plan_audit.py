@@ -66,6 +66,10 @@ BNLJ_ALLOW = {
     "approx_aggs": "1-row sketch/exact scalar broadcast",
     # 1-row LM totals (N, V) scalar frame (plans/lm.py score_lm_nll)
     "text_repetition": "1-row LM-totals scalar broadcast",
+    # bm25 fused ad-hoc path: the corpus-stats aggregate (n, avgdl,
+    # per-vocab-term df — ONE row) broadcasts into the scoring projection
+    # (plans/search.py, r10 single-job fusion)
+    "text_fingerprint": "1-row bm25 corpus-stats scalar broadcast",
 }
 
 # Queries whose plan legitimately contains a single-partition exchange,
