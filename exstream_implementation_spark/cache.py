@@ -89,5 +89,17 @@ def exit_query() -> None:
 
 def persisted_rdd_count(spark) -> int:
     """Number of RDDs currently pinned in the context's storage (JVM-side
-    inventory — covers caches made outside this module too)."""
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    inventory — covers caches made outside this module too).
+
+    Locally-checkpointed RDDs are excluded: ``localCheckpoint()`` blocks
+    (e.g. the eager materialization fence in
+    ``operators/index_lifecycle.idempotent_append``) are lifecycle-managed
+    by Spark's ContextCleaner — released as soon as the referencing frame
+    is garbage-collected — so they are a bounded, self-cleaning footprint,
+    not an indefinitely-pinned leak this inventory is meant to catch.
+    Counting them made the post-suite hygiene gate flake on GC timing."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return sum(
+        0 if jrdd.rdd().isLocallyCheckpointed() else 1
+        for jrdd in jmap.values()
+    )

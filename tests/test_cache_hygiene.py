@@ -28,3 +28,19 @@ def test_post_suite_inventory_empty(spark):
     QUERIES["exstream_rewards"](spark, SF_DIR).count()
     cache.release_tracked()
     assert cache.persisted_rdd_count(spark) == 0
+
+
+def test_local_checkpoints_not_counted_as_leaks(spark):
+    """``localCheckpoint()`` blocks are ContextCleaner-managed (released on
+    GC of the referencing frame), so the hygiene inventory must not count
+    them — counting them made the post-suite gate flake on GC timing
+    whenever an earlier test exercised ``idempotent_append``'s fence."""
+    cache.release_tracked()
+    base = cache.persisted_rdd_count(spark)
+    ckpt = spark.range(100).localCheckpoint()
+    assert ckpt.count() == 100
+    assert cache.persisted_rdd_count(spark) == base
+    pinned = spark.range(50).persist()
+    pinned.count()
+    assert cache.persisted_rdd_count(spark) == base + 1
+    pinned.unpersist()
