@@ -1,24 +1,28 @@
 """Baseline JPEG codec — pure numpy + stdlib, no system codec.
 
 Completes the multimodal decode story (operators/multimodal.py): BMP and PNG
-were real as of r07/r08; this adds baseline sequential DCT JPEG (SOI/DQT/
-SOF0/DHT/SOS, 8-bit, 4:4:4 and chroma-subsampled, optimized per-image
-Huffman tables), the format actual training corpora arrive in.
+were real as of r07/r08; this adds baseline sequential (SOF0) AND progressive
+(SOF2) DCT JPEG (8-bit, 4:4:4 and chroma-subsampled, optimized per-image
+Huffman tables), the formats actual training corpora arrive in.
 
 Scope and honesty:
-  * ``encode_jpeg`` writes a spec-conformant baseline JFIF stream: level
+  * ``encode_jpeg`` writes a spec-conformant JFIF stream: level
     shift → 2D DCT-II (orthonormal matrix product) → quality-scaled
     quantization → zigzag → DC-differential + AC run-length → canonical
     Huffman (tables BUILT from this image's symbol frequencies, emitted in
     DHT — no memorized Annex K constants to get subtly wrong) → byte-stuffed
-    entropy stream.
+    entropy stream.  ``progressive=True`` emits libjpeg's default ten-scan
+    script (spectral selection + successive approximation, per-scan
+    optimized tables) over the SAME quantized coefficients.
   * ``decode_jpeg`` parses the marker stream and inverts each step, reading
-    quant + Huffman tables FROM THE FILE, so it decodes any baseline 8-bit
-    JPEG — 4:4:4 AND chroma-subsampled (4:2:0/4:2:2/4:4:0, any integer
-    factor ratio; nearest-neighbor chroma upsample) — not just our own.
-    Restart intervals (DRI/RSTn) decode with predictor resets and
-    sequence checking.  Progressive (SOF2), 12-bit and arithmetic-coded
-    streams refuse loudly with NotImplementedError — swap in
+    quant + Huffman tables FROM THE FILE, so it decodes any 8-bit Huffman
+    JPEG — baseline and progressive (any scan script: DC/AC first +
+    refinement scans, EOB runs, per-scan table redefinition), 4:4:4 AND
+    chroma-subsampled (4:2:0/4:2:2/4:4:0, any integer factor ratio;
+    nearest-neighbor chroma upsample) — not just our own.  Restart
+    intervals (DRI/RSTn) decode with per-scan predictor/EOB-run resets and
+    sequence checking.  12-bit, arithmetic-coded, lossless and hierarchical
+    variants refuse loudly with NotImplementedError — swap in
     PIL/libjpeg-turbo on a real cluster.
   * JPEG is lossy: round-trips are exact only for DC-flat blocks; tests pin
     exactness there and PSNR elsewhere, plus pure-math invariants (DCT
@@ -335,6 +339,190 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+# --- progressive scan machinery ----------------------------------------------
+# libjpeg's default progressive scan script (jcparam.c): an interleaved DC
+# first scan, spectral-selection AC first scans per component, then the
+# successive-approximation refinement scans.  Tuples are
+# (component indices, Ss, Se, Ah, Al).
+_PROGRESSIVE_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+class _StatSink:
+    """Gather pass: count Huffman symbols per table id, drop raw bits."""
+
+    def __init__(self):
+        self.freqs: dict[tuple, dict[int, int]] = {}
+
+    def sym(self, tid, s: int) -> None:
+        f = self.freqs.setdefault(tid, {})
+        f[s] = f.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self, n: int) -> None:
+        pass
+
+
+class _WriteSink:
+    """Emit pass: Huffman-code symbols through per-table-id tables."""
+
+    def __init__(self, tables: dict):
+        self.bw = _BitWriter()
+        self.tables = tables
+
+    def sym(self, tid, s: int) -> None:
+        code, ln = self.tables[tid].codes[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+    def restart(self, n: int) -> None:
+        self.bw.restart(n)
+
+
+def _emit_dc_scan(sink, comp_coefs, factors, n_mcu, ah, al, restart_interval):
+    """Interleaved DC scan (T.81 §G.1.2.1): first pass (Ah=0) codes the
+    point-transformed value's diff chain; refinement (Ah>0) emits one raw
+    bit — bit Al of the two's-complement DC — per block, no Huffman."""
+    prev = [0, 0, 0]
+    cursors = [0, 0, 0]
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            sink.restart((m // restart_interval - 1) % 8)
+            prev = [0, 0, 0]
+        for ci, (fh, fv) in enumerate(factors):
+            tid = ("dc", 0 if ci == 0 else 1)
+            for _ in range(fh * fv):
+                v = int(comp_coefs[ci][cursors[ci], 0])
+                cursors[ci] += 1
+                if ah == 0:
+                    sv = v >> al  # arithmetic shift, negatives toward -inf
+                    diff = sv - prev[ci]
+                    prev[ci] = sv
+                    size = _category(diff)
+                    sink.sym(tid, size)
+                    sink.bits(diff if diff > 0 else diff + (1 << size) - 1, size)
+                else:
+                    sink.bits((v >> al) & 1, 1)
+
+
+def _emit_ac_first(sink, blocks, tid, ss, se, al, restart_interval):
+    """AC first scan (T.81 §G.1.2.2): run-length over the point-transformed
+    band with EOB-run accumulation across blocks (EOBn symbols)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            sink.sym(tid, nbits << 4)
+            sink.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            sink.restart((bi // restart_interval - 1) % 8)
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            v = v >> al if v >= 0 else -((-v) >> al)  # AC point transform
+            if v == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                sink.sym(tid, 0xF0)
+                r -= 16
+            size = _category(v)
+            sink.sym(tid, (r << 4) | size)
+            sink.bits(v if v > 0 else v + (1 << size) - 1, size)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # EOBn extension bits cap at 14
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(sink, blocks, tid, ss, se, al, restart_interval):
+    """AC refinement scan (T.81 §G.1.2.3): newly-nonzero coefficients are
+    Huffman-coded (size always 1) with a sign bit; already-nonzero ones
+    contribute correction bits appended after the NEXT emitted symbol —
+    including the deferred EOBn symbol when the run spans blocks."""
+    eobrun = 0
+    held: list[int] = []  # correction bits deferred behind a pending EOBn
+
+    def flush_eob():
+        nonlocal eobrun, held
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            sink.sym(tid, nbits << 4)
+            sink.bits(eobrun - (1 << nbits), nbits)
+            for b in held:
+                sink.bits(b, 1)
+        else:
+            assert not held, "correction bits held without a pending EOB run"
+        held = []
+        eobrun = 0
+
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            sink.restart((bi // restart_interval - 1) % 8)
+        vals = [int(blk[k]) for k in range(ss, se + 1)]
+        absv = [(v if v >= 0 else -v) >> al for v in vals]
+        eob = -1  # band-relative index of the LAST newly-nonzero coefficient
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0  # run of zero-history coefficients
+        br: list[int] = []  # correction bits since the last symbol
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            # ZRL only if another newly-nonzero coefficient follows;
+            # otherwise the zero run folds into the end-of-block run
+            while r > 15 and i <= eob:
+                flush_eob()
+                sink.sym(tid, 0xF0)
+                r -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if a > 1:  # history: already nonzero — just a correction bit
+                br.append(a & 1)
+                continue
+            flush_eob()
+            sink.sym(tid, (r << 4) | 1)
+            sink.bits(1 if vals[i] > 0 else 0, 1)
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            held.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
 # --- encoder -----------------------------------------------------------------
 _SUBSAMPLING = {
     # component (h, v) sampling factors, Y Cb Cr
@@ -349,8 +537,9 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (optimized tables).
+    """(h, w, 3) uint8 RGB → JFIF bytes (optimized tables).
 
     ``subsampling``: "444" (default — byte-stable with earlier rounds),
     "422", or "420" (2×2 box-averaged chroma, the variant virtually all
@@ -361,6 +550,16 @@ def encode_jpeg(
     that many MCUs (DC predictors reset — the error-resilience feature
     most camera/web encoders enable).  0 (default) omits DRI entirely,
     keeping earlier rounds' streams byte-stable.
+
+    ``progressive=True`` emits a progressive DCT stream (SOF2) using
+    libjpeg's default scan script — spectral selection + successive
+    approximation, ten scans, per-scan optimized Huffman tables — the
+    variant large sites actually serve.  The quantized coefficients are
+    identical to the sequential path, so ``decode_jpeg`` of a progressive
+    stream is pixel-identical to decoding the baseline stream of the same
+    (image, quality, subsampling).  In progressive mode the restart
+    interval counts each scan's own MCU unit (one block, for the
+    non-interleaved AC scans).
     """
     h, w, c = arr.shape
     if c != 3:
@@ -379,6 +578,7 @@ def encode_jpeg(
     # DCT + quantize, then reorder blocks raster → MCU-scan order (for
     # 4:4:4 the reorder is the identity, keeping that path byte-stable)
     comp_coefs = []
+    comp_raster = []  # subgrid blocks, raster order — progressive AC scans
     for ci, (fh, fv) in enumerate(factors):
         ch = ycc[:, :, ci]
         sy, sx = vmax // fv, hmax // fh
@@ -409,6 +609,18 @@ def encode_jpeg(
             dtype=np.int64,
         )
         comp_coefs.append(zz[order])
+        # non-interleaved scans cover only the component's OWN block grid
+        # (ceil(ch/8) × ceil(cw/8), T.81 §A.2.2) — the padded MCU-lattice
+        # blocks beyond it are coded only by interleaved scans
+        sgy, sgx = -(-chh // 8), -(-chw // 8)
+        sub_idx = (np.arange(sgy)[:, None] * nbx + np.arange(sgx)).ravel()
+        comp_raster.append(zz[sub_idx])
+
+    if progressive:
+        return _assemble_progressive(
+            comp_coefs, comp_raster, factors, mcux * mcuy,
+            restart_interval, h, w, ql, qc,
+        )
 
     # symbol statistics → optimal tables (luma: tables 0, chroma: tables 1).
     # DC predictor resets must mirror the emission loop's restart resets
@@ -524,26 +736,239 @@ def encode_jpeg(
     return bytes(out)
 
 
-# --- decoder -----------------------------------------------------------------
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline 8-bit JFIF bytes → (h, w, 3) uint8 RGB.
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    Tables come from the file (DQT/DHT).  Any integer sampling-factor
+
+def _assemble_progressive(
+    comp_coefs, comp_raster, factors, n_mcu, restart_interval, h, w, ql, qc
+) -> bytes:
+    """Emit the SOF2 marker stream: per scan, a gather pass builds optimized
+    Huffman tables (re-defining slots 0/1 before each SOS is spec-legal),
+    then an emit pass writes the entropy data."""
+
+    def emit_scan(sink, comps_in_scan, ss, se, ah, al):
+        if ss == 0:
+            _emit_dc_scan(
+                sink, comp_coefs, factors, n_mcu, ah, al, restart_interval
+            )
+        else:
+            ci = comps_in_scan[0]
+            tid = ("ac", 0 if ci == 0 else 1)
+            emit = _emit_ac_first if ah == 0 else _emit_ac_refine
+            emit(sink, comp_raster[ci], tid, ss, se, al, restart_interval)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ((0, ql), (1, qc)):
+        out += _seg(0xFFDB, bytes([tq]) + bytes(q.reshape(-1)[ZIGZAG].tolist()))
+    sof_comps = []
+    for ci, (fh, fv) in enumerate(factors):
+        sof_comps += [ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1]
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3) + bytes(sof_comps))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    for comps_in_scan, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        stat = _StatSink()
+        emit_scan(stat, comps_in_scan, ss, se, ah, al)
+        tables = {
+            tid: _HuffTable(_optimal_code_lengths(f))
+            for tid, f in stat.freqs.items()
+        }
+        for (kind, slot), t in sorted(tables.items()):
+            tc_th = ((0 if kind == "dc" else 1) << 4) | slot
+            out += _seg(0xFFC4, bytes([tc_th]) + t.dht_payload())
+        ws = _WriteSink(tables)
+        emit_scan(ws, comps_in_scan, ss, se, ah, al)
+        sos = bytearray([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            slot = 0 if ci == 0 else 1
+            if ss == 0:  # DC scan: Td used (first pass only), Ta ignored
+                tdta = (slot << 4) if ah == 0 else 0
+            else:  # AC scan: Td ignored, Ta used
+                tdta = slot
+            sos += bytes([ci + 1, tdta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, bytes(sos))
+        out += ws.bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -----------------------------------------------------------------
+def _ac_first_block(reader, blk, ac_idx, lo, se, al, eob_state):
+    """AC band of one block, first pass (Ah=0; baseline when Al=0): DC-style
+    run-length symbols, plus progressive EOBn run accumulation (T.81
+    §G.1.2.2) carried across blocks in ``eob_state``."""
+    if eob_state[0] > 0:
+        eob_state[0] -= 1
+        return
+    k = lo
+    while k <= se:
+        sym = _decode_symbol(reader, ac_idx)
+        r, s = sym >> 4, sym & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        elif r != 15:
+            # EOBn: run of 2^r + ext bits end-of-band blocks (this one incl.)
+            eob_state[0] = (1 << r) + (reader.read_bits(r) if r else 0) - 1
+            return
+        else:
+            k += 16  # ZRL
+
+
+def _refine_nonzero(reader, blk, k, p1):
+    """History (already-nonzero) coefficient in a refinement scan: consume
+    one correction bit; apply only if bit Al is not already set (libjpeg
+    decode_mcu_AC_refine; two's-complement & works for negatives)."""
+    v = int(blk[k])
+    if reader.read_bit() and not (v & p1):
+        blk[k] = v + (p1 if v >= 0 else -p1)
+
+
+def _ac_refine_block(reader, blk, ac_idx, lo, se, al, eob_state):
+    """AC band of one block, refinement pass (Ah>0, T.81 §G.1.2.3): newly-
+    nonzero coefficients arrive as (run, size=1)+sign; zero-history runs
+    skip only zero-history positions, with correction bits interleaved for
+    every nonzero-history coefficient passed; EOB-run blocks still carry
+    correction bits for their nonzero-history band."""
+    p1 = 1 << al
+    k = lo
+    if eob_state[0] == 0:
+        while k <= se:
+            sym = _decode_symbol(reader, ac_idx)
+            r, s = sym >> 4, sym & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                newval = p1 if reader.read_bit() else -p1
+            elif r != 15:
+                eob_state[0] = (1 << r) + (reader.read_bits(r) if r else 0)
+                break
+            # advance: r counts ZERO-history skips; nonzero-history
+            # coefficients along the way each consume a correction bit
+            while k <= se:
+                if int(blk[k]) != 0:
+                    _refine_nonzero(reader, blk, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement coefficient past band end")
+                blk[k] = newval
+            k += 1
+    if eob_state[0] > 0:
+        while k <= se:
+            if int(blk[k]) != 0:
+                _refine_nonzero(reader, blk, k, p1)
+            k += 1
+        eob_state[0] -= 1
+
+
+def _decode_block(reader, blk, cid, td, ta, ss, se, ah, al, huff, preds,
+                  eob_state):
+    """One block's contribution to the current scan (any of the four
+    progressive modes; baseline is ss=0 se=63 ah=al=0)."""
+    if ss == 0:
+        if ah == 0:
+            size = _decode_symbol(reader, huff[(0, td)])
+            diff = _extend(reader.read_bits(size), size)
+            preds[cid] += diff
+            blk[0] = preds[cid] << al
+        elif reader.read_bit():  # DC refinement: one raw bit, no Huffman
+            blk[0] |= 1 << al
+        if se == 0:
+            return
+    lo = max(ss, 1)
+    if ah == 0:
+        _ac_first_block(reader, blk, huff[(1, ta)], lo, se, al, eob_state)
+    else:
+        _ac_refine_block(reader, blk, huff[(1, ta)], lo, se, al, eob_state)
+
+
+def _decode_scan(reader, scomps, ss, se, ah, al, huff, comp_f, comp_sub,
+                 grids, mcux, mcuy, restart_interval):
+    """Entropy-decode one scan into the coefficient grids.
+
+    Interleaved scans (>1 component) walk the MCU lattice; non-interleaved
+    scans walk the single component's OWN block grid (T.81 §A.2.2) — which
+    is smaller than its padded lattice slice when the image isn't an exact
+    MCU multiple.  The restart interval counts the scan's own MCU unit."""
+    preds = {cid: 0 for cid, _, _ in scomps}
+    eob_state = [0]
+
+    def restart_check(unit):
+        got = reader.consume_restart()
+        want = (unit // restart_interval - 1) % 8
+        if got != want:
+            raise ValueError(
+                f"RST sequence error: expected RST{want}, got RST{got}"
+            )
+        for cid in preds:
+            preds[cid] = 0
+        eob_state[0] = 0
+
+    if len(scomps) == 1:
+        cid, td, ta = scomps[0]
+        sgy, sgx = comp_sub[cid]
+        unit = 0
+        for by in range(sgy):
+            for bx in range(sgx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart_check(unit)
+                unit += 1
+                _decode_block(reader, grids[cid][by, bx], cid, td, ta,
+                              ss, se, ah, al, huff, preds, eob_state)
+    else:
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart_check(unit)
+                unit += 1
+                for cid, td, ta in scomps:
+                    fh, fv = comp_f[cid]
+                    for by in range(fv):
+                        for bx in range(fh):
+                            _decode_block(
+                                reader, grids[cid][my * fv + by, mx * fh + bx],
+                                cid, td, ta, ss, se, ah, al, huff, preds,
+                                eob_state,
+                            )
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """8-bit Huffman JFIF bytes → (h, w, 3) uint8 RGB.
+
+    Tables come from the file (DQT/DHT).  Both baseline sequential (SOF0)
+    and progressive (SOF2 — spectral selection AND successive approximation,
+    any scan script) decode through one unified scan loop; baseline is the
+    single-scan Ss=0/Se=63/Ah=Al=0 case.  Any integer sampling-factor
     combination where max_factor % factor == 0 decodes (4:4:4, 4:2:0,
-    4:2:2, 4:4:0, ... — i.e. the baseline streams real corpora carry);
-    subsampled chroma is nearest-neighbor upsampled before YCbCr→RGB.
-    Restart intervals (DRI/RSTn) are honored (DC predictor resets, RST
-    sequence checked).  Refuses progressive/12-bit streams with
-    NotImplementedError."""
+    4:2:2, 4:4:0, ...); subsampled chroma is nearest-neighbor upsampled
+    before YCbCr→RGB.  Restart intervals (DRI/RSTn) are honored per scan
+    (DC predictor + EOB-run resets, RST sequence checked).  12-bit,
+    arithmetic-coded, lossless and hierarchical variants refuse loudly
+    with NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
-    scan_comps = None
-    data_start = None
+    grids = None
+    comp_f = comp_sub = None
+    mcux = mcuy = hmax = vmax = 0
     restart_interval = 0
+    saw_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -572,7 +997,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ).astype(np.int64)
                 qt[pq_tq & 0xF] = tbl.reshape(8, 8)
                 bpos += 65
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -583,10 +1008,42 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if not (1 <= fh <= 4 and 1 <= fv <= 4):
                     raise ValueError(f"bad sampling factors {fh}x{fv}")
                 comps.append((cid, tq, fh, fv))
+            if len(comps) != 3:
+                raise NotImplementedError(
+                    "only 3-component (YCbCr) JPEG decodes here"
+                )
+            # MCU geometry from the sampling factors (T.81 §A.2.3): an MCU
+            # covers 8·hmax × 8·vmax pixels; component i contributes
+            # fh_i×fv_i blocks per MCU, raster order within the MCU
+            hmax = max(fh for _, _, fh, _ in comps)
+            vmax = max(fv for _, _, _, fv in comps)
+            for cid, _, fh, fv in comps:
+                if hmax % fh or vmax % fv:
+                    raise NotImplementedError(
+                        f"non-integer upsample ratio for component {cid} "
+                        f"({fh}x{fv} vs max {hmax}x{vmax})"
+                    )
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            comp_f = {cid: (fh, fv) for cid, _, fh, fv in comps}
+            comp_sub = {}
+            grids = {}
+            for cid, _, fh, fv in comps:
+                ch = -(-(h * fv) // vmax)  # component resolution, §A.1.1
+                cw = -(-(w * fh) // hmax)
+                comp_sub[cid] = (-(-ch // 8), -(-cw // 8))
+                # quantized coefficients, zigzag order, accumulated across
+                # scans; dequantize + IDCT happen once at EOI
+                grids[cid] = np.zeros(
+                    (mcuy * fv, mcux * fh, 64), dtype=np.int64
+                )
             sof = (h, w, comps)
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+        elif marker in (
+            0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+            0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF,
+        ):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG decodes here"
+                "only baseline (SOF0) and progressive (SOF2) JPEG decode here"
             )
         elif marker == 0xFFC4:
             bpos = 0
@@ -603,105 +1060,52 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:
+            if grids is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_comps = [
+            scomps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
                 for i in range(ns)
             ]
+            for cid, _, _ in scomps:
+                if cid not in comp_f:
+                    raise ValueError(f"scan references unknown component {cid}")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
             data_start = pos + 2 + ln
-            break
-        pos += 2 + ln
-    if sof is None or scan_comps is None:
-        raise ValueError("JPEG stream missing SOF0/SOS")
-    h, w, comps = sof
-    if len(comps) != 3 or len(scan_comps) != 3:
-        raise NotImplementedError("only 3-component (YCbCr) JPEG decodes here")
-
-    # MCU geometry from the sampling factors (T.81 §A.2.3): an MCU covers
-    # 8·hmax × 8·vmax pixels; component i contributes fh_i×fv_i blocks per
-    # MCU, raster order within the MCU
-    hmax = max(fh for _, _, fh, _ in comps)
-    vmax = max(fv for _, _, _, fv in comps)
-    for cid, _, fh, fv in comps:
-        if hmax % fh or vmax % fv:
-            raise NotImplementedError(
-                f"non-integer upsample ratio for component {cid} "
-                f"({fh}x{fv} vs max {hmax}x{vmax})"
+            reader = _BitReader(payload[data_start:])
+            _decode_scan(
+                reader, scomps, ss, se, ah_al >> 4, ah_al & 0xF, huff,
+                comp_f, comp_sub, grids, mcux, mcuy, restart_interval,
             )
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # entropy data runs until the EOI marker
-    end = payload.rfind(b"\xff\xd9")
-    reader = _BitReader(payload[data_start : end if end > 0 else len(payload)])
+            saw_scan = True
+            # entropy data ends at the next true marker; the reader stops
+            # exactly after the last consumed byte (pad bits unread)
+            p = data_start + reader.pos
+            while p < len(payload) and payload[p] != 0xFF:
+                p += 1
+            pos = p
+            continue
+        pos += 2 + ln
+    if sof is None or not saw_scan:
+        raise ValueError("JPEG stream missing SOF/SOS")
+    h, w, comps = sof
     comp_q = {cid: qt[tq] for cid, tq, _, _ in comps}
-    comp_f = {cid: (fh, fv) for cid, _, fh, fv in comps}
-    # per component: block grid covering the full MCU lattice
-    grids = {
-        cid: np.zeros((mcuy * fv, mcux * fh, 8, 8))
-        for cid, _, fh, fv in comps
-    }
-    prev_dc = {cid: 0 for cid, _, _, _ in comps}
-    mcu_idx = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_idx
-                and mcu_idx % restart_interval == 0
-            ):
-                got = reader.consume_restart()
-                want = (mcu_idx // restart_interval - 1) % 8
-                if got != want:
-                    raise ValueError(
-                        f"RST sequence error: expected RST{want}, "
-                        f"got RST{got}"
-                    )
-                prev_dc = {cid: 0 for cid, _, _, _ in comps}
-            mcu_idx += 1
-            for cid, td, ta in scan_comps:
-                fh, fv = comp_f[cid]
-                dc_idx, ac_idx = huff[(0, td)], huff[(1, ta)]
-                for by in range(fv):
-                    for bx in range(fh):
-                        size = _decode_symbol(reader, dc_idx)
-                        diff = _extend(reader.read_bits(size), size)
-                        prev_dc[cid] += diff
-                        zz = np.zeros(64, dtype=np.int64)
-                        zz[0] = prev_dc[cid]
-                        k = 1
-                        while k < 64:
-                            sym = _decode_symbol(reader, ac_idx)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16
-                                continue
-                            k += run
-                            if k >= 64:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[ZIGZAG] = zz
-                        grids[cid][my * fv + by, mx * fh + bx] = (
-                            blk.reshape(8, 8) * comp_q[cid]
-                        )
 
-    # inverse DCT, crop each component to its own resolution, upsample
-    # subsampled components (nearest neighbor) to full frame
+    # dequantize, inverse DCT, crop each component to its own resolution,
+    # upsample subsampled components (nearest neighbor) to full frame
     chans = []
     for cid, _, fh, fv in comps:
         nby, nbx = grids[cid].shape[:2]
-        blocks = grids[cid].reshape(nby * nbx, 8, 8)
+        zz = grids[cid].reshape(-1, 64)
+        nat = np.zeros(zz.shape, dtype=np.float64)
+        nat[:, ZIGZAG] = zz
+        blocks = nat.reshape(-1, 8, 8) * comp_q[cid]
         spatial = np.einsum("ji,njk,kl->nil", DCT, blocks, DCT) + 128.0
         grid = spatial.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
         plane = grid.reshape(nby * 8, nbx * 8)
-        ch = -(-h * fv // vmax)  # component resolution (T.81 §A.1.1)
-        cw = -(-w * fh // hmax)
+        ch = -(-(h * fv) // vmax)  # component resolution (T.81 §A.1.1)
+        cw = -(-(w * fh) // hmax)
         plane = plane[:ch, :cw]
         sy, sx = vmax // fv, hmax // fh
         if sy > 1 or sx > 1:

@@ -100,11 +100,16 @@ def test_refuses_unsupported_variants():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     b = bytearray(encode_jpeg(img))
     sof = bytes(b).find(b"\xff\xc0")
-    # progressive: flip SOF0 → SOF2
-    prog = bytearray(b)
-    prog[sof + 1] = 0xC2
+    # lossless sequential: flip SOF0 → SOF3
+    lossless = bytearray(b)
+    lossless[sof + 1] = 0xC3
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(lossless))
+    # arithmetic-coded progressive: flip SOF0 → SOF10
+    arith = bytearray(b)
+    arith[sof + 1] = 0xCA
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(arith))
     # 12-bit precision
     deep = bytearray(b)
     deep[sof + 4] = 12
@@ -268,3 +273,121 @@ def test_restart_sequence_error_detected():
         pytest.fail("no RST marker found")
     with pytest.raises(ValueError, match="RST sequence"):
         decode_jpeg(bytes(b))
+
+
+# --- progressive (SOF2) -------------------------------------------------------
+@pytest.mark.parametrize(
+    "h,w,sub,q",
+    [(16, 16, "444", 85), (17, 13, "420", 70), (24, 9, "422", 90),
+     (8, 8, "444", 95), (40, 40, "420", 60)],
+)
+def test_progressive_decode_matches_baseline(h, w, sub, q):
+    """The progressive path entropy-codes the SAME quantized coefficients as
+    the sequential path, so decoding either stream must give bit-identical
+    pixels — any mis-coded coefficient in any of the ten scans (spectral
+    bands, successive-approximation bits, EOB runs) breaks this."""
+    rng = np.random.default_rng(h * 100 + w)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for img in (
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+        np.stack([(yy * 3 + xx * 2) % 256, (yy + xx) % 256, (xx * 5) % 256],
+                 axis=-1).astype(np.uint8),
+    ):
+        seq = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        pb = encode_jpeg(img, quality=q, subsampling=sub, progressive=True)
+        np.testing.assert_array_equal(decode_jpeg(pb), seq)
+
+
+def test_progressive_stream_structure():
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    pb = encode_jpeg(img, progressive=True)
+    assert pb[:2] == b"\xff\xd8" and pb[-2:] == b"\xff\xd9"
+    # SOF2, not SOF0, and libjpeg's ten-scan default script
+    assert b"\xff\xc2" in pb
+    assert pb.count(b"\xff\xda") == 10
+    sof = pb.find(b"\xff\xc2")
+    assert pb[sof + 4] == 8  # precision
+    # the sequential encoding of the same image stays SOF0
+    assert b"\xff\xc2" not in encode_jpeg(img)
+
+
+def test_progressive_flat_image_roundtrips_exactly():
+    """DC-flat blocks are exact through quantization, and a flat image is
+    the EOB-run-heaviest possible input (every AC scan is pure EOB runs)."""
+    img = np.full((24, 24, 3), 77, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, progressive=True))
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize("sub,ri", [("444", 2), ("420", 3), ("422", 1)])
+def test_progressive_restart_intervals(sub, ri):
+    """DRI in progressive mode: RSTn every ri MCU units of EACH scan (one
+    block for the non-interleaved AC scans), DC predictors and EOB runs
+    reset — still bit-identical to the sequential decode."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (32, 24, 3), dtype=np.uint8)
+    seq = decode_jpeg(encode_jpeg(img, subsampling=sub))
+    pb = encode_jpeg(img, subsampling=sub, progressive=True,
+                     restart_interval=ri)
+    assert any(bytes([0xFF, 0xD0 + i]) in pb for i in range(8))
+    np.testing.assert_array_equal(decode_jpeg(pb), seq)
+
+
+def test_decodes_foreign_handbuilt_progressive_stream():
+    """A progressive stream assembled BY HAND from T.81 — fixed Huffman
+    tables, identity quantization, a 3-scan script (interleaved DC first at
+    Al=1, a spectral AC scan for Y, then a DC refinement scan) that our
+    encoder never emits — decoding to exactly the pixels computed from an
+    independent IDCT.  Exercises: successive-approximation DC (first +
+    refine), AC first-pass run coding, EOB, per-scan table reuse."""
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def pack_bits(bits):
+        bits += "1" * (-len(bits) % 8)
+        raw = int(bits, 2).to_bytes(len(bits) // 8, "big")
+        return raw.replace(b"\xff", b"\xff\x00")
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes([1] * 64))  # identity quant
+    # SOF2: 8-bit 8x8, three 1x1 components, all tq=0
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    # DC table 0: single symbol (category 2), 1-bit code '0'
+    out += seg(0xFFC4, bytes([0x00] + [1] + [0] * 15 + [2]))
+    # AC table 0: syms {0x00 EOB, 0x02, 0x22} all 2 bits → '00','01','10'
+    out += seg(0xFFC4, bytes([0x10] + [0, 3] + [0] * 14 + [0x00, 0x02, 0x22]))
+    # scan 1 — DC first, interleaved, Al=1.  True DCs: Y 5, Cb -4, Cr 6 →
+    # sent v>>1 (arithmetic): 2, -2, 3; all category 2
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))
+    out += pack_bits("0" + "10" + "0" + "01" + "0" + "11")
+    # scan 2 — AC first for Y, Ss=1 Se=63 Al=0: zigzag k1=-3 (r0s2, bits
+    # '00'), then 2 zeros, k4=2 (r2s2 → 0x22, bits '10'), then EOB
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    out += pack_bits("01" + "00" + "10" + "10" + "00")
+    # scan 3 — DC refinement, Ah=1 Al=0: raw bits (5&1, -4&1, 6&1) = 1,0,0
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))
+    out += pack_bits("100")
+    out += b"\xff\xd9"
+
+    # expected pixels via an INDEPENDENT inverse DCT + BT.601 inverse
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    d = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    d[0, :] = np.sqrt(1 / 8)
+    cy = np.zeros((8, 8))
+    cy[0, 0], cy[0, 1], cy[1, 1] = 5, -3, 2  # zigzag 0,1,4 in natural order
+    y = d.T @ cy @ d + 128.0
+    cb = np.full((8, 8), -4 / 8 + 128.0)
+    cr = np.full((8, 8), 6 / 8 + 128.0)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    want = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+
+    dec = decode_jpeg(bytes(out))
+    np.testing.assert_array_equal(dec, want.astype(np.uint8))
