@@ -13,11 +13,13 @@ genuine blobs (deterministic synthetic pixels) and ``image_stats`` decodes
 the actual bytes and computes per-channel pixel statistics — the full
 ingest → decode → feature path runs on real image data, including a real
 DEFLATE round-trip on the PNG path and a real baseline-JPEG decode (huffman
-+ dequant + IDCT, operators/jpeg.py) on the JPEG path.  Audio is real too:
-a RIFF/PCM16 WAV codec (lossless, so ``audio_stats`` is hash-gated exactly
++ dequant + IDCT, operators/jpeg.py — baseline, chroma-subsampled, AND
+progressive) on the JPEG path.  Audio is real too: a RIFF WAV codec
+covering integer PCM (8/16/24/32-bit), IEEE float (32/64-bit) and
+WAVE_FORMAT_EXTENSIBLE (lossless, so ``audio_stats`` is hash-gated exactly
 like the pixel paths), and animated-GIF frame extraction is real
 (operators/gif.py + ``sample_gif_frames``).  Formats that DO need a system
-codec (WebP/mp4, float/ADPCM audio, progressive or subsampled JPEG) still
+codec (WebP/mp4, ADPCM/A-law audio) still
 raise NotImplementedError honestly; the pixel/sample synths are exact
 integer formulas so the BMP/PNG/WAV stats stay oracle-checkable in SQL
 (plans.multimodal — JPEG is lossy, so its stats are tolerance-tested in
@@ -341,21 +343,47 @@ def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(batches, schema)
 
 
-# --- real WAV codec (RIFF/PCM16 — lossless, so the audio feature path is
-#     hash-gateable exactly like the BMP/PNG pixel paths) ---------------------
-def encode_wav(
-    samples: np.ndarray, sample_rate: int = 8000
-) -> bytes:
-    """(n,) or (n, channels) int16 PCM → RIFF/WAVE bytes (format 1, 16-bit).
-    PCM is lossless: encode→decode round-trips bit-exactly."""
+# --- real WAV codec (RIFF — lossless for integer AND float PCM, so the
+#     audio feature path is hash-gateable exactly like the BMP/PNG pixel
+#     paths) ------------------------------------------------------------------
+
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID = (tag as 4-byte LE) + this suffix
+# (RFC 2361 / mmreg.h) — the container real multi-channel/float corpora use
+_WAVEX_GUID_SUFFIX = bytes.fromhex("000010008000 00aa00389b71".replace(" ", ""))
+
+_WAV_DTYPES = {
+    # dtype -> (format tag, bits per sample, little-endian numpy dtype)
+    np.dtype(np.uint8): (1, 8, "u1"),
+    np.dtype(np.int16): (1, 16, "<i2"),
+    np.dtype(np.int32): (1, 32, "<i4"),
+    np.dtype(np.float32): (3, 32, "<f4"),
+    np.dtype(np.float64): (3, 64, "<f8"),
+}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """(n,) or (n, channels) samples → RIFF/WAVE bytes.
+
+    The format is inferred from the dtype: int16/int32 → integer PCM
+    (format tag 1), uint8 → 8-bit PCM (unsigned, per the WAV spec),
+    float32/float64 → IEEE float (format tag 3).  All are uncompressed:
+    encode→decode round-trips bit-exactly.  int16 emission is byte-stable
+    with earlier rounds."""
     if samples.ndim == 1:
         samples = samples[:, None]
-    if samples.dtype != np.int16:
-        raise ValueError("encode_wav expects int16 samples")
+    key = np.dtype(samples.dtype)
+    if key not in _WAV_DTYPES:
+        raise ValueError(
+            f"encode_wav expects one of {sorted(str(d) for d in _WAV_DTYPES)}"
+            f", got {samples.dtype}"
+        )
+    tag, bits, le = _WAV_DTYPES[key]
     n, ch = samples.shape
-    data = samples.astype("<i2").tobytes()  # interleaved little-endian
+    step = bits // 8
+    data = samples.astype(le).tobytes()  # interleaved little-endian
     fmt = struct.pack(
-        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+        "<HHIIHH", tag, ch, sample_rate,
+        sample_rate * ch * step, ch * step, bits,
     )
     return (
         b"RIFF"
@@ -371,12 +399,18 @@ def encode_wav(
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE bytes → ((n, channels) int16 samples, sample_rate).
+    """RIFF/WAVE bytes → ((n, channels) samples, sample_rate).
 
-    PCM16 (format tag 1, 16 bits/sample) only; float/ADPCM/extensible
-    formats refuse with NotImplementedError (soundfile/ffmpeg on a real
-    cluster).  Chunk-walks the container, so extra chunks (LIST etc.) are
-    skipped, not tripped over."""
+    Decodes every uncompressed variant real corpora carry: integer PCM
+    (format tag 1) at 8 (unsigned → returned centered as int16), 16, 24
+    (returned as int32, sign-extended) and 32 bits, IEEE float (tag 3) at
+    32/64 bits, and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping either —
+    the SubFormat GUID's leading dword is the real tag.  The returned
+    dtype mirrors the stream (int16/int32/float32/float64).  Compressed
+    formats (ADPCM, MP3-in-WAV, A-law/µ-law) refuse with
+    NotImplementedError (soundfile/ffmpeg on a real cluster).
+    Chunk-walks the container, so extra chunks (LIST etc.) are skipped,
+    not tripped over."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, fmt, data = 12, None, None
@@ -386,20 +420,43 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
             tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if tag != 1 or bits != 16:
+            if tag == 0xFFFE:  # extensible: the true tag lives in SubFormat
+                if len(body) < 40:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
+                guid = body[24:40]
+                if guid[4:] != _WAVEX_GUID_SUFFIX:
+                    raise NotImplementedError(
+                        "non-PCM SubFormat GUID in extensible WAV"
+                    )
+                tag = struct.unpack_from("<I", guid, 0)[0]
+            if (tag, bits) not in (
+                (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64)
+            ):
                 raise NotImplementedError(
-                    f"only PCM16 WAV decodes without a codec (format={tag}, "
-                    f"bits={bits}); swap in soundfile/ffmpeg for the rest"
+                    f"only uncompressed PCM/float WAV decodes without a "
+                    f"codec (format={tag}, bits={bits}); swap in "
+                    f"soundfile/ffmpeg for the rest"
                 )
-            fmt = (ch, rate)
+            fmt = (tag, ch, rate, bits)
         elif cid == b"data":
             data = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV stream missing fmt/data chunk")
-    ch, rate = fmt
-    samples = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
-    return samples, rate
+    tag, ch, rate, bits = fmt
+    if tag == 3:
+        samples = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+    elif bits == 8:
+        # 8-bit PCM is unsigned with a 128 midpoint (WAV spec); return it
+        # zero-centered like every other width (the soundfile convention)
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    elif bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        val = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        samples = np.where(val >= 1 << 23, val - (1 << 24), val).astype(np.int32)
+    else:
+        samples = np.frombuffer(data, dtype="<i2" if bits == 16 else "<i4")
+    return samples.reshape(-1, ch), rate
 
 
 N_AUDIO_SAMPLES = 256
@@ -447,7 +504,14 @@ def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids, ns, rates, means, rmss = [], [], [], [], []
             for did, payload in zip(pdf[id_col], pdf["payload"]):
                 samples, rate = decode_wav(bytes(payload))
-                s = samples.astype(np.int64).reshape(-1)
+                # integer streams keep the exact-integer-sum contract (the
+                # oracle hash depends on it); float streams sum in float64
+                cast = (
+                    np.int64
+                    if np.issubdtype(samples.dtype, np.integer)
+                    else np.float64
+                )
+                s = samples.astype(cast).reshape(-1)
                 n = len(s)
                 ids.append(did)
                 ns.append(n)

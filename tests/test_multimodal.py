@@ -206,7 +206,73 @@ def test_wav_roundtrip_exact():
     assert (back.reshape(-1) == s).all()
 
 
-def test_wav_refuses_non_pcm16():
+def test_wav_float_and_wide_pcm_roundtrip_exact():
+    """IEEE-float (format 3) and 32-bit/8-bit PCM streams round-trip
+    bit-exactly with the stream's own dtype coming back."""
+    from exstream_implementation_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(9)
+    f32 = rng.standard_normal((211, 2)).astype(np.float32)
+    back, rate = decode_wav(encode_wav(f32, 16000))
+    assert back.dtype == np.float32 and rate == 16000
+    assert (back == f32).all()
+    f64 = rng.standard_normal(57)  # float64, mono 1-D
+    back, _ = decode_wav(encode_wav(f64))
+    assert back.dtype == np.float64 and (back.reshape(-1) == f64).all()
+    i32 = rng.integers(-(2**31), 2**31, (101, 3), dtype=np.int64).astype(np.int32)
+    back, _ = decode_wav(encode_wav(i32, 48000))
+    assert back.dtype == np.int32 and (back == i32).all()
+    # 8-bit PCM is unsigned on the wire; it comes back zero-centered
+    u8 = rng.integers(0, 256, 83, dtype=np.int64).astype(np.uint8)
+    back, _ = decode_wav(encode_wav(u8))
+    assert back.dtype == np.int16
+    assert (back.reshape(-1) == u8.astype(np.int16) - 128).all()
+
+
+def test_wav_decodes_foreign_24bit_and_extensible_streams():
+    """Hand-built streams our encoder never emits: 24-bit PCM (packed
+    3-byte little-endian, sign-extended to int32 on decode) and a
+    WAVE_FORMAT_EXTENSIBLE header wrapping IEEE float."""
+    import struct as _struct
+
+    from exstream_implementation_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    def riff(fmt_body, data):
+        chunks = (
+            b"fmt " + _struct.pack("<I", len(fmt_body)) + fmt_body
+            + (b"\x00" if len(fmt_body) & 1 else b"")
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # 24-bit PCM, mono: values crossing the sign boundary
+    vals = [0, 1, -1, 8388607, -8388608, 70000, -70000]
+    data = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    fmt = _struct.pack("<HHIIHH", 1, 1, 22050, 22050 * 3, 3, 24)
+    back, rate = decode_wav(riff(fmt, data))
+    assert rate == 22050 and back.dtype == np.int32
+    assert back.reshape(-1).tolist() == vals
+
+    # extensible wrapping float32 stereo
+    f32 = np.array([[0.5, -0.25], [1.0, -1.0], [0.125, 3.5]], dtype=np.float32)
+    guid = _struct.pack("<I", 3) + bytes.fromhex("000010008000" + "00aa00389b71")
+    fmt = (
+        _struct.pack("<HHIIHH", 0xFFFE, 2, 44100, 44100 * 8, 8, 32)
+        + _struct.pack("<HHI", 22, 32, 0x3)
+        + guid
+    )
+    back, rate = decode_wav(riff(fmt, f32.tobytes()))
+    assert back.dtype == np.float32 and (back == f32).all()
+
+
+def test_wav_refuses_compressed_formats():
     import struct as _struct
 
     from exstream_implementation_spark.operators.multimodal import (
@@ -217,11 +283,16 @@ def test_wav_refuses_non_pcm16():
 
     payload = bytearray(encode_wav(synth_samples(1)))
     fmt_at = payload.find(b"fmt ") + 8
-    _struct.pack_into("<H", payload, fmt_at, 3)  # IEEE float format tag
+    _struct.pack_into("<H", payload, fmt_at, 2)  # ADPCM format tag
     with pytest.raises(NotImplementedError):
+        decode_wav(bytes(payload))
+    _struct.pack_into("<H", payload, fmt_at, 3)  # float tag with 16 bits:
+    with pytest.raises(NotImplementedError):  # inconsistent → refuse
         decode_wav(bytes(payload))
     with pytest.raises(ValueError):
         decode_wav(b"RIFX" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        encode_wav(np.zeros(4, dtype=np.int8))
 
 
 def test_spark_audio_stats_match_local(spark):
@@ -252,6 +323,30 @@ def test_spark_audio_stats_match_local(spark):
         assert (n, rate) == (N_AUDIO_SAMPLES, AUDIO_RATE)
         assert mean == float(s.sum()) / len(s)
         assert rms == math.sqrt(float((s * s).sum()) / len(s))
+
+
+def test_spark_audio_stats_over_float_payloads(spark):
+    """audio_stats must handle IEEE-float WAV streams through the same
+    Arrow path — float64 sums, no silent integer truncation."""
+    from exstream_implementation_spark.operators.multimodal import (
+        audio_stats,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(21)
+    payloads = {i: rng.standard_normal(128).astype(np.float32) for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_wav(s, 16000))) for i, s in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in audio_stats(df).collect()}
+    assert len(got) == 4
+    for i, s in payloads.items():
+        dec, _ = decode_wav(encode_wav(s, 16000))
+        f = dec.astype(np.float64).reshape(-1)
+        assert got[i]["amp_mean"] == float(f.sum()) / len(f)
+        assert got[i]["amp_rms"] == math.sqrt(float((f * f).sum()) / len(f))
 
 
 def test_audio_features_physics_oracle(spark):
