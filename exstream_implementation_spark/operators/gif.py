@@ -12,9 +12,10 @@ Scope and honesty:
     palette-based, so arbitrary RGB quantizes; images already on palette
     colors round-trip EXACTLY (pytest-pinned), everything else within the
     quantization step (≤ 18/18/42 per channel);
-  * full-frame, non-interlaced, global-color-table-only streams; interlaced
-    or local-color-table GIFs refuse with NotImplementedError (PIL/ffmpeg on
-    a real cluster);
+  * the ENCODER emits full-frame, non-interlaced, global-color-table
+    streams; the DECODER additionally handles what real animated GIFs
+    carry — local color tables, interlacing, partial-frame composition
+    with GCE transparency and disposal methods 0-3;
   * the LZW coder is the GIF variant: variable code width from min-code-size
     +1 up to 12 bits, CLEAR/EOI codes, dictionary reset, 255-byte sub-block
     packaging — round-trip property-tested on random index streams.
@@ -192,28 +193,61 @@ def encode_gif(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
     return bytes(out)
 
 
-def decode_gif(payload: bytes) -> list[np.ndarray]:
-    """GIF87a/89a bytes → list of (h, w, 3) uint8 RGB frames.
+def _deinterlace(grid: np.ndarray) -> np.ndarray:
+    """GIF 4-pass interlace (spec Appendix E): stream rows arrive in pass
+    order (every 8th from 0, every 8th from 4, every 4th from 2, every 2nd
+    from 1); scatter them back to their true positions."""
+    fh = grid.shape[0]
+    order = np.concatenate(
+        [
+            np.arange(0, fh, 8),
+            np.arange(4, fh, 8),
+            np.arange(2, fh, 4),
+            np.arange(1, fh, 2),
+        ]
+    )
+    out = np.empty_like(grid)
+    out[order] = grid
+    return out
 
-    Global-color-table, full-frame, non-interlaced streams only; local
-    color tables / interlacing / partial-frame composition refuse loudly."""
+
+def decode_gif(payload: bytes) -> list[np.ndarray]:
+    """GIF87a/89a bytes → list of (h, w, 3) uint8 RGB frames (one full
+    logical-screen canvas per image block).
+
+    Decodes what real animated GIFs actually carry: global AND per-image
+    local color tables, interlaced frames, partial-frame composition onto
+    the running canvas, GCE transparency (transparent pixels leave the
+    canvas untouched), and disposal methods 0-3 (leave / leave / restore
+    background / restore previous).  The canvas starts black and disposal
+    2 restores the global background color when a global table exists —
+    the PIL-style convention for an output format without alpha."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
-    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
-    if not flags & 0x80:
-        raise NotImplementedError("GIF without a global color table")
-    gct_size = 2 << (flags & 0x7)
-    palette = np.frombuffer(
-        payload, np.uint8, gct_size * 3, pos
-    ).reshape(-1, 3)
-    pos += gct_size * 3
-    frames = []
+    gct = None
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x7)
+        gct = np.frombuffer(payload, np.uint8, gct_size * 3, pos).reshape(-1, 3)
+        pos += gct_size * 3
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    disposal, transparent = 0, None  # pending GCE state, reset per image
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: skip sub-blocks
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1]
+            if label == 0xF9 and payload[pos + 2] >= 4:  # GCE
+                pf = payload[pos + 3]
+                disposal = (pf >> 2) & 0x7
+                transparent = payload[pos + 6] if pf & 0x1 else None
             pos += 2
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
@@ -223,14 +257,18 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
                 "<HHHHB", payload, pos + 1
             )
             pos += 10
-            if iflags & 0x80:
-                raise NotImplementedError("local color tables unsupported")
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF unsupported")
-            if (left, top, fw, fh) != (0, 0, w, h):
-                raise NotImplementedError(
-                    "partial-frame composition unsupported (full frames only)"
-                )
+            if left + fw > w or top + fh > h:
+                raise ValueError("GIF frame exceeds the logical screen")
+            palette = gct
+            if iflags & 0x80:  # local color table overrides for this frame
+                lct_size = 2 << (iflags & 0x7)
+                palette = np.frombuffer(
+                    payload, np.uint8, lct_size * 3, pos
+                ).reshape(-1, 3)
+                pos += lct_size * 3
+            if palette is None:
+                raise ValueError("GIF frame with neither global nor local "
+                                 "color table")
             mcs = payload[pos]
             pos += 1
             data = bytearray()
@@ -240,9 +278,30 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
                 pos += 1 + ln
             pos += 1
             idx = lzw_decode(bytes(data), mcs)
-            if len(idx) != w * h:
+            if len(idx) != fw * fh:
                 raise ValueError("GIF frame pixel count mismatch")
-            frames.append(palette[idx.reshape(h, w)])
+            if int(idx.max()) >= len(palette):
+                raise ValueError("GIF pixel index outside the color table")
+            grid = idx.reshape(fh, fw)
+            if iflags & 0x40:
+                grid = _deinterlace(grid)
+            saved = (
+                canvas[top : top + fh, left : left + fw].copy()
+                if disposal == 3
+                else None
+            )
+            region = canvas[top : top + fh, left : left + fw]
+            if transparent is None:
+                region[:] = palette[grid]
+            else:
+                opaque = grid != transparent
+                region[opaque] = palette[grid[opaque]]
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore the region to background
+                canvas[top : top + fh, left : left + fw] = bg_rgb
+            elif disposal == 3 and saved is not None:  # restore previous
+                canvas[top : top + fh, left : left + fw] = saved
+            disposal, transparent = 0, None
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
     if not frames:

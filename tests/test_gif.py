@@ -70,19 +70,109 @@ def test_arbitrary_rgb_within_quantization_step():
     assert err[..., 2].max() <= 43
 
 
-def test_refuses_unsupported_variants():
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def test_decodes_interlaced_stream():
+    """A hand-interlaced stream (rows emitted in the spec's 4-pass order,
+    interlace flag set) must decode to the same pixels as the progressive
+    stream of the same frame."""
+    import struct
+
+    rng = np.random.default_rng(13)
+    h, w = 11, 6  # odd height exercises uneven pass lengths
+    grid = rng.integers(0, 256, (h, w), dtype=np.int64).astype(np.uint8)
+    plain = decode_gif(encode_gif([PALETTE[grid.astype(np.int64)]]))[0]
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += PALETTE.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40)  # interlaced
+    out.append(8)
+    out += _sub_blocks(lzw_encode(grid[order].reshape(-1)))
+    out.append(0x3B)
+    np.testing.assert_array_equal(decode_gif(bytes(out))[0], plain)
+
+
+def test_decodes_local_color_table_without_global():
+    """No global table at all; a 4-entry per-image local table supplies the
+    colors (a shape our encoder never emits)."""
+    import struct
+
+    lct = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8
+    )
+    grid = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)  # no GCT
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x80 | 0x01)  # 4-entry LCT
+    out += lct.tobytes()
+    out.append(2)  # min code size for a 4-color stream
+    out += _sub_blocks(lzw_encode(grid.reshape(-1), min_code_size=2))
+    out.append(0x3B)
+    frames = decode_gif(bytes(out))
+    np.testing.assert_array_equal(frames[0], lct[grid.astype(np.int64)])
+
+
+def test_partial_frame_composition_transparency_and_disposal():
+    """Real animation shape: a full base frame, then a transparent patch
+    with disposal 3 (restore previous), then a patch with disposal 0 —
+    each emitted canvas pinned exactly."""
+    import struct
+
+    def gce(disposal, transparent=None):
+        pf = (disposal & 0x7) << 2 | (1 if transparent is not None else 0)
+        return bytes([0x21, 0xF9, 4, pf, 0, 0, transparent or 0, 0])
+
+    def image(left, top, grid, mcs=8, iflags=0x00):
+        fh, fw = grid.shape
+        blk = struct.pack("<BHHHHB", 0x2C, left, top, fw, fh, iflags)
+        return blk + bytes([mcs]) + _sub_blocks(
+            lzw_encode(grid.reshape(-1), min_code_size=mcs)
+        )
+
+    base = np.full((4, 4), 36, dtype=np.uint8)  # palette idx 36
+    # patch: idx 219 with one transparent pixel (idx 7 marked transparent)
+    patch = np.array([[219, 7], [219, 219]], dtype=np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0)
+    out += PALETTE.tobytes()
+    out += gce(0) + image(0, 0, base)
+    out += gce(3, transparent=7) + image(1, 1, patch)  # restore-previous
+    out += gce(0) + image(0, 2, np.full((1, 2), 100, dtype=np.uint8))
+    out.append(0x3B)
+    f = decode_gif(bytes(out))
+    assert len(f) == 3
+    np.testing.assert_array_equal(f[0], PALETTE[np.full((4, 4), 36)])
+    want1 = np.full((4, 4), 36)
+    want1[1, 1] = 219  # transparent pixel at (1,2) keeps the base color
+    want1[2, 1:3] = [219, 219]
+    np.testing.assert_array_equal(f[1], PALETTE[want1])
+    # disposal 3 restored the patch region before frame 3's own patch
+    want2 = np.full((4, 4), 36)
+    want2[2, 0:2] = 100
+    np.testing.assert_array_equal(f[2], PALETTE[want2])
+
+
+def test_refuses_malformed_streams():
     img = PALETTE[np.zeros((4, 4), dtype=np.int64)]
     b = bytearray(encode_gif([img]))
-    # find the image descriptor (0x2C after the NETSCAPE-free single frame)
     desc = bytes(b).find(b"\x2c")
-    interlaced = bytearray(b)
-    interlaced[desc + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        decode_gif(bytes(interlaced))
-    lct = bytearray(b)
-    lct[desc + 9] |= 0x80
-    with pytest.raises(NotImplementedError):
-        decode_gif(bytes(lct))
+    # frame escaping the logical screen
+    oob = bytearray(b)
+    oob[desc + 1] = 3  # left = 3 on a 4-wide screen with a 4-wide frame
+    with pytest.raises(ValueError):
+        decode_gif(bytes(oob))
     with pytest.raises(ValueError):
         decode_gif(b"NOTAGIF" + b"\x00" * 32)
 
