@@ -403,25 +403,30 @@ def text_fingerprint(spark, sf_dir):
         )
     )
 
+    # gram identity only gates duplicate detection — it never reaches the
+    # output — so the ENGINE hashes with xxhash64 (one JVM pass) while the
+    # DuckDB oracle keeps md5: both sides derive the same dup-gram SET from
+    # the same token windows.  "Appears in ≥2 docs" is a min≠max window
+    # over gh rather than a countDistinct-groupBy + semi-join: one shuffle
+    # instead of two plus a join, and the gram explode runs exactly once
+    # (so it needs no persist either).
     grams = d.filter(F.size("toks") >= SPAN_W).select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(toks) - {SPAN_W}),"
-                f" i -> cast(conv(substr(md5(array_join("
-                f"slice(toks, i + 1, {SPAN_W}), ' ')), 1, 15), 16, 10)"
-                f" as bigint))"
+                f" i -> xxhash64(array_join("
+                f"slice(toks, i + 1, {SPAN_W}), ' ')))"
             )
         ).alias("pos", "gh"),
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
-    )
-    hit = grams.join(dup, "gh", "left_semi").select(
-        "doc_id", F.col("pos").cast("int").alias("pos")
+    w_gh = Window.partitionBy("gh")
+    hit = (
+        grams.withColumn(
+            "dup", F.min("doc_id").over(w_gh) != F.max("doc_id").over(w_gh)
+        )
+        .filter("dup")
+        .select("doc_id", F.col("pos").cast("int").alias("pos"))
     )
     w_prev = (
         Window.partitionBy("doc_id")
