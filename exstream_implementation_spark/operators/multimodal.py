@@ -7,8 +7,9 @@ Arrow-batched ``mapInPandas`` so each Python worker touches one partition's
 batches, never the driver.
 
 Image decode is REAL for BMP and PNG: a pure-numpy 24-bit BMP reader/writer
-and a stdlib-zlib 8-bit truecolor PNG codec (IDAT inflate + all five row
-unfilters) need no system codec, so ``attach_image_payload`` generates
+and a stdlib-zlib PNG codec (IDAT inflate + all five row unfilters;
+decode covers every static color type, depths 1-16, and Adam7) need no
+system codec, so ``attach_image_payload`` generates
 genuine blobs (deterministic synthetic pixels) and ``image_stats`` decodes
 the actual bytes and computes per-channel pixel statistics — the full
 ingest → decode → feature path runs on real image data, including a real
@@ -128,15 +129,95 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit truecolor non-interlaced PNG → (h, w, 3) uint8 RGB.
+# channels per PNG color type: gray, truecolor, palette, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass geometry: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    IHDR/IDAT chunk walk, stdlib ``zlib.decompress``, per-row unfilter: None
-    and Up are vectorized; Sub is a per-channel cumulative sum (recon[x] =
-    (filt[x] + recon[x-1]) mod 256 ≡ running sum mod 256); Average/Paeth
-    carry a true left-to-right data dependence and walk pixels (w is small
-    for the synthetic payloads; a production path swaps in a codec lib)."""
-    pos, idat, w, h = 8, b"", None, None
+
+def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int,
+                  rowbytes: int) -> np.ndarray:
+    """Unfilter one (sub-)image: ``ph`` rows of ``1 + rowbytes`` bytes at
+    ``off``.  Filtering is byte-oriented with a ``bpp``-byte left offset
+    (PNG spec §6): None/Up are vectorized, Sub is a cumulative sum over the
+    byte columns mod 256, Average/Paeth walk bytes (small rows here; a
+    production path swaps in a codec lib).  Returns (ph, rowbytes) uint8."""
+    out = np.empty((ph, rowbytes), np.uint8)
+    prev = np.zeros(rowbytes, np.int32)
+    stride = 1 + rowbytes
+    for y in range(ph):
+        ft = raw[off + y * stride]
+        row = np.frombuffer(
+            raw, np.uint8, rowbytes, off + y * stride + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:
+            rec = row.copy()
+            # recon[i] = filt[i] + recon[i-bpp]: cumsum per byte column
+            n = rowbytes // bpp
+            head = rec[: n * bpp].reshape(n, bpp)
+            head[:] = np.cumsum(head, axis=0) % 256
+            for i in range(n * bpp, rowbytes):  # ragged tail (sub-byte rows)
+                rec[i] = (rec[i] + rec[i - bpp]) % 256
+        elif ft == 2:
+            rec = (row + prev) % 256
+        elif ft in (3, 4):
+            rec = np.zeros_like(row)
+            for i in range(rowbytes):
+                left = rec[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                if ft == 3:
+                    pred = (left + prev[i]) // 2
+                else:
+                    pa = abs(prev[i] - ul)
+                    pb = abs(left - ul)
+                    pc = abs(left + prev[i] - 2 * ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else (prev[i] if pb <= pc else ul)
+                    )
+                rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _png_samples(rows: np.ndarray, pw: int, channels: int,
+                 depth: int) -> np.ndarray:
+    """(ph, rowbytes) unfiltered bytes → (ph, pw, channels) samples scaled
+    to 8 bits (16-bit takes the high byte; sub-byte depths unpack MSB-first
+    and are left as raw indices/levels for the caller to scale)."""
+    ph = rows.shape[0]
+    if depth == 16:
+        return rows.reshape(ph, -1, 2)[:, :, 0].reshape(ph, pw, channels)
+    if depth == 8:
+        return rows.reshape(ph, pw, channels)
+    # depth 1/2/4: single-channel only (gray or palette), MSB-first packing
+    bits = np.unpackbits(rows, axis=1)
+    per = 8 // depth
+    vals = bits.reshape(ph, -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    packed = (vals * weights).sum(axis=2)
+    return packed[:, :pw].reshape(ph, pw, 1)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB.
+
+    Full static-image coverage: color types 0 (grayscale), 2 (truecolor),
+    3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8/16; both
+    non-interlaced and Adam7-interlaced streams.  IHDR/PLTE/IDAT chunk
+    walk, stdlib ``zlib.decompress``, byte-oriented unfilter per (sub-)
+    image.  Alpha is dropped (the RGB feature path's convention) and
+    16-bit samples take the high byte; sub-byte grayscale levels scale by
+    255/(2^depth-1)."""
+    pos, idat, w, plte = 8, b"", None, None
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
         data = payload[pos + 8 : pos + 8 + ln]
@@ -145,63 +226,74 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
-                raise NotImplementedError(
-                    f"PNG variant unsupported without a codec (depth={depth}, "
-                    f"color_type={ctype}, interlace={inter}); only 8-bit "
-                    "truecolor non-interlaced decodes"
+            if comp != 0 or filt != 0 or inter not in (0, 1):
+                raise ValueError(
+                    f"bad PNG header (compression={comp}, filter={filt}, "
+                    f"interlace={inter})"
                 )
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {ctype}")
+            ok_depths = (1, 2, 4, 8, 16) if ctype in (0, 3) else (8, 16)
+            if depth not in ok_depths or (ctype == 3 and depth == 16):
+                raise ValueError(
+                    f"bad PNG depth {depth} for color type {ctype}"
+                )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG payload has no IHDR")
+    channels = _PNG_CHANNELS[ctype]
+    bpp = max(1, channels * depth // 8)
     raw = zlib.decompress(idat)
-    stride = 1 + w * 3
-    out = np.empty((h, w, 3), np.uint8)
-    prev = np.zeros((w, 3), np.int32)
-    zero3 = np.zeros(3, np.int32)
-    for y in range(h):
-        ft = raw[y * stride]
-        row = (
-            np.frombuffer(raw, np.uint8, w * 3, y * stride + 1)
-            .reshape(w, 3)
-            .astype(np.int32)
-        )
-        if ft == 0:
-            rec = row
-        elif ft == 1:
-            rec = np.cumsum(row, axis=0) % 256
-        elif ft == 2:
-            rec = (row + prev) % 256
-        elif ft in (3, 4):
-            rec = np.zeros_like(row)
-            for x in range(w):
-                left = rec[x - 1] if x > 0 else zero3
-                ul = prev[x - 1] if x > 0 else zero3
-                pred = (
-                    (left + prev[x]) // 2
-                    if ft == 3
-                    else _paeth(left, prev[x], ul)
-                )
-                rec[x] = (row[x] + pred) % 256
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-    return out
+
+    def rowbytes(pw):
+        return (pw * channels * depth + 7) // 8
+
+    samples = np.zeros((h, w, channels), np.uint8)
+    if inter == 0:
+        rows = _png_unfilter(raw, 0, w, h, bpp, rowbytes(w))
+        samples = _png_samples(rows, w, channels, depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            rb = rowbytes(pw)
+            rows = _png_unfilter(raw, off, pw, ph, bpp, rb)
+            off += ph * (1 + rb)
+            sub = _png_samples(rows, pw, channels, depth)
+            samples[y0::dy, x0::dx] = sub
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without a PLTE chunk")
+        idx = samples[:, :, 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index outside PLTE")
+        return plte[idx]
+    if ctype in (0, 4):  # grayscale (±alpha): scale sub-byte levels, tile
+        g = samples[:, :, 0].astype(np.float64)
+        if depth < 8:
+            g = np.round(g * 255.0 / ((1 << depth) - 1))
+        return np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+    return np.ascontiguousarray(samples[:, :, :3])  # truecolor / RGBA
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload → (h, w, 3) uint8 RGB.
 
-    Real decode for uncompressed 24-bit BMP (bottom-up or top-down), 8-bit
-    truecolor PNG (stdlib zlib inflate + numpy unfilter), and baseline
-    sequential 4:4:4 JPEG (operators/jpeg.py: huffman → dequant → IDCT) —
-    no system codec.  Every other container (WebP, progressive/subsampled
-    JPEG, video) needs a codec library absent from this environment and
-    raises NotImplementedError (swap in PIL.Image.open on a real cluster)."""
+    Real decode for uncompressed 24-bit BMP (bottom-up or top-down), PNG
+    (all static color types and depths, Adam7 included — stdlib zlib
+    inflate + numpy unfilter), and 8-bit Huffman JPEG (operators/jpeg.py:
+    baseline AND progressive, any subsampling) — no system codec.  Every
+    other container (WebP, video) needs a codec library absent from this
+    environment and raises NotImplementedError (swap in PIL.Image.open on
+    a real cluster)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":

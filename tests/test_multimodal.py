@@ -142,18 +142,102 @@ def test_png_roundtrip_property():
     check()
 
 
-def test_png_unsupported_variants_raise():
+def test_png_malformed_streams_raise():
     import struct as _struct
 
     payload = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
     # IHDR data starts at 16 (sig 8 + len 4 + type 4); layout w(4) h(4)
-    # depth(1) ctype(1) ... — flip color type to 1 (palette): honest refusal
+    # depth(1) ctype(1) ... — color type 1 does not exist in the PNG spec
     _struct.pack_into("B", payload, 16 + 9, 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(bytes(payload))
     # truncated/garbage PNG: loud failure, not silent garbage
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def _png_fixture(w, h, depth, ctype, scanline_rows, plte=None, interlace=0):
+    """Hand-assemble a PNG from raw (filter-byte-prefixed) scanlines."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(typ, data):
+        return (
+            _struct.pack(">I", len(data)) + typ + data
+            + _struct.pack(">I", _zlib.crc32(typ + data))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    out += chunk(b"IDAT", _zlib.compress(b"".join(scanline_rows)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_palette_and_subbyte_depths():
+    # depth-8 palette: indices map straight through PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    rows = [bytes([0, 0, 1]), bytes([0, 2, 3])]
+    img = decode_png(_png_fixture(2, 2, 8, 3, rows, plte=plte))
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [7, 8, 9]]], np.uint8
+    )
+    np.testing.assert_array_equal(img, want)
+    # depth-2 palette, 5 px/row: indices 3,2,1,0,3 pack MSB-first into
+    # 0b11100100 0b11000000
+    img = decode_png(
+        _png_fixture(5, 1, 2, 3, [bytes([0, 0b11100100, 0b11000000])],
+                     plte=plte)
+    )
+    want = np.array(
+        [[[7, 8, 9], [0, 0, 255], [0, 255, 0], [255, 0, 0], [7, 8, 9]]],
+        np.uint8,
+    )
+    np.testing.assert_array_equal(img, want)
+    # depth-1 grayscale: bits 1,0,1 → 255,0,255 tiled to RGB
+    img = decode_png(_png_fixture(3, 1, 1, 0, [bytes([0, 0b10100000])]))
+    np.testing.assert_array_equal(
+        img, np.array([[[255] * 3, [0] * 3, [255] * 3]], np.uint8)
+    )
+
+
+def test_png_gray_rgba_and_16bit():
+    # 8-bit grayscale with a Sub filter row
+    rows = [bytes([1, 100, 10, 10])]  # recon: 100, 110, 120
+    img = decode_png(_png_fixture(3, 1, 8, 0, rows))
+    np.testing.assert_array_equal(img[0, :, 0], [100, 110, 120])
+    assert (img[:, :, 0] == img[:, :, 1]).all()
+    # RGBA: alpha dropped
+    rows = [bytes([0, 1, 2, 3, 200, 4, 5, 6, 0])]
+    img = decode_png(_png_fixture(2, 1, 8, 6, rows))
+    np.testing.assert_array_equal(img, [[[1, 2, 3], [4, 5, 6]]])
+    # gray+alpha 16-bit: high byte wins, alpha dropped
+    rows = [bytes([0, 0xAB, 0xCD, 0xFF, 0xFF])]
+    img = decode_png(_png_fixture(1, 1, 16, 4, rows))
+    np.testing.assert_array_equal(img, [[[0xAB] * 3]])
+    # truecolor 16-bit
+    rows = [bytes([0, 0x11, 0x22, 0x33, 0x44, 0x55, 0x66])]
+    img = decode_png(_png_fixture(1, 1, 16, 2, rows))
+    np.testing.assert_array_equal(img, [[[0x11, 0x33, 0x55]]])
+
+
+def test_png_adam7_interlaced_matches_progressive():
+    """An Adam7 stream built BY HAND (seven independently filtered
+    sub-images in spec pass order) must decode to the same pixels as the
+    progressive encoding of the same image."""
+    rng = np.random.default_rng(17)
+    h, w = 9, 10  # exercises empty-row passes and ragged pass widths
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    rows = []
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        for r in range(sub.shape[0]):
+            rows.append(bytes([0]) + sub[r].tobytes())
+    got = decode_png(_png_fixture(w, h, 8, 2, rows, interlace=1))
+    np.testing.assert_array_equal(got, img)
 
 
 def test_png_spark_stats_match_bmp_path(spark):
