@@ -1385,3 +1385,58 @@ def sample_source_mix(spark, sf_dir):
     kept = sample_mix(d, MIX_POLICY, method="md5")
     return _assign_splits(kept, SPLIT_WEIGHTS, unit_col="doc_id", salt=1,
                           method="md5")
+
+
+# --- per-source frequency capping -------------------------------------------
+CAP_PER_SOURCE = 25
+_CAP_SALTS = 8
+
+
+@query(
+    "source_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {CAP_PER_SOURCE}
+    """,
+)
+def source_cap_sample(spark, sf_dir):
+    """Per-source frequency capping: keep at most CAP_PER_SOURCE documents
+    per source, chosen by a deterministic md5 order over doc_id — the
+    standard defense against one crawl domain dominating a training mix
+    (the per-domain analog of ``sample_source_mix``'s graded policy; the
+    reference has no sampling beyond script_1.py's shuffle_observations,
+    so this is extension surface).
+
+    Scale shape: a single window over ``source`` would funnel each
+    source's full row set through one task — a skew hazard when one
+    domain holds billions of rows — so phase 1 pre-trims to the top
+    CAP_PER_SOURCE per (source, xxhash64-salt) bucket, bounding phase 2's
+    per-source input to _CAP_SALTS × CAP_PER_SOURCE rows regardless of
+    source size.  The two-phase form is exactly top-k-per-key: every
+    global top-k member is also in its salt bucket's local top-k, so the
+    DuckDB oracle's single-window formulation is value-identical."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap")))
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    pre = (
+        d.withColumn("h", h)
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALTS)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= CAP_PER_SOURCE)
+    )
+    return (
+        pre.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= CAP_PER_SOURCE)
+        .select("source", "doc_id", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -936,3 +936,92 @@ def _re_escape_sql(sep: str) -> str:
         else:
             out.append(ch)
     return "".join(out)
+
+
+# --- per-document tf-idf keyword extraction ----------------------------------
+from exstream_implementation_spark.canon import (  # noqa: E402
+    stable_round,
+    stable_round_sql,
+)
+
+TFIDF_K = 3
+TFIDF_MAX_DF = 0.9
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n FROM documents),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / dfq.df) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+      WHERE dfq.df <= {TFIDF_MAX_DF} * n.n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+           {stable_round_sql("score")} AS score_r
+    FROM ranked WHERE rnk <= {TFIDF_K}
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-{k} keyword extraction by tf-idf — the classic
+    topic-tagging / document-representation primitive a curation pipeline
+    runs after tokenization (extension surface: the reference has no term
+    weighting; the bm25 family in plans/search.py shares the same idf
+    statistics but ranks documents per query, not terms per document).
+
+    Scale shape: tf is one map-side-combining groupBy over the exploded
+    corpus; df aggregates the (doc, term) table, which is vocabulary-bound
+    per doc; the tf⋈df join is on term — AQE broadcasts the df table at
+    small scale and falls back to a shuffle join when the vocabulary
+    outgrows the broadcast threshold (exactly right at 100 TB, where the
+    vocabulary is itself huge); the final top-k is a per-doc window whose
+    input was already cut to df ≤ {max_df} · N.  Determinism: score ties
+    break by term ascending; both engines compute ln over the identical
+    rational N/df.
+    """
+    from pyspark.sql import Window
+
+    d = load_documents_parallel(spark, sf_dir).select(
+        "doc_id", _toks().alias("toks")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = d.agg(F.count("*").alias("n"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= TFIDF_MAX_DF * F.col("n"))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_K)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "term",
+            stable_round(F.col("score")).alias("score_r"),
+        )
+    )

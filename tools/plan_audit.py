@@ -70,6 +70,9 @@ BNLJ_ALLOW = {
     # per-vocab-term df — ONE row) broadcasts into the scoring projection
     # (plans/search.py, r10 single-job fusion)
     "text_fingerprint": "1-row bm25 corpus-stats scalar broadcast",
+    # corpus-size scalar N for the idf denominator (plans/text.py
+    # tfidf_top_terms: crossJoin(F.broadcast(d.agg(count))) — ONE row)
+    "tfidf_top_terms": "1-row corpus-count scalar broadcast",
 }
 
 # Queries whose plan legitimately contains a single-partition exchange,
