@@ -391,3 +391,22 @@ def test_decodes_foreign_handbuilt_progressive_stream():
 
     dec = decode_jpeg(bytes(out))
     np.testing.assert_array_equal(dec, want.astype(np.uint8))
+
+
+def test_progressive_extreme_qualities_and_geometries():
+    """Quality 1 (EOB-run-saturated) through 100, single-pixel, 1×N and
+    N×1 frames — every progressive stream still decodes pixel-identically
+    to its sequential twin."""
+    rng = np.random.default_rng(3)
+    for q in (1, 100):
+        img = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg(img, quality=q, progressive=True)),
+            decode_jpeg(encode_jpeg(img, quality=q)),
+        )
+    for h, w in ((1, 1), (1, 64), (64, 1), (2, 3)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg(img, quality=30, progressive=True)),
+            decode_jpeg(encode_jpeg(img, quality=30)),
+        )
