@@ -14,6 +14,10 @@ batch, so rebuild/increment >> 1 and grows with corpus/batch.
 
 Usage: PYTHONPATH=/root/repo python tools/incremental_smoke.py [N]
 Writes docs/SCALE_SMOKE_R9_S5.json.
+
+N=1000 (5M docs) needs SPARK_DRIVER_MEMORY=48g — the default 8g heap OOMs
+in the substring/BPE stages of the init run (measured r10; the x300 run
+fits in 8g).
 """
 
 from __future__ import annotations
