@@ -372,13 +372,16 @@ def attach_image_payload(
     (Arrow-batched pandas UDF — bytes are built in the workers, never the
     driver).  The PNG encoder cycles all five row filters, so decoding it
     exercises the full inflate + unfilter path; JPEG (quality 95) is lossy
-    by nature, so its decoded stats are tolerance-tested, not hash-gated."""
-    if fmt not in ("bmp", "png", "jpeg"):
+    by nature, so its decoded stats are tolerance-tested, not hash-gated.
+    ``fmt="jpeg_progressive"`` emits SOF2 ten-scan streams (the variant
+    large sites serve) through the same decode path."""
+    if fmt not in ("bmp", "png", "jpeg", "jpeg_progressive"):
         raise ValueError(f"unknown image format {fmt!r}")
-    if fmt == "jpeg":
+    if fmt.startswith("jpeg"):
         from exstream_implementation_spark.operators.jpeg import encode_jpeg
 
-        enc = lambda a: encode_jpeg(a, quality=95)
+        prog = fmt == "jpeg_progressive"
+        enc = lambda a: encode_jpeg(a, quality=95, progressive=prog)
     else:
         enc = encode_bmp if fmt == "bmp" else encode_png
 

@@ -410,3 +410,31 @@ def test_progressive_extreme_qualities_and_geometries():
             decode_jpeg(encode_jpeg(img, quality=30, progressive=True)),
             decode_jpeg(encode_jpeg(img, quality=30)),
         )
+
+
+def test_spark_image_stats_over_progressive_jpeg_payloads(spark):
+    """Same Arrow-worker decode path, but with SOF2 ten-scan payloads —
+    progressive streams carry the SAME quantized coefficients, so their
+    decoded stats must EQUAL the baseline-JPEG stats exactly, not just
+    fall inside the lossy tolerance."""
+    from exstream_implementation_spark.operators.multimodal import (
+        attach_image_payload,
+        image_stats,
+    )
+    from exstream_implementation_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 12"
+    )
+    key = ["doc_id", "channel"]
+    base = {
+        tuple(r[k] for k in key): (r["px_mean"], r["px_std"])
+        for r in image_stats(attach_image_payload(docs, fmt="jpeg")).collect()
+    }
+    prog = {
+        tuple(r[k] for k in key): (r["px_mean"], r["px_std"])
+        for r in image_stats(
+            attach_image_payload(docs, fmt="jpeg_progressive")
+        ).collect()
+    }
+    assert prog == base and len(base) == 36
