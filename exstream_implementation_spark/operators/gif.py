@@ -280,11 +280,15 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             idx = lzw_decode(bytes(data), mcs)
             if len(idx) != fw * fh:
                 raise ValueError("GIF frame pixel count mismatch")
-            if int(idx.max()) >= len(palette):
-                raise ValueError("GIF pixel index outside the color table")
             grid = idx.reshape(fh, fw)
             if iflags & 0x40:
                 grid = _deinterlace(grid)
+            # bounds-check only indices that are actually dereferenced:
+            # real encoders routinely pick a transparent index at or past
+            # the color-table size (it is never looked up)
+            checked = grid if transparent is None else grid[grid != transparent]
+            if checked.size and int(checked.max()) >= len(palette):
+                raise ValueError("GIF pixel index outside the color table")
             saved = (
                 canvas[top : top + fh, left : left + fw].copy()
                 if disposal == 3

@@ -712,9 +712,7 @@ def encode_jpeg(
                         run = 0
 
     # marker stream
-    def seg(marker, payload):
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
+    seg = _seg
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tq, q in ((0, ql), (1, qc)):
@@ -796,7 +794,7 @@ def _assemble_progressive(
 
 
 # --- decoder -----------------------------------------------------------------
-def _ac_first_block(reader, blk, ac_idx, lo, se, al, eob_state):
+def _ac_first_block(reader, blk, ac_idx, lo, se, al, eob_state, sequential):
     """AC band of one block, first pass (Ah=0; baseline when Al=0): DC-style
     run-length symbols, plus progressive EOBn run accumulation (T.81
     §G.1.2.2) carried across blocks in ``eob_state``."""
@@ -814,7 +812,12 @@ def _ac_first_block(reader, blk, ac_idx, lo, se, al, eob_state):
             blk[k] = _extend(reader.read_bits(s), s) << al
             k += 1
         elif r != 15:
-            # EOBn: run of 2^r + ext bits end-of-band blocks (this one incl.)
+            # EOBn: run of 2^r + ext bits end-of-band blocks (this one
+            # incl.) — progressive-only; in a sequential scan any size-0
+            # symbol other than EOB/ZRL means a corrupt entropy stream,
+            # and decoding on would desynchronize every later coefficient
+            if sequential and r != 0:
+                raise ValueError("bad AC symbol")
             eob_state[0] = (1 << r) + (reader.read_bits(r) if r else 0) - 1
             return
         else:
@@ -874,7 +877,7 @@ def _ac_refine_block(reader, blk, ac_idx, lo, se, al, eob_state):
 
 
 def _decode_block(reader, blk, cid, td, ta, ss, se, ah, al, huff, preds,
-                  eob_state):
+                  eob_state, sequential):
     """One block's contribution to the current scan (any of the four
     progressive modes; baseline is ss=0 se=63 ah=al=0)."""
     if ss == 0:
@@ -889,13 +892,14 @@ def _decode_block(reader, blk, cid, td, ta, ss, se, ah, al, huff, preds,
             return
     lo = max(ss, 1)
     if ah == 0:
-        _ac_first_block(reader, blk, huff[(1, ta)], lo, se, al, eob_state)
+        _ac_first_block(reader, blk, huff[(1, ta)], lo, se, al, eob_state,
+                        sequential)
     else:
         _ac_refine_block(reader, blk, huff[(1, ta)], lo, se, al, eob_state)
 
 
 def _decode_scan(reader, scomps, ss, se, ah, al, huff, comp_f, comp_sub,
-                 grids, mcux, mcuy, restart_interval):
+                 grids, mcux, mcuy, restart_interval, sequential):
     """Entropy-decode one scan into the coefficient grids.
 
     Interleaved scans (>1 component) walk the MCU lattice; non-interleaved
@@ -926,7 +930,8 @@ def _decode_scan(reader, scomps, ss, se, ah, al, huff, comp_f, comp_sub,
                     restart_check(unit)
                 unit += 1
                 _decode_block(reader, grids[cid][by, bx], cid, td, ta,
-                              ss, se, ah, al, huff, preds, eob_state)
+                              ss, se, ah, al, huff, preds, eob_state,
+                              sequential)
     else:
         unit = 0
         for my in range(mcuy):
@@ -941,7 +946,7 @@ def _decode_scan(reader, scomps, ss, se, ah, al, huff, comp_f, comp_sub,
                             _decode_block(
                                 reader, grids[cid][my * fv + by, mx * fh + bx],
                                 cid, td, ta, ss, se, ah, al, huff, preds,
-                                eob_state,
+                                eob_state, sequential,
                             )
 
 
@@ -969,6 +974,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mcux = mcuy = hmax = vmax = 0
     restart_interval = 0
     saw_scan = False
+    sequential = True  # set by SOF0 (True) / SOF2 (False)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -998,6 +1004,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qt[pq_tq & 0xF] = tbl.reshape(8, 8)
                 bpos += 65
         elif marker in (0xFFC0, 0xFFC2):
+            sequential = marker == 0xFFC0
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -1073,10 +1080,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah_al = body[3 + 2 * ns]
             data_start = pos + 2 + ln
-            reader = _BitReader(payload[data_start:])
+            # memoryview: ten-scan progressive streams would otherwise
+            # copy the remaining file tail once per scan
+            reader = _BitReader(memoryview(payload)[data_start:])
             _decode_scan(
                 reader, scomps, ss, se, ah_al >> 4, ah_al & 0xF, huff,
                 comp_f, comp_sub, grids, mcux, mcuy, restart_interval,
+                sequential,
             )
             saw_scan = True
             # entropy data ends at the next true marker; the reader stops

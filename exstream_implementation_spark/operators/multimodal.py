@@ -462,8 +462,11 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     The format is inferred from the dtype: int16/int32 → integer PCM
     (format tag 1), uint8 → 8-bit PCM (unsigned, per the WAV spec),
     float32/float64 → IEEE float (format tag 3).  All are uncompressed:
-    encode→decode round-trips bit-exactly.  int16 emission is byte-stable
-    with earlier rounds."""
+    encode→decode round-trips the sample VALUES bit-exactly — with the
+    one spec-imposed asymmetry that 8-bit input comes back zero-centered
+    as int16 (value - 128), matching ``decode_wav``'s convention for
+    foreign 8-bit streams.  int16 emission is byte-stable with earlier
+    rounds."""
     if samples.ndim == 1:
         samples = samples[:, None]
     key = np.dtype(samples.dtype)
@@ -599,13 +602,12 @@ def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids, ns, rates, means, rmss = [], [], [], [], []
             for did, payload in zip(pdf[id_col], pdf["payload"]):
                 samples, rate = decode_wav(bytes(payload))
-                # integer streams keep the exact-integer-sum contract (the
-                # oracle hash depends on it); float streams sum in float64
-                cast = (
-                    np.int64
-                    if np.issubdtype(samples.dtype, np.integer)
-                    else np.float64
-                )
+                # int16 streams keep the exact-integer-sum contract (the
+                # oracle hash depends on it; squares ≤ 2^30 can never wrap
+                # int64).  Wider integers (24/32-bit PCM) and floats sum in
+                # float64: a full-scale int32 square is ~2^62, so two
+                # samples already overflow the int64 sum-of-squares.
+                cast = np.int64 if samples.dtype == np.int16 else np.float64
                 s = samples.astype(cast).reshape(-1)
                 n = len(s)
                 ids.append(did)

@@ -406,27 +406,33 @@ def text_fingerprint(spark, sf_dir):
     # gram identity only gates duplicate detection — it never reaches the
     # output — so the ENGINE hashes with xxhash64 (one JVM pass) while the
     # DuckDB oracle keeps md5: both sides derive the same dup-gram SET from
-    # the same token windows.  "Appears in ≥2 docs" is a min≠max window
-    # over gh rather than a countDistinct-groupBy + semi-join: one shuffle
-    # instead of two plus a join, and the gram explode runs exactly once
-    # (so it needs no persist either).
-    grams = d.filter(F.size("toks") >= SPAN_W).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {SPAN_W}),"
-                f" i -> xxhash64(array_join("
-                f"slice(toks, i + 1, {SPAN_W}), ' ')))"
-            )
-        ).alias("pos", "gh"),
-    )
-    w_gh = Window.partitionBy("gh")
-    hit = (
-        grams.withColumn(
-            "dup", F.min("doc_id").over(w_gh) != F.max("doc_id").over(w_gh)
+    # the same token windows.  "Appears in ≥2 docs" is min(doc)≠max(doc)
+    # per gh via groupBy — map-side partial min/max combine BEFORE the
+    # shuffle, so a boilerplate gram duplicated across millions of docs
+    # (exactly what this query hunts) never colocates its raw occurrences
+    # in one task the way a window over gh would; the small dup set then
+    # semi-joins back (AQE broadcasts it).  Persisted because both the
+    # aggregate and the join consume the explode.
+    grams = tracked_persist(
+        d.filter(F.size("toks") >= SPAN_W).select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {SPAN_W}),"
+                    f" i -> xxhash64(array_join("
+                    f"slice(toks, i + 1, {SPAN_W}), ' ')))"
+                )
+            ).alias("pos", "gh"),
         )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
         .filter("dup")
-        .select("doc_id", F.col("pos").cast("int").alias("pos"))
+        .select("gh")
+    )
+    hit = grams.join(dup, "gh", "left_semi").select(
+        "doc_id", F.col("pos").cast("int").alias("pos")
     )
     w_prev = (
         Window.partitionBy("doc_id")
@@ -965,13 +971,14 @@ TFIDF_MAX_DF = 0.9
       WHERE dfq.df <= {TFIDF_MAX_DF} * n.n
     ),
     ranked AS (
-      SELECT doc_id, term, score,
+      SELECT doc_id, term,
+             {stable_round_sql("score")} AS score_r,
              row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, term) AS rnk
+                                ORDER BY {stable_round_sql("score")} DESC,
+                                         term) AS rnk
       FROM scored
     )
-    SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
-           {stable_round_sql("score")} AS score_r
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score_r
     FROM ranked WHERE rnk <= {TFIDF_K}
     """,
 )
@@ -988,9 +995,10 @@ def tfidf_top_terms(spark, sf_dir):
     small scale and falls back to a shuffle join when the vocabulary
     outgrows the broadcast threshold (exactly right at 100 TB, where the
     vocabulary is itself huge); the final top-k is a per-doc window whose
-    input was already cut to df ≤ {max_df} · N.  Determinism: score ties
-    break by term ascending; both engines compute ln over the identical
-    rational N/df.
+    input was already cut to df ≤ {max_df} · N.  Determinism: the rank is
+    taken over the 6-dp-ROUNDED score (the bm25 oracle convention — raw
+    float ulps between Spark's Math.log and DuckDB's libm ln must not
+    decide the rnk ≤ k cut), ties break by term ascending.
     """
     from pyspark.sql import Window
 
@@ -1014,7 +1022,10 @@ def tfidf_top_terms(spark, sf_dir):
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    scored = scored.withColumn("score_r", stable_round(F.col("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_r"), F.asc("term")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_K)
@@ -1022,6 +1033,6 @@ def tfidf_top_terms(spark, sf_dir):
             "doc_id",
             F.col("rnk").cast("int").alias("rnk"),
             "term",
-            stable_round(F.col("score")).alias("score_r"),
+            "score_r",
         )
     )

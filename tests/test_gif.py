@@ -217,3 +217,37 @@ def test_lzw_min_code_size_validated_and_small_sizes_roundtrip():
             lzw_encode(np.zeros(4, dtype=np.uint8), min_code_size=bad)
         with pytest.raises(ValueError):
             lzw_decode(b"\x00", min_code_size=bad)
+
+
+def test_transparent_index_beyond_palette_is_legal():
+    """Real encoders routinely pick a transparent index at or past the
+    color-table size — it is never dereferenced, so decode must not
+    bounds-fail on it."""
+    import struct
+
+    lct = np.array([[9, 9, 9], [200, 0, 0]], dtype=np.uint8)
+    grid = np.array([[1, 3], [1, 1]], dtype=np.uint8)  # 3 >= len(lct)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)
+    out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 3, 0])  # transparent idx 3
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x80 | 0x00)  # 2-entry LCT
+    out += lct.tobytes()
+    out.append(2)
+    out += _sub_blocks(lzw_encode(grid.reshape(-1), min_code_size=2))
+    out.append(0x3B)
+    f = decode_gif(bytes(out))
+    want = np.zeros((2, 2, 3), np.uint8)
+    want[0, 0] = want[1, 0] = want[1, 1] = [200, 0, 0]
+    # the transparent pixel keeps the initial (black) canvas
+    np.testing.assert_array_equal(f[0], want)
+    # a genuinely dereferenced out-of-range index still refuses
+    bad = np.array([[1, 3], [1, 1]], dtype=np.uint8)
+    out2 = bytearray(b"GIF89a")
+    out2 += struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)
+    out2 += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x80 | 0x00)
+    out2 += lct.tobytes()
+    out2.append(2)
+    out2 += _sub_blocks(lzw_encode(bad.reshape(-1), min_code_size=2))
+    out2.append(0x3B)
+    with pytest.raises(ValueError):
+        decode_gif(bytes(out2))

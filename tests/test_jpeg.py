@@ -438,3 +438,32 @@ def test_spark_image_stats_over_progressive_jpeg_payloads(spark):
         ).collect()
     }
     assert prog == base and len(base) == 36
+
+
+def test_sequential_scan_rejects_progressive_eobn():
+    """A baseline (SOF0) stream whose entropy data contains an EOBn symbol
+    (progressive-only, size=0 run∉{0,15}) must refuse loudly — decoding on
+    would silently desynchronize every later coefficient."""
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    # DC table 0: single symbol (category 0) → code '0' is 0 bits of diff
+    out += seg(0xFFC4, bytes([0x00] + [1] + [0] * 15 + [0]))
+    # AC table 0: {0x00 EOB: '0', 0x10 EOB2: '10'} — 0x10 is progressive-only
+    out += seg(0xFFC4, bytes([0x10] + [1, 1] + [0] * 14 + [0x00, 0x10]))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    # Y1 block: DC '0' then AC symbol '10' (EOB2) — illegal in baseline
+    bits = "0" + "10"
+    bits += "1" * (-len(bits) % 8)
+    out += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="bad AC symbol"):
+        decode_jpeg(bytes(out))

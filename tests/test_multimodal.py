@@ -511,3 +511,20 @@ def test_audio_features_degenerate_stream_gets_null_row(spark):
     assert got[1]["spectral_centroid_hz"] is None
     assert got[1]["dominant_freq_hz"] is None
     assert got[2]["dominant_freq_hz"] is not None
+
+
+def test_audio_stats_full_scale_int32_does_not_overflow(spark):
+    """Sum-of-squares of full-scale 32-bit PCM wraps int64 after two
+    samples; the stats path must route wide integers through float64."""
+    from exstream_implementation_spark.operators.multimodal import (
+        audio_stats,
+        encode_wav,
+    )
+
+    s = np.full(64, 2**31 - 1, dtype=np.int32)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, 8000)))], "doc_id long, payload binary"
+    )
+    row = audio_stats(df).collect()[0]
+    assert row["amp_rms"] == pytest.approx(float(2**31 - 1))
+    assert row["amp_mean"] == pytest.approx(float(2**31 - 1))
