@@ -411,19 +411,21 @@ def text_fingerprint(spark, sf_dir):
     # shuffle, so a boilerplate gram duplicated across millions of docs
     # (exactly what this query hunts) never colocates its raw occurrences
     # in one task the way a window over gh would; the small dup set then
-    # semi-joins back (AQE broadcasts it).  Persisted because both the
-    # aggregate and the join consume the explode.
-    grams = tracked_persist(
-        d.filter(F.size("toks") >= SPAN_W).select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {SPAN_W}),"
-                    f" i -> xxhash64(array_join("
-                    f"slice(toks, i + 1, {SPAN_W}), ' ')))"
-                )
-            ).alias("pos", "gh"),
-        )
+    # semi-joins back (AQE broadcasts it).  The aggregate and the join
+    # each recompute the explode from the cached tokenized frame —
+    # measured FASTER than persisting grams (the xxhash64 explode is
+    # ~0.25 s here and pipelines, while a persist is a materialization
+    # barrier), and at scale caching a corpus-sized gram table is itself
+    # the liability.
+    grams = d.filter(F.size("toks") >= SPAN_W).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {SPAN_W}),"
+                f" i -> xxhash64(array_join("
+                f"slice(toks, i + 1, {SPAN_W}), ' ')))"
+            )
+        ).alias("pos", "gh"),
     )
     dup = (
         grams.groupBy("gh")
