@@ -31,7 +31,10 @@ window" but nothing enforced that reading):
     probe's recorded r08-r09 history on the round-7/8 hosts (spark probe
     band 0.25-0.53 s → 0.32; numpy band ~0.17-0.21 → 0.20); a round whose
     raw totals move with the probe but whose normalized total is flat is a
-    host story, full stop.
+    host story, full stop.  The linear correction is only valid while the
+    observed probe sits within ±60% of the pinned reference (the suite is
+    not purely scheduler-bound); outside that band the field is null and
+    "probe_out_of_band" is true — read the raw warm medians instead.
 """
 
 from __future__ import annotations
@@ -115,6 +118,20 @@ def main():
         "text_metrics_suite",
     ]
 
+    # ann_topk_cosine_vectorized's catalog slot merged into ann_bucketed_topk
+    # (round 11), but the bench series keeps timing the standalone brute-force
+    # kernel so the per-round numbers stay comparable
+    from exstream_implementation_spark.plans.similarity import (
+        ann_topk_cosine_vectorized,
+    )
+
+    bench_fns = {
+        name: QUERIES.get(name) or {
+            "ann_topk_cosine_vectorized": ann_topk_cosine_vectorized,
+        }[name]
+        for name in bench_queries
+    }
+
     def one_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
         t0 = time.time()
@@ -124,7 +141,7 @@ def main():
         timings["exstream_explain"] = round(time.time() - t0, 3)
         for name in bench_queries:
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            bench_fns[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             timings[name] = round(time.time() - t0, 3)
@@ -163,8 +180,17 @@ def main():
             probe_after["spark_range_agg_s"],
         ]
     )
-    value_warm_normalized = round(
-        value_warm * (REF_PROBE_SPARK_S / observed_probe), 3
+    # The linear probe correction is only valid near the pinned reference:
+    # the suite is not purely scheduler-bound, so outside the validated
+    # ±60% band the scaled number actively misleads (r10: raw warm 16.86 s
+    # → "normalized" 26.57 s on a fast-probe host, a phantom regression).
+    # Out of band we emit null + an explicit flag instead of a bad number.
+    probe_ratio = round(observed_probe / REF_PROBE_SPARK_S, 3)
+    probe_out_of_band = not (0.4 <= probe_ratio <= 1.6)
+    value_warm_normalized = (
+        None
+        if probe_out_of_band
+        else round(value_warm * (REF_PROBE_SPARK_S / observed_probe), 3)
     )
 
     total = round(sum(timings.values()), 3)
@@ -181,6 +207,8 @@ def main():
                 "queries_warm_spread": warm_spread,
                 "warm_repeats": repeats,
                 "value_warm_normalized": value_warm_normalized,
+                "probe_ratio": probe_ratio,
+                "probe_out_of_band": probe_out_of_band,
                 "probe_reference": {
                     "spark_range_agg_s": REF_PROBE_SPARK_S,
                     "numpy_matmul_s": REF_PROBE_NUMPY_S,

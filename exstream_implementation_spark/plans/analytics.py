@@ -205,12 +205,28 @@ def tpch_q18_large_orders(spark, sf_dir):
     )
 
 
-# --- catalog suite: the three TPC-H patterns canonicalized to one schema
-#     (branch, k1, k2, n, v1..v5) and unioned under one oracle — each branch
-#     keeps its own independently-optimized plan (Q1 scan-agg, Q5 broadcast
-#     dim chain, Q18 agg-before-join); the union itself is zero-shuffle.
-#     Dates canonicalize to epoch seconds (UTC-pinned session) so no
-#     cross-engine string formatting is in the hash. ---------------------------
+# cube oracle (the `cube` branch of tpch_suite below; Spark side is the
+# cube_agg function — all 4 grouping levels of (returnflag, linestatus) in
+# one pass, §2.2 scope row "grouping sets/cube/rollup" + grouping_id)
+_CUBE_DUCK = """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+
+# --- catalog suite: the three TPC-H patterns + the CUBE panel canonicalized
+#     to one schema (branch, k1, k2, n, v1..v5) and unioned under one oracle —
+#     each branch keeps its own independently-optimized plan (Q1 scan-agg,
+#     Q5 broadcast dim chain, Q18 agg-before-join, cube one Expand pass); the
+#     union itself is zero-shuffle.  Dates canonicalize to epoch seconds
+#     (UTC-pinned session) so no cross-engine string formatting is in the
+#     hash.  (cube folded in round 11 to bring agg_stats_suite /
+#     temporal_join_suite inside the driver's 50-entry window.) ---------------
 @query(
     "tpch_suite",
     oracle=f"""
@@ -229,6 +245,11 @@ def tpch_q18_large_orders(spark, sf_dir):
            o_totalprice AS v1, total_qty AS v2, CAST(0.0 AS DOUBLE) AS v3,
            CAST(0.0 AS DOUBLE) AS v4, CAST(0.0 AS DOUBLE) AS v5
     FROM ({_TPCH_Q18_DUCK})
+    UNION ALL
+    SELECT 'cube' AS branch, returnflag AS k1, linestatus AS k2, n,
+           sum_qty AS v1, CAST(gid AS DOUBLE) AS v2, CAST(0.0 AS DOUBLE) AS v3,
+           CAST(0.0 AS DOUBLE) AS v4, CAST(0.0 AS DOUBLE) AS v5
+    FROM ({_CUBE_DUCK})
     """,
 )
 def tpch_suite(spark, sf_dir):
@@ -262,24 +283,23 @@ def tpch_suite(spark, sf_dir):
         F.col("total_qty").alias("v2"),
         zero_d.alias("v3"), zero_d.alias("v4"), zero_d.alias("v5"),
     )
-    return q1.unionByName(q5).unionByName(q18)
+    cube = cube_agg(spark, sf_dir).select(
+        F.lit("cube").alias("branch"),
+        F.col("returnflag").alias("k1"),
+        F.col("linestatus").alias("k2"),
+        "n",
+        F.col("sum_qty").alias("v1"),
+        F.col("gid").cast("double").alias("v2"),
+        zero_d.alias("v3"), zero_d.alias("v4"), zero_d.alias("v5"),
+    )
+    return q1.unionByName(q5).unionByName(q18).unionByName(cube)
 
 
 # --- cube: all 4 grouping levels of (returnflag, linestatus) in one pass
 #     (§2.2 scope row "grouping sets/cube/rollup" — rollup_agg covers rollup;
-#     this covers cube + grouping_id) -----------------------------------------
-@query(
-    "cube_agg",
-    oracle="""
-    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
-           coalesce(l_linestatus, '<all>') AS linestatus,
-           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
-           count(*) AS n,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
+#     this covers cube + grouping_id).  Catalog slot merged into tpch_suite's
+#     `cube` branch (round 11, oracle = _CUBE_DUCK above); the function stays
+#     as package API + plan-shape test target. --------------------------------
 def cube_agg(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (

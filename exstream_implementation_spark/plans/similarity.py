@@ -572,11 +572,36 @@ def ann_ivf_trained_topk(
     return _rerank_candidates(cand, q, e)
 
 
-# --- catalog suite: both bucketed ANN strategies (LSH multiprobe + IVF-flat)
-#     under ONE oracle.  The two branches produce the identical output schema
-#     (query_id, neighbor_id, cosine, rank), so the union is a zero-shuffle
-#     UnionExec over two independently-planned searches — same evidence as two
-#     catalog slots, one driver-budget entry (round-2 consolidation pattern).
+# exact brute-force top-k oracle (the `brute` branch of ann_bucketed_topk;
+# Spark side is the Arrow-matmul kernel in ann_topk_cosine_vectorized)
+_ANN_BRUTE_DUCK = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.qemb, e.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(e.emb, e.emb))), 5) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+# --- catalog suite: all three ANN strategies (LSH multiprobe + IVF-flat +
+#     exact brute-force Arrow matmul) under ONE oracle.  The branches produce
+#     the identical output schema (query_id, neighbor_id, cosine, rank), so
+#     the union is a zero-shuffle UnionExec over three independently-planned
+#     searches — same evidence as three catalog slots, one driver-budget
+#     entry (round-2 consolidation pattern; brute folded in round 11 to bring
+#     agg_stats_suite/temporal_join_suite inside the driver's 50-entry
+#     correctness window — see docs/COVERAGE.md).
 def ann_bucketed_duck_sql(planes: int = N_PLANES) -> str:
     return f"""
     SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
@@ -584,6 +609,9 @@ def ann_bucketed_duck_sql(planes: int = N_PLANES) -> str:
     UNION ALL
     SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rank
     FROM ({_ANN_IVF_DUCK})
+    UNION ALL
+    SELECT 'brute' AS method, query_id, neighbor_id, cosine, rank
+    FROM ({_ANN_BRUTE_DUCK})
     """
 
 
@@ -613,7 +641,11 @@ def ann_bucketed_topk(spark, sf_dir):
     ivf = ann_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    return lsh.unionByName(ivf)
+    brute = ann_topk_cosine_vectorized(spark, sf_dir).select(
+        F.lit("brute").alias("method"),
+        "query_id", "neighbor_id", "cosine", "rank",
+    )
+    return lsh.unionByName(ivf).unionByName(brute)
 
 
 # --- embedding near-dup pairs (label-blocked) --------------------------------
@@ -729,27 +761,9 @@ def mass_profile_chunked(spark, sf_dir):
 #     the full n·q score matrix. Ranking uses round(cos, 5) as the sort key
 #     on BOTH engines: BLAS pairwise summation and DuckDB's left fold differ
 #     in the last ulp, and rank must not depend on sub-rounding noise. ------
-@query(
-    "ann_topk_cosine_vectorized",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
-    scored AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id,
-             round(list_dot_product(q.qemb, e.emb)
-               / (sqrt(list_dot_product(q.qemb, q.qemb))
-                  * sqrt(list_dot_product(e.emb, e.emb))), 5) AS cosine
-      FROM q JOIN e ON e.vec_id <> q.query_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, cosine,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
-    """,
-)
+# Catalog slot merged into ann_bucketed_topk's `brute` branch (round 11;
+# oracle = _ANN_BRUTE_DUCK above) — the function stays as package API and
+# as bench.py's direct headline entry.
 def ann_topk_cosine_vectorized(spark, sf_dir):
     import numpy as np
     import pandas as pd

@@ -247,7 +247,10 @@ def test_tpch_q18_aggregates_before_join(spark):
 
 def test_cube_single_expand_pass(spark):
     # CUBE = one Expand node feeding one aggregation, not 4 unioned scans
-    plan = plan_str(QUERIES["cube_agg"](spark, SF_DIR), mode="simple")
+    # (cube_agg is the `cube` branch of the tpch_suite catalog entry)
+    from exstream_implementation_spark.plans.analytics import cube_agg
+
+    plan = plan_str(cube_agg(spark, SF_DIR), mode="simple")
     assert plan.count("Expand") == 1
     assert "Union" not in plan
 

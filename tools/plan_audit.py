@@ -154,6 +154,24 @@ def _markers(plan: str) -> dict:
     }
 
 
+def _existing_rows(path: str) -> dict[str, str]:
+    """Parse the query rows out of a previously-written docs/PLANS.md so a
+    filtered `[names...]` run MERGES into the table instead of clobbering it
+    down to the audited subset (round-10 postmortem: a 1-name run left the
+    round-end plan evidence holding 1 of 52 rows)."""
+    try:
+        with open(path) as fh:
+            text = fh.read()
+    except OSError:
+        return {}
+    rows: dict[str, str] = {}
+    for line in text.splitlines():
+        m = re.match(r"\| ([A-Za-z_]\w*) \| \d", line)
+        if m:
+            rows[m.group(1)] = line
+    return rows
+
+
 def main():
     from exstream_implementation_spark.plans import QUERIES
     from exstream_implementation_spark.session import get_spark
@@ -217,12 +235,26 @@ def main():
         "scans | pushed | bounded-exchange note |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, m, _, note in rows:
-        lines.append(
+    out_path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "docs", "PLANS.md")
+    )
+    fresh = {
+        name: (
             f"| {name} | {m['exchanges']} | {m['single_part']} | {m['bhj']} "
             f"| {m['smj'] + m['shj']} | {m['bnlj']} | {m['codegen']} "
             f"| {m['scans']} | {m['pushed_nonempty']} | {note} |"
         )
+        for name, m, _, note in rows
+    }
+    # merge: audited rows refresh, unaudited rows carry over, rows for
+    # queries no longer in the catalog drop; registry order throughout
+    carried = _existing_rows(out_path) if len(names) < len(QUERIES) else {}
+    n_carried = 0
+    for name in QUERIES:
+        line = fresh.get(name) or carried.get(name)
+        if line:
+            n_carried += name not in fresh
+            lines.append(line)
     lines += [
         "",
         "Column notes: *shuffles* counts hash+range repartition exchanges in "
@@ -239,11 +271,10 @@ def main():
     if failures:
         lines.append("## FAILURES")
         lines += [f"- {f}" for f in failures]
-    out_path = os.path.join(os.path.dirname(__file__), "..", "docs", "PLANS.md")
-    with open(os.path.abspath(out_path), "w") as fh:
+    with open(out_path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(f"\nwrote docs/PLANS.md — {len(rows)} queries audited, "
-          f"{len(failures)} failures")
+    print(f"\nwrote docs/PLANS.md — {len(rows)} queries audited "
+          f"({n_carried} carried over), {len(failures)} failures")
     for f in failures:
         print(f"FAIL {f}")
     spark.stop()
