@@ -97,9 +97,21 @@ def persisted_rdd_count(spark) -> int:
     by Spark's ContextCleaner — released as soon as the referencing frame
     is garbage-collected — so they are a bounded, self-cleaning footprint,
     not an indefinitely-pinned leak this inventory is meant to catch.
-    Counting them made the post-suite hygiene gate flake on GC timing."""
+    Counting them made the post-suite hygiene gate flake on GC timing.
+    They are not invisible, though: ``persisted_rdd_census`` reports both
+    populations so a hygiene gate can still alert if the locally-
+    checkpointed count grows monotonically across queries (a leak of
+    retained references that ContextCleaner can never collect)."""
+    return persisted_rdd_census(spark)[0]
+
+
+def persisted_rdd_census(spark) -> tuple[int, int]:
+    """(pinned, locally_checkpointed) storage inventory — one JVM pass."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    return sum(
-        0 if jrdd.rdd().isLocallyCheckpointed() else 1
-        for jrdd in jmap.values()
-    )
+    pinned = local_ckpt = 0
+    for jrdd in jmap.values():
+        if jrdd.rdd().isLocallyCheckpointed():
+            local_ckpt += 1
+        else:
+            pinned += 1
+    return pinned, local_ckpt

@@ -224,11 +224,21 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
     the PIL-style convention for an output format without alpha."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
+
+    # every read below goes through this guard so a truncated stream
+    # raises the module's ValueError convention for malformed input, never
+    # a raw IndexError/struct.error from running off the buffer (r10 advice)
+    def _need(end: int) -> None:
+        if end > len(payload):
+            raise ValueError("truncated GIF stream")
+
+    _need(13)
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         gct_size = 2 << (flags & 0x7)
+        _need(pos + gct_size * 3)
         gct = np.frombuffer(payload, np.uint8, gct_size * 3, pos).reshape(-1, 3)
         pos += gct_size * 3
     bg_rgb = (
@@ -243,16 +253,22 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension
+            _need(pos + 3)
             label = payload[pos + 1]
             if label == 0xF9 and payload[pos + 2] >= 4:  # GCE
+                _need(pos + 7)
                 pf = payload[pos + 3]
                 disposal = (pf >> 2) & 0x7
                 transparent = payload[pos + 6] if pf & 0x1 else None
             pos += 2
-            while payload[pos] != 0:
+            while True:
+                _need(pos + 1)
+                if payload[pos] == 0:
+                    break
                 pos += 1 + payload[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
+            _need(pos + 10)
             left, top, fw, fh, iflags = struct.unpack_from(
                 "<HHHHB", payload, pos + 1
             )
@@ -262,6 +278,7 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             palette = gct
             if iflags & 0x80:  # local color table overrides for this frame
                 lct_size = 2 << (iflags & 0x7)
+                _need(pos + lct_size * 3)
                 palette = np.frombuffer(
                     payload, np.uint8, lct_size * 3, pos
                 ).reshape(-1, 3)
@@ -269,11 +286,16 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             if palette is None:
                 raise ValueError("GIF frame with neither global nor local "
                                  "color table")
+            _need(pos + 1)
             mcs = payload[pos]
             pos += 1
             data = bytearray()
-            while payload[pos] != 0:
+            while True:
+                _need(pos + 1)
                 ln = payload[pos]
+                if ln == 0:
+                    break
+                _need(pos + 1 + ln)
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1

@@ -78,14 +78,24 @@ def compact_bucketed_table(
     one file per bucket, rows sorted on the join keys — the co-located-
     join layout, freshly clustered after many small streaming appends.
     Returns the row count of the rewritten table.  The staging table is
-    written first and swapped in with a rename, so a failed rewrite
-    leaves the live table untouched."""
+    written first and swapped in with renames, so a failed rewrite
+    leaves the live table untouched.
+
+    Crash safety (the r10 review's swap-window finding): the swap is
+    rename-live-out → rename-staging-in → drop-old, never DROP-then-
+    RENAME — at no instant is the only copy of the data deleted.  A
+    crash between the two renames leaves the data under ``{table}_old``;
+    ``recover_compaction`` (called here on entry, and safe to call from
+    any reader) restores it to the live name.  Mirrors the
+    pointer-swap-last discipline of operators/snapshots.py."""
     from exstream_implementation_spark.operators.bucketing import (
         write_bucketed,
     )
 
-    staging = f"{table}_staging"
+    staging, old = f"{table}_staging", f"{table}_old"
+    recover_compaction(spark, table)
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
     n_buckets = (
         spark.sql(f"DESCRIBE EXTENDED {table}")
         .filter("col_name = 'Num Buckets'")
@@ -99,6 +109,20 @@ def compact_bucketed_table(
         sort_cols=list(keys),
     )
     n = spark.table(staging).count()
-    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
     return n
+
+
+def recover_compaction(spark: SparkSession, table: str) -> bool:
+    """Restore ``table`` if a previous compaction crashed between its two
+    renames (live name unbound, data parked under ``{table}_old``).
+    Returns True when a recovery rename was performed.  No-op in every
+    other state: live-present (old, if any, is a completed swap's
+    leftover — compaction drops it on entry) or both-absent."""
+    old = f"{table}_old"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(old):
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        return True
+    return False

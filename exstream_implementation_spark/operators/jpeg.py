@@ -1079,6 +1079,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(f"scan references unknown component {cid}")
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah_al = body[3 + 2 * ns]
+            # scan-header conformance (T.81 §B.2.3): an AC scan (Ss>0)
+            # carries exactly one component — a multi-component AC scan
+            # would otherwise fall into the interleaved-MCU path with one
+            # shared EOB run and silently misdecode; spectral band and
+            # successive-approximation fields are range-checked too
+            if ss > 0 and ns > 1:
+                raise ValueError(
+                    f"non-conformant progressive scan: Ss={ss} with "
+                    f"Ns={ns} components (AC scans must have Ns=1)"
+                )
+            if not (0 <= ss <= se <= 63):
+                raise ValueError(f"invalid spectral band Ss={ss} Se={se}")
+            if (ah_al >> 4) > 13 or (ah_al & 0xF) > 13:
+                raise ValueError(
+                    f"invalid successive approximation Ah/Al=0x{ah_al:02x}"
+                )
             data_start = pos + 2 + ln
             # memoryview: ten-scan progressive streams would otherwise
             # copy the remaining file tail once per scan

@@ -960,9 +960,15 @@ TFIDF_MAX_DF = 0.9
     "tfidf_top_terms",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id,
-             unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
-      FROM documents
+      -- empty-token filter on BOTH sides: for edge whitespace DuckDB's
+      -- regexp_split_to_array keeps ''-tokens where Spark's split drops
+      -- them — the parity must not depend on the corpus never emitting
+      -- leading/trailing whitespace (r10 advice)
+      SELECT doc_id, term
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+            FROM documents)
+      WHERE term <> ''
     ),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
     n AS (SELECT count(*) AS n FROM documents),
@@ -1009,6 +1015,9 @@ def tfidf_top_terms(spark, sf_dir):
     )
     tf = (
         d.select("doc_id", F.explode("toks").alias("term"))
+        # mirror of the oracle's ''-token filter (edge-whitespace parity):
+        # Spark split drops a trailing '' but KEEPS a leading one
+        .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )

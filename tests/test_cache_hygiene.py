@@ -37,9 +37,14 @@ def test_local_checkpoints_not_counted_as_leaks(spark):
     whenever an earlier test exercised ``idempotent_append``'s fence."""
     cache.release_tracked()
     base = cache.persisted_rdd_count(spark)
+    base_ckpt = cache.persisted_rdd_census(spark)[1]
     ckpt = spark.range(100).localCheckpoint()
     assert ckpt.count() == 100
     assert cache.persisted_rdd_count(spark) == base
+    # ...but the census still SEES it, so a gate can alert on a
+    # monotonically-growing locally-checkpointed population (references
+    # retained past the query are invisible to ContextCleaner)
+    assert cache.persisted_rdd_census(spark)[1] == base_ckpt + 1
     pinned = spark.range(50).persist()
     pinned.count()
     assert cache.persisted_rdd_count(spark) == base + 1

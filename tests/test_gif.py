@@ -251,3 +251,20 @@ def test_transparent_index_beyond_palette_is_legal():
     out2.append(0x3B)
     with pytest.raises(ValueError):
         decode_gif(bytes(out2))
+
+
+def test_truncated_streams_raise_valueerror():
+    """Every mid-structure truncation point must surface as the module's
+    ValueError convention for malformed input, never a raw IndexError or
+    struct.error from running off the buffer (r10 advice)."""
+    rng = np.random.default_rng(5)
+    frames = [PALETTE[rng.integers(0, 256, (13, 17))] for _ in range(2)]
+    payload = encode_gif(frames)
+    # drop the trailer so truncations inside the last block aren't masked
+    body = payload[:-1]
+    for cut in range(4, len(body)):
+        try:
+            decode_gif(body[:cut])
+        except ValueError:
+            pass  # the only acceptable failure mode
+        # a prefix that still holds >=1 complete frame may decode fine

@@ -467,3 +467,46 @@ def test_sequential_scan_rejects_progressive_eobn():
     out += b"\xff\xd9"
     with pytest.raises(ValueError, match="bad AC symbol"):
         decode_jpeg(bytes(out))
+
+
+def test_rejects_nonconformant_progressive_scan_headers():
+    """T.81 §B.2.3: an AC scan (Ss>0) carries exactly one component; Ss/Se
+    must be an ascending band within 0..63; Ah/Al fit in 13 bits of
+    point-transform.  A multi-component AC scan used to fall into the
+    interleaved-MCU path with one shared EOB state and silently misdecode —
+    it must be rejected instead."""
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    pb = encode_jpeg(img, progressive=True)
+
+    def sos_offsets(b):
+        offs, p = [], 0
+        while True:
+            p = b.find(b"\xff\xda", p)
+            if p < 0:
+                return offs
+            offs.append(p)
+            p += 2
+
+    first = sos_offsets(pb)[0]  # DC scan: Ns=3 interleaved, Ss=0
+    ns = pb[first + 4]
+    assert ns == 3
+    ss_at = first + 4 + 1 + 2 * ns
+    bad = bytearray(pb)
+    bad[ss_at] = 1  # claim a multi-component AC scan
+    with pytest.raises(ValueError, match="Ns=1"):
+        decode_jpeg(bytes(bad))
+
+    # descending spectral band (Se < Ss) on a genuine single-component scan
+    ac = next(o for o in sos_offsets(pb) if pb[o + 4] == 1)
+    ss_ac = ac + 4 + 1 + 2
+    assert pb[ss_ac] > 0
+    bad2 = bytearray(pb)
+    bad2[ss_ac + 1] = 0  # Se = 0 < Ss
+    with pytest.raises(ValueError, match="spectral band"):
+        decode_jpeg(bytes(bad2))
+
+    # successive-approximation nibble out of range
+    bad3 = bytearray(pb)
+    bad3[ss_ac + 2] = 0xEE  # Ah=14, Al=14
+    with pytest.raises(ValueError, match="successive approximation"):
+        decode_jpeg(bytes(bad3))
