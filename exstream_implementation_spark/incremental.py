@@ -1026,3 +1026,118 @@ def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
         keep = max(1, newest - state["versions"][name] + 1)
         vacuum(root, keep=keep)
     return new_state
+
+
+def extend_prep_tokenizer(
+    spark: SparkSession,
+    state_path: str,
+    new_state_path: str,
+    docs: DataFrame,
+    n_new_merges: int,
+    sample_fraction: float = 1.0,
+    text_col: str = "text",
+) -> dict:
+    """The cheap remedy when ``prep_state_is_stale`` trips on the
+    tokenizer: continue Sennrich training from the FROZEN merge list on
+    (a capped sample of) the drifted text (``operators.bpe.extend_merges``)
+    and commit the result as a NEW state root at ``new_state_path``.
+
+    What changes vs the old root: ``merges.json`` (frozen prefix preserved
+    verbatim + up to ``n_new_merges`` appended merges) and the artifact
+    baseline (recomputed over ``docs`` under the extended merges, so the
+    staleness gate measures future drift against the refreshed fit).  What
+    does NOT change: every membership log, snapshot table, id fence and
+    config — the dedup/cap/mix equivalence contract continues unbroken,
+    because extending the tokenizer does not alter which documents survive.
+
+    **Re-tokenization boundary (the documented cost):** output shards
+    written under the OLD root were tokenized with the frozen merges;
+    increments under the new root use the extended list, and drifted words
+    may now segment differently.  Training jobs must treat the new root as
+    a new tokenizer VERSION — either re-tokenize old shards (text is
+    preserved; tokenization is derived) or keep per-root token streams
+    separate.  That boundary is exactly why this commits a new root
+    instead of mutating the old one in place.
+
+    ``sample_fraction`` < 1 trains on a deterministic hash-Bernoulli
+    sample of ``docs`` (the train_pq convention) — merge statistics need a
+    representative sample, not the batch.  The old root is untouched and
+    remains valid.  State tables are carried over with a filesystem copy
+    (local-fs state roots; an object-store deployment would server-side
+    copy or snapshot instead) and the new ``_STATE.json`` commits last, so
+    a crash mid-copy leaves no readable half-state under the new root.
+
+    Determinism: extend_merges inherits bpe_train's deterministic
+    tie-break, and the hash sample is seed-fixed — identical inputs
+    produce an identical extended list.
+
+    Returns {state, merges, artifact_baseline}.
+    """
+    import shutil
+
+    from exstream_implementation_spark.operators.bpe import extend_merges
+
+    state = read_state(state_path)
+    if os.path.exists(_state_path(new_state_path)):
+        raise ValueError(
+            f"prep state already committed under {new_state_path}"
+        )
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(
+            f"sample_fraction must be in (0, 1]: {sample_fraction}"
+        )
+    sample = docs
+    if sample_fraction < 1.0:
+        sample = docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(0)), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
+        if sample.select(text_col).first() is None:
+            raise ValueError(
+                "extend_prep_tokenizer: sample_fraction selected zero docs"
+            )
+
+    merges = load_merges(os.path.join(state_path, "merges.json"))
+    extended = extend_merges(
+        sample, merges, n_new_merges, text_col=text_col
+    )
+
+    # carry the state tables over, then commit the new pointer LAST
+    os.makedirs(new_state_path, exist_ok=True)
+    for entry in os.listdir(state_path):
+        if entry == _STATE_FILE or entry.startswith(f".{_STATE_FILE}"):
+            continue
+        src = os.path.join(state_path, entry)
+        dst = os.path.join(new_state_path, entry)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
+    save_merges(extended, os.path.join(new_state_path, "merges.json"))
+
+    lm = None
+    if all(state["versions"].get(t) is not None for t in _LM_TABLES):
+        lm = {
+            key: read_version(
+                spark,
+                os.path.join(new_state_path, table),
+                state["versions"][table],
+            )
+            for table, key in _LM_TABLES.items()
+        }
+    baseline = _artifact_stats(sample, extended, lm, text_col=text_col)
+    new_state = {
+        **state,
+        "artifact_baseline": baseline,
+        # future increments' drift is judged against the refreshed fit
+        "increment_artifact_stats": [],
+        "tokenizer_extended_from": os.path.abspath(state_path),
+        "n_frozen_merges": len(merges),
+        "n_extended_merges": len(extended),
+    }
+    _write_state(new_state_path, new_state)
+    return {
+        "state": new_state,
+        "merges": extended,
+        "artifact_baseline": baseline,
+    }

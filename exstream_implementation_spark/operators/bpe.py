@@ -107,6 +107,19 @@ def bpe_train(
     Returns the ordered merge list — order IS the merge priority."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive: {n_merges}")
+    return _greedy_merges(
+        _initial_symbols(word_counts(docs, text_col)),
+        n_merges,
+        checkpoint_every,
+    )
+
+
+def _greedy_merges(
+    symbols: DataFrame,
+    n_merges: int,
+    checkpoint_every: int,
+) -> list[tuple[str, str]]:
+    """The Sennrich loop over a prepared ``(count, syms)`` table."""
     # localCheckpoint pins an RDD that DataFrame.unpersist does NOT release
     # (only the async ContextCleaner frees it, after GC) — so this job
     # releases its own checkpoint RDDs explicitly on exit instead of
@@ -114,9 +127,9 @@ def bpe_train(
     # The ownership diff is taken around EACH eager checkpoint call, never
     # entry-to-exit: a whole-function diff would also sweep caches other
     # threads pinned on the shared context while training ran.
-    jsc = docs.sparkSession.sparkContext._jsc
+    jsc = symbols.sparkSession.sparkContext._jsc
     own_checkpoint_ids: set = set()
-    symbols = _initial_symbols(word_counts(docs, text_col)).persist()
+    symbols = symbols.persist()
     merges: list[tuple[str, str]] = []
     try:
         for i in range(n_merges):
@@ -149,6 +162,44 @@ def bpe_train(
             if rid in own_checkpoint_ids:
                 leftover.get(rid).unpersist(False)
     return merges
+
+
+def extend_merges(
+    docs: DataFrame,
+    merges: list,
+    n_new_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Warm-start continuation of a FROZEN merge list on new text — the
+    cheap remedy when ``incremental.prep_state_is_stale`` trips on a
+    drifted batch, between "keep segmenting toward characters" and a
+    cold full retrain.
+
+    The new corpus's (word, count) table is segmented under the frozen
+    ranks first (the identical ``_encode_word`` the deployed ``apply_bpe``
+    runs — the continuation optimizes the segmentation the encoder
+    actually produces), then the greedy loop appends up to
+    ``n_new_merges`` merges.  The frozen prefix is preserved verbatim, so
+    every previously-learned token keeps its identity and rank; only NEW
+    vocabulary appears.  Extending still changes how drifted words
+    segment, so the caller must publish the result as a NEW state root /
+    tokenizer version and re-tokenize downstream consumers — see
+    ``incremental.extend_prep_tokenizer`` for that boundary.
+    """
+    if n_new_merges <= 0:
+        raise ValueError(f"n_new_merges must be positive: {n_new_merges}")
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _encode_word(w, ranks))
+
+    symbols = word_counts(docs, text_col).select(
+        "count", seg("word").alias("syms")
+    )
+    new = _greedy_merges(symbols, n_new_merges, checkpoint_every)
+    return [tuple(p) for p in merges] + new
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

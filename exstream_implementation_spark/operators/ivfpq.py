@@ -54,6 +54,40 @@ from exstream_implementation_spark.operators.pq import (
 _RESIDUAL = "zip_with(embedding, cemb, (x, y) -> cast(x as double) - y)"
 
 
+def _rotate_frame(vecs: DataFrame, rotation: np.ndarray,
+                  mean: np.ndarray) -> DataFrame:
+    """(vec_id, embedding) → same schema, embedding := (x - mean) @ R.
+    Arrow-batched matmul via the shared PCA transform."""
+    from exstream_implementation_spark.operators.pca import (
+        PCAModel,
+        transform_pca,
+    )
+
+    ones = np.ones(rotation.shape[1])
+    rot_model = PCAModel(mean=mean, components=rotation,
+                         eigvals=ones, explained_ratio=ones)
+    return transform_pca(
+        vecs.select("vec_id", "embedding"), rot_model,
+        vec_col="embedding", out_col="__rot",
+    ).select("vec_id", F.col("__rot").alias("embedding"))
+
+
+def _load_rotation(
+    spark: SparkSession, name: str
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """The persisted OPQ pre-rotation, or (None, None) for a plain-PQ
+    index (also the shape every pre-r11 persisted index loads as)."""
+    if not spark.catalog.tableExists(f"{name}_rotation"):
+        return None, None
+    rows = {r["idx"]: r["vals"]
+            for r in spark.table(f"{name}_rotation").collect()}
+    mean = np.array(rows.pop(-1), dtype=np.float64)
+    rotation = np.array(
+        [rows[i] for i in sorted(rows)], dtype=np.float64
+    )
+    return rotation, mean
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     vecs: DataFrame,
@@ -63,9 +97,48 @@ def build_ivfpq_index(
     ksub: int = 16,
     max_iter: int = 5,
     n_buckets: int = 16,
+    opq: bool = False,
 ) -> dict:
     """Train coarse cells + residual PQ and persist the three tables.
-    Returns {n_vectors, k_effective, dim, m, code_bytes, raw_bytes}."""
+    Returns {n_vectors, k_effective, dim, m, code_bytes, raw_bytes}.
+
+    ``opq=True`` trains ONE parametric-OPQ pre-rotation (PCA basis with
+    balanced eigenvalue allocation — operators/pq.py's
+    `_balanced_eig_permutation`, the faiss OPQ init) on the input and
+    applies it BEFORE coarse assignment, so cells, residuals and the
+    residual codebooks all live in the rotated frame (the faiss
+    "OPQ<m>,IVF<k>,PQ<m>" pre-transform composition).  The rotation is
+    orthonormal, so rotated-space L2 == original-space L2: probe results
+    rank identically to an un-rotated index in the exact limit, and
+    recall gates against original-space ground truth stay valid.  The
+    rotation+mean persist in ``{name}_rotation``; probe and append load
+    and apply it transparently."""
+    rotation = mean = None
+    if opq:
+        from exstream_implementation_spark.operators.pca import fit_pca
+        from exstream_implementation_spark.operators.pq import (
+            _balanced_eig_permutation,
+        )
+
+        head = vecs.select("embedding").first()
+        d = len(head["embedding"])
+        if d % m != 0:
+            raise ValueError(f"build_ivfpq_index: dim {d} not divisible by m={m}")
+        pca = fit_pca(vecs, vec_col="embedding", k=d)
+        perm = _balanced_eig_permutation(pca.eigvals, m, d // m)
+        rotation, mean = pca.components[:, perm], pca.mean
+        vecs = _rotate_frame(vecs, rotation, mean)
+        rot_rows = [(-1, [float(v) for v in mean])] + [
+            (i, [float(v) for v in rotation[i]]) for i in range(d)
+        ]
+        spark.createDataFrame(
+            rot_rows, "idx int, vals array<double>"
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            f"{name}_rotation"
+        )
+    else:
+        # a rebuild without opq must not leave a stale rotation behind
+        spark.sql(f"DROP TABLE IF EXISTS {name}_rotation")
     cents, _hist = kmeans_train(vecs, k=k_cells, max_iter=max_iter)
     cents.write.mode("overwrite").format("parquet").saveAsTable(
         f"{name}_centroids"
@@ -132,6 +205,9 @@ def append_to_ivfpq_index(
     the raw-vector index."""
     cents_b = F.broadcast(spark.table(f"{name}_centroids"))
     model = load_pq_model(spark, name)
+    rotation, mean = _load_rotation(spark, name)
+    if rotation is not None:
+        new_vecs = _rotate_frame(new_vecs, rotation, mean)
     assigned = (
         _assign(new_vecs, cents_b)
         .select("cell", "vec_id", "embedding")
@@ -208,6 +284,11 @@ def probe_ivfpq_index(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, adist double, rank int"
         )
+    # an OPQ index lives in its rotated frame: rotate the queries into it
+    # (orthonormal, so ADC distances remain original-space L2 estimates)
+    rotation, mean = _load_rotation(spark, name)
+    if rotation is not None:
+        q = (q - mean) @ rotation
     model = load_pq_model(spark, name)
     m, dsub = model.m, model.dsub
     cent_rows = spark.table(f"{name}_centroids").collect()  # k x dim, bounded

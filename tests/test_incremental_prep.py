@@ -607,3 +607,85 @@ def test_prep_state_is_stale_lm_and_missing_baseline():
         {"bpe_tokens_per_word": 4.5, "lm_mean_nll": 3.5}
     ]
     assert not prep_state_is_stale(st)["stale"]
+
+
+def test_extend_tokenizer_refreshes_stale_state(spark, tmp_path):
+    """The warm-refresh remedy (r11): after the staleness gate trips, a
+    Sennrich continuation from the frozen merge list on the drifted batch
+    must (a) preserve the frozen prefix verbatim, (b) bring tokens/word on
+    the drifted text back under the staleness threshold, (c) commit a new
+    state root that accepts further increments while the old root stays
+    untouched, and (d) be deterministic."""
+    from exstream_implementation_spark.incremental import (
+        extend_prep_tokenizer,
+        prep_state_is_stale,
+    )
+    from exstream_implementation_spark.operators.bpe import (
+        extend_merges,
+        load_merges,
+    )
+
+    cfg = CorpusPrepConfig(
+        min_tokens=4, min_stop_ratio=0.1, substring_k=40, substring_mod=None,
+        bpe_merges=12, chunk_len=8, pack_capacity=16, pack_groups=2,
+        n_shards=2,
+    )
+    b1 = spark.createDataFrame(
+        [(i, f"{STOPFUL} steady prose about rivers and stones {i}", "s")
+         for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    state = str(tmp_path / "state")
+    init_prep_state(b1, state, cfg=cfg)
+    base_tw = read_state(state)["artifact_baseline"]["bpe_tokens_per_word"]
+
+    shifted_docs = [
+        (30 + i, " ".join("zqxvkwjzqxvk" + str(j) for j in range(12)), "s")
+        for i in range(4)
+    ]
+    b3 = spark.createDataFrame(
+        shifted_docs, "doc_id long, text string, source string"
+    )
+    prepare_increment(b3, state)
+    assert prep_state_is_stale(read_state(state))["stale"]
+    tw_frozen = read_state(state)["increment_artifact_stats"][-1][
+        "bpe_tokens_per_word"
+    ]
+
+    state2 = str(tmp_path / "state_v2")
+    res = extend_prep_tokenizer(spark, state, state2, b3, n_new_merges=40)
+    frozen = load_merges(os.path.join(state, "merges.json"))
+    extended = res["merges"]
+    # (a) frozen prefix preserved verbatim — token identities survive
+    assert [tuple(m) for m in extended[: len(frozen)]] == [
+        tuple(m) for m in frozen
+    ]
+    assert len(extended) > len(frozen)
+    # (b) drifted text now segments below the gate's threshold
+    tw_new = res["artifact_baseline"]["bpe_tokens_per_word"]
+    assert tw_new < tw_frozen
+    assert tw_new <= base_tw * 1.25
+    # the refreshed root starts with a clean verdict
+    st2 = read_state(state2)
+    assert not prep_state_is_stale(st2)["stale"]
+    assert st2["n_frozen_merges"] == len(frozen)
+    persisted = load_merges(os.path.join(state2, "merges.json"))
+    assert [tuple(m) for m in persisted] == [tuple(m) for m in extended]
+    # (c) old root untouched and still readable; new root takes increments
+    assert prep_state_is_stale(read_state(state))["stale"]
+    b4 = spark.createDataFrame(
+        [(50, " ".join("zqxvkwjzqxvk" + str(j) for j in range(12)), "s")],
+        "doc_id long, text string, source string",
+    )
+    s4 = prepare_increment(b4, state2)
+    assert s4["state"]["n_increments"] == read_state(state)["n_increments"] + 1
+    # the in-domain-for-v2 batch no longer trips the refreshed gate
+    assert not prep_state_is_stale(read_state(state2))["stale"]
+    # (d) determinism of the continuation itself
+    again = extend_prep_tokenizer(
+        spark, state, str(tmp_path / "state_v3"), b3, n_new_merges=40
+    )["merges"]
+    assert [tuple(m) for m in again] == [tuple(m) for m in extended]
+    # and the raw operator agrees with itself on a re-run
+    direct = extend_merges(b3, frozen, 40)
+    assert [tuple(m) for m in direct] == [tuple(m) for m in extended]

@@ -14,7 +14,7 @@ from exstream_implementation_spark.operators.ivfpq import (
 from exstream_implementation_spark.sources import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
-_SUFFIXES = ("centroids", "codebooks", "codes", "meta")
+_SUFFIXES = ("centroids", "codebooks", "codes", "meta", "rotation")
 
 
 @pytest.fixture()
@@ -173,3 +173,124 @@ def test_empty_queries(spark, fresh_index_name):
         spark, fresh_index_name, np.zeros((0, 32)), np.zeros(0, dtype=np.int64)
     )
     assert out.count() == 0
+
+# --- OPQ pre-rotation threaded through the composed index (r11) ---------------
+def test_opq_exhaustive_probe_matches_numpy_adc(spark, fresh_index_name):
+    """Same exactness contract as the plain index, with the persisted
+    rotation applied everywhere: nprobe==all probing of an opq=True index
+    must equal a numpy ADC pass computed in the ROTATED frame (centroids,
+    codes and codebooks all live there; queries are rotated on entry)."""
+    from exstream_implementation_spark.operators.ivfpq import _load_rotation
+
+    df, x, _ = _planted(spark)
+    stats = build_ivfpq_index(
+        spark, df, fresh_index_name, k_cells=4, m=8, ksub=8, opq=True
+    )
+    rotation, mean = _load_rotation(spark, fresh_index_name)
+    assert rotation is not None and rotation.shape == (32, 32)
+    # orthonormal: R @ R.T == I
+    np.testing.assert_allclose(rotation @ rotation.T, np.eye(32), atol=1e-9)
+    model = load_pq_model(spark, fresh_index_name)
+    cents = {
+        r["cell"]: np.array(r["cemb"])
+        for r in spark.table(f"{fresh_index_name}_centroids").collect()
+    }
+    codes = spark.table(f"{fresh_index_name}_codes").collect()
+    q = x[:3]
+    got = probe_ivfpq_index(
+        spark, fresh_index_name, q, np.arange(3), nprobe=stats["k_effective"],
+        k_neighbors=7,
+    ).collect()
+    q_rot = (q - mean) @ rotation
+    for qi in range(3):
+        scored = []
+        for r in codes:
+            resid = q_rot[qi] - cents[r["cell"]]
+            dist = 0.0
+            for i in range(model.m):
+                sub = resid[i * model.dsub:(i + 1) * model.dsub]
+                dist += float(
+                    np.sum((model.codebooks[i][r["code"][i]] - sub) ** 2)
+                )
+            if r["vec_id"] != qi:
+                scored.append((round(dist, 6), r["vec_id"]))
+        want = sorted(scored)[:7]
+        mine = sorted(
+            ((r["adist"], r["neighbor_id"]) for r in got if r["query_id"] == qi)
+        )
+        assert [(pytest.approx(d, abs=1e-9), v) for d, v in want] == mine
+
+
+def _planted_anisotropic(spark, n=500, d=32, seed=17):
+    """Variance concentrated in a few rotated directions — the regime
+    where plain PQ's axis-aligned subspaces waste bits and OPQ's balanced
+    rotation must win."""
+    rng = np.random.default_rng(seed)
+    scales = np.concatenate([np.full(4, 10.0), np.full(d - 4, 0.3)])
+    basis, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    x = (rng.normal(size=(n, d)) * scales) @ basis.T
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    return df, x
+
+
+def test_opq_recall_beats_plain_on_anisotropic(spark, fresh_index_name):
+    """End-to-end through the COMPOSED index (coarse cells + residual
+    codebooks + probe), nprobe == all so the comparison isolates the
+    quantizer: the OPQ index must reach recall@5 >= 0.8 on anisotropic
+    data and beat the plain index (r10 measured 0.55 -> 0.81 at 4k via
+    raw PQ; this pins the same win through build_ivfpq_index)."""
+    df, x = _planted_anisotropic(spark)
+    nq = 10
+    truth = []
+    for qi in range(nq):
+        dist = np.sum((x - x[qi]) ** 2, axis=1)
+        dist[qi] = np.inf  # probe never returns self
+        truth.append(set(np.argsort(dist, kind="stable")[:5].tolist()))
+    recalls = {}
+    for opq in (False, True):
+        stats = build_ivfpq_index(
+            spark, df, fresh_index_name, k_cells=4, m=8, ksub=16, opq=opq
+        )
+        got = probe_ivfpq_index(
+            spark, fresh_index_name, x[:nq], np.arange(nq),
+            nprobe=stats["k_effective"], k_neighbors=5,
+        ).collect()
+        by_q: dict[int, set] = {}
+        for r in got:
+            by_q.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+        recalls[opq] = sum(
+            len(by_q.get(qi, set()) & truth[qi]) for qi in range(nq)
+        ) / (5 * nq)
+    assert recalls[True] >= 0.8
+    assert recalls[True] > recalls[False]
+    # the opq=False rebuild on the same name must have dropped the rotation
+    # (the loop above built opq=True FIRST? build order is False then True)
+    assert spark.catalog.tableExists(f"{fresh_index_name}_rotation")
+
+
+def test_opq_append_goes_through_rotation(spark, fresh_index_name):
+    """Appended vectors must be rotated before assignment/encoding: an
+    appended near-copy of a corpus vector must come back as its nearest
+    neighbor, and a rebuild without opq must drop the rotation table."""
+    from exstream_implementation_spark.operators.ivfpq import (
+        append_to_ivfpq_index,
+    )
+
+    df, x, _ = _planted(spark)
+    build_ivfpq_index(
+        spark, df, fresh_index_name, k_cells=4, m=8, ksub=8, opq=True
+    )
+    near = spark.createDataFrame(
+        [(9000, [float(v) for v in x[7]])], "vec_id long, embedding array<float>"
+    )
+    assert append_to_ivfpq_index(spark, fresh_index_name, near) == 1
+    got = probe_ivfpq_index(
+        spark, fresh_index_name, x[7:8], np.array([7]), nprobe=4, k_neighbors=1
+    ).collect()
+    assert got and got[0]["neighbor_id"] == 9000
+    # plain rebuild clears the persisted rotation
+    build_ivfpq_index(spark, df, fresh_index_name, k_cells=4, m=8, ksub=8)
+    assert not spark.catalog.tableExists(f"{fresh_index_name}_rotation")

@@ -162,6 +162,45 @@ def main() -> None:
         )
         aniso[f"{label}_vs_exact_l2"] = round(hits / (K * len(qa)), 3)
     report["recall_at_5_anisotropic_4k"] = aniso
+
+    # --- the COMPOSED index: IVF-PQ with/without the threaded rotation ----
+    # nprobe == all cells so the comparison isolates the residual
+    # quantizer; probe excludes self, so the ground truth does too.
+    from exstream_implementation_spark.operators.ivfpq import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    truth_noself = []
+    for qi in range(len(qa)):
+        dd = np.sum((xa - qa[qi]) ** 2, axis=1)
+        dd[qi] = np.inf
+        truth_noself.append(set(np.argsort(dd, kind="stable")[:K].tolist()))
+    ivf_rows = {}
+    tname = "t_cf_ivfpq"
+    for label, opq in (("ivfpq_m8", False), ("ivfpq_opq_m8", True)):
+        t0 = time.time()
+        stats = build_ivfpq_index(
+            spark, dfa, tname, k_cells=16, m=8, ksub=16, opq=opq
+        )
+        report["wall_s"][f"{label}_build"] = round(time.time() - t0, 2)
+        got = probe_ivfpq_index(
+            spark, tname, qa, qa_ids, nprobe=stats["k_effective"],
+            k_neighbors=K,
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(int(r["query_id"]), set()).add(
+                int(r["neighbor_id"])
+            )
+        hits = sum(
+            len(by_q.get(qi, set()) & truth_noself[qi])
+            for qi in range(len(qa))
+        )
+        ivf_rows[f"{label}_vs_exact_l2"] = round(hits / (K * len(qa)), 3)
+    for sfx in ("centroids", "codebooks", "codes", "meta", "rotation"):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}_{sfx}")
+    report["recall_at_5_anisotropic_4k_ivfpq_nprobe_all"] = ivf_rows
     dfa.unpersist()
 
     with open(OUT, "w") as fh:
