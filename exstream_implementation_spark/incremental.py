@@ -100,6 +100,22 @@ _STATE_FILE = "_STATE.json"
 # crashed increment's orphan batch dir is invisible and a retry's
 # mode=overwrite write is idempotent.
 _LOGS = ("hashes", "anchors")
+# the membership logs each carry a persisted Bloom sidecar (state["bloom"])
+# so an increment's "is this key in ALL prior batches?" checks do not pay
+# an O(state) log-stream per increment (the r10 §7c linear component):
+#   * init / compaction write the filter in DENSE chunk form
+#     ({name}_bloom/chunks, operators/bloom.bloom_chunks — driver assembly
+#     reads <= m/8 bytes, never O(items));
+#   * each increment appends a SPARSE delta ({name}_bloom/pos:
+#     (chunk_id, array<local bit positions>) — O(batch) write/read);
+#   * assembly is session-cached per (state_path, log): a long-lived
+#     writer ORs in only each new delta, and probes the batch keys against
+#     the broadcast bitmap.  "Definitely absent" keys skip the log
+#     entirely; "maybe" keys go through the EXACT log join (so a false
+#     positive costs a few joined rows, never a wrong answer — equivalence
+#     is bloom-independent).  Legacy states without the sidecar fall back
+#     to the full log join.
+_BLOOM_CACHE: dict = {}
 # small / write-once state keeps the versioned-snapshot form
 # (operators/snapshots.py): per-source counts are source-cardinality-sized
 # and need the summed union; the LM tables are frozen at init.
@@ -245,6 +261,139 @@ def _read_log(
     )
 
 
+def _bloom_build_chunks(
+    df: DataFrame, col: str, meta: dict, root: str, dirname: str
+) -> str:
+    """Dense chunk-form filter over ``df[col]`` (init / compaction)."""
+    from exstream_implementation_spark.operators.bloom import bloom_chunks
+
+    chunks = bloom_chunks(
+        df, col, meta["m_bits"], meta["k_hashes"], meta["seed"]
+    )
+    return _append_log(chunks, root, f"{meta['name']}_bloom/chunks", dirname)
+
+
+def _bloom_append_delta(
+    df: DataFrame, col: str, meta: dict, root: str, dirname: str
+) -> str:
+    """Sparse position-delta for one batch's keys — O(batch) rows:
+    (chunk_id, array<chunk-local bit position>)."""
+    from exstream_implementation_spark.operators.bloom import (
+        CHUNK_BITS,
+        _positions,
+    )
+
+    pos = df.select(
+        F.explode(
+            _positions(col, meta["m_bits"], meta["k_hashes"], meta["seed"])
+        ).alias("p")
+    ).distinct()
+    delta = pos.select(
+        (F.col("p") / CHUNK_BITS).cast("int").alias("chunk_id"),
+        (F.col("p") % CHUNK_BITS).cast("int").alias("lp"),
+    ).groupBy("chunk_id").agg(F.collect_list("lp").alias("pos"))
+    return _append_log(delta, root, f"{meta['name']}_bloom/pos", dirname)
+
+
+def _assemble_bloom(spark: SparkSession, state_path: str, meta: dict):
+    """Session-cached incremental bitmap assembly → BloomFilter.  A warm
+    writer pays only each new delta (O(batch)); a cold session pays one
+    chunk-log read bounded by m/8 bytes plus the accrued deltas."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.bloom import (
+        CHUNK_BITS,
+        BloomFilter,
+        _CHUNK_BYTES,
+    )
+
+    name = meta["name"]
+    key = (os.path.abspath(state_path), name)
+    chunk_dirs, pos_dirs = set(meta["chunk_dirs"]), set(meta["pos_dirs"])
+    cached = _BLOOM_CACHE.get(key)
+    if (
+        cached
+        and cached["m_bits"] == meta["m_bits"]
+        and cached["chunk_dirs"] <= chunk_dirs
+        and cached["pos_dirs"] <= pos_dirs
+    ):
+        bits = cached["bits"]
+        new_chunks = chunk_dirs - cached["chunk_dirs"]
+        new_pos = pos_dirs - cached["pos_dirs"]
+    else:  # cold, or the state was compacted/re-sized: rebuild
+        bits = np.zeros(meta["m_bits"] // 8, dtype=np.uint8)
+        new_chunks, new_pos = chunk_dirs, pos_dirs
+    if new_chunks:
+        it = _read_log(
+            spark, state_path, f"{name}_bloom/chunks", sorted(new_chunks)
+        ).toLocalIterator()
+        for row in it:
+            start = row["chunk_id"] * _CHUNK_BYTES
+            arr = np.frombuffer(row["bits"], dtype=np.uint8)
+            bits[start : start + len(arr)] |= arr
+    if new_pos:
+        it = _read_log(
+            spark, state_path, f"{name}_bloom/pos", sorted(new_pos)
+        ).toLocalIterator()
+        for row in it:
+            p = np.asarray(row["pos"], dtype=np.int64) + (
+                row["chunk_id"] * CHUNK_BITS
+            )
+            np.bitwise_or.at(
+                bits, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
+            )
+    _BLOOM_CACHE[key] = {
+        "m_bits": meta["m_bits"],
+        "chunk_dirs": chunk_dirs,
+        "pos_dirs": pos_dirs,
+        "bits": bits,
+    }
+    # a copy, so a later in-place delta OR can never race an in-flight
+    # lazy probe of this filter (monotone either way, but cheap insurance)
+    return BloomFilter(
+        bits=bits.copy(),
+        m_bits=meta["m_bits"],
+        k_hashes=meta["k_hashes"],
+        seed=meta["seed"],
+    )
+
+
+def _log_members(
+    spark: SparkSession,
+    state_path: str,
+    state: dict,
+    name: str,
+    keys: DataFrame,
+    col: str,
+) -> DataFrame:
+    """DISTINCT values of ``keys[col]`` that are members of the state log
+    ``name`` — exact.  With a Bloom sidecar, keys the filter proves absent
+    never touch the log, and a batch with zero "maybe" keys skips the log
+    scan entirely; without one (legacy state), the full log joins against
+    the broadcast batch keys as before."""
+    keys = keys.select(col).distinct()
+    bloom = state.get("bloom")
+    meta = bloom["logs"][name] if bloom else None
+    if meta is not None:
+        from exstream_implementation_spark.operators.bloom import (
+            might_contain,
+        )
+
+        flt = _assemble_bloom(spark, state_path, meta)
+        keys = (
+            might_contain(keys, col, flt, "__bloom_mc")
+            .filter(F.col("__bloom_mc"))
+            .drop("__bloom_mc")
+            # read twice (emptiness probe + verify join) and the lineage
+            # holds a corpus-sized probe input
+            .persist()
+        )
+        if keys.first() is None:
+            return keys  # definite-fresh batch: the log is never read
+    log = _read_log(spark, state_path, name, state["logs"][name])
+    return log.join(F.broadcast(keys), col).distinct()
+
+
 def _write_state(root: str, state: dict) -> None:
     tmp = os.path.join(root, f".{_STATE_FILE}.tmp")
     os.makedirs(root, exist_ok=True)
@@ -323,11 +472,22 @@ def init_prep_state(
     cfg: CorpusPrepConfig = CorpusPrepConfig(),
     out_path: str | None = None,
     counts: bool = False,
+    membership_bloom_fpp: float | None = 0.01,
+    membership_bloom_capacity_factor: float = 2.0,
 ) -> dict:
     """Full ``prepare_corpus`` over the initial corpus, then persist the
     pipeline state the increments join against.  Shards (when
     ``out_path``) land under ``out_path/increment=0``.  Returns the stage
-    dict with ``state`` added."""
+    dict with ``state`` added.
+
+    ``membership_bloom_fpp`` sizes the per-log Bloom sidecars (see the
+    module-level note at ``_BLOOM_CACHE``) at
+    ``capacity = n_init × membership_bloom_capacity_factor`` items; the
+    realized fpp degrades gracefully past capacity (correctness is
+    bloom-independent — the exact verify join catches every false
+    positive) and ``compact_prep_state`` re-sizes the filters to the
+    then-current log counts.  ``None`` disables the sidecars (increments
+    fall back to full log-stream membership joins)."""
     if os.path.exists(_state_path(state_path)):
         raise ValueError(
             f"prep state already committed under {state_path}; "
@@ -382,6 +542,43 @@ def init_prep_state(
         "hashes": [_append_log(hashes, state_path, "hashes", "batch=0")],
         "anchors": [_append_log(anchors, state_path, "anchors", "batch=0")],
     }
+    bloom_state = None
+    if membership_bloom_fpp is not None:
+        from exstream_implementation_spark.operators.bloom import (
+            bloom_params,
+        )
+
+        spark = docs.sparkSession
+        bloom_state = {
+            "fpp": membership_bloom_fpp,
+            "capacity_factor": membership_bloom_capacity_factor,
+            "logs": {},
+        }
+        for lname, frame, col in (
+            ("hashes", hashes, "__ch"),
+            ("anchors", anchors, "anchor"),
+        ):
+            # count re-reads a log dir just written — parquet-footer cheap
+            n = _read_log(spark, state_path, lname, ["batch=0"]).count()
+            capacity = max(
+                1000, int(n * membership_bloom_capacity_factor)
+            )
+            m_bits, k_hashes = bloom_params(
+                capacity, membership_bloom_fpp
+            )
+            meta = {
+                "name": lname,
+                "m_bits": m_bits,
+                "k_hashes": k_hashes,
+                "seed": 42,
+                "capacity": capacity,
+                "chunk_dirs": [],
+                "pos_dirs": [],
+            }
+            meta["chunk_dirs"] = [
+                _bloom_build_chunks(frame, col, meta, state_path, "batch=0")
+            ]
+            bloom_state["logs"][lname] = meta
     versions = {
         "source_counts": publish_snapshot(
             src_counts, os.path.join(state_path, "source_counts")
@@ -432,6 +629,7 @@ def init_prep_state(
         "n_increments": 1,
         "versions": versions,
         "logs": logs,
+        "bloom": bloom_state,
         "artifact_baseline": artifact_baseline,
         "increment_artifact_stats": [],
     }
@@ -557,18 +755,20 @@ def prepare_increment(
     new_hashes = cur.select(_norm_hash("text").alias("__ch")).distinct()
 
     # ---- exact dedup: within batch, then against all prior batches ------
-    # membership-join shape (both dedup stages): the state log is
-    # corpus-sized, the batch is small — so the state side is STREAMED
-    # exactly once against a BROADCAST of the batch side (inner join, no
-    # state exchange), the batch-sized match set comes back, and the
-    # batch resolves against it with a broadcast anti-join.  The naive
-    # batch.join(state, 'left_semi'/'left_anti') form shuffles the whole
-    # state log twice per increment — measured dominant at 300x.
+    # membership shape (both dedup stages, via _log_members): batch keys
+    # probe the persisted Bloom sidecar first — keys it proves absent
+    # never touch the log, and an all-fresh batch skips the log scan
+    # entirely; the "maybe" keys (fpp-bounded) verify against the state
+    # log STREAMED once against their broadcast (inner join, no state
+    # exchange).  Legacy states without the sidecar stream the log against
+    # the full broadcast batch — the r10 shape, whose per-increment cost
+    # grew linearly in state (§7c).  Either way the batch then resolves
+    # against the batch-sized member set with a broadcast anti-join; the
+    # naive batch.join(state, 'left_semi'/'left_anti') form shuffles the
+    # whole state log twice per increment — measured dominant at 300x.
     cur = exact_dedup(cur).withColumn("__ch", _norm_hash("text"))
-    dup_ch = (
-        _tbl("hashes")
-        .join(F.broadcast(cur.select("__ch").distinct()), "__ch")
-        .distinct()  # batch-sized: at most one row per batch hash
+    dup_ch = _log_members(
+        spark, state_path, state, "hashes", cur.select("__ch"), "__ch"
     )
     cur = cur.join(F.broadcast(dup_ch), "__ch", "left_anti").drop("__ch")
     stages["deduped"] = cur
@@ -579,15 +779,18 @@ def prepare_increment(
     a_new = gram_anchors(
         cur, k=cfg.substring_k, mod=cfg.substring_mod
     ).persist()  # hit-join + fresh anti + state append share it
+    hit_anchors = _log_members(
+        spark, state_path, state, "anchors", a_new, "anchor"
+    )
     old_hit = (
-        _tbl("anchors")
-        .join(F.broadcast(a_new), "anchor")
+        a_new.join(F.broadcast(hit_anchors), "anchor")
         .select("doc_id", "pos")
         .distinct()  # cross-batch duplicate anchors collapse batch-side
-        # persist: old_hit is batch-sized but its lineage scans the
-        # corpus-sized anchors log, and it feeds BOTH the fresh anti-join
-        # and dup_pos — unpersisted, every downstream materialization
-        # (and each counts=True stage count) would rescan the log
+        # persist: old_hit is batch-sized but its lineage (via
+        # hit_anchors) scans the corpus-sized anchors log, and it feeds
+        # BOTH the fresh anti-join and dup_pos — unpersisted, every
+        # downstream materialization (and each counts=True stage count)
+        # would rescan the log
         .persist()
     )
     fresh = a_new.join(
@@ -810,6 +1013,22 @@ def prepare_increment(
             f"batch={increment}",
         )
     )
+    # Bloom sidecar deltas: the SAME rows just appended to the main logs,
+    # as O(batch) sparse position rows — the filter stays the exact union
+    # of the logs, so no-false-negatives is preserved by construction
+    bloom_state = state.get("bloom")
+    if bloom_state is not None:
+        bloom_state = json.loads(json.dumps(bloom_state))  # deep copy
+        for lname, frame, col in (
+            ("hashes", new_hashes, "__ch"),
+            ("anchors", a_new.select("anchor").distinct(), "anchor"),
+        ):
+            meta = bloom_state["logs"][lname]
+            meta["pos_dirs"].append(
+                _bloom_append_delta(
+                    frame, col, meta, state_path, f"batch={increment}"
+                )
+            )
     versions = dict(state["versions"])
     new_counts = (
         stages["capped"]
@@ -837,6 +1056,7 @@ def prepare_increment(
         "n_increments": increment + 1,
         "versions": versions,
         "logs": logs,
+        "bloom": bloom_state,
         "id_ranges": state.get("id_ranges", []) + [[lo, hi]],
         "increment_artifact_stats": (
             state.get("increment_artifact_stats", []) + [batch_stats]
@@ -957,11 +1177,25 @@ def describe_prep_state(spark: SparkSession, state_path: str) -> dict:
             "dirs": list(dirs),
             "rows": _read_log(spark, state_path, name, dirs).count(),
         }
+    bloom = state.get("bloom")
+    bloom_summary = None
+    if bloom is not None:
+        bloom_summary = {
+            name: {
+                "m_bits": m["m_bits"],
+                "k_hashes": m["k_hashes"],
+                "capacity": m["capacity"],
+                "chunk_dirs": len(m["chunk_dirs"]),
+                "pos_dirs": len(m["pos_dirs"]),
+            }
+            for name, m in bloom["logs"].items()
+        }
     return {
         "n_increments": state["n_increments"],
         "max_doc_id": state["max_doc_id"],
         "id_ranges": state.get("id_ranges", []),
         "logs": logs,
+        "bloom": bloom_summary,
         "snapshot_versions": state["versions"],
         "has_quality_model": state["has_quality_model"],
         "has_contract_checks": state["has_contract_checks"],
@@ -999,13 +1233,63 @@ def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
         logs[name] = [
             _append_log(merged, state_path, name, f"compact={gen}")
         ]
-    new_state = {**state, "logs": logs}
+    # rebuild the Bloom sidecars from the compacted logs, RE-SIZED to the
+    # then-current counts × capacity_factor — this is where a filter that
+    # outgrew its init capacity (realized fpp degraded, never wrong)
+    # recovers its design fpp.  Dense chunk form; the accrued pos deltas
+    # fold away with the batch dirs.
+    bloom_state = state.get("bloom")
+    if bloom_state is not None:
+        from exstream_implementation_spark.operators.bloom import (
+            bloom_params,
+        )
+
+        bloom_state = json.loads(json.dumps(bloom_state))
+        for name in _LOGS:
+            compacted = _read_log(
+                spark, state_path, name, logs[name]
+            )
+            capacity = max(
+                1000,
+                int(compacted.count() * bloom_state["capacity_factor"]),
+            )
+            m_bits, k_hashes = bloom_params(capacity, bloom_state["fpp"])
+            meta = {
+                "name": name,
+                "m_bits": m_bits,
+                "k_hashes": k_hashes,
+                "seed": 42,
+                "capacity": capacity,
+                "chunk_dirs": [],
+                "pos_dirs": [],
+            }
+            col = compacted.columns[0]
+            meta["chunk_dirs"] = [
+                _bloom_build_chunks(
+                    compacted, col, meta, state_path, f"compact={gen}"
+                )
+            ]
+            bloom_state["logs"][name] = meta
+            # drop the session cache: the new meta has different m/dirs
+            _BLOOM_CACHE.pop((os.path.abspath(state_path), name), None)
+    new_state = {**state, "logs": logs, "bloom": bloom_state}
     _write_state(state_path, new_state)
     for name in _LOGS:  # post-commit cleanup of unreferenced directories
         for d in state["logs"][name]:
             shutil.rmtree(
                 os.path.join(state_path, name, d), ignore_errors=True
             )
+        if bloom_state is not None:
+            old_meta = (state.get("bloom") or {}).get("logs", {}).get(name)
+            for kind, dirs in (
+                ("chunks", (old_meta or {}).get("chunk_dirs", [])),
+                ("pos", (old_meta or {}).get("pos_dirs", [])),
+            ):
+                for d in dirs:
+                    shutil.rmtree(
+                        os.path.join(state_path, f"{name}_bloom", kind, d),
+                        ignore_errors=True,
+                    )
     # the snapshot-form tables accrete one immutable version per increment;
     # compaction is the natural point to vacuum them too, or the state
     # directory's file count still grows without bound.  keep is computed

@@ -689,3 +689,112 @@ def test_extend_tokenizer_refreshes_stale_state(spark, tmp_path):
     # and the raw operator agrees with itself on a re-run
     direct = extend_merges(b3, frozen, 40)
     assert [tuple(m) for m in direct] == [tuple(m) for m in extended]
+
+
+def test_bloom_membership_equivalent_to_full_join(spark, tmp_path):
+    """The Bloom sidecar is an accelerator, never a semantics change: a
+    state with the sidecar and a state without it must produce identical
+    survivors and identical despanned text on the same planted batches
+    (cross-batch exact dup, cross-batch substring, in-batch substring)."""
+    b1, b2, b3 = _batches(spark)
+    outs = {}
+    for label, fpp in (("bloom", 0.01), ("plain", None)):
+        state = str(tmp_path / f"state_{label}")
+        init_prep_state(
+            b1, state, benchmark=_bench(spark), cfg=CFG,
+            membership_bloom_fpp=fpp,
+        )
+        s2 = prepare_increment(b2, state, benchmark=_bench(spark))
+        s3 = prepare_increment(b3, state, benchmark=_bench(spark))
+        outs[label] = {
+            "m2": {
+                (r["doc_id"], r["text"])
+                for r in s2["despanned"].select("doc_id", "text").collect()
+            },
+            "m3": {
+                (r["doc_id"], r["text"])
+                for r in s3["despanned"].select("doc_id", "text").collect()
+            },
+            "mixed3": {
+                r["doc_id"] for r in s3["mixed"].select("doc_id").collect()
+            },
+        }
+        st = read_state(state)
+        assert (st["bloom"] is not None) == (fpp is not None)
+    assert outs["bloom"] == outs["plain"]
+
+
+def test_bloom_fresh_batch_skips_log_scan(spark, tmp_path, monkeypatch):
+    """A batch whose keys the filter all proves absent must never read the
+    membership logs — the sub-linear arm's whole point.  Counted by
+    wrapping _read_log; the tiny test filter is chunk-rounded to 512 Kib,
+    so its realized fpp is ~0 and the skip is deterministic."""
+    import exstream_implementation_spark.incremental as inc
+
+    b1, _, _ = _batches(spark)
+    state = str(tmp_path / "state")
+    init_prep_state(b1, state, cfg=CFG)
+
+    # stopwords interleaved with unique tokens, NOT the shared STOPFUL
+    # prefix: every substring_k-char window must contain novel text, or
+    # the batch's anchors TRULY hit the state log (the prefix is real
+    # shared text, and the bloom correctly reports it)
+    def _novel(i, tag):
+        words = []
+        for j, stop in enumerate(
+            ["the", "a", "and", "of", "is", "to", "in", "on"]
+        ):
+            words += [f"zq{tag}{j}x", stop]
+        return (i, " ".join(words), "srcB")
+
+    novel = spark.createDataFrame(
+        [_novel(40, "alpha"), _novel(41, "beta")],
+        "doc_id long, text string, source string",
+    )
+    log_reads: list[str] = []
+    orig = inc._read_log
+
+    def counting(spark_, root, name, dirs):
+        if name in ("hashes", "anchors"):
+            log_reads.append(name)
+        return orig(spark_, root, name, dirs)
+
+    monkeypatch.setattr(inc, "_read_log", counting)
+    s = prepare_increment(novel, state)
+    # force the lazy stages so any log-backed lineage would execute
+    assert s["despanned"].count() == 2
+    assert log_reads == []  # neither membership log was ever read
+
+    # and the state's own bloom grew: the NEXT increment sees these docs
+    monkeypatch.setattr(inc, "_read_log", orig)
+    dup = spark.createDataFrame(
+        [(_novel(40, "alpha")[0] + 10, _novel(40, "alpha")[1], "srcB")],
+        "doc_id long, text string, source string",
+    )
+    s2 = prepare_increment(dup, state)
+    assert s2["deduped"].count() == 0  # caught as a cross-batch exact dup
+
+
+def test_bloom_survives_compaction_and_cache_invalidation(spark, tmp_path):
+    """Compaction rebuilds + re-sizes the sidecars and must invalidate the
+    session cache; membership answers stay identical afterwards."""
+    from exstream_implementation_spark.incremental import (
+        compact_prep_state,
+        describe_prep_state,
+    )
+
+    b1, b2, b3 = _batches(spark)
+    state = str(tmp_path / "state")
+    init_prep_state(b1, state, benchmark=_bench(spark), cfg=CFG)
+    prepare_increment(b2, state, benchmark=_bench(spark))
+    st = compact_prep_state(spark, state)
+    meta = st["bloom"]["logs"]["anchors"]
+    assert meta["chunk_dirs"] == [f"compact={st['n_increments']}"]
+    assert meta["pos_dirs"] == []
+    d = describe_prep_state(spark, state)
+    assert d["bloom"]["anchors"]["chunk_dirs"] == 1
+    # increments after compaction still resolve cross-batch duplicates
+    s3 = prepare_increment(b3, state, benchmark=_bench(spark))
+    deduped3 = {r["doc_id"] for r in s3["deduped"].select("doc_id").collect()}
+    assert 20 not in deduped3  # duplicate of batch-2 doc 11, seen via bloom
+    assert 21 in deduped3

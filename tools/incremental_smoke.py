@@ -13,7 +13,15 @@ and reports wall times.  The claim under test: t_increment tracks the
 batch, so rebuild/increment >> 1 and grows with corpus/batch.
 
 Usage: PYTHONPATH=/root/repo python tools/incremental_smoke.py [N]
-Writes docs/SCALE_SMOKE_R9_S5.json.
+Writes docs/SCALE_SMOKE_R9_S5.json (override with SPARK_GRAFT_SMOKE_OUT,
+e.g. the r11 bloom-era series goes to SCALE_SMOKE_R11_BLOOM.json).
+
+Two increments are timed: the first pays the one-time cold Bloom-sidecar
+assembly (bounded by the bitmap, not the log rows); the second measures
+the warm steady-state path a long-lived writer runs.  Set
+SPARK_GRAFT_SKIP_REBUILD=1 to skip the from-scratch rebuild leg when only
+the increment trend is being re-measured (the rebuild numbers are already
+on record per scale).
 
 N=1000 (5M docs) needs SPARK_DRIVER_MEMORY=48g — the default 8g heap OOMs
 in the substring/BPE stages of the init run (measured r10; the x300 run
@@ -83,13 +91,19 @@ def main() -> int:
     # t_increment is comparable across replications: the claim is that it
     # tracks the batch while t_full_rebuild tracks the corpus
     total = docs.count()
-    frac = max(0.0, 1.0 - 5000.0 / total)
-    cutoff = docs.selectExpr(
-        f"percentile_approx(doc_id, {frac}, 10000) as c"
-    ).first()["c"]
-    standing = docs.filter(F.col("doc_id") <= cutoff)
-    batch = docs.filter(F.col("doc_id") > cutoff)
+    f1 = max(0.0, 1.0 - 10000.0 / total)
+    f2 = max(0.0, 1.0 - 5000.0 / total)
+    c1, c2 = docs.selectExpr(
+        f"percentile_approx(doc_id, {f1}, 10000) as c1",
+        f"percentile_approx(doc_id, {f2}, 10000) as c2",
+    ).first()
+    standing = docs.filter(F.col("doc_id") <= c1)
+    batch = docs.filter(
+        (F.col("doc_id") > c1) & (F.col("doc_id") <= c2)
+    )
+    batch2 = docs.filter(F.col("doc_id") > c2)
     n_standing, n_batch = standing.count(), batch.count()
+    n_batch2 = batch2.count()
 
     # min_stop_ratio MUST be 0 here: the replica prefixes every token with
     # rN (to keep replica token spaces disjoint), so no English stopwords
@@ -112,6 +126,7 @@ def main() -> int:
         "replication": n,
         "standing_docs": n_standing,
         "batch_docs": n_batch,
+        "batch2_docs": n_batch2,
     }
     try:
         t0 = time.monotonic()
@@ -123,9 +138,15 @@ def main() -> int:
         )
         out["t_init_s"] = round(time.monotonic() - t0, 2)
 
+        # first increment: pays the cold Bloom assembly (bitmap-bounded)
         t0 = time.monotonic()
         prepare_increment(batch, f"{work}/state", out_path=f"{work}/out")
         out["t_increment_s"] = round(time.monotonic() - t0, 2)
+
+        # second increment: the warm steady-state path
+        t0 = time.monotonic()
+        prepare_increment(batch2, f"{work}/state", out_path=f"{work}/out")
+        out["t_increment2_s"] = round(time.monotonic() - t0, 2)
 
         # state-side floor: how much of the increment is just scanning
         # the membership logs (the O(corpus-ish) part that cannot shrink
@@ -146,19 +167,20 @@ def main() -> int:
             )
             out[f"{log_name}_log_rows"] = rows
 
-        t0 = time.monotonic()
-        prepare_corpus(docs, None, cfg, out_path=f"{work}/rebuild")
-        out["t_full_rebuild_s"] = round(time.monotonic() - t0, 2)
-        out["rebuild_over_increment"] = round(
-            out["t_full_rebuild_s"] / out["t_increment_s"], 2
-        )
+        if os.environ.get("SPARK_GRAFT_SKIP_REBUILD") != "1":
+            t0 = time.monotonic()
+            prepare_corpus(docs, None, cfg, out_path=f"{work}/rebuild")
+            out["t_full_rebuild_s"] = round(time.monotonic() - t0, 2)
+            out["rebuild_over_increment"] = round(
+                out["t_full_rebuild_s"] / out["t_increment_s"], 2
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
-        "SCALE_SMOKE_R9_S5.json",
+        os.environ.get("SPARK_GRAFT_SMOKE_OUT", "SCALE_SMOKE_R9_S5.json"),
     )
     merged = {}
     if os.path.exists(dst):
