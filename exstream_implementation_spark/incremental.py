@@ -264,11 +264,18 @@ def _read_log(
 def _bloom_build_chunks(
     df: DataFrame, col: str, meta: dict, root: str, dirname: str
 ) -> str:
-    """Dense chunk-form filter over ``df[col]`` (init / compaction)."""
+    """Dense chunk-form filter over ``df[col]`` (init / compaction).
+
+    The input coalesces to a few fat partitions first: bloom_chunks emits
+    one partial row per (input partition, touched chunk), and a corpus-
+    sized input touches EVERY chunk in every partition — at 32 partitions
+    × ~10k chunks × 64 KiB the merge shuffle is ~20 GB (measured as the
+    r11 x1000 init tax).  Position hashing is cheap relative to that IO,
+    so 4 fat partitions cut the shuffle 8× for pennies of parallelism."""
     from exstream_implementation_spark.operators.bloom import bloom_chunks
 
     chunks = bloom_chunks(
-        df, col, meta["m_bits"], meta["k_hashes"], meta["seed"]
+        df.coalesce(4), col, meta["m_bits"], meta["k_hashes"], meta["seed"]
     )
     return _append_log(chunks, root, f"{meta['name']}_bloom/chunks", dirname)
 
@@ -295,15 +302,36 @@ def _bloom_append_delta(
     return _append_log(delta, root, f"{meta['name']}_bloom/pos", dirname)
 
 
-def _assemble_bloom(spark: SparkSession, state_path: str, meta: dict):
-    """Session-cached incremental bitmap assembly → BloomFilter.  A warm
-    writer pays only each new delta (O(batch)); a cold session pays one
-    chunk-log read bounded by m/8 bytes plus the accrued deltas."""
+def _bloom_rows(spark: SparkSession, state_path: str, sub: str, dirs):
+    """Rows of one bloom-sidecar log, as (column → values) dicts per
+    directory batch.  Local state roots read through pyarrow DIRECTLY —
+    the assembly is a driver-side bitmap OR, and moving the chunk bytes
+    through py4j rows costs ~10× the IO (measured as the r11 cold-
+    increment spike at x1000); non-local roots fall back to the Spark
+    iterator."""
+    paths = [os.path.join(state_path, sub, d) for d in sorted(dirs)]
+    if all(os.path.isdir(p) for p in paths):
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            tbl = pq.read_table(p)
+            yield {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+    else:  # pragma: no cover — non-posix state roots
+        rows = _read_log(spark, state_path, sub, sorted(dirs)).collect()
+        if rows:
+            cols = rows[0].__fields__
+            yield {c: [r[c] for r in rows] for c in cols}
+
+
+def _assemble_bloom_bits(spark: SparkSession, state_path: str, meta: dict):
+    """Session-cached incremental bitmap assembly → the LIVE cached uint8
+    array (callers must not mutate).  A warm writer pays only each new
+    delta (O(batch)); a cold session pays one chunk-log read bounded by
+    m/8 bytes plus the accrued deltas."""
     import numpy as np
 
     from exstream_implementation_spark.operators.bloom import (
         CHUNK_BITS,
-        BloomFilter,
         _CHUNK_BYTES,
     )
 
@@ -324,32 +352,38 @@ def _assemble_bloom(spark: SparkSession, state_path: str, meta: dict):
         bits = np.zeros(meta["m_bits"] // 8, dtype=np.uint8)
         new_chunks, new_pos = chunk_dirs, pos_dirs
     if new_chunks:
-        it = _read_log(
-            spark, state_path, f"{name}_bloom/chunks", sorted(new_chunks)
-        ).toLocalIterator()
-        for row in it:
-            start = row["chunk_id"] * _CHUNK_BYTES
-            arr = np.frombuffer(row["bits"], dtype=np.uint8)
-            bits[start : start + len(arr)] |= arr
+        for cols in _bloom_rows(
+            spark, state_path, f"{name}_bloom/chunks", new_chunks
+        ):
+            for cid, chunk in zip(cols["chunk_id"], cols["bits"]):
+                start = cid * _CHUNK_BYTES
+                arr = np.frombuffer(chunk, dtype=np.uint8)
+                bits[start : start + len(arr)] |= arr
     if new_pos:
-        it = _read_log(
-            spark, state_path, f"{name}_bloom/pos", sorted(new_pos)
-        ).toLocalIterator()
-        for row in it:
-            p = np.asarray(row["pos"], dtype=np.int64) + (
-                row["chunk_id"] * CHUNK_BITS
-            )
-            np.bitwise_or.at(
-                bits, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
-            )
+        for cols in _bloom_rows(
+            spark, state_path, f"{name}_bloom/pos", new_pos
+        ):
+            for cid, lp in zip(cols["chunk_id"], cols["pos"]):
+                p = np.asarray(lp, dtype=np.int64) + cid * CHUNK_BITS
+                np.bitwise_or.at(
+                    bits, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
+                )
     _BLOOM_CACHE[key] = {
         "m_bits": meta["m_bits"],
         "chunk_dirs": chunk_dirs,
         "pos_dirs": pos_dirs,
         "bits": bits,
     }
-    # a copy, so a later in-place delta OR can never race an in-flight
-    # lazy probe of this filter (monotone either way, but cheap insurance)
+    return bits
+
+
+def _assemble_bloom(spark: SparkSession, state_path: str, meta: dict):
+    """BloomFilter over the assembled bitmap, for broadcast-side probing
+    (the copy means a later in-place delta OR can never race an in-flight
+    lazy probe — monotone either way, but cheap insurance)."""
+    from exstream_implementation_spark.operators.bloom import BloomFilter
+
+    bits = _assemble_bloom_bits(spark, state_path, meta)
     return BloomFilter(
         bits=bits.copy(),
         m_bits=meta["m_bits"],
@@ -375,23 +409,69 @@ def _log_members(
     bloom = state.get("bloom")
     meta = bloom["logs"][name] if bloom else None
     if meta is not None:
-        from exstream_implementation_spark.operators.bloom import (
-            might_contain,
-        )
-
-        flt = _assemble_bloom(spark, state_path, meta)
-        keys = (
-            might_contain(keys, col, flt, "__bloom_mc")
-            .filter(F.col("__bloom_mc"))
-            .drop("__bloom_mc")
-            # read twice (emptiness probe + verify join) and the lineage
-            # holds a corpus-sized probe input
-            .persist()
-        )
-        if keys.first() is None:
+        keys = _bloom_maybe_keys(spark, state_path, meta, keys, col)
+        if keys.isEmpty():
             return keys  # definite-fresh batch: the log is never read
     log = _read_log(spark, state_path, name, state["logs"][name])
     return log.join(F.broadcast(keys), col).distinct()
+
+
+# above this many distinct batch keys, the bloom probe runs executor-side
+# against a broadcast of the bitmap instead of an Arrow fetch to the
+# driver (the fetch is k positions per key)
+_DRIVER_PROBE_MAX_KEYS = 2_000_000
+
+
+def _bloom_maybe_keys(
+    spark: SparkSession,
+    state_path: str,
+    meta: dict,
+    keys: DataFrame,
+    col: str,
+) -> DataFrame:
+    """``keys`` reduced to the rows the sidecar cannot prove absent.
+
+    Default path: Arrow-fetch the (key, k bit positions) pairs — bounded
+    by the batch — and gather against the session-cached bitmap DRIVER-
+    side.  This costs O(batch) regardless of state size; the alternative
+    (executor-side probe) re-broadcasts the full bitmap every increment
+    because each increment's filter version differs — an O(m) per-
+    increment tax that showed up as the warm-trend residual at x1000.
+    Batches past _DRIVER_PROBE_MAX_KEYS distinct keys take that
+    broadcast path anyway (one bitmap ship beats a giant driver fetch)."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.bloom import (
+        _positions,
+        might_contain,
+    )
+
+    keys = keys.persist()  # probe + verify join share one materialization
+    if keys.count() > _DRIVER_PROBE_MAX_KEYS:
+        flt = _assemble_bloom(spark, state_path, meta)
+        return (
+            might_contain(keys, col, flt, "__bloom_mc")
+            .filter(F.col("__bloom_mc"))
+            .drop("__bloom_mc")
+            .persist()
+        )
+    bits = _assemble_bloom_bits(spark, state_path, meta)
+    tbl = keys.select(
+        F.col(col).alias("__k"),
+        _positions(col, meta["m_bits"], meta["k_hashes"], meta["seed"])
+        .alias("__pos"),
+    ).toArrow()
+    n = tbl.num_rows
+    if n == 0:
+        return keys
+    pos = np.asarray(
+        tbl.column("__pos").combine_chunks().flatten(), dtype=np.int64
+    )
+    mat = pos.reshape(n, meta["k_hashes"])
+    hit = ((bits[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1).all(axis=1)
+    vals = tbl.column("__k").to_pylist()
+    maybe = [(vals[i],) for i in np.nonzero(hit)[0]]
+    return spark.createDataFrame(maybe, schema=keys.schema)
 
 
 def _write_state(root: str, state: dict) -> None:
