@@ -266,16 +266,26 @@ def _bloom_build_chunks(
 ) -> str:
     """Dense chunk-form filter over ``df[col]`` (init / compaction).
 
-    The input coalesces to a few fat partitions first: bloom_chunks emits
+    The input coalesces down when the filter is large: bloom_chunks emits
     one partial row per (input partition, touched chunk), and a corpus-
     sized input touches EVERY chunk in every partition — at 32 partitions
     × ~10k chunks × 64 KiB the merge shuffle is ~20 GB (measured as the
-    r11 x1000 init tax).  Position hashing is cheap relative to that IO,
-    so 4 fat partitions cut the shuffle 8× for pennies of parallelism."""
-    from exstream_implementation_spark.operators.bloom import bloom_chunks
+    r11 x1000 init tax).  The partition count targets ~2 GB of merge
+    shuffle: full parallelism for small filters (hashing dominates
+    there — a fixed coalesce(4) cost +80 s at x100), fat partitions for
+    big ones (IO dominates)."""
+    from exstream_implementation_spark.operators.bloom import (
+        _CHUNK_BYTES,
+        CHUNK_BITS,
+        bloom_chunks,
+    )
 
+    n_chunks = meta["m_bits"] // CHUNK_BITS
+    parts = max(4, min(32, int(2e9 / (n_chunks * _CHUNK_BYTES))))
+    if parts < 32:
+        df = df.coalesce(parts)
     chunks = bloom_chunks(
-        df.coalesce(4), col, meta["m_bits"], meta["k_hashes"], meta["seed"]
+        df, col, meta["m_bits"], meta["k_hashes"], meta["seed"]
     )
     return _append_log(chunks, root, f"{meta['name']}_bloom/chunks", dirname)
 
@@ -471,6 +481,9 @@ def _bloom_maybe_keys(
     hit = ((bits[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1).all(axis=1)
     vals = tbl.column("__k").to_pylist()
     maybe = [(vals[i],) for i in np.nonzero(hit)[0]]
+    # the Arrow fetch fully consumed the probe input; the local maybe-list
+    # replaces it downstream, so don't leave the scan pinned
+    keys.unpersist()
     return spark.createDataFrame(maybe, schema=keys.schema)
 
 
