@@ -32,8 +32,9 @@ window" but nothing enforced that reading):
     band 0.25-0.53 s → 0.32; numpy band ~0.17-0.21 → 0.20); a round whose
     raw totals move with the probe but whose normalized total is flat is a
     host story, full stop.  The linear correction is only valid while the
-    observed probe sits within ±60% of the pinned reference (the suite is
-    not purely scheduler-bound); outside that band the field is null and
+    observed probe sits inside its recorded history band (0.25-0.53 s —
+    the suite is not purely scheduler-bound, so extrapolating beyond the
+    hosts it was fit on misleads); outside the band the field is null and
     "probe_out_of_band" is true — read the raw warm medians instead.
 """
 
@@ -180,13 +181,15 @@ def main():
             probe_after["spark_range_agg_s"],
         ]
     )
-    # The linear probe correction is only valid near the pinned reference:
-    # the suite is not purely scheduler-bound, so outside the validated
-    # ±60% band the scaled number actively misleads (r10: raw warm 16.86 s
-    # → "normalized" 26.57 s on a fast-probe host, a phantom regression).
-    # Out of band we emit null + an explicit flag instead of a bad number.
+    # The linear probe correction is only valid where it was validated:
+    # inside the probe's RECORDED r08-r09 history band (0.25-0.53 s).
+    # The suite is not purely scheduler-bound, so outside that band the
+    # scaled number actively misleads (r10: raw warm 16.86 s →
+    # "normalized" 26.57 s at observed probe ~0.20 s — a phantom
+    # regression).  Out of band we emit null + an explicit flag instead
+    # of a bad number.
+    probe_out_of_band = not (0.25 <= observed_probe <= 0.53)
     probe_ratio = round(observed_probe / REF_PROBE_SPARK_S, 3)
-    probe_out_of_band = not (0.4 <= probe_ratio <= 1.6)
     value_warm_normalized = (
         None
         if probe_out_of_band
