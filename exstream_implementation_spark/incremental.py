@@ -459,12 +459,15 @@ def _bloom_maybe_keys(
     keys = keys.persist()  # probe + verify join share one materialization
     if keys.count() > _DRIVER_PROBE_MAX_KEYS:
         flt = _assemble_bloom(spark, state_path, meta)
-        return (
+        maybe = (
             might_contain(keys, col, flt, "__bloom_mc")
             .filter(F.col("__bloom_mc"))
             .drop("__bloom_mc")
             .persist()
         )
+        maybe.count()  # materialize so the probe input can release now
+        keys.unpersist()
+        return maybe
     bits = _assemble_bloom_bits(spark, state_path, meta)
     tbl = keys.select(
         F.col(col).alias("__k"),
@@ -647,14 +650,16 @@ def init_prep_state(
             "capacity_factor": membership_bloom_capacity_factor,
             "logs": {},
         }
-        for lname, frame, col in (
-            ("hashes", hashes, "__ch"),
-            ("anchors", anchors, "anchor"),
-        ):
-            # count re-reads a log dir just written — parquet-footer cheap
-            n = _read_log(spark, state_path, lname, ["batch=0"]).count()
+        for lname, col in (("hashes", "__ch"), ("anchors", "anchor")):
+            # build from the batch=0 log just WRITTEN, not the lineage
+            # that produced it: the anchors lineage is a corpus-scale
+            # explode+distinct, and re-running it for the chunk build
+            # would double the most expensive init stage; the log dir is
+            # a cheap parquet scan of the identical rows (footer-cheap
+            # count, one data pass for the chunks)
+            written = _read_log(spark, state_path, lname, ["batch=0"])
             capacity = max(
-                1000, int(n * membership_bloom_capacity_factor)
+                1000, int(written.count() * membership_bloom_capacity_factor)
             )
             m_bits, k_hashes = bloom_params(
                 capacity, membership_bloom_fpp
@@ -669,7 +674,7 @@ def init_prep_state(
                 "pos_dirs": [],
             }
             meta["chunk_dirs"] = [
-                _bloom_build_chunks(frame, col, meta, state_path, "batch=0")
+                _bloom_build_chunks(written, col, meta, state_path, "batch=0")
             ]
             bloom_state["logs"][lname] = meta
     versions = {
@@ -1502,7 +1507,10 @@ def extend_prep_tokenizer(
             )
             for table, key in _LM_TABLES.items()
         }
-    baseline = _artifact_stats(sample, extended, lm, text_col=text_col)
+    # baseline over the FULL drifted batch (not the training sample):
+    # _artifact_stats caps its own scan, and the staleness yardstick every
+    # future increment is judged against must not carry sampling noise
+    baseline = _artifact_stats(docs, extended, lm, text_col=text_col)
     new_state = {
         **state,
         "artifact_baseline": baseline,

@@ -25,6 +25,12 @@ meta-table schemas (persisted tables in the field can't be migrated by a
 refactor); the LOGIC routes through here so the next index family — and
 any fix to redelivery/staleness/compaction semantics — lands in one
 place.
+
+NAMESPACE CLAIM: compaction reserves ``{table}_staging`` and
+``{table}_old`` as scratch names for any table it manages — it drops
+leftovers under those names on entry and recover_compaction may rename
+``{table}_old`` over the live name.  Do not create unrelated tables
+with those suffixes next to a lifecycle-managed table.
 """
 
 from __future__ import annotations
@@ -87,7 +93,10 @@ def compact_bucketed_table(
     crash between the two renames leaves the data under ``{table}_old``;
     ``recover_compaction`` (called here on entry, and safe to call from
     any reader) restores it to the live name.  Mirrors the
-    pointer-swap-last discipline of operators/snapshots.py."""
+    pointer-swap-last discipline of operators/snapshots.py.
+
+    ``{table}_staging`` and ``{table}_old`` are RESERVED scratch names
+    (module note): leftovers under them are dropped on entry."""
     from exstream_implementation_spark.operators.bucketing import (
         write_bucketed,
     )

@@ -798,3 +798,23 @@ def test_bloom_survives_compaction_and_cache_invalidation(spark, tmp_path):
     deduped3 = {r["doc_id"] for r in s3["deduped"].select("doc_id").collect()}
     assert 20 not in deduped3  # duplicate of batch-2 doc 11, seen via bloom
     assert 21 in deduped3
+
+
+def test_bloom_executor_probe_branch_equivalent(spark, tmp_path, monkeypatch):
+    """The >2M-key executor-side broadcast probe is the same membership
+    answer as the default driver probe — exercised by forcing the
+    threshold to 0 and re-running the planted phenomena."""
+    import exstream_implementation_spark.incremental as inc
+
+    b1, b2, _ = _batches(spark)
+    results = {}
+    for label, threshold in (("driver", 10**9), ("executor", 0)):
+        monkeypatch.setattr(inc, "_DRIVER_PROBE_MAX_KEYS", threshold)
+        state = str(tmp_path / f"state_{label}")
+        init_prep_state(b1, state, benchmark=_bench(spark), cfg=CFG)
+        s2 = prepare_increment(b2, state, benchmark=_bench(spark))
+        results[label] = {
+            (r["doc_id"], r["text"])
+            for r in s2["despanned"].select("doc_id", "text").collect()
+        }
+    assert results["driver"] == results["executor"]
