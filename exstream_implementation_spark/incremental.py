@@ -108,13 +108,23 @@ _LOGS = ("hashes", "anchors")
 #     reads <= m/8 bytes, never O(items));
 #   * each increment appends a SPARSE delta ({name}_bloom/pos:
 #     (chunk_id, array<local bit positions>) — O(batch) write/read);
-#   * assembly is session-cached per (state_path, log): a long-lived
-#     writer ORs in only each new delta, and probes the batch keys against
-#     the broadcast bitmap.  "Definitely absent" keys skip the log
-#     entirely; "maybe" keys go through the EXACT log join (so a false
-#     positive costs a few joined rows, never a wrong answer — equivalence
-#     is bloom-independent).  Legacy states without the sidecar fall back
-#     to the full log join.
+#   * assembly is session-cached per (state_path, log, state identity): a
+#     long-lived writer ORs in only each new delta, and probes the batch
+#     keys against the broadcast bitmap.  "Definitely absent" keys skip
+#     the log entirely; "maybe" keys go through the EXACT log join (so a
+#     false positive costs a few joined rows, never a wrong answer —
+#     equivalence is bloom-independent).  Legacy states without the
+#     sidecar fall back to the full log join.
+#   * past _SINGLE_PROCESS_BITMAP_MAX_BYTES the bitmap is NEVER assembled
+#     anywhere: the probe runs as a chunk-partitioned cogroup join against
+#     the persisted chunk/delta tables (_bloom_maybe_keys_sharded), so
+#     peak per-process memory is O(batch + one 64 KiB chunk) regardless of
+#     m_bits — the 100 TB path the r11 verdict asked for.
+# Cache entries additionally carry the state's init-time identity uuid: a
+# state root deleted and re-initialized at the SAME path reuses the same
+# batch dir names (and, for a similar corpus, the same m_bits), so a
+# subset-of-dirs freshness check alone would serve the OLD corpus's bitmap
+# — false negatives.  The identity mismatch forces a rebuild instead.
 _BLOOM_CACHE: dict = {}
 # small / write-once state keeps the versioned-snapshot form
 # (operators/snapshots.py): per-source counts are source-cardinality-sized
@@ -270,10 +280,13 @@ def _bloom_build_chunks(
     one partial row per (input partition, touched chunk), and a corpus-
     sized input touches EVERY chunk in every partition — at 32 partitions
     × ~10k chunks × 64 KiB the merge shuffle is ~20 GB (measured as the
-    r11 x1000 init tax).  The partition count targets ~2 GB of merge
+    r11 x1000 init tax).  The partition count targets ~6 GB of merge
     shuffle: full parallelism for small filters (hashing dominates
-    there — a fixed coalesce(4) cost +80 s at x100), fat partitions for
-    big ones (IO dominates)."""
+    there — a fixed coalesce(4) cost +80 s at x100), fat-but-not-serial
+    partitions for big ones.  The budget was 2 GB while the per-position
+    OR kernel was the bottleneck (r11); with the scatter+packbits kernel
+    the scan/hash/Arrow side dominates again, so ~3× the partitions for
+    ~3× the (sequential-read) shuffle is the measured win at x1000."""
     from exstream_implementation_spark.operators.bloom import (
         _CHUNK_BYTES,
         CHUNK_BITS,
@@ -281,7 +294,7 @@ def _bloom_build_chunks(
     )
 
     n_chunks = meta["m_bits"] // CHUNK_BITS
-    parts = max(4, min(32, int(2e9 / (n_chunks * _CHUNK_BYTES))))
+    parts = max(4, min(32, int(6e9 / (n_chunks * _CHUNK_BYTES))))
     if parts < 32:
         df = df.coalesce(parts)
     chunks = bloom_chunks(
@@ -351,6 +364,7 @@ def _assemble_bloom_bits(spark: SparkSession, state_path: str, meta: dict):
     cached = _BLOOM_CACHE.get(key)
     if (
         cached
+        and cached.get("identity") == meta.get("identity")
         and cached["m_bits"] == meta["m_bits"]
         and cached["chunk_dirs"] <= chunk_dirs
         and cached["pos_dirs"] <= pos_dirs
@@ -379,6 +393,7 @@ def _assemble_bloom_bits(spark: SparkSession, state_path: str, meta: dict):
                     bits, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
                 )
     _BLOOM_CACHE[key] = {
+        "identity": meta.get("identity"),
         "m_bits": meta["m_bits"],
         "chunk_dirs": chunk_dirs,
         "pos_dirs": pos_dirs,
@@ -430,6 +445,11 @@ def _log_members(
 # against a broadcast of the bitmap instead of an Arrow fetch to the
 # driver (the fetch is k positions per key)
 _DRIVER_PROBE_MAX_KEYS = 2_000_000
+# above this many bitmap BYTES, neither the driver array nor a broadcast
+# is acceptable (a 100 TB corpus's sidecar is tens of GB of bits): the
+# probe auto-routes to the chunk-partitioned join, which never assembles
+# the bitmap in any single process
+_SINGLE_PROCESS_BITMAP_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _bloom_maybe_keys(
@@ -448,7 +468,12 @@ def _bloom_maybe_keys(
     because each increment's filter version differs — an O(m) per-
     increment tax that showed up as the warm-trend residual at x1000.
     Batches past _DRIVER_PROBE_MAX_KEYS distinct keys take that
-    broadcast path anyway (one bitmap ship beats a giant driver fetch)."""
+    broadcast path anyway (one bitmap ship beats a giant driver fetch).
+
+    Both single-process forms are routed AWAY from by bitmap size, not
+    just key count: past _SINGLE_PROCESS_BITMAP_MAX_BYTES the probe runs
+    sharded (``_bloom_maybe_keys_sharded``) and no process ever holds
+    more than one 64 KiB chunk of the filter."""
     import numpy as np
 
     from exstream_implementation_spark.operators.bloom import (
@@ -456,6 +481,8 @@ def _bloom_maybe_keys(
         might_contain,
     )
 
+    if meta["m_bits"] // 8 > _SINGLE_PROCESS_BITMAP_MAX_BYTES:
+        return _bloom_maybe_keys_sharded(spark, state_path, meta, keys, col)
     keys = keys.persist()  # probe + verify join share one materialization
     if keys.count() > _DRIVER_PROBE_MAX_KEYS:
         flt = _assemble_bloom(spark, state_path, meta)
@@ -463,9 +490,12 @@ def _bloom_maybe_keys(
             might_contain(keys, col, flt, "__bloom_mc")
             .filter(F.col("__bloom_mc"))
             .drop("__bloom_mc")
-            .persist()
+            # eager localCheckpoint, not persist: the blocks are
+            # ContextCleaner-managed (released when the frame is GC'd)
+            # instead of pinned until an unpersist nobody owns — callers
+            # use the result lazily and never see the probe re-run
+            .localCheckpoint(eager=True)
         )
-        maybe.count()  # materialize so the probe input can release now
         keys.unpersist()
         return maybe
     bits = _assemble_bloom_bits(spark, state_path, meta)
@@ -476,7 +506,10 @@ def _bloom_maybe_keys(
     ).toArrow()
     n = tbl.num_rows
     if n == 0:
-        return keys
+        # the empty probe is consumed at most once downstream — release
+        # the scan before handing it back
+        keys.unpersist()
+        return spark.createDataFrame([], schema=keys.schema)
     pos = np.asarray(
         tbl.column("__pos").combine_chunks().flatten(), dtype=np.int64
     )
@@ -488,6 +521,213 @@ def _bloom_maybe_keys(
     # replaces it downstream, so don't leave the scan pinned
     keys.unpersist()
     return spark.createDataFrame(maybe, schema=keys.schema)
+
+
+def _bloom_chunk_frame(
+    spark: SparkSession, state_path: str, meta: dict
+) -> DataFrame | None:
+    """The sidecar's persisted state as ONE distributed frame
+    (chunk_id, bits binary | null, pos array<int> | null) — dense chunk
+    rows from init/compaction unioned with the sparse per-increment
+    deltas.  None when the sidecar has no committed directories yet."""
+    name = meta["name"]
+    sides = []
+    if meta["chunk_dirs"]:
+        sides.append(
+            _read_log(
+                spark, state_path, f"{name}_bloom/chunks",
+                sorted(meta["chunk_dirs"]),
+            ).select(
+                "chunk_id", "bits",
+                F.lit(None).cast("array<int>").alias("pos"),
+            )
+        )
+    if meta["pos_dirs"]:
+        sides.append(
+            _read_log(
+                spark, state_path, f"{name}_bloom/pos",
+                sorted(meta["pos_dirs"]),
+            ).select(
+                "chunk_id", F.lit(None).cast("binary").alias("bits"), "pos"
+            )
+        )
+    if not sides:
+        return None
+    out = sides[0]
+    for s in sides[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _merge_chunk_group(chunk_pdf) -> "np.ndarray":  # noqa: F821
+    """OR one chunk_id's dense rows and sparse deltas into a 64 KiB
+    uint8 array — the per-task unit of the sharded probe and the
+    distributed fill census (one chunk in memory at a time)."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.bloom import (
+        CHUNK_BITS,
+        _CHUNK_BYTES,
+    )
+
+    chunk = np.zeros(_CHUNK_BYTES, dtype=np.uint8)
+    for b in chunk_pdf["bits"].dropna():
+        chunk |= np.frombuffer(b, dtype=np.uint8)
+    sparse = chunk_pdf["pos"].dropna()
+    if len(sparse):
+        bl = np.zeros(CHUNK_BITS, dtype=bool)
+        for arr in sparse:
+            bl[np.asarray(arr, dtype=np.int64)] = True
+        chunk |= np.packbits(bl, bitorder="little")
+    return chunk
+
+
+def _bloom_maybe_keys_sharded(
+    spark: SparkSession,
+    state_path: str,
+    meta: dict,
+    keys: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Chunk-partitioned probe — the no-single-process-bitmap path.
+
+    Probe side: each key explodes to its k (chunk_id, chunk-local bit)
+    rows (JVM codegen, O(k·batch) rows).  Filter side: the persisted
+    chunk rows + sparse deltas, grouped by chunk_id.  A cogrouped
+    applyInPandas ORs ONE chunk at a time and tests that chunk's probe
+    positions against it, so peak per-task memory is O(that chunk's probe
+    rows + 64 KiB) — independent of m_bits.  A key is "maybe" iff all k
+    of its position rows hit; positions that land in chunks the state
+    never wrote are definite misses (those rows are simply never
+    emitted, so the per-key hit sum stays < k).  Exactness is inherited:
+    the output feeds the same exact verify join as every other probe
+    form."""
+    import numpy as np
+    import pandas as pd
+
+    from exstream_implementation_spark.operators.bloom import (
+        CHUNK_BITS,
+        _positions,
+    )
+
+    k_hashes = meta["k_hashes"]
+    probe = keys.select(
+        F.col(col).alias("__k"),
+        F.explode(
+            _positions(col, meta["m_bits"], k_hashes, meta["seed"])
+        ).alias("__p"),
+    ).select(
+        "__k",
+        (F.col("__p") / CHUNK_BITS).cast("int").alias("chunk_id"),
+        (F.col("__p") % CHUNK_BITS).cast("int").alias("lp"),
+    )
+    bitmap = _bloom_chunk_frame(spark, state_path, meta)
+    if bitmap is None:  # empty filter: nothing can be a member
+        return keys.limit(0)
+
+    def count_hits(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # filter-side-only chunk: no keys to answer for
+            return pd.DataFrame(
+                {"__k": left["__k"], "__hit": np.zeros(0, dtype="int32")}
+            )
+        chunk = _merge_chunk_group(right)
+        lp = left["lp"].to_numpy()
+        hit = ((chunk[lp >> 3] >> (lp & 7).astype(np.uint8)) & 1).astype(
+            "int32"
+        )
+        return pd.DataFrame({"__k": left["__k"], "__hit": hit})
+
+    key_type = keys.schema[0].dataType.simpleString()
+    hits = (
+        probe.groupBy("chunk_id")
+        .cogroup(bitmap.groupBy("chunk_id"))
+        .applyInPandas(count_hits, schema=f"__k {key_type}, __hit int")
+    )
+    maybe = (
+        hits.groupBy("__k")
+        .agg(F.sum("__hit").alias("__n"))
+        .filter(F.col("__n") == k_hashes)
+        .select(F.col("__k").alias(col))
+    )
+    # one materialization shared by the isEmpty gate and the verify join;
+    # ContextCleaner-managed, never pinned (see the broadcast branch note)
+    return maybe.localCheckpoint(eager=True)
+
+
+# byte → set-bit-count lookup, for bitmap fill censuses
+_POPCOUNT8 = None
+
+
+def _popcount(arr) -> int:
+    import numpy as np
+
+    global _POPCOUNT8
+    if _POPCOUNT8 is None:
+        _POPCOUNT8 = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint32
+        )
+    return int(_POPCOUNT8[arr].sum())
+
+
+def _bloom_fill_stats(
+    spark: SparkSession, state_path: str, meta: dict
+) -> dict:
+    """Realized health of one sidecar: bitmap fill ratio and the expected
+    false-positive rate at that fill (fill^k — the textbook estimate, and
+    what the maybe→verify hit rate converges to on non-member traffic).
+    Small bitmaps read the session-cached assembly (one delta OR when
+    warm); past the single-process ceiling the census is a distributed
+    per-chunk popcount — O(m/8) scanned, one chunk per task in memory."""
+    import pandas as pd
+
+    if meta["m_bits"] // 8 <= _SINGLE_PROCESS_BITMAP_MAX_BYTES:
+        bits = _assemble_bloom_bits(spark, state_path, meta)
+        set_bits = _popcount(bits)
+    else:
+        frame = _bloom_chunk_frame(spark, state_path, meta)
+        if frame is None:
+            set_bits = 0
+        else:
+
+            def chunk_pop(pdf: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({"n": [_popcount(_merge_chunk_group(pdf))]})
+
+            set_bits = int(
+                frame.groupBy("chunk_id")
+                .applyInPandas(chunk_pop, schema="n long")
+                .agg(F.sum("n"))
+                .first()[0]
+                or 0
+            )
+    fill = set_bits / meta["m_bits"]
+    return {
+        "fill_ratio": round(fill, 6),
+        "fpp_estimate": round(fill ** meta["k_hashes"], 9),
+    }
+
+
+def bloom_needs_compaction(state: dict, factor: float = 5.0) -> dict:
+    """The sidecar re-size gate: logs whose estimated fpp has degraded
+    past ``factor`` × the configured target.  Past init capacity the
+    filter stays CORRECT (the exact verify join absorbs every false
+    positive) but each increment pays more verify traffic; the remedy is
+    ``compact_prep_state``, which rebuilds the filters re-sized to the
+    then-current log counts.  Returns {log name: {fpp_estimate,
+    target_fpp, fill_ratio}} — empty means healthy.  Stats are recorded
+    per increment (prepare_increment) and at init/compaction."""
+    out: dict = {}
+    bloom = state.get("bloom")
+    if not bloom:
+        return out
+    for name, meta in bloom["logs"].items():
+        est = meta.get("fpp_estimate")
+        if est is not None and est > bloom["fpp"] * factor:
+            out[name] = {
+                "fpp_estimate": est,
+                "target_fpp": bloom["fpp"],
+                "fill_ratio": meta.get("fill_ratio"),
+            }
+    return out
 
 
 def _write_state(root: str, state: dict) -> None:
@@ -640,14 +880,21 @@ def init_prep_state(
     }
     bloom_state = None
     if membership_bloom_fpp is not None:
+        import uuid
+
         from exstream_implementation_spark.operators.bloom import (
             bloom_params,
         )
 
         spark = docs.sparkSession
+        # identity: distinguishes THIS state's filters from any earlier
+        # state that lived at the same path (same dir names, often the
+        # same m_bits) — the session cache keys freshness on it
+        identity = uuid.uuid4().hex
         bloom_state = {
             "fpp": membership_bloom_fpp,
             "capacity_factor": membership_bloom_capacity_factor,
+            "identity": identity,
             "logs": {},
         }
         for lname, col in (("hashes", "__ch"), ("anchors", "anchor")):
@@ -670,12 +917,16 @@ def init_prep_state(
                 "k_hashes": k_hashes,
                 "seed": 42,
                 "capacity": capacity,
+                "identity": identity,
                 "chunk_dirs": [],
                 "pos_dirs": [],
             }
             meta["chunk_dirs"] = [
                 _bloom_build_chunks(written, col, meta, state_path, "batch=0")
             ]
+            # baseline health census (also warms the session cache the
+            # first increment's probe reads)
+            meta.update(_bloom_fill_stats(spark, state_path, meta))
             bloom_state["logs"][lname] = meta
     versions = {
         "source_counts": publish_snapshot(
@@ -1127,6 +1378,15 @@ def prepare_increment(
                     frame, col, meta, state_path, f"batch={increment}"
                 )
             )
+            # per-increment health census: warm-cache delta OR on the
+            # driver path, distributed per-chunk popcount past the
+            # single-process ceiling — either way bounded by m/8
+            meta.update(_bloom_fill_stats(spark, state_path, meta))
+        # surface the re-size gate with the stage dict so an operator
+        # watching increments sees degradation without re-reading state
+        stages["bloom_health"] = bloom_needs_compaction(
+            {**state, "bloom": bloom_state}
+        )
     versions = dict(state["versions"])
     new_counts = (
         stages["capped"]
@@ -1285,9 +1545,12 @@ def describe_prep_state(spark: SparkSession, state_path: str) -> dict:
                 "capacity": m["capacity"],
                 "chunk_dirs": len(m["chunk_dirs"]),
                 "pos_dirs": len(m["pos_dirs"]),
+                "fill_ratio": m.get("fill_ratio"),
+                "fpp_estimate": m.get("fpp_estimate"),
             }
             for name, m in bloom["logs"].items()
         }
+        bloom_summary["needs_compaction"] = bloom_needs_compaction(state)
     return {
         "n_increments": state["n_increments"],
         "max_doc_id": state["max_doc_id"],
@@ -1343,6 +1606,12 @@ def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
         )
 
         bloom_state = json.loads(json.dumps(bloom_state))
+        # keep (or mint, for pre-identity states) the root's identity —
+        # the rebuilt filters still belong to the same corpus lineage
+        if not bloom_state.get("identity"):
+            import uuid
+
+            bloom_state["identity"] = uuid.uuid4().hex
         for name in _LOGS:
             compacted = _read_log(
                 spark, state_path, name, logs[name]
@@ -1358,6 +1627,7 @@ def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
                 "k_hashes": k_hashes,
                 "seed": 42,
                 "capacity": capacity,
+                "identity": bloom_state["identity"],
                 "chunk_dirs": [],
                 "pos_dirs": [],
             }
@@ -1367,9 +1637,13 @@ def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
                     compacted, col, meta, state_path, f"compact={gen}"
                 )
             ]
-            bloom_state["logs"][name] = meta
-            # drop the session cache: the new meta has different m/dirs
+            # drop the session cache BEFORE the census: the new meta has
+            # different m/dirs, and the census below re-warms it
             _BLOOM_CACHE.pop((os.path.abspath(state_path), name), None)
+            # post-resize census — this is where a degraded fpp_estimate
+            # (bloom_needs_compaction) recovers its design target
+            meta.update(_bloom_fill_stats(spark, state_path, meta))
+            bloom_state["logs"][name] = meta
     new_state = {**state, "logs": logs, "bloom": bloom_state}
     _write_state(state_path, new_state)
     for name in _LOGS:  # post-commit cleanup of unreferenced directories

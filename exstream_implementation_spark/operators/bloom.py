@@ -160,11 +160,20 @@ def bloom_chunks(
                     chunk = acc[int(c)] = np.zeros(
                         _CHUNK_BYTES, dtype=np.uint8
                     )
-                np.bitwise_or.at(
-                    chunk,
-                    sel >> 3,
-                    np.left_shift(1, sel & 7).astype(np.uint8),
-                )
+                if len(sel) >= 4096:
+                    # dense chunk: boolean scatter + packbits is ~30×
+                    # faster than the unbuffered bitwise_or.at ufunc —
+                    # the dominant cost of a corpus-scale init build
+                    # (the r11 +590 s x1000 init tax lived here)
+                    bl = np.zeros(CHUNK_BITS, dtype=bool)
+                    bl[sel] = True
+                    chunk |= np.packbits(bl, bitorder="little")
+                else:
+                    np.bitwise_or.at(
+                        chunk,
+                        sel >> 3,
+                        np.left_shift(1, sel & 7).astype(np.uint8),
+                    )
         if acc:
             yield pd.DataFrame(
                 {

@@ -818,3 +818,196 @@ def test_bloom_executor_probe_branch_equivalent(spark, tmp_path, monkeypatch):
             for r in s2["despanned"].select("doc_id", "text").collect()
         }
     assert results["driver"] == results["executor"]
+
+
+def test_bloom_cache_identity_guards_reinit_at_same_path(spark, tmp_path):
+    """A state root deleted and re-initialized at the SAME path must not
+    serve the old corpus's session-cached bitmap: the re-init reuses the
+    'batch=0' dir name and (for a similar-sized corpus) the same m_bits,
+    so the subset-of-dirs freshness check alone passes — and a stale
+    bitmap yields FALSE NEGATIVES: cross-batch duplicates silently
+    admitted past dedup (ADVICE r11 #1).  The init-time identity uuid in
+    the cache key forces the rebuild."""
+    import shutil
+
+    schema = "doc_id long, text string, source string"
+    state = str(tmp_path / "state")
+    text_y = "wholly unique duplicate target text appears right here"
+    corpus_a = spark.createDataFrame(
+        [_doc(0, "first corpus only text alpha beta gamma", "s")], schema
+    )
+    # init warms the session cache (the fill census assembles the bitmap)
+    init_prep_state(corpus_a, state, cfg=CFG)
+    # wipe and re-init at the same path with a corpus containing Y
+    shutil.rmtree(state)
+    corpus_b = spark.createDataFrame([_doc(0, text_y, "s")], schema)
+    init_prep_state(corpus_b, state, cfg=CFG)
+    # a later duplicate of Y: a stale cached bitmap (corpus A's bits)
+    # proves it "definitely absent" and admits it — the fix catches it
+    dup = spark.createDataFrame([_doc(100, text_y, "s")], schema)
+    s = prepare_increment(dup, state)
+    assert s["deduped"].count() == 0
+
+
+def test_bloom_sharded_probe_equivalent_and_never_assembles(
+    spark, tmp_path, monkeypatch
+):
+    """The chunk-partitioned probe (bitmaps past the single-process
+    ceiling) is the same membership answer as the driver probe, and NO
+    process ever assembles the bitmap: both assembly entry points are
+    poisoned, so peak probe memory is O(batch + one 64 KiB chunk rows)
+    by construction — the r11 verdict's 100 TB ceiling item."""
+    import exstream_implementation_spark.incremental as inc
+
+    b1, b2, b3 = _batches(spark)
+    results = {}
+    for label in ("single", "sharded"):
+        if label == "sharded":
+            monkeypatch.setattr(inc, "_SINGLE_PROCESS_BITMAP_MAX_BYTES", 0)
+
+            def _poison(*a, **k):
+                raise AssertionError(
+                    "full bitmap assembled on the sharded path"
+                )
+
+            monkeypatch.setattr(inc, "_assemble_bloom_bits", _poison)
+            monkeypatch.setattr(inc, "_assemble_bloom", _poison)
+        state = str(tmp_path / f"state_{label}")
+        init_prep_state(b1, state, benchmark=_bench(spark), cfg=CFG)
+        s2 = prepare_increment(b2, state, benchmark=_bench(spark))
+        s3 = prepare_increment(b3, state, benchmark=_bench(spark))
+        results[label] = {
+            "m2": {
+                (r["doc_id"], r["text"])
+                for r in s2["despanned"].select("doc_id", "text").collect()
+            },
+            "m3": {
+                (r["doc_id"], r["text"])
+                for r in s3["despanned"].select("doc_id", "text").collect()
+            },
+        }
+    assert results["single"] == results["sharded"]
+
+
+def test_sharded_probe_maybe_set_matches_driver(spark, tmp_path, monkeypatch):
+    """Bit-level parity of the probe forms: the sharded cogroup probe and
+    the driver-array probe return the IDENTICAL maybe-key set on a mix of
+    members and novel keys (same positions, same bits — the sharded
+    OR-merge of dense chunks + sparse deltas must reconstruct exactly)."""
+    import exstream_implementation_spark.incremental as inc
+    from exstream_implementation_spark.corpus_prep import _norm_hash
+
+    b1, b2, _ = _batches(spark)
+    state = str(tmp_path / "state")
+    init_prep_state(b1, state, cfg=CFG)
+    prepare_increment(b2, state)  # adds a sparse pos delta on top of chunks
+    st = read_state(state)
+    meta = st["bloom"]["logs"]["hashes"]
+    keys = (
+        b1.select(_norm_hash("text").alias("__ch"))
+        .unionByName(b2.select(_norm_hash("text").alias("__ch")))
+        .unionByName(
+            spark.createDataFrame(
+                [(f"novel-key-{i}",) for i in range(64)], "__ch string"
+            )
+        )
+        .distinct()
+    )
+    driver = {
+        r["__ch"]
+        for r in inc._bloom_maybe_keys(
+            spark, state, meta, keys, "__ch"
+        ).collect()
+    }
+    sharded = {
+        r["__ch"]
+        for r in inc._bloom_maybe_keys_sharded(
+            spark, state, meta, keys, "__ch"
+        ).collect()
+    }
+    assert sharded == driver
+    # every true member is a maybe (no false negatives, ever) — members
+    # are the QUALITY-SURVIVING docs' hashes (doc 15 is the planted
+    # quality failure; its hash never enters the log)
+    members = {
+        r["__ch"]
+        for r in b1.unionByName(b2)
+        .filter("doc_id != 15")
+        .select(_norm_hash("text").alias("__ch"))
+        .collect()
+    }
+    assert members <= sharded
+
+
+def test_bloom_probe_leaves_no_pinned_storage(spark, tmp_path, monkeypatch):
+    """ADVICE r11 #3: neither probe branch may leave indefinitely-pinned
+    storage behind — the >threshold branch used to return a persisted
+    frame nobody unpersists, and the n==0 early return handed back a
+    still-persisted scan.  localCheckpoint blocks are ContextCleaner-
+    managed and excluded from the pinned census by design (cache.py)."""
+    import exstream_implementation_spark.incremental as inc
+    from exstream_implementation_spark.cache import persisted_rdd_census
+    from exstream_implementation_spark.corpus_prep import _norm_hash
+
+    b1, b2, _ = _batches(spark)
+    state = str(tmp_path / "state")
+    init_prep_state(b1, state, cfg=CFG)
+    meta = read_state(state)["bloom"]["logs"]["hashes"]
+    keys = b2.select(_norm_hash("text").alias("__ch")).distinct()
+    empty = keys.limit(0)
+    base = persisted_rdd_census(spark)[0]
+    # broadcast branch (threshold 0 forces it), then the n==0 early return
+    monkeypatch.setattr(inc, "_DRIVER_PROBE_MAX_KEYS", 0)
+    inc._bloom_maybe_keys(spark, state, meta, keys, "__ch").collect()
+    monkeypatch.setattr(inc, "_DRIVER_PROBE_MAX_KEYS", 2_000_000)
+    inc._bloom_maybe_keys(spark, state, meta, empty, "__ch").collect()
+    # and the default driver branch for completeness
+    inc._bloom_maybe_keys(spark, state, meta, keys, "__ch").collect()
+    assert persisted_rdd_census(spark)[0] == base
+
+
+def test_bloom_fpp_gate_trips_and_compaction_restores(spark, tmp_path):
+    """The sidecar re-size gate (r11 verdict #6): an increment that blows
+    far past init capacity degrades the realized fpp (recorded per
+    increment as fill_ratio/fpp_estimate); bloom_needs_compaction trips,
+    and compact_prep_state — which re-sizes the filters to current log
+    counts — restores the design target."""
+    from exstream_implementation_spark.incremental import (
+        bloom_needs_compaction,
+        compact_prep_state,
+        describe_prep_state,
+    )
+
+    b1, _, _ = _batches(spark)
+    state = str(tmp_path / "state")
+    init_prep_state(b1, state, benchmark=_bench(spark), cfg=CFG)
+    st0 = read_state(state)
+    assert bloom_needs_compaction(st0) == {}  # healthy at init
+    assert st0["bloom"]["logs"]["anchors"]["fpp_estimate"] is not None
+
+    # ~100k distinct anchors into a capacity-1000 (one-chunk) filter:
+    # 60 docs × ~240 words of unique tokens, stopwords interleaved so the
+    # quality gate keeps them
+    stops = ["the", "a", "and", "of", "is", "to", "in", "on"]
+    rows = []
+    for i in range(60):
+        words = []
+        for j in range(120):
+            words += [f"q{i}x{j}r{(i * 7 + j) % 97}", stops[j % len(stops)]]
+        rows.append((100 + i, " ".join(words), "srcB"))
+    big = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    s = prepare_increment(big, state, benchmark=_bench(spark))
+    assert "anchors" in s["bloom_health"]  # surfaced with the stage dict
+    st1 = read_state(state)
+    over = bloom_needs_compaction(st1)
+    assert "anchors" in over
+    assert over["anchors"]["fpp_estimate"] > 5 * st1["bloom"]["fpp"]
+    assert describe_prep_state(spark, state)["bloom"]["needs_compaction"]
+
+    st2 = compact_prep_state(spark, state)
+    assert bloom_needs_compaction(st2) == {}
+    m_new = st2["bloom"]["logs"]["anchors"]
+    assert m_new["m_bits"] > st1["bloom"]["logs"]["anchors"]["m_bits"]
+    assert m_new["fpp_estimate"] <= 5 * st2["bloom"]["fpp"]

@@ -21,7 +21,10 @@ assembly (bounded by the bitmap, not the log rows); the second measures
 the warm steady-state path a long-lived writer runs.  Set
 SPARK_GRAFT_SKIP_REBUILD=1 to skip the from-scratch rebuild leg when only
 the increment trend is being re-measured (the rebuild numbers are already
-on record per scale).
+on record per scale).  Set SPARK_GRAFT_SMOKE_BLOOM=0 to init WITHOUT the
+Bloom sidecars (membership_bloom_fpp=None): the record lands under
+"x{N}_nobloom", so one JSON holds the bloom-vs-plain init overhead the
+r12 ≤20% gate reads.
 
 N=1000 (5M docs) needs SPARK_DRIVER_MEMORY=48g — the default 8g heap OOMs
 in the substring/BPE stages of the init run (measured r10; the x300 run
@@ -121,12 +124,14 @@ def main() -> int:
         bpe_merges=16,
         n_shards=8,
     )
+    bloom = os.environ.get("SPARK_GRAFT_SMOKE_BLOOM", "1") != "0"
     work = tempfile.mkdtemp(prefix="inc_smoke_")
     out = {
         "replication": n,
         "standing_docs": n_standing,
         "batch_docs": n_batch,
         "batch2_docs": n_batch2,
+        "bloom_sidecar": bloom,
     }
     try:
         t0 = time.monotonic()
@@ -135,6 +140,7 @@ def main() -> int:
             f"{work}/state",
             cfg=cfg,
             out_path=f"{work}/out",
+            membership_bloom_fpp=0.01 if bloom else None,
         )
         out["t_init_s"] = round(time.monotonic() - t0, 2)
 
@@ -186,7 +192,7 @@ def main() -> int:
     if os.path.exists(dst):
         with open(dst) as fh:
             merged = json.load(fh)
-    merged[f"x{n}"] = out
+    merged[f"x{n}" if bloom else f"x{n}_nobloom"] = out
     with open(dst, "w") as fh:
         json.dump(merged, fh, indent=1, sort_keys=True)
     print(json.dumps(out))
