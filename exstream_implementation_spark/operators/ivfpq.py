@@ -53,6 +53,77 @@ from exstream_implementation_spark.operators.pq import (
 
 _RESIDUAL = "zip_with(embedding, cemb, (x, y) -> cast(x as double) - y)"
 
+# every table a rebuild may create or retire; ``{name}_{sfx}_staging`` and
+# ``{name}_{sfx}_old`` are RESERVED scratch names (the index_lifecycle
+# namespace claim), and ``{name}_ivfpq_commit`` is the rebuild's marker
+_IVFPQ_SUFFIXES = ("centroids", "codebooks", "codes", "meta", "rotation")
+
+
+def _save_staging(df: DataFrame, table: str) -> None:
+    """One staging-table write — a seam the crash-injection tests wrap."""
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def _ivfpq_swap_one(spark: SparkSession, tbl: str) -> None:
+    """Idempotent single-table swap: staging → live with the parked-old
+    rename discipline (compact_bucketed_table's shape).  At no instant is
+    the only copy of current data deleted: ``_old`` is dropped only while
+    a live or staging copy exists, and a crash at any statement leaves a
+    state this same function (re-run by recover_ivfpq) completes."""
+    staging, old = f"{tbl}_staging", f"{tbl}_old"
+    if spark.catalog.tableExists(staging):
+        if spark.catalog.tableExists(tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {old}")
+            spark.sql(f"ALTER TABLE {tbl} RENAME TO {old}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {tbl}")
+    elif not spark.catalog.tableExists(tbl) and spark.catalog.tableExists(old):
+        # crash fell between the two renames on a previous pass
+        spark.sql(f"ALTER TABLE {old} RENAME TO {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+
+
+def recover_ivfpq(spark: SparkSession, name: str) -> bool:
+    """Restore a consistent serving set after a crashed rebuild (the r11
+    ADVICE swap-window finding: the old build mutated ``{name}_rotation``
+    before retraining, so a crash left a rotation inconsistent with the
+    surviving codebooks and probes returned silently wrong neighbors).
+
+    The rebuild protocol makes every crash recoverable:
+
+      marker PRESENT  → every staging table was fully written (the marker
+                        commits last), so ROLL FORWARD: re-run each swap
+                        (idempotent) / retire each dropped table, then
+                        drop the marker.
+      marker ABSENT   → the staging set may be incomplete: ROLL BACK —
+                        drop all staging leftovers; restore any
+                        live-absent/old-parked table.
+
+    Either way the serving tables all come from ONE build.  Safe (and
+    cheap) to call from any reader; build/append/probe/load call it on
+    entry.  Returns True when any recovery action ran."""
+    marker = f"{name}_ivfpq_commit"
+    if spark.catalog.tableExists(marker):
+        for r in spark.table(marker).collect():
+            if r["action"] == "swap":
+                _ivfpq_swap_one(spark, r["tbl"])
+            else:  # the rebuild retires this table (rotation on opq=False)
+                spark.sql(f"DROP TABLE IF EXISTS {r['tbl']}")
+                spark.sql(f"DROP TABLE IF EXISTS {r['tbl']}_old")
+        spark.sql(f"DROP TABLE IF EXISTS {marker}")
+        return True
+    acted = False
+    for sfx in _IVFPQ_SUFFIXES:
+        tbl = f"{name}_{sfx}"
+        if spark.catalog.tableExists(f"{tbl}_staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}_staging")
+            acted = True
+        if not spark.catalog.tableExists(tbl) and spark.catalog.tableExists(
+            f"{tbl}_old"
+        ):
+            spark.sql(f"ALTER TABLE {tbl}_old RENAME TO {tbl}")
+            acted = True
+    return acted
+
 
 def _rotate_frame(vecs: DataFrame, rotation: np.ndarray,
                   mean: np.ndarray) -> DataFrame:
@@ -98,6 +169,7 @@ def build_ivfpq_index(
     max_iter: int = 5,
     n_buckets: int = 16,
     opq: bool = False,
+    opq_iters: int = 6,
 ) -> dict:
     """Train coarse cells + residual PQ and persist the three tables.
     Returns {n_vectors, k_effective, dim, m, code_bytes, raw_bytes}.
@@ -112,38 +184,50 @@ def build_ivfpq_index(
     rank identically to an un-rotated index in the exact limit, and
     recall gates against original-space ground truth stay valid.  The
     rotation+mean persist in ``{name}_rotation``; probe and append load
-    and apply it transparently."""
+    and apply it transparently.
+
+    Crash safety (the r11 ADVICE swap-window finding: the old build
+    mutated ``{name}_rotation`` before retraining, so a crash left a
+    rotation inconsistent with the surviving codebooks): every table is
+    written to a ``_staging`` name, a ``{name}_ivfpq_commit`` marker
+    commits only once ALL of them exist, and only then does each swap
+    into place — a crash before the marker leaves the old index untouched
+    (``recover_ivfpq`` discards staging); a crash after it rolls forward
+    to the new index.  Crash-consistent, not concurrent-reader-isolated:
+    single writer per index name, like the rest of the lifecycle."""
+    recover_ivfpq(spark, name)
+    staged: list[tuple[str, str]] = []
     rotation = mean = None
     if opq:
-        from exstream_implementation_spark.operators.pca import fit_pca
-        from exstream_implementation_spark.operators.pq import (
-            _balanced_eig_permutation,
+        # the rotation trains through train_pq's OPQ path (parametric
+        # init + full alternating refinement since r12 — opq_iters=0
+        # reproduces the r11 parametric rotation exactly); the throwaway
+        # raw-space codebooks it also fits are a bounded model-sized
+        # cost, and the real residual codebooks train below
+        rot_src = train_pq(
+            vecs, m=m, ksub=ksub, max_iter=max_iter,
+            id_col="vec_id", vec_col="embedding",
+            opq=True, opq_iters=opq_iters,
         )
-
-        head = vecs.select("embedding").first()
-        d = len(head["embedding"])
-        if d % m != 0:
-            raise ValueError(f"build_ivfpq_index: dim {d} not divisible by m={m}")
-        pca = fit_pca(vecs, vec_col="embedding", k=d)
-        perm = _balanced_eig_permutation(pca.eigvals, m, d // m)
-        rotation, mean = pca.components[:, perm], pca.mean
+        rotation, mean = rot_src.rotation, rot_src.mean
+        d = rot_src.dim
         vecs = _rotate_frame(vecs, rotation, mean)
         rot_rows = [(-1, [float(v) for v in mean])] + [
             (i, [float(v) for v in rotation[i]]) for i in range(d)
         ]
-        spark.createDataFrame(
-            rot_rows, "idx int, vals array<double>"
-        ).write.mode("overwrite").format("parquet").saveAsTable(
-            f"{name}_rotation"
+        _save_staging(
+            spark.createDataFrame(rot_rows, "idx int, vals array<double>"),
+            f"{name}_rotation_staging",
         )
+        staged.append((f"{name}_rotation", "swap"))
     else:
-        # a rebuild without opq must not leave a stale rotation behind
-        spark.sql(f"DROP TABLE IF EXISTS {name}_rotation")
+        # a rebuild without opq RETIRES any stale rotation — at commit
+        # time, never before the new centroids/codebooks exist
+        staged.append((f"{name}_rotation", "drop"))
     cents, _hist = kmeans_train(vecs, k=k_cells, max_iter=max_iter)
-    cents.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{name}_centroids"
-    )
-    cents_b = F.broadcast(spark.table(f"{name}_centroids"))
+    _save_staging(cents, f"{name}_centroids_staging")
+    staged.append((f"{name}_centroids", "swap"))
+    cents_b = F.broadcast(spark.table(f"{name}_centroids_staging"))
     assigned = (
         _assign(vecs, cents_b)
         .select("cell", "vec_id", "embedding")
@@ -160,9 +244,10 @@ def build_ivfpq_index(
             assigned, model, id_col="vec_id", vec_col="residual"
         ).join(assigned.select("vec_id", "cell"), "vec_id")
         write_bucketed(
-            codes.select("cell", "vec_id", "code"), f"{name}_codes",
+            codes.select("cell", "vec_id", "code"), f"{name}_codes_staging",
             ["cell"], n_buckets=n_buckets, sort_cols=["cell", "vec_id"],
         )
+        staged.append((f"{name}_codes", "swap"))
     finally:
         assigned.unpersist()
     book_rows = [
@@ -170,23 +255,41 @@ def build_ivfpq_index(
         for i in range(model.m)
         for c in range(len(model.codebooks[i]))
     ]
-    spark.createDataFrame(
-        book_rows, "sub int, cell int, cemb array<double>"
-    ).write.mode("overwrite").format("parquet").saveAsTable(
-        f"{name}_codebooks"
+    _save_staging(
+        spark.createDataFrame(
+            book_rows, "sub int, cell int, cemb array<double>"
+        ),
+        f"{name}_codebooks_staging",
     )
+    staged.append((f"{name}_codebooks", "swap"))
     stats = vecs.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("dim")
     ).first()
-    k_eff = spark.table(f"{name}_centroids").count()
+    k_eff = spark.table(f"{name}_centroids_staging").count()
     # n_trained pins what BOTH the coarse cells and the codebooks were fit
     # on; appends advance n_vectors only (same staleness contract as
     # ann_index.py)
-    spark.createDataFrame(
-        [(int(stats["n"]), int(stats["n"]), int(k_eff), int(stats["dim"]),
-          model.m)],
-        "n_vectors long, n_trained long, k int, dim int, m int",
-    ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
+    _save_staging(
+        spark.createDataFrame(
+            [(int(stats["n"]), int(stats["n"]), int(k_eff),
+              int(stats["dim"]), model.m)],
+            "n_vectors long, n_trained long, k int, dim int, m int",
+        ),
+        f"{name}_meta_staging",
+    )
+    staged.append((f"{name}_meta", "swap"))
+    # the commit point: every staging table exists — from here a crash
+    # rolls FORWARD (recover_ivfpq re-runs the idempotent swaps)
+    _save_staging(
+        spark.createDataFrame(staged, "tbl string, action string"),
+        f"{name}_ivfpq_commit",
+    )
+    for tbl, action in staged:
+        if action == "swap":
+            _ivfpq_swap_one(spark, tbl)
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}_ivfpq_commit")
     return {
         "n_vectors": int(stats["n"]), "k_effective": int(k_eff),
         "dim": int(stats["dim"]), "m": model.m,
@@ -203,6 +306,7 @@ def append_to_ivfpq_index(
     vectors grows as the data distribution drifts from the trained one;
     ``ivfpq_is_stale`` measures that drift by corpus growth, exactly like
     the raw-vector index."""
+    recover_ivfpq(spark, name)
     cents_b = F.broadcast(spark.table(f"{name}_centroids"))
     model = load_pq_model(spark, name)
     rotation, mean = _load_rotation(spark, name)
@@ -243,7 +347,10 @@ def ivfpq_is_stale(
 
 def load_pq_model(spark: SparkSession, name: str) -> PQModel:
     """Rebuild the PQModel from the persisted codebook table — no training
-    lineage, works from a cold session."""
+    lineage, works from a cold session.  Completes/rolls back any crashed
+    rebuild first, so the codebooks read always match the serving
+    rotation."""
+    recover_ivfpq(spark, name)
     rows = spark.table(f"{name}_codebooks").collect()
     m = 1 + max(r["sub"] for r in rows)
     books = []
@@ -278,6 +385,7 @@ def probe_ivfpq_index(
     ids outside the corpus id space for external query vectors.  (The
     raw scorer pq_adc_topk does NO such masking.)
     """
+    recover_ivfpq(spark, name)
     q = np.asarray(queries, dtype=np.float64)
     qids = np.asarray(query_ids, dtype=np.int64)
     if len(q) == 0:

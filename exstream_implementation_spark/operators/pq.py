@@ -124,6 +124,138 @@ def _subvectors(vecs: DataFrame, id_col: str, vec_col: str, m: int,
     )
 
 
+def _lloyd_subspaces(
+    spark,
+    subs: DataFrame,
+    ksub: int,
+    max_iter: int,
+    tol: float,
+    init_rows: list | None = None,
+) -> tuple[list, list]:
+    """The shared distributed Lloyd loop over the exploded (sub, subvec)
+    table — one loop trains every subspace at once (composite key).
+    ``init_rows`` [(sub, cell, cemb), ...] warm-starts the centroids (the
+    OPQ alternation reuses the previous alternation's codebooks); default
+    is the deterministic ksub-lowest-ids init.  Returns (final centroid
+    rows, inertia history)."""
+    if init_rows is None:
+        # deterministic init: per subspace, subvectors of the ksub lowest ids
+        w0 = Window.partitionBy("sub").orderBy("__id")
+        init_rows = [
+            (r["sub"], r["cell"], r["cemb"])
+            for r in subs.withColumn("__r", F.row_number().over(w0))
+            .filter(F.col("__r") <= ksub)
+            .select("sub", F.col("__r").alias("cell"),
+                    F.col("subvec").alias("cemb"))
+            .collect()
+        ]
+    centroids = spark.createDataFrame(
+        init_rows, "sub int, cell int, cemb array<double>"
+    )
+    history: list[float] = []
+    for _ in range(max_iter):
+        scored = subs.join(F.broadcast(centroids), "sub").withColumn(
+            "sqdist", F.expr(_SQDIST.format(a="subvec", b="cemb"))
+        )
+        w = Window.partitionBy("sub", "__id").orderBy("sqdist", "cell")
+        assigned = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("sub", "cell", "subvec", "sqdist")
+            .persist()
+        )
+        inertia = assigned.agg(F.sum("sqdist")).first()[0]
+        new_rows = (
+            assigned.select("sub", "cell", F.posexplode("subvec"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.avg("col").alias("mu"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu")))
+                 .alias("_s"))
+            .select("sub", "cell", F.col("_s.mu").alias("cemb"))
+            # bounded collect: m * ksub rows — rebuilding the centroid
+            # relation locally cuts the lineage exactly as kmeans_train
+            # does (leaving it lazy stacks every iteration's plan)
+            .collect()
+        )
+        assigned.unpersist()
+        centroids = spark.createDataFrame(
+            [(r["sub"], r["cell"], r["cemb"]) for r in new_rows],
+            "sub int, cell int, cemb array<double>",
+        )
+        history.append(float(inertia))
+        if len(history) >= 2 and history[-2] - history[-1] <= tol * history[-2]:
+            break
+    return centroids.collect(), history
+
+
+def _books_from_rows(final: list, m: int) -> list:
+    """Centroid rows → m dense codebook arrays (cells re-numbered
+    0..ksub_i-1 in sorted-cell order — the code/array index contract)."""
+    books = []
+    for i in range(m):
+        rows = sorted(
+            (r for r in final if r["sub"] == i), key=lambda r: r["cell"]
+        )
+        if not rows:
+            raise ValueError(f"train_pq: subspace {i} lost all centroids")
+        books.append(np.array([r["cemb"] for r in rows], dtype=np.float64))
+    return books
+
+
+def _opq_cross_moment(
+    vecs: DataFrame,
+    vec_col: str,
+    books: list,
+    rotation: np.ndarray,
+    mean: np.ndarray,
+) -> np.ndarray:
+    """M = Σ_rows (x-μ)ᵀ q((x-μ)R) — the d×d cross-moment whose SVD gives
+    the orthogonal-Procrustes rotation update (Ge et al. 2013 §4, OPQ-NP).
+    One distributed mapInPandas pass: each Arrow batch rotates, encodes
+    (argmin per subspace), reconstructs, and emits its d×d partial; the
+    partials (one per partition) are summed driver-side in a canonical
+    order so the result is independent of partition enumeration."""
+    m = len(books)
+    d = rotation.shape[0]
+    dsub = d // m
+    sq_norms = [np.sum(b * b, axis=1) for b in books]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((d, d))
+        seen = False
+        for pdf in it:
+            if pdf.empty:
+                continue
+            seen = True
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xc = x - mean
+            y = xc @ rotation
+            rec = np.empty_like(y)
+            for i in range(m):
+                ys = y[:, i * dsub:(i + 1) * dsub]
+                dist = sq_norms[i][None, :] - 2.0 * (ys @ books[i].T)
+                rec[:, i * dsub:(i + 1) * dsub] = books[i][
+                    np.argmin(dist, axis=1)
+                ]
+            acc += xc.T @ rec
+        if seen:
+            yield pd.DataFrame({"mm": [acc.ravel().tolist()]})
+
+    parts = [
+        np.asarray(r["mm"], dtype=np.float64)
+        for r in vecs.select(vec_col).mapInPandas(
+            run, "mm array<double>"
+        ).collect()
+    ]
+    if not parts:
+        raise ValueError("train_pq: opq refinement saw no vectors")
+    out = np.zeros(d * d)
+    for p in sorted(parts, key=lambda a: a.tobytes()):
+        out += p
+    return out.reshape(d, d)
+
+
 def train_pq(
     vecs: DataFrame,
     m: int = 8,
@@ -134,14 +266,23 @@ def train_pq(
     vec_col: str = "embedding",
     train_fraction: float | None = None,
     opq: bool = False,
+    opq_iters: int = 6,
 ) -> PQModel:
     """Train an m-subspace, ksub-centroid product quantizer.
 
     ``opq=True`` learns a PCA pre-rotation with balanced eigenvalue
-    allocation first (parametric OPQ) and trains the codebooks in the
-    rotated frame; encode/reconstruct/ADC apply it transparently.  Worth
-    it exactly when the embedding dimensions are correlated/anisotropic
-    (real encoder output); a no-op in quality on isotropic data.
+    allocation (the parametric-OPQ init), then — ``opq_iters`` > 0, the
+    default — runs the FULL non-parametric OPQ alternation (Ge et al.
+    2013 §4): refine codebooks in the current rotated frame, update the
+    rotation by orthogonal Procrustes from the d×d cross-moment between
+    centered inputs and their reconstructions, repeat.  Codebooks warm-
+    start across alternations and the final Lloyd runs to ``max_iter``
+    in the final frame.  ``opq_iters=0`` reproduces the r11 parametric-
+    only rotation bit-for-bit.  Worth it exactly when the embedding
+    dimensions are correlated/anisotropic (real encoder output); on
+    isotropic data every rotation is equivalent in expectation, so no
+    rotation — parametric or refined — can help (the only lever there is
+    code budget: raise m; see docs/COMPRESSION_FAMILY.json's m=16 rows).
 
     One Lloyd loop over the exploded (sub, subvec) table trains every
     subspace simultaneously; init is deterministic (the ksub lowest ids'
@@ -179,8 +320,10 @@ def train_pq(
                     "train_pq: train_fraction sampled zero vectors"
                 )
     dsub = d // m
+    spark = vecs.sparkSession
 
     rotation = mean = None
+    warm = None
     if opq:
         from exstream_implementation_spark.operators.pca import (
             PCAModel,
@@ -194,78 +337,87 @@ def train_pq(
         perm = _balanced_eig_permutation(pca.eigvals, m, dsub)
         rotation = pca.components[:, perm]
         mean = pca.mean
+        if opq_iters > 0:
+            rotation, warm = _opq_refine(
+                spark, vecs, id_col, vec_col, m, ksub, dsub,
+                rotation, mean, opq_iters, tol,
+            )
+        ones = np.ones(d)
         rot_model = PCAModel(
             mean=mean,
             components=rotation,
-            eigvals=pca.eigvals[perm],
-            explained_ratio=pca.explained_ratio[perm],
+            # the eigenvalue fields only label the basis (transform_pca
+            # reads mean+components); after refinement they have no
+            # per-axis meaning, so carry neutral ones
+            eigvals=ones,
+            explained_ratio=ones,
         )
         vecs = transform_pca(vecs, rot_model, vec_col=vec_col,
                              out_col="__rot")
         vec_col = "__rot"
 
-    spark = vecs.sparkSession
     subs = _subvectors(vecs, id_col, vec_col, m, dsub).persist()
     try:
-        # deterministic init: per subspace, subvectors of the ksub lowest ids
-        w0 = Window.partitionBy("sub").orderBy("__id")
-        cents = (
-            subs.withColumn("__r", F.row_number().over(w0))
-            .filter(F.col("__r") <= ksub)
-            .select("sub", F.col("__r").alias("cell"),
-                    F.col("subvec").alias("cemb"))
-            .collect()
+        final, history = _lloyd_subspaces(
+            spark, subs, ksub, max_iter, tol, init_rows=warm
         )
-        centroids = spark.createDataFrame(
-            [(r["sub"], r["cell"], r["cemb"]) for r in cents],
-            "sub int, cell int, cemb array<double>",
-        )
-        history: list[float] = []
-        for _ in range(max_iter):
-            scored = subs.join(F.broadcast(centroids), "sub").withColumn(
-                "sqdist", F.expr(_SQDIST.format(a="subvec", b="cemb"))
-            )
-            w = Window.partitionBy("sub", "__id").orderBy("sqdist", "cell")
-            assigned = (
-                scored.withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") == 1)
-                .select("sub", "cell", "subvec", "sqdist")
-                .persist()
-            )
-            inertia = assigned.agg(F.sum("sqdist")).first()[0]
-            new_rows = (
-                assigned.select("sub", "cell", F.posexplode("subvec"))
-                .groupBy("sub", "cell", "pos")
-                .agg(F.avg("col").alias("mu"))
-                .groupBy("sub", "cell")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "mu")))
-                     .alias("_s"))
-                .select("sub", "cell", F.col("_s.mu").alias("cemb"))
-                # bounded collect: m * ksub rows — rebuilding the centroid
-                # relation locally cuts the lineage exactly as kmeans_train
-                # does (leaving it lazy stacks every iteration's plan)
-                .collect()
-            )
-            assigned.unpersist()
-            centroids = spark.createDataFrame(
-                [(r["sub"], r["cell"], r["cemb"]) for r in new_rows],
-                "sub int, cell int, cemb array<double>",
-            )
-            history.append(float(inertia))
-            if len(history) >= 2 and history[-2] - history[-1] <= tol * history[-2]:
-                break
-        final = centroids.collect()
     finally:
         subs.unpersist()
-
-    books = []
-    for i in range(m):
-        rows = sorted((r for r in final if r["sub"] == i), key=lambda r: r["cell"])
-        if not rows:
-            raise ValueError(f"train_pq: subspace {i} lost all centroids")
-        books.append(np.array([r["cemb"] for r in rows], dtype=np.float64))
+    books = _books_from_rows(final, m)
     return PQModel(dim=d, m=m, dsub=dsub, codebooks=tuple(books),
                    inertia=tuple(history), rotation=rotation, mean=mean)
+
+
+def _opq_refine(
+    spark,
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    dsub: int,
+    rotation: np.ndarray,
+    mean: np.ndarray,
+    opq_iters: int,
+    tol: float,
+) -> tuple[np.ndarray, list]:
+    """The non-parametric OPQ alternation: short Lloyd sweeps in the
+    current rotated frame (codebooks warm-started) alternating with the
+    Procrustes rotation update R ← U Vᵀ from SVD(Σ (x-μ)ᵀ q((x-μ)R)).
+    Returns (refined rotation, last centroid rows — the final Lloyd's
+    warm start).  The rotation stays exactly orthonormal by construction
+    at every step, so the ADC == reconstruction identity and original-
+    space L2 ranking survive the refinement verbatim."""
+    from exstream_implementation_spark.operators.pca import (
+        PCAModel,
+        transform_pca,
+    )
+
+    d = rotation.shape[0]
+    ones = np.ones(d)
+    rows: list | None = None
+    for _ in range(opq_iters):
+        rot_model = PCAModel(mean=mean, components=rotation,
+                             eigvals=ones, explained_ratio=ones)
+        rotated = transform_pca(vecs, rot_model, vec_col=vec_col,
+                                out_col="__rot")
+        subs = _subvectors(rotated, id_col, "__rot", m, dsub).persist()
+        try:
+            rows, _ = _lloyd_subspaces(
+                spark, subs, ksub, 2, tol,
+                init_rows=(
+                    [(r["sub"], r["cell"], r["cemb"]) for r in rows]
+                    if rows is not None
+                    else None
+                ),
+            )
+        finally:
+            subs.unpersist()
+        books = _books_from_rows(rows, m)
+        moment = _opq_cross_moment(vecs, vec_col, books, rotation, mean)
+        u, _, vt = np.linalg.svd(moment)
+        rotation = u @ vt
+    return rotation, [(r["sub"], r["cell"], r["cemb"]) for r in rows]
 
 
 def _check_model(model: PQModel, d: int) -> None:

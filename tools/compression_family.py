@@ -71,7 +71,9 @@ def main() -> None:
         "dim": int(d),
         "k": K,
         "n_queries": N_QUERIES,
-        "bytes_per_vec": {"exact_fp32": d * 4, "sq8": d, "pq_m8": 8},
+        "bytes_per_vec": {
+            "exact_fp32": d * 4, "sq8": d, "pq_m8": 8, "pq_m16": 16,
+        },
         "wall_s": {"exact_l2_topk_numpy": wall_exact},
         "recall_at_5": {},
     }
@@ -110,10 +112,19 @@ def main() -> None:
         hits / (K * len(q)), 3
     )
 
-    # --- PQ m=8, plain and OPQ-rotated -----------------------------------
-    for label, opq in (("pq_m8", False), ("opq_m8", True)):
+    # --- PQ m=8/m=16, plain and OPQ-rotated -------------------------------
+    # the m=16 rows are the isotropic A/B: the x20 embeddings are near-
+    # isotropic, where NO rotation can help (every orthonormal frame has
+    # the same expected distortion) — doubling the code budget is the
+    # honest recall lever there, and the rows record it
+    for label, opq, m_sub in (
+        ("pq_m8", False, 8),
+        ("opq_m8", True, 8),
+        ("pq_m16", False, 16),
+        ("opq_m16", True, 16),
+    ):
         t0 = time.time()
-        model = train_pq(emb, m=8, ksub=16, max_iter=8, opq=opq)
+        model = train_pq(emb, m=m_sub, ksub=16, max_iter=8, opq=opq)
         codes = encode_pq(emb, model).persist()
         codes.count()
         report["wall_s"][f"{label}_train_encode"] = round(time.time() - t0, 2)
