@@ -27,15 +27,23 @@ window" but nothing enforced that reading):
     timed pass and AFTER the last, so a host that changed speed mid-suite
     is visible, not inferred.
   * "value_warm_normalized": value_warm × (pinned reference spark-probe /
-    observed spark-probe).  The pinned constants are the mid-band of the
-    probe's recorded r08-r09 history on the round-7/8 hosts (spark probe
-    band 0.25-0.53 s → 0.32; numpy band ~0.17-0.21 → 0.20); a round whose
-    raw totals move with the probe but whose normalized total is flat is a
-    host story, full stop.  The linear correction is only valid while the
-    observed probe sits inside its recorded history band (0.25-0.53 s —
-    the suite is not purely scheduler-bound, so extrapolating beyond the
-    hosts it was fit on misleads); outside the band the field is null and
-    "probe_out_of_band" is true — read the raw warm medians instead.
+    observed spark-probe).  A round whose raw totals move with the probe
+    but whose normalized total is flat is a host story, full stop.  The
+    pinned constants were RE-PINNED in round 12 to the driver's CURRENT
+    host family: the r08-r09 pin (0.32, band 0.25-0.53) came from the
+    round-7/8 hosts, and every r10/r11 driver host probed 0.16-0.24 —
+    permanently out of band, so the field had been null two rounds
+    running and a real-vs-phantom regression took a manual idle-host
+    re-run to adjudicate (r11 verdict).  Current pin: 0.20 = the mid of
+    the r10-r11 driver-host observations (0.164 / ~0.20 / 0.243);
+    validity band 0.13-0.33 covers those plus the r11 judge's idle-host
+    runs.  Outside the band the field is null and "probe_out_of_band" is
+    true — read the raw warm medians instead.
+  * the field is ALSO null when the before/after probes disagree by more
+    than 1.35× ("probe_drifted": the r11 driver host slowed 48% mid-suite;
+    a median of two disagreeing probes hides exactly the instability the
+    canaries exist to expose).  normalize_warm() is the pure function the
+    tests pin this contract on.
 """
 
 from __future__ import annotations
@@ -46,9 +54,48 @@ import statistics
 import sys
 import time
 
-# pinned reference canaries (see module docstring for provenance)
-REF_PROBE_SPARK_S = 0.32
+# pinned reference canaries (see module docstring for provenance:
+# re-pinned r12 to the r10-r11 driver host family)
+REF_PROBE_SPARK_S = 0.20
 REF_PROBE_NUMPY_S = 0.20
+PROBE_BAND = (0.13, 0.33)
+PROBE_MAX_DRIFT = 1.35
+
+
+def normalize_warm(
+    value_warm: float, probe_before_s: float, probe_after_s: float
+) -> tuple[float | None, dict]:
+    """Host-speed correction with its two validity gates — pure, so the
+    contract is unit-testable without running the suite.
+
+    Returns (value_warm_normalized | None, flags):
+      flags["probe_ratio"]           observed/pinned (observed = median of
+                                     the before/after scheduler canaries)
+      flags["probe_out_of_band"]     observed outside PROBE_BAND — the
+                                     linear correction was never validated
+                                     there, so no number is emitted
+      flags["probe_intra_run_drift"] max/min of before vs after
+      flags["probe_drifted"]         drift > PROBE_MAX_DRIFT — the host
+                                     changed speed mid-suite, so no single
+                                     correction factor is honest
+    """
+    observed = statistics.median([probe_before_s, probe_after_s])
+    lo, hi = min(probe_before_s, probe_after_s), max(
+        probe_before_s, probe_after_s
+    )
+    drift = hi / max(lo, 1e-9)
+    flags = {
+        "probe_ratio": round(observed / REF_PROBE_SPARK_S, 3),
+        "probe_out_of_band": not (PROBE_BAND[0] <= observed <= PROBE_BAND[1]),
+        "probe_intra_run_drift": round(drift, 3),
+        "probe_drifted": drift > PROBE_MAX_DRIFT,
+    }
+    value = (
+        None
+        if flags["probe_out_of_band"] or flags["probe_drifted"]
+        else round(value_warm * (REF_PROBE_SPARK_S / observed), 3)
+    )
+    return value, flags
 
 
 def _probe(spark, np) -> dict[str, float]:
@@ -172,28 +219,12 @@ def main():
         for q in qnames
     }
     value_warm = round(sum(warm.values()), 3)
-    # host-speed correction: scale the warm total by how much slower/faster
-    # the observed scheduler canary is than the pinned reference canary
-    # (median of before/after, so a mid-suite speed change averages in)
-    observed_probe = statistics.median(
-        [
-            probe_before["spark_range_agg_s"],
-            probe_after["spark_range_agg_s"],
-        ]
-    )
-    # The linear probe correction is only valid where it was validated:
-    # inside the probe's RECORDED r08-r09 history band (0.25-0.53 s).
-    # The suite is not purely scheduler-bound, so outside that band the
-    # scaled number actively misleads (r10: raw warm 16.86 s →
-    # "normalized" 26.57 s at observed probe ~0.20 s — a phantom
-    # regression).  Out of band we emit null + an explicit flag instead
-    # of a bad number.
-    probe_out_of_band = not (0.25 <= observed_probe <= 0.53)
-    probe_ratio = round(observed_probe / REF_PROBE_SPARK_S, 3)
-    value_warm_normalized = (
-        None
-        if probe_out_of_band
-        else round(value_warm * (REF_PROBE_SPARK_S / observed_probe), 3)
+    # host-speed correction + its validity gates (band + intra-run drift)
+    # — see normalize_warm and the module docstring for provenance
+    value_warm_normalized, probe_flags = normalize_warm(
+        value_warm,
+        probe_before["spark_range_agg_s"],
+        probe_after["spark_range_agg_s"],
     )
 
     total = round(sum(timings.values()), 3)
@@ -210,11 +241,12 @@ def main():
                 "queries_warm_spread": warm_spread,
                 "warm_repeats": repeats,
                 "value_warm_normalized": value_warm_normalized,
-                "probe_ratio": probe_ratio,
-                "probe_out_of_band": probe_out_of_band,
+                **probe_flags,
                 "probe_reference": {
                     "spark_range_agg_s": REF_PROBE_SPARK_S,
                     "numpy_matmul_s": REF_PROBE_NUMPY_S,
+                    "band": list(PROBE_BAND),
+                    "provenance": "r10-r11 driver-host family (re-pinned r12)",
                 },
                 "machine_probe_before": probe_before,
                 "machine_probe_after": probe_after,

@@ -6,11 +6,19 @@ order-insensitive value hash (columns sorted by name, rows sorted, floats
 rounded to 9 significant-ish decimals before hashing).
 
 Usage:  PYTHONPATH=/root/repo python tools/check_correctness.py [names...]
+        PYTHONPATH=/root/repo SPARK_GRAFT_CHECK_SF=/root/repo/.scale/x20 \
+            python tools/check_correctness.py --out docs/X20_SWEEP_r12.json
+
+``--out FILE`` additionally writes a JSON artifact {query: {status,
+rows, wall_s}, "_summary": {...}} — the driver-visible record of an
+at-scale sweep (the r11 verdict asked for the x20 50/50 claim to live as
+a committed artifact, not round-log prose).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -103,7 +111,14 @@ def main():
     from exstream_implementation_spark.plans import ORACLES, QUERIES
     from exstream_implementation_spark.session import get_spark
 
-    names = sys.argv[1:] or list(QUERIES)
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    names = argv or list(QUERIES)
+    record: dict = {}
     spark = get_spark(app_name="check-correctness", shuffle_partitions=16)
 
     # LSH oracles follow the engine's log-scaled plane count for the
@@ -137,11 +152,15 @@ def main():
             sdf.unpersist()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            record[name] = {"status": "fail",
+                            "err": f"spark error: {str(e)[:200]}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK {name}: rows={len(srows)} (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            record[name] = {"status": "weak", "rows": len(srows),
+                            "wall_s": round(time.time() - t0, 1)}
             n_weak += 1
             continue
         try:
@@ -157,6 +176,8 @@ def main():
             drows = list(zip(*col_lists)) if col_lists else []
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            record[name] = {"status": "fail",
+                            "err": f"duckdb error: {str(e)[:200]}"}
             n_fail += 1
             continue
         ok_cols = sorted(scols) == sorted(dcols)
@@ -169,10 +190,14 @@ def main():
         hazards = pandas_hazards(spdf, dpdf)
         if hazards:
             print(f"FAIL {name}: driver-canon hazards: {hazards}")
+            record[name] = {"status": "fail",
+                            "err": f"canon hazards: {str(hazards)[:200]}"}
             n_fail += 1
             continue
         if ok_cols and ok_count and ok_hash:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "pass", "rows": len(srows),
+                            "wall_s": round(time.time() - t0, 1)}
             n_pass += 1
         else:
             print(
@@ -189,8 +214,19 @@ def main():
                     if a != b:
                         print(f"  spark: {a[:200]}\n  duck : {b[:200]}")
                         break
+            record[name] = {"status": "fail", "rows": len(srows),
+                            "err": f"rows {len(srows)} vs {len(drows)}, "
+                                   f"cols_ok={ok_cols}, hash_ok={ok_hash}"}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    if out_path is not None:
+        record["_summary"] = {
+            "pass": n_pass, "fail": n_fail, "weak": n_weak,
+            "sf_dir": SF_DIR, "n_queries": len(names),
+        }
+        with open(out_path, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     spark.stop()
     return 1 if n_fail else 0
 
