@@ -276,27 +276,16 @@ def _bloom_build_chunks(
 ) -> str:
     """Dense chunk-form filter over ``df[col]`` (init / compaction).
 
-    The input coalesces down when the filter is large: bloom_chunks emits
-    one partial row per (input partition, touched chunk), and a corpus-
-    sized input touches EVERY chunk in every partition — at 32 partitions
-    × ~10k chunks × 64 KiB the merge shuffle is ~20 GB (measured as the
-    r11 x1000 init tax).  The partition count targets ~6 GB of merge
-    shuffle: full parallelism for small filters (hashing dominates
-    there — a fixed coalesce(4) cost +80 s at x100), fat-but-not-serial
-    partitions for big ones.  The budget was 2 GB while the per-position
-    OR kernel was the bottleneck (r11); with the scatter+packbits kernel
-    the scan/hash/Arrow side dominates again, so ~3× the partitions for
-    ~3× the (sequential-read) shuffle is the measured win at x1000."""
-    from exstream_implementation_spark.operators.bloom import (
-        _CHUNK_BYTES,
-        CHUNK_BITS,
-        bloom_chunks,
-    )
+    bloom_chunks picks the physical plan by filter size: small filters
+    run the per-partition-partials + OR-merge form; corpus-scale ones
+    (>= 1024 chunks) hash-partition the exploded positions by chunk_id
+    first, so every chunk is built exactly once at full input
+    parallelism and nothing bitmap-sized ever amplifies through Python
+    twice (the r11 x1000 init tax — the r11 remedy was coalescing the
+    input to bound the merge shuffle, which serialized the hashing; the
+    by-chunk plan removes the trade entirely)."""
+    from exstream_implementation_spark.operators.bloom import bloom_chunks
 
-    n_chunks = meta["m_bits"] // CHUNK_BITS
-    parts = max(4, min(32, int(6e9 / (n_chunks * _CHUNK_BYTES))))
-    if parts < 32:
-        df = df.coalesce(parts)
     chunks = bloom_chunks(
         df, col, meta["m_bits"], meta["k_hashes"], meta["seed"]
     )

@@ -124,17 +124,43 @@ def _positions(col: str, m_bits: int, k_hashes: int, seed: int) -> Column:
 
 
 def bloom_chunks(
-    df: DataFrame, col: str, m_bits: int, k_hashes: int, seed: int
+    df: DataFrame,
+    col: str,
+    m_bits: int,
+    k_hashes: int,
+    seed: int,
+    by_chunk: bool | None = None,
 ) -> DataFrame:
     """(chunk_id, bits) — the distributed build state, one <=64 KiB row
     per non-empty chunk after the cross-partition OR.  Exposed separately
     from ``build_bloom`` so incremental pipelines can persist the chunk
     table and OR tomorrow's chunks into it (union + this same merge)
-    instead of rebuilding from history."""
+    instead of rebuilding from history.
+
+    Two physically different plans produce the IDENTICAL table (OR is
+    commutative; a test pins byte equality):
+
+      by_chunk=False  per-input-partition dense partials, then a
+                      groupBy(chunk_id) OR merge.  Right for SMALL
+                      filters, where a partition touches few chunks and
+                      the merge shuffle is tiny.
+      by_chunk=True   explode positions and hash-partition them by
+                      chunk_id FIRST, so every chunk is built exactly
+                      once and the merge stage disappears.  Right for
+                      CORPUS-SCALE filters: the dense-partial form emits
+                      partitions × m/8 bytes through Python twice (the
+                      r11 x1000 init tax), where this form shuffles the
+                      positions once JVM-side and emits m/8 bytes once.
+
+    Default: by_chunk for filters of >= 1024 chunks (64 MiB+)."""
     if m_bits % CHUNK_BITS != 0:
         raise ValueError(
             f"m_bits must be a multiple of {CHUNK_BITS}: {m_bits}"
         )
+    if by_chunk is None:
+        by_chunk = m_bits // CHUNK_BITS >= 1024
+    if by_chunk:
+        return _bloom_chunks_by_chunk(df, col, m_bits, k_hashes, seed)
     pos = (
         df.filter(F.col(col).isNotNull())
         .select(_positions(col, m_bits, k_hashes, seed).alias("__pos"))
@@ -196,6 +222,67 @@ def bloom_chunks(
 
     return partials.groupBy("chunk_id").applyInPandas(
         or_merge, schema="chunk_id int, bits binary"
+    )
+
+
+def _bloom_chunks_by_chunk(
+    df: DataFrame, col: str, m_bits: int, k_hashes: int, seed: int
+) -> DataFrame:
+    """The corpus-scale build plan (see bloom_chunks): single exploded
+    positions exchange hash-partitioned on chunk_id, then ONE Python pass
+    that owns each of its chunks outright — total Python emission is
+    exactly m/8 bytes however many partitions hash/scan the input, and
+    there is no second (merge) pass."""
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    pos = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                _positions(col, m_bits, k_hashes, seed)
+            ).alias("__p")
+        )
+        .repartition(
+            parts, (F.col("__p") / CHUNK_BITS).cast("int")
+        )
+    )
+
+    def to_owned_chunks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            p = pdf["__p"].to_numpy()
+            cid = p // CHUNK_BITS
+            local = p % CHUNK_BITS
+            order = np.argsort(cid, kind="stable")
+            uniq, starts = np.unique(cid[order], return_index=True)
+            for c, sel in zip(uniq, np.split(local[order], starts[1:])):
+                chunk = acc.get(int(c))
+                if chunk is None:
+                    chunk = acc[int(c)] = np.zeros(
+                        _CHUNK_BYTES, dtype=np.uint8
+                    )
+                if len(sel) >= 4096:
+                    bl = np.zeros(CHUNK_BITS, dtype=bool)
+                    bl[sel] = True
+                    chunk |= np.packbits(bl, bitorder="little")
+                else:
+                    np.bitwise_or.at(
+                        chunk,
+                        sel >> 3,
+                        np.left_shift(1, sel & 7).astype(np.uint8),
+                    )
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "chunk_id": list(acc.keys()),
+                    "bits": [a.tobytes() for a in acc.values()],
+                }
+            )
+
+    return pos.mapInPandas(
+        to_owned_chunks, schema="chunk_id int, bits binary"
     )
 
 

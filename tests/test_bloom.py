@@ -156,3 +156,35 @@ def test_cross_width_numeric_probe_has_no_false_negatives(spark):
     assert flt.broadcast(spark.sparkContext) is flt.broadcast(
         spark.sparkContext
     )
+
+
+def test_by_chunk_build_plan_is_byte_identical(spark):
+    """bloom_chunks' two physical plans (per-partition partials + merge
+    vs positions hash-partitioned by chunk_id) must produce the identical
+    chunk table — OR is commutative, so the only thing that may differ is
+    the execution shape."""
+    import numpy as np
+
+    from exstream_implementation_spark.operators.bloom import (
+        CHUNK_BITS,
+        bloom_chunks,
+    )
+
+    df = spark.range(20_000).selectExpr("concat('k', id) AS k").repartition(7)
+    m_bits = 8 * CHUNK_BITS
+    out = {}
+    for by_chunk in (False, True):
+        rows = bloom_chunks(
+            df, "k", m_bits, 5, 42, by_chunk=by_chunk
+        ).collect()
+        out[by_chunk] = {
+            int(r["chunk_id"]): bytes(r["bits"]) for r in rows
+        }
+    assert out[False] == out[True]
+    assert out[True]  # non-empty
+    # and the bitmap really carries ~n*k set bits (collisions aside)
+    total = sum(
+        int(np.unpackbits(np.frombuffer(b, dtype=np.uint8)).sum())
+        for b in out[True].values()
+    )
+    assert 0.8 * 20_000 * 5 < total <= 20_000 * 5
