@@ -8,9 +8,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.corpus_prep import (
+
     CorpusPrepConfig,
     prepare_corpus,
 )
+
+# >60 s integration suite: excluded from the quick tier (README "Run")
+pytestmark = pytest.mark.slow
 
 STOPFUL = "the a and of is to in on"  # guarantees the stop-ratio gate
 

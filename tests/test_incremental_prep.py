@@ -17,10 +17,14 @@ from exstream_implementation_spark.corpus_prep import (
     prepare_corpus,
 )
 from exstream_implementation_spark.incremental import (
+
     init_prep_state,
     prepare_increment,
     read_state,
 )
+
+# >60 s integration suite: excluded from the quick tier (README "Run")
+pytestmark = pytest.mark.slow
 
 STOPFUL = "the a and of is to in on"
 BOILER = "subscribe to the newsletter and follow of is updates daily ok"

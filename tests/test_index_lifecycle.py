@@ -164,6 +164,7 @@ def _ivf_snapshot(spark, q, qids):
     )
 
 
+@pytest.mark.slow
 def test_ivfpq_rebuild_crash_at_every_instant(spark, monkeypatch):
     """Build index A (opq — rotation served), then rebuild toward B
     (plain — rotation retired), killing the rebuild at every staging
@@ -244,6 +245,7 @@ def test_ivfpq_rebuild_crash_at_every_instant(spark, monkeypatch):
     _ivf_clean(spark)
 
 
+@pytest.mark.slow
 def test_ivfpq_first_build_crash_leaves_clean_absence(spark, monkeypatch):
     """A crashed FIRST build (no prior index) must recover to a clean
     absence: no serving tables, no staging/marker leftovers."""

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from exstream_implementation_spark.plans.dedup import dedup_simhash
 from exstream_implementation_spark.sources import load_table
 from exstream_implementation_spark.streaming.ingest_dedup import (
+
     corpus_simhash_index,
     documents_stream,
     stream_exact_dedup,
@@ -16,6 +17,9 @@ from exstream_implementation_spark.streaming.ingest_dedup import (
     with_event_time,
     with_simhash_bands,
 )
+
+# >60 s integration suite: excluded from the quick tier (README "Run")
+pytestmark = pytest.mark.slow
 
 SF_DIR = "/root/testdata/sf0.001"
 

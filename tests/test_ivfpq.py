@@ -13,6 +13,10 @@ from exstream_implementation_spark.operators.ivfpq import (
 )
 from exstream_implementation_spark.sources import load_table
 
+# >60 s integration suite: excluded from the quick tier (README "Run")
+pytestmark = pytest.mark.slow
+
+
 SF_DIR = "/root/testdata/sf0.001"
 _SUFFIXES = ("centroids", "codebooks", "codes", "meta", "rotation")
 

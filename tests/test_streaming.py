@@ -19,8 +19,12 @@ from exstream_implementation_spark.streaming.source import (
     events_batch_as_stream_input,
 )
 from exstream_implementation_spark.streaming.stateful import (
+
     batch_segmentation_entropy_reference,
 )
+
+# >60 s integration suite: excluded from the quick tier (README "Run")
+pytestmark = pytest.mark.slow
 
 SF_DIR = "/root/testdata/sf0.001"
 
