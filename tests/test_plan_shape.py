@@ -16,6 +16,9 @@ from exstream_implementation_spark.plans import similarity as sim
 from exstream_implementation_spark.plans import text as textq
 from exstream_implementation_spark.plans import windows as winq
 
+# >60 s integration suite: excluded from the quick tier (README "Run")
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.01"
 
 # unregistered building-block queries keep their plan contracts
