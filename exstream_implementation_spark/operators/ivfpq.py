@@ -341,6 +341,7 @@ def ivfpq_is_stale(
     """True when appends grew the corpus more than ``growth_threshold``
     past what the centroids AND codebooks were trained on — time to
     rebuild before quantization error drifts."""
+    recover_ivfpq(spark, name)  # same reader discipline as probe/load
     meta = spark.table(f"{name}_meta").first()
     return meta["n_vectors"] > meta["n_trained"] * (1.0 + growth_threshold)
 
