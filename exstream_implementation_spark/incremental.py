@@ -600,6 +600,10 @@ def _bloom_maybe_keys_sharded(
     )
 
     k_hashes = meta["k_hashes"]
+    # the probe lineage is read twice (position rows + the chunk-pruning
+    # distinct below) — pin the batch scan so the second pass is a cache
+    # read, not a recompute of the batch's distinct
+    keys = keys.persist()
     probe = keys.select(
         F.col(col).alias("__k"),
         F.explode(
@@ -612,7 +616,22 @@ def _bloom_maybe_keys_sharded(
     )
     bitmap = _bloom_chunk_frame(spark, state_path, meta)
     if bitmap is None:  # empty filter: nothing can be a member
-        return keys.limit(0)
+        out = keys.limit(0)
+        keys.unpersist()
+        return out
+    # prune the filter side to the chunks this batch actually probes —
+    # a small batch against a corpus-scale sidecar must not shuffle the
+    # whole m/8-byte chunk table.  The distinct probed chunk-id set is
+    # bounded by min(k·batch, m/CHUNK_BITS) ints (m/CHUNK_BITS is <1M
+    # even at the 100 TB design point), so it always broadcasts; the
+    # semi-join drops unprobed chunk rows map-side, BEFORE the cogroup
+    # exchange.  Semantics are untouched: an unprobed chunk contributes
+    # no hit rows either way.
+    bitmap = bitmap.join(
+        F.broadcast(probe.select("chunk_id").distinct()),
+        "chunk_id",
+        "left_semi",
+    )
 
     def count_hits(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:  # filter-side-only chunk: no keys to answer for
@@ -640,7 +659,10 @@ def _bloom_maybe_keys_sharded(
     )
     # one materialization shared by the isEmpty gate and the verify join;
     # ContextCleaner-managed, never pinned (see the broadcast branch note)
-    return maybe.localCheckpoint(eager=True)
+    maybe = maybe.localCheckpoint(eager=True)
+    # the eager checkpoint fully consumed the probe input — release it
+    keys.unpersist()
+    return maybe
 
 
 # byte → set-bit-count lookup, for bitmap fill censuses
@@ -897,8 +919,13 @@ def init_prep_state(
             capacity = max(
                 1000, int(written.count() * membership_bloom_capacity_factor)
             )
+            # cost-balanced: the sidecar's dominant cost is POSITIONS
+            # (k rows/key through the corpus-scale build and every
+            # probe), not bits — k=4 at +10% bits for -43% positions
+            # keeps the same ~1% fpp at capacity (the r12 init-surcharge
+            # lever; see bloom_params)
             m_bits, k_hashes = bloom_params(
-                capacity, membership_bloom_fpp
+                capacity, membership_bloom_fpp, cost_balanced=True
             )
             meta = {
                 "name": lname,
@@ -1609,7 +1636,9 @@ def compact_prep_state(spark: SparkSession, state_path: str) -> dict:
                 1000,
                 int(compacted.count() * bloom_state["capacity_factor"]),
             )
-            m_bits, k_hashes = bloom_params(capacity, bloom_state["fpp"])
+            m_bits, k_hashes = bloom_params(
+                capacity, bloom_state["fpp"], cost_balanced=True
+            )
             meta = {
                 "name": name,
                 "m_bits": m_bits,

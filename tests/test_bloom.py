@@ -42,6 +42,51 @@ def test_params_textbook_sizing():
         bloom_params(0, 0.01)
 
 
+def test_params_cost_balanced_sizing():
+    """cost_balanced trades <=15% bits for the smallest viable k — build
+    and probe work scale with k·n positions, not bits (the r12 init-
+    surcharge lever).  The target fpp must still hold ANALYTICALLY at
+    capacity for the chosen (m, k)."""
+    import math
+
+    for n, fpp in [
+        (100_000, 0.01), (100_000, 0.001), (3_000_000, 0.01),
+        (100_000, 0.05), (50, 0.01),
+    ]:
+        m_opt, k_opt = bloom_params(n, fpp)
+        m_bal, k_bal = bloom_params(n, fpp, cost_balanced=True)
+        assert k_bal <= k_opt
+        m_exact = -n * math.log(fpp) / (math.log(2) ** 2)
+        assert m_bal <= 1.15 * m_exact + CHUNK_BITS  # bits premium capped
+        # realized rate at FULL capacity meets the target
+        fill = 1.0 - math.exp(-k_bal * n / m_bal)
+        assert fill**k_bal <= fpp * 1.0001
+    # the sidecar's operating point: 1% fpp -> k drops 7 -> 4 (-43%
+    # positions) for +~10% bits
+    _, k4 = bloom_params(1_000_000, 0.01, cost_balanced=True)
+    assert k4 == 4
+    # where k is already minimal, cost_balanced is a no-op
+    assert bloom_params(1000, 0.5) == bloom_params(
+        1000, 0.5, cost_balanced=True
+    )
+
+
+def test_cost_balanced_filter_fpp_envelope(spark):
+    """Empirical twin of the analytic check: a cost-balanced filter AT
+    CAPACITY still realizes ~the configured rate (zero false negatives
+    as ever)."""
+    n = 3000
+    m, k = bloom_params(n, 0.01, cost_balanced=True)
+    flt = build_bloom(_members(spark, n), "v", m_bits=m, k_hashes=k)
+    got = might_contain(_members(spark, n), "v", flt).collect()
+    assert all(r["might_contain"] for r in got)
+    others = spark.range(20_000).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("v")
+    )
+    fp = might_contain(others, "v", flt).filter("might_contain").count()
+    assert fp / 20_000 <= 0.02, fp
+
+
 def test_no_false_negatives_and_fpp_envelope(spark):
     n = 3000
     flt = build_bloom(_members(spark, n), "v", n_items=n, fpp=0.01)

@@ -943,6 +943,44 @@ def test_sharded_probe_maybe_set_matches_driver(spark, tmp_path, monkeypatch):
     assert members <= sharded
 
 
+def test_sharded_probe_prunes_unprobed_chunks(spark, tmp_path, monkeypatch):
+    """A small batch against a corpus-scale sidecar must not shuffle the
+    whole chunk table: the filter side is semi-joined (broadcast) to the
+    batch's probed chunk ids BEFORE the cogroup exchange.  Plan-guarded
+    like the catalog's broadcast joins, plus answer parity on the pruned
+    path."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    import exstream_implementation_spark.incremental as inc
+    from exstream_implementation_spark.corpus_prep import _norm_hash
+
+    b1, b2, _ = _batches(spark)
+    state = str(tmp_path / "state")
+    init_prep_state(b1, state, cfg=CFG)
+    meta = read_state(state)["bloom"]["logs"]["hashes"]
+    one = (
+        b1.select(_norm_hash("text").alias("__ch")).distinct().limit(1)
+    )
+    captured = {}
+    orig = cdf.DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.setdefault("df", self)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cdf.DataFrame, "localCheckpoint", spy)
+    got = {
+        r["__ch"]
+        for r in inc._bloom_maybe_keys_sharded(
+            spark, state, meta, one, "__ch"
+        ).collect()
+    }
+    assert got == {r["__ch"] for r in one.collect()}  # member stays maybe
+    plan = captured["df"]._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_bloom_probe_leaves_no_pinned_storage(spark, tmp_path, monkeypatch):
     """ADVICE r11 #3: neither probe branch may leave indefinitely-pinned
     storage behind — the >threshold branch used to return a persisted
