@@ -18,10 +18,15 @@ DEFLATE round-trip on the PNG path and a real baseline-JPEG decode (huffman
 progressive) on the JPEG path.  Audio is real too: a RIFF WAV codec
 covering integer PCM (8/16/24/32-bit), IEEE float (32/64-bit) and
 WAVE_FORMAT_EXTENSIBLE (lossless, so ``audio_stats`` is hash-gated exactly
-like the pixel paths), and animated-GIF frame extraction is real
-(operators/gif.py + ``sample_gif_frames``).  Formats that DO need a system
-codec (WebP/mp4, ADPCM/A-law audio) still
-raise NotImplementedError honestly; the pixel/sample synths are exact
+like the pixel paths), PLUS the compressed telephony variants — G.711
+A-law/µ-law and IMA ADPCM (operators/adpcm.py, exact table/block decode
+pinned against stdlib audioop).  Animated-GIF frame extraction is real
+(operators/gif.py + ``sample_gif_frames``), and so is true-video MP4:
+the ISO BMFF container (operators/mp4.py — full sample-table resolve)
+with MJPEG frame decode through the jpeg codec.  What still refuses with
+NotImplementedError is exactly the perceptual-codec bitstreams (WebP
+VP8/VP8L, H.264/HEVC samples inside MP4, MP3-in-WAV) — the honest
+boundary; the pixel/sample synths are exact
 integer formulas so the BMP/PNG/WAV stats stay oracle-checkable in SQL
 (plans.multimodal — JPEG is lossy, so its stats are tolerance-tested in
 pytest instead of hash-gated).
@@ -337,10 +342,16 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 
 def sample_video_frames(payload: bytes, fps: float) -> list:
-    """Real frame sampling for true video containers — ffmpeg/pyav on a real
-    cluster.  (Animated GIF frame extraction IS real here: operators/gif.py
-    + ``sample_gif_frames`` below.)"""
-    raise NotImplementedError("video codecs absent; see decode_image")
+    """REAL frame sampling for true video containers: ISO BMFF (MP4) parse
+    + MJPEG decode, pure struct/numpy (operators/mp4.py) → [(tick_time_s,
+    (h, w, 3) uint8)].  Inter-coded codecs (avc1/hvc1/…) parse to exact
+    per-sample byte ranges but refuse the pixel decode with
+    NotImplementedError — ffmpeg/pyav on a real cluster.  (Animated-GIF
+    frame extraction is also real: operators/gif.py +
+    ``sample_gif_frames`` below.)"""
+    from exstream_implementation_spark.operators.mp4 import sample_mp4_frames
+
+    return sample_mp4_frames(payload, fps)
 
 
 # synthetic image geometry: width deliberately NOT a multiple of 4 so every
@@ -499,25 +510,32 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE bytes → ((n, channels) samples, sample_rate).
 
-    Decodes every uncompressed variant real corpora carry: integer PCM
-    (format tag 1) at 8 (unsigned → returned centered as int16), 16, 24
-    (returned as int32, sign-extended) and 32 bits, IEEE float (tag 3) at
-    32/64 bits, and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping either —
-    the SubFormat GUID's leading dword is the real tag.  The returned
-    dtype mirrors the stream (int16/int32/float32/float64).  Compressed
-    formats (ADPCM, MP3-in-WAV, A-law/µ-law) refuse with
-    NotImplementedError (soundfile/ffmpeg on a real cluster).
-    Chunk-walks the container, so extra chunks (LIST etc.) are skipped,
-    not tripped over."""
+    Decodes every variant real speech/audio corpora actually carry:
+
+    - integer PCM (format tag 1) at 8 (unsigned → returned centered as
+      int16), 16, 24 (returned as int32, sign-extended) and 32 bits;
+    - IEEE float (tag 3) at 32/64 bits;
+    - **G.711 A-law (tag 6) and µ-law (tag 7)** — exact table expansion
+      to int16 (operators/adpcm.py);
+    - **IMA ADPCM (tag 0x11)** — bit-exact block decode to int16, honoring
+      ``wSamplesPerBlock`` and the ``fact`` chunk's true frame count;
+    - WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping integer/float PCM —
+      the SubFormat GUID's leading dword is the real tag.
+
+    The returned dtype mirrors the stream (compressed variants expand to
+    int16, their spec working precision).  Perceptual formats (MP3-in-WAV
+    etc.) refuse with NotImplementedError (soundfile/ffmpeg on a real
+    cluster).  Chunk-walks the container, so extra chunks (LIST, fact)
+    are skipped, not tripped over."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_frames = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         ln = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
-            tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            tag, ch, rate, _br, ba, bits = struct.unpack_from("<HHIIHH", body, 0)
             if tag == 0xFFFE:  # extensible: the true tag lives in SubFormat
                 if len(body) < 40:
                     raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
@@ -528,20 +546,56 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                     )
                 tag = struct.unpack_from("<I", guid, 0)[0]
             if (tag, bits) not in (
-                (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64)
+                (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64),
+                (6, 8), (7, 8), (0x11, 4),
             ):
                 raise NotImplementedError(
-                    f"only uncompressed PCM/float WAV decodes without a "
-                    f"codec (format={tag}, bits={bits}); swap in "
-                    f"soundfile/ffmpeg for the rest"
+                    f"WAV format={tag} bits={bits} needs a perceptual "
+                    f"codec (only PCM/float/G.711/IMA-ADPCM decode "
+                    f"without one; swap in soundfile/ffmpeg for the rest)"
                 )
-            fmt = (tag, ch, rate, bits)
+            spb = None
+            if tag == 0x11:
+                # cbSize extension: wSamplesPerBlock (fall back to the
+                # value block_align implies — they must agree anyway)
+                from exstream_implementation_spark.operators.adpcm import (
+                    adpcm_samples_per_block,
+                )
+
+                spb = (
+                    struct.unpack_from("<H", body, 18)[0]
+                    if len(body) >= 20
+                    else adpcm_samples_per_block(ba, ch)
+                )
+            fmt = (tag, ch, rate, bits, ba, spb)
+        elif cid == b"fact":
+            fact_frames = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             data = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV stream missing fmt/data chunk")
-    tag, ch, rate, bits = fmt
+    tag, ch, rate, bits, ba, spb = fmt
+    if tag in (6, 7):
+        from exstream_implementation_spark.operators.adpcm import (
+            decode_alaw,
+            decode_ulaw,
+        )
+
+        dec = decode_alaw(data) if tag == 6 else decode_ulaw(data)
+        return dec.reshape(-1, ch), rate
+    if tag == 0x11:
+        from exstream_implementation_spark.operators.adpcm import (
+            adpcm_samples_per_block,
+            decode_adpcm,
+        )
+
+        if spb != adpcm_samples_per_block(ba, ch):
+            raise ValueError(
+                f"IMA WAV wSamplesPerBlock {spb} inconsistent with "
+                f"block_align {ba} × {ch} channel(s)"
+            )
+        return decode_adpcm(data, ch, ba, fact_frames), rate
     if tag == 3:
         samples = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
     elif bits == 8:
@@ -555,6 +609,51 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     else:
         samples = np.frombuffer(data, dtype="<i2" if bits == 16 else "<i4")
     return samples.reshape(-1, ch), rate
+
+
+def encode_wav_compressed(
+    samples: np.ndarray, sample_rate: int = 8000, codec: str = "ulaw"
+) -> bytes:
+    """int16 samples → a compressed RIFF/WAVE stream: G.711 µ-law/A-law
+    (format tags 7/6, byte per sample) or IMA ADPCM (tag 0x11, 4 bits per
+    sample, block-structured with the cbSize=2 ``wSamplesPerBlock``
+    extension and a ``fact`` frame count — the layout every compressed
+    WAV writer emits).  ``decode_wav`` round-trips all three; G.711 is
+    idempotent on already-expanded values, ADPCM tracks within its
+    adaptive step (both pinned in tests against stdlib ``audioop``)."""
+    from exstream_implementation_spark.operators import adpcm as _adpcm
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if codec in ("ulaw", "alaw"):
+        tag = 7 if codec == "ulaw" else 6
+        data = (
+            _adpcm.encode_ulaw(s.reshape(-1))
+            if codec == "ulaw"
+            else _adpcm.encode_alaw(s.reshape(-1))
+        )
+        fmt = struct.pack(
+            "<HHIIHH", tag, ch, sample_rate, sample_rate * ch, ch, 8
+        )
+    elif codec == "adpcm":
+        data, ba, spb = _adpcm.encode_adpcm(s)
+        byte_rate = (sample_rate * ba + spb - 1) // spb  # blocks/sec × align
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, ch, sample_rate, byte_rate, ba, 4, 2, spb
+        )
+    else:
+        raise ValueError(f"unknown codec {codec!r} (ulaw|alaw|adpcm)")
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 N_AUDIO_SAMPLES = 256
@@ -749,6 +848,88 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "frame_bytes": pd.Series(sizes, dtype="int32"),
                     "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema)
+
+
+N_VIDEO_FRAMES = 4
+VIDEO_FPS = 2.0
+
+
+def attach_video_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = N_VIDEO_FRAMES,
+    w: int = 16,
+    h: int = 16,
+    fps: float = VIDEO_FPS,
+) -> DataFrame:
+    """REAL MP4 payloads: each row gets a genuine single-track MJPEG MP4
+    (operators/mp4.py — full ftyp/mdat/moov + sample tables) whose frame f
+    is the JPEG encoding of the synthetic pixel field of doc_id + f, built
+    in the Arrow workers.  Width/height default to JPEG-block multiples so
+    the lossy error stays small."""
+    from exstream_implementation_spark.operators.jpeg import encode_jpeg
+    from exstream_implementation_spark.operators.mp4 import encode_mp4
+
+    @F.pandas_udf("binary")
+    def mp4(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: encode_mp4(
+                [
+                    encode_jpeg(synth_pixels(int(i) + f, w, h), quality=92)
+                    for f in range(n_frames)
+                ],
+                fps=fps,
+                width=w,
+                height=h,
+            )
+        )
+
+    out = df.withColumn("payload", mp4(F.col(id_col)))
+    return out.withColumn("n_bytes", F.length("payload"))
+
+
+def video_frame_stats(
+    df: DataFrame, id_col: str = "doc_id", fps: float = VIDEO_FPS
+) -> DataFrame:
+    """Decode-and-sample each MP4 payload (REAL container parse + MJPEG
+    decode) at ``fps`` and emit one row per sampled frame with its decoded
+    pixel mean — the true-video twin of ``sample_gif_frames``'s 1→N
+    fan-out, Arrow-batched via mapInPandas.  JPEG is lossy, so px_mean is
+    tolerance-tested in pytest rather than SQL-hash-gated (same contract
+    as image_stats' JPEG branch)."""
+    schema = (
+        f"{id_col} long, tick int, t_s double, width int, height int, "
+        "px_mean double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ticks, ts, ws, hs, means = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                for k, (t, frame) in enumerate(
+                    sample_video_frames(bytes(payload), fps)
+                ):
+                    fh, fw, _ = frame.shape
+                    ids.append(did)
+                    ticks.append(k)
+                    ts.append(t)
+                    ws.append(fw)
+                    hs.append(fh)
+                    means.append(
+                        float(frame.astype(np.int64).sum()) / (fh * fw * 3)
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "tick": pd.Series(ticks, dtype="int32"),
+                    "t_s": pd.Series(ts, dtype="float64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "px_mean": pd.Series(means, dtype="float64"),
                 }
             )
 

@@ -220,16 +220,30 @@ def main() -> None:
         print(f"{name}: rows={n} hash={h} wall={wall}s", flush=True)
     out["byte_identical"] = len(set(fps.values())) == 1
     # the lever that DOES pay: cost-balanced (m, k).  Same ~1% fpp at
-    # capacity, ~10% more bits, 43% fewer positions through the build
+    # capacity, ~10% more bits, 43% fewer positions through the build.
+    # Measured INTERLEAVED (A/B/A/B ×3) — a single sequential run after
+    # the variants above once inverted this ranking purely from host
+    # drift; per-rep pairs expose that, the medians decide
     mb, kb = bloom_params(n_keys * 2, 0.01, cost_balanced=True)
-    n2, _, wall = fingerprint(
-        _bloom_chunks_by_chunk(keys, "k", mb, kb, 42)
-    )
+    reps = []
+    for _ in range(3):
+        _, _, wall7 = fingerprint(
+            _bloom_chunks_by_chunk(keys, "k", m_bits, k_hashes, 42)
+        )
+        n2, _, wall4 = fingerprint(
+            _bloom_chunks_by_chunk(keys, "k", mb, kb, 42)
+        )
+        reps.append({"bits_optimal_s": wall7, "cost_balanced_s": wall4})
+        print(f"interleaved: k={k_hashes} {wall7}s vs k={kb} {wall4}s",
+              flush=True)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     out["by_chunk_cost_balanced"] = {
         "rows": n2,
-        "wall_s": wall,
         "m_bits": mb,
         "k_hashes": kb,
+        "interleaved_reps": reps,
+        "median_bits_optimal_s": med([r["bits_optimal_s"] for r in reps]),
+        "median_cost_balanced_s": med([r["cost_balanced_s"] for r in reps]),
     }
     out["verdict"] = (
         "pre-exchange packing measured and rejected: both packed forms "
