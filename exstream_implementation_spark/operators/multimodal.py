@@ -23,9 +23,11 @@ A-law/µ-law and IMA ADPCM (operators/adpcm.py, exact table/block decode
 pinned against stdlib audioop).  Animated-GIF frame extraction is real
 (operators/gif.py + ``sample_gif_frames``), and so is true-video MP4:
 the ISO BMFF container (operators/mp4.py — full sample-table resolve)
-with MJPEG frame decode through the jpeg codec.  What still refuses with
-NotImplementedError is exactly the perceptual-codec bitstreams (WebP
-VP8/VP8L, H.264/HEVC samples inside MP4, MP3-in-WAV) — the honest
+with MJPEG frame decode through the jpeg codec, and lossless WebP
+(operators/webp.py — the full VP8L bitstream: prefix codes, color cache,
+LZ77, meta groups, all four transforms).  What still refuses with
+NotImplementedError is exactly the perceptual-codec bitstreams (lossy
+VP8 WebP, H.264/HEVC samples inside MP4, MP3-in-WAV) — the honest
 boundary; the pixel/sample synths are exact
 integer formulas so the BMP/PNG/WAV stats stay oracle-checkable in SQL
 (plans.multimodal — JPEG is lossy, so its stats are tolerance-tested in
@@ -305,11 +307,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         from exstream_implementation_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from exstream_implementation_spark.operators.webp import decode_webp
+
+        return np.ascontiguousarray(decode_webp(payload)[:, :, :3])
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP, 8-bit truecolor PNG and baseline "
-            "4:4:4 JPEG decode without a system codec; swap in "
-            "PIL.Image.open / libvips for WebP/progressive-JPEG on a real "
+            "only BMP/PNG/JPEG/lossless-WebP decode without a system codec "
+            "(lossy VP8 WebP refuses inside the webp module); swap in "
+            "PIL.Image.open / libvips for the perceptual codecs on a real "
             "cluster"
         )
     off = struct.unpack_from("<I", payload, 10)[0]
