@@ -235,6 +235,46 @@ def test_honest_boundaries():
         decode_vp8l(good[: len(good) // 2])
 
 
+def test_mutation_fuzz_fails_cleanly_never_crashes():
+    """Every single-byte mutation of a valid stream must either decode
+    (to anything) or refuse with ValueError/NotImplementedError — never
+    an internal IndexError/KeyError/hang (bounded by the truncation and
+    kraft guards)."""
+    img = _rand_img(6, 9, 11)
+    blob = bytearray(
+        encode_webp(img, transforms=("predictor",), cache_bits=3, lz77=True)
+    )
+    rng = np.random.default_rng(12)
+    for _ in range(300):
+        mut = bytearray(blob)
+        i = int(rng.integers(12, len(mut)))  # keep the RIFF magic intact
+        mut[i] ^= int(rng.integers(1, 256))
+        try:
+            decode_webp(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_property_roundtrip_random_geometry_and_options():
+    rng = np.random.default_rng(13)
+    for trial in range(12):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        img = rng.integers(0, 256, (h, w, 4), np.uint8)
+        kw = {}
+        if rng.random() < 0.5:
+            kw["cache_bits"] = int(rng.integers(1, 8))
+        if rng.random() < 0.5:
+            kw["lz77"] = True
+        if rng.random() < 0.4:
+            kw["transforms"] = ("subtract_green",)
+        elif rng.random() < 0.4 and h > 1 and w > 1:
+            kw["transforms"] = ("predictor",)
+        assert np.array_equal(
+            decode_webp(encode_webp(img, **kw)), img
+        ), (trial, h, w, kw)
+
+
 def test_decode_image_dispatches_webp():
     from exstream_implementation_spark.operators.multimodal import (
         decode_image,
