@@ -908,6 +908,8 @@ def init_prep_state(
             "identity": identity,
             "logs": {},
         }
+        import time as _time
+
         for lname, col in (("hashes", "__ch"), ("anchors", "anchor")):
             # build from the batch=0 log just WRITTEN, not the lineage
             # that produced it: the anchors lineage is a corpus-scale
@@ -915,6 +917,7 @@ def init_prep_state(
             # would double the most expensive init stage; the log dir is
             # a cheap parquet scan of the identical rows (footer-cheap
             # count, one data pass for the chunks)
+            _t0 = _time.monotonic()
             written = _read_log(spark, state_path, lname, ["batch=0"])
             capacity = max(
                 1000, int(written.count() * membership_bloom_capacity_factor)
@@ -937,12 +940,20 @@ def init_prep_state(
                 "chunk_dirs": [],
                 "pos_dirs": [],
             }
+            _t1 = _time.monotonic()
             meta["chunk_dirs"] = [
                 _bloom_build_chunks(written, col, meta, state_path, "batch=0")
             ]
+            _t2 = _time.monotonic()
             # baseline health census (also warms the session cache the
             # first increment's probe reads)
             meta.update(_bloom_fill_stats(spark, state_path, meta))
+            # stage walltimes, persisted with the state for scale-smoke
+            # adjudication (count/build/census are the three init costs
+            # the sidecar adds; see docs/SCALE_SMOKE_R12_BLOOM.json)
+            meta["t_count_s"] = round(_t1 - _t0, 2)
+            meta["t_build_s"] = round(_t2 - _t1, 2)
+            meta["t_census_s"] = round(_time.monotonic() - _t2, 2)
             bloom_state["logs"][lname] = meta
     versions = {
         "source_counts": publish_snapshot(

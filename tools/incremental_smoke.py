@@ -163,6 +163,15 @@ def main() -> int:
         )
 
         st = read_state(f"{work}/state")
+        if st.get("bloom"):
+            out["bloom_stage_times"] = {
+                name: {
+                    k: v
+                    for k, v in meta.items()
+                    if k.startswith("t_") or k in ("m_bits", "k_hashes")
+                }
+                for name, meta in st["bloom"]["logs"].items()
+            }
         for log_name in ("hashes", "anchors"):
             t0 = time.monotonic()
             rows = _read_log(
@@ -181,7 +190,10 @@ def main() -> int:
                 out["t_full_rebuild_s"] / out["t_increment_s"], 2
             )
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if os.environ.get("SPARK_GRAFT_SMOKE_KEEP") == "1":
+            print("state kept at", work, flush=True)
+        else:
+            shutil.rmtree(work, ignore_errors=True)
 
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
