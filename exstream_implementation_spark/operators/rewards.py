@@ -125,7 +125,10 @@ def worst_case_labels(
 
 
 def segmentation_entropy(
-    labeled: DataFrame, keys: tuple[str, ...] = ("ano_key",)
+    labeled: DataFrame,
+    keys: tuple[str, ...] = ("ano_key",),
+    order_tail: list | None = None,
+    class_counts: bool = False,
 ) -> DataFrame:
     """(*keys, feature) → (*keys, feature, feature_order, seg_ent).
 
@@ -134,8 +137,24 @@ def segmentation_entropy(
     reference only emits a segment's term when it sees the *next* boundary,
     so the final segment never contributes,
     reference exstream/entropy_based_single_reward_feature.py:181-200).
+
+    ``order_tail`` overrides the within-(key, feature) ordering columns
+    (default ``[value, r]``).  Sorted-mode callers pass
+    ``[value, type_data, timestamp]`` — the identical total order (``r`` IS
+    row_number over (type_data, timestamp) within equal values) — which
+    lets them skip ``worst_case_labels``'s per-(key, feature, value) window
+    entirely: one full Exchange+Sort of the melted relation removed
+    (guide §2.4; the stitched engine has always used this ordering).
+
+    ``class_counts=True`` additionally emits per-(keys, feature) ``n_ref``/
+    ``n_ano`` — folded into the SAME segment aggregates (each melted row
+    belongs to exactly one segment, so Σ per-segment type_data sums = n_ano)
+    — so reward callers need no second full pass over ``melted`` and no
+    seg⋈cls join.
     """
-    w_seq = Window.partitionBy(*keys, "feature").orderBy("value", "r")
+    w_seq = Window.partitionBy(*keys, "feature").orderBy(
+        *(order_tail if order_tail is not None else ["value", "r"])
+    )
     w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df = (
         labeled.withColumn("prev_label", F.lag("label").over(w_seq))
@@ -149,10 +168,13 @@ def segmentation_entropy(
         )
         .withColumn("seg_id", F.sum("boundary").over(w_run))
     )
-    segs = df.groupBy(*keys, "feature", "seg_id").agg(
+    seg_aggs = [
         F.count(F.lit(1)).alias("seg_len"),
         F.first("feature_order").alias("feature_order"),
-    )
+    ]
+    if class_counts:
+        seg_aggs.append(F.sum("type_data").alias("_seg_n1"))
+    segs = df.groupBy(*keys, "feature", "seg_id").agg(*seg_aggs)
     w_feat = Window.partitionBy(*keys, "feature")
     segs = segs.withColumn("n_total", F.sum("seg_len").over(w_feat)).withColumn(
         "max_seg", F.max("seg_id").over(w_feat)
@@ -161,16 +183,25 @@ def segmentation_entropy(
     term = F.when(F.col("seg_id") < F.col("max_seg"), p * F.log(1.0 / p)).otherwise(
         F.lit(0.0)
     )
-    return segs.groupBy(*keys, "feature").agg(
+    final_aggs = [
         F.sum(term).alias("seg_ent"),
         F.first("feature_order").alias("feature_order"),
-    )
+    ]
+    if class_counts:
+        final_aggs.extend(
+            [
+                F.sum("_seg_n1").alias("n_ano"),
+                (F.first("n_total") - F.sum("_seg_n1")).alias("n_ref"),
+            ]
+        )
+    return segs.groupBy(*keys, "feature").agg(*final_aggs)
 
 
 def segmentation_entropy_stitched(
     melted: DataFrame,
     duplicate_mode: str = "sorted",
     keys: tuple[str, ...] = ("ano_key",),
+    class_counts: bool = False,
 ) -> DataFrame:
     """Distributed twin of ``segmentation_entropy`` — same output, no
     per-(key, feature) single-partition window.
@@ -223,11 +254,14 @@ def segmentation_entropy_stitched(
     )
     flagged = lagged.withColumn("__b", boundary)
 
-    gstats = flagged.groupBy(*group).agg(
+    gstat_aggs = [
         F.max("__rn").alias("__gmax"),
         F.count(F.lit(1)).alias("n_total"),
         F.first("feature_order").alias("feature_order"),
-    )
+    ]
+    if class_counts:
+        gstat_aggs.append(F.sum("type_data").alias("n_ano"))
+    gstats = flagged.groupBy(*group).agg(*gstat_aggs)
     bnds = flagged.filter("__b").select(*group, "__rn")
     # lead(rn) within group via a DESCENDING stitched lag over boundary rows
     bnds = bnds.withColumn("__gr", F.struct(*group, "__rn"))
@@ -254,10 +288,18 @@ def segmentation_entropy_stitched(
     )
     p = F.col("seg_len") / F.col("n_total")
     term = F.when(~F.col("__is_last"), p * F.log(1.0 / p)).otherwise(F.lit(0.0))
-    return segs.groupBy(*group).agg(
+    final_aggs = [
         F.sum(term).alias("seg_ent"),
         F.first("feature_order").alias("feature_order"),
-    )
+    ]
+    if class_counts:
+        final_aggs.extend(
+            [
+                F.first("n_ano").alias("n_ano"),
+                (F.first("n_total") - F.first("n_ano")).alias("n_ref"),
+            ]
+        )
+    return segs.groupBy(*group).agg(*final_aggs)
 
 
 def single_feature_rewards(
@@ -296,33 +338,46 @@ def single_feature_rewards(
     if segmentation == "auto":
         segmentation = resolve_segmentation(melted, keys, auto_threshold, group_rows)
     if segmentation == "stitched":
-        seg = segmentation_entropy_stitched(melted, duplicate_mode, keys)
-    elif segmentation == "window":
-        seg = segmentation_entropy(
-            worst_case_labels(melted, duplicate_mode, keys), keys
+        seg = segmentation_entropy_stitched(
+            melted, duplicate_mode, keys, class_counts=True
         )
+    elif segmentation == "window":
+        if duplicate_mode == "sorted":
+            # label IS type_data, and (value, type_data, timestamp) is the
+            # identical total order to (value, r) — skip worst_case_labels's
+            # per-(key, feature, value) ranking window: one full
+            # Exchange+Sort of the melted relation removed (guide §2.4)
+            seg = segmentation_entropy(
+                melted.withColumn("label", F.col("type_data")),
+                keys,
+                order_tail=["value", "type_data", "timestamp"],
+                class_counts=True,
+            )
+        elif duplicate_mode == "worst_case":
+            seg = segmentation_entropy(
+                worst_case_labels(melted, duplicate_mode, keys),
+                keys,
+                class_counts=True,
+            )
+        else:
+            raise ValueError(f"unknown duplicate_mode {duplicate_mode!r}")
     else:
         raise ValueError(f"unknown segmentation {segmentation!r}")
-    cls = melted.groupBy(*keys, "feature").agg(
-        F.count(F.when(F.col("type_data") == 0, 1)).alias("n_ref"),
-        F.count(F.when(F.col("type_data") == 1, 1)).alias("n_ano"),
-    )
+    # class entropy from the SAME aggregates (class_counts=True): every melted
+    # row lands in exactly one segment, so the folded n_ref/n_ano equal the
+    # old second groupBy over melted — one full pass and the seg⋈cls join
+    # removed (guide §2.3 "aggregate before you shuffle", §1.2 fewer passes)
     n = F.col("n_ref") + F.col("n_ano")
     p_r, p_a = F.col("n_ref") / n, F.col("n_ano") / n
-    cls = cls.withColumn(
-        "class_ent",
-        F.when(
-            (F.col("n_ref") > 0) & (F.col("n_ano") > 0),
-            p_a * F.log2(1.0 / p_a) + p_r * F.log2(1.0 / p_r),
-        ),
+    class_ent = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_ano") > 0),
+        p_a * F.log2(1.0 / p_a) + p_r * F.log2(1.0 / p_r),
     )
-    reward = F.col("class_ent") / F.col("seg_ent")
+    reward = class_ent / F.col("seg_ent")
     if reward_round is not None:
         reward = F.round(reward, reward_round)
-    rewards = (
-        seg.join(cls, [*keys, "feature"])
-        .withColumn("reward", reward)
-        .select(*keys, "feature", "feature_order", "reward")
+    rewards = seg.withColumn("reward", reward).select(
+        *keys, "feature", "feature_order", "reward"
     )
     w = Window.partitionBy(*keys).orderBy(F.desc("reward"), F.asc("feature_order"))
     return rewards.withColumn("rank", F.row_number().over(w))

@@ -24,7 +24,6 @@ from exstream_implementation_spark.operators.leap import reward_leap_filter
 from exstream_implementation_spark.operators.rewards import (
     single_feature_rewards,
     segmentation_entropy,
-    worst_case_labels,
 )
 from exstream_implementation_spark.plans.registry import query
 from exstream_implementation_spark.sources import load_table
@@ -309,25 +308,26 @@ JOIN cls_ent e USING (feature)
 )
 def exstream_entropy_profile(spark, sf_dir):
     melted = _events_melted(spark, sf_dir)
-    seg = segmentation_entropy(worst_case_labels(melted, "sorted"))
-    counts = melted.groupBy("feature").agg(
-        F.count(F.when(F.col("type_data") == 0, 1)).alias("n_ref"),
-        F.count(F.when(F.col("type_data") == 1, 1)).alias("n_ano"),
+    # sorted-mode fast path: label IS type_data and (value, type_data,
+    # timestamp) is the identical total order to (value, r), so the
+    # worst_case_labels ranking window (one full Exchange+Sort of melted) is
+    # skipped; class_counts folds n_ref/n_ano into the same segment
+    # aggregates, removing the second melted pass and the seg⋈cls join
+    seg = segmentation_entropy(
+        melted.withColumn("label", F.col("type_data")),
+        order_tail=["value", "type_data", "timestamp"],
+        class_counts=True,
     )
     n = F.col("n_ref") + F.col("n_ano")
     p_r, p_a = F.col("n_ref") / n, F.col("n_ano") / n
-    cls = counts.select(
+    return seg.select(
         "feature",
+        F.round("seg_ent", 6).alias("seg_ent"),
         "n_ref",
         "n_ano",
         F.round(p_a * F.log2(1.0 / p_a) + p_r * F.log2(1.0 / p_r), 6).alias(
             "class_ent"
         ),
-    )
-    return (
-        seg.select("feature", F.round("seg_ent", 6).alias("seg_ent"))
-        .join(cls, "feature")
-        .select("feature", "seg_ent", "n_ref", "n_ano", "class_ent")
     )
 
 
