@@ -405,10 +405,17 @@ def array_higher_order(spark, sf_dir):
 )
 def approx_aggs(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    est = ev.agg(
+    # the exact count_distinct must NOT share an Aggregate with the sketch
+    # aggs: one distinct agg among non-distinct ones triggers the planner's
+    # distinct-rewrite (Expand doubles every input row and the sketch
+    # buffers ride the expanded stream) — measured 3.3 s vs 0.9 s for the
+    # same three results computed as two 1-row aggregates cross-joined
+    est_sketch = ev.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("adc"),
-        F.count_distinct("user_id").alias("exact_n"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("amed"),
+    )
+    est = est_sketch.crossJoin(
+        ev.agg(F.count_distinct("user_id").alias("exact_n"))
     )
     return (
         ev.join(F.broadcast(est))

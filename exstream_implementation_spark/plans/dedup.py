@@ -154,6 +154,8 @@ def _capped_gram_edges(g, scope: str = "session"):
     """,
 )
 def dedup_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
     h = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.md5("text").alias("content_hash"),
@@ -161,26 +163,33 @@ def dedup_exact(spark, sf_dir):
             F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
         ).alias("norm_hash"),
     )
-    grp = h.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
-    ngrp = h.groupBy("norm_hash").agg(
-        F.min("doc_id").alias("norm_keep_id"),
-        F.count(F.lit(1)).alias("norm_copies"),
-    )
-    return (
-        h.join(grp, "content_hash")
-        .join(ngrp, "norm_hash")
-        .select(
-            "doc_id",
-            "content_hash",
-            "keep_id",
-            (F.col("doc_id") != F.col("keep_id")).alias("is_duplicate"),
-            "norm_hash",
-            "norm_keep_id",
-            "norm_copies",
-            (F.col("doc_id") != F.col("norm_keep_id")).alias(
-                "is_norm_duplicate"
-            ),
-        )
+    # per-hash min/count as unordered windows, not groupBy + join-back: the
+    # old shape recomputed the md5 scan THREE times (h, grp, ngrp are three
+    # occurrences of the same subtree) and shuffled h twice more for the
+    # joins — at 100 TB that is three reads of the text corpus.  Two window
+    # exchanges over the narrow (doc_id, 2×hash) projection read the text
+    # exactly once; partitions are bounded by true duplicate multiplicity,
+    # so no skew beyond real dup groups (guide §2.4).
+    w_c = Window.partitionBy("content_hash")
+    w_n = Window.partitionBy("norm_hash")
+    return h.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w_c).alias("keep_id"),
+        "norm_hash",
+        F.min("doc_id").over(w_n).alias("norm_keep_id"),
+        F.count(F.lit(1)).over(w_n).alias("norm_copies"),
+    ).select(
+        "doc_id",
+        "content_hash",
+        "keep_id",
+        (F.col("doc_id") != F.col("keep_id")).alias("is_duplicate"),
+        "norm_hash",
+        "norm_keep_id",
+        "norm_copies",
+        (F.col("doc_id") != F.col("norm_keep_id")).alias(
+            "is_norm_duplicate"
+        ),
     )
 
 
@@ -791,9 +800,16 @@ def corpus_curation(spark, sf_dir):
         "n_tokens",
         F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("ch"),
     )
-    keep = h.groupBy("ch").agg(F.min("doc_id").alias("keep_id"))
+    # window-min instead of groupBy + join-back: the old shape evaluated the
+    # tokenize+md5 subtree twice (h and keep) and joined them; one unordered
+    # window over ch reads it once — partition size is bounded by true dup
+    # multiplicity (guide §2.4)
+    from pyspark.sql import Window
+
     ex = (
-        h.join(keep, "ch")
+        h.withColumn(
+            "keep_id", F.min("doc_id").over(Window.partitionBy("ch"))
+        )
         .filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "toks", "n_tokens")
         .transform(tracked_persist)
