@@ -58,6 +58,12 @@ def train_bigram_lm(
     """{'unigrams': (w, c), 'bigrams': (w1, w2, c), 'totals': (n, v)} —
     three frames, each one map-side-combined aggregation."""
     t = docs.select(_toks(text_col).alias("toks"))
+    # NOT cached deliberately (r12 interleaved A/B): the unigram table is
+    # consumed three times downstream, but persisting it measured 1.78 s →
+    # 2.40 s on the lm_nll branch — the materialization barrier serializes
+    # stages that otherwise recompute in parallel on idle cores.  At a
+    # corpus scale where three full passes dominate, callers can persist
+    # the returned frames themselves (they are plain DataFrames).
     uni = (
         t.select(F.explode("toks").alias("w"))
         .groupBy("w")

@@ -786,6 +786,11 @@ def text_repetition(spark, sf_dir):
         dup_span_profile,
     )
 
+    # NOT cached deliberately (r12 interleaved A/B): the seven branch reads
+    # of the corpus are pure scan+repartition — caching (doc_id, text) saves
+    # no computation, and the materialization barrier + InMemory read cost
+    # measured 10% SLOWER than the parallel re-scans (3.63 s vs 4.01 s).
+    # Contrast text_fingerprint, whose cache holds TOKENIZED output.
     d = load_documents_parallel(spark, sf_dir).select("doc_id", "text")
     rep = repetition_metrics(d).select(
         "doc_id", "dup_line_frac", "top_bigram_share"
