@@ -47,12 +47,16 @@ def connected_components(
     above it, the iterative min-label propagation below runs fully
     distributed.  Both produce the identical min-reachable-id labeling."""
     # size probe as a COUNT, not take(n+1): take ships up to n+1 full rows to
-    # the driver even when the graph is huge; limit+count moves only a long.
-    # The edges subtree (often a shuffled candidate join) is persisted across
-    # the probe and the chosen strategy so it still computes once.
+    # the driver even when the graph is huge; count moves only a long.
+    # A FULL count (not limit(n+1).count()): limit early-stops, which leaves
+    # part of the persisted edge table uncached, so the driver path's
+    # collect() (and the distributed path's first iteration) re-evaluates
+    # the upstream candidate join — usually the most expensive subtree in
+    # the whole pipeline.  The full count materializes every partition into
+    # the cache exactly once; everything after is a cache read (guide §1.2).
     pinned = edges.select(src, dst).persist()
     try:
-        n_edges = pinned.limit(small_graph_edges + 1).count()
+        n_edges = pinned.count()
         if n_edges <= small_graph_edges:
             pairs = [(r[0], r[1]) for r in pinned.collect()]
             parent: dict = {}

@@ -784,11 +784,13 @@ def corpus_curation(spark, sf_dir):
     from exstream_implementation_spark.plans.text import stop_count
 
     d = load_documents_parallel(spark, sf_dir).select(
-        "doc_id", "text", F.split(F.lower("text"), r"\s+").alias("toks")
+        "doc_id", "text", "source",
+        F.split(F.lower("text"), r"\s+").alias("toks"),
     )
     d = d.select(
         "doc_id",
         "text",
+        "source",
         "toks",
         F.size("toks").alias("n_tokens"),
         (stop_count() / F.size("toks")).alias("stop_ratio"),
@@ -798,6 +800,7 @@ def corpus_curation(spark, sf_dir):
         "doc_id",
         "toks",
         "n_tokens",
+        "source",
         F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("ch"),
     )
     # window-min instead of groupBy + join-back: the old shape evaluated the
@@ -811,7 +814,11 @@ def corpus_curation(spark, sf_dir):
             "keep_id", F.min("doc_id").over(Window.partitionBy("ch"))
         )
         .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "toks", "n_tokens")
+        # carry `source` here (one narrow string already in the scan) so the
+        # URL/cap branch below never re-scans documents and re-joins on
+        # doc_id — at 100 TB that join-back was a second full corpus scan
+        # plus a corpus-sized shuffle (guide §2.4)
+        .select("doc_id", "toks", "n_tokens", "source")
         .transform(tracked_persist)
     )
     grams = ex.select(
@@ -876,10 +883,7 @@ def corpus_curation(spark, sf_dir):
         cap_per_group,
     )
 
-    src = load_documents_parallel(spark, sf_dir).select("doc_id", "source")
-    base = tracked_persist(
-        final.select("doc_id", "n_tokens").join(src, "doc_id")
-    )
+    base = tracked_persist(final.select("doc_id", "n_tokens", "source"))
     winners = (
         cap_per_group(base.select("doc_id", "source"), ["source"], 10)
         .select("doc_id")
