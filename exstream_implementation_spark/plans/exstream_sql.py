@@ -520,9 +520,13 @@ def _two_anomaly_setup(spark, sf_dir):
     bounds = trace.agg(
         F.min("timestamp").alias("tmin"), F.max("timestamp").alias("tmax")
     ).withColumn("span", F.greatest(F.col("tmax") - F.col("tmin"), F.lit(4)))
-    l0 = bounds.select(
+    # both label rows exploded from the ONE bounds row, not two unioned
+    # single-row aggregates: the labels relation is referenced in several
+    # plan branches (the slice join AND the final ano_key↔label join), and
+    # the union form embedded the min/max aggregation subtree twice per
+    # reference — this form carries it once (guide §2.4 duplicated subtrees)
+    l0 = F.struct(
         F.lit(0).alias("label_row"),
-        F.lit("events").alias("trace_id"),
         F.lit(1).alias("ano_id"),
         F.lit("bursty input").alias("ano_type"),
         F.col("tmin").alias("ref_start"),
@@ -530,9 +534,8 @@ def _two_anomaly_setup(spark, sf_dir):
         F.expr("tmin + span DIV 2").alias("ano_start"),
         F.expr("tmin + (span * 3) DIV 4").alias("ano_end"),
     )
-    l1 = bounds.select(
+    l1 = F.struct(
         F.lit(1).alias("label_row"),
-        F.lit("events").alias("trace_id"),
         F.lit(2).alias("ano_id"),
         F.lit("stalled input").alias("ano_type"),
         F.col("tmin").alias("ref_start"),
@@ -540,7 +543,19 @@ def _two_anomaly_setup(spark, sf_dir):
         F.expr("tmax - span DIV 4").alias("ano_start"),
         F.col("tmax").alias("ano_end"),
     )
-    return trace, l0.unionByName(l1)
+    labels = bounds.select(
+        F.explode(F.array(l0, l1)).alias("_l")
+    ).select(
+        F.col("_l.label_row").alias("label_row"),
+        F.lit("events").alias("trace_id"),
+        F.col("_l.ano_id").alias("ano_id"),
+        F.col("_l.ano_type").alias("ano_type"),
+        F.col("_l.ref_start").alias("ref_start"),
+        F.col("_l.ref_end").alias("ref_end"),
+        F.col("_l.ano_start").alias("ano_start"),
+        F.col("_l.ano_end").alias("ano_end"),
+    )
+    return trace, labels
 
 
 @query("exstream_explain_det", oracle=_FULL_PIPELINE_DUCK)
