@@ -387,20 +387,23 @@ def text_fingerprint(spark, sf_dir):
             "doc_id", _toks().alias("toks")
         )
     )
-    u = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    term = (
-        F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint) % 1000003")
-        * ((F.col("pos") % 64) + 1)
-    )
-    fp = (
-        u.groupBy("doc_id")
-        .agg((F.sum(term) % 2147483647).alias("val"))
-        .select(
-            F.lit("fp").alias("branch"),
-            "doc_id",
-            F.lit(0).cast("int").alias("pos"),
-            "val",
-        )
+    # per-doc rolling fingerprint as ONE map-side array fold: the sum over
+    # (md5-derived term value × position weight) is a pure per-row reduction,
+    # so the posexplode + corpus-wide groupBy Exchange the old shape paid
+    # are gone — at 100 TB this removes a full shuffle of the tokenized
+    # corpus (guide §2.4).  Same arithmetic, same mod at the end: per-token
+    # addends are ≤ ~6.4e7, so a bigint accumulator cannot overflow for any
+    # real document length.
+    fp = d.filter(F.size("toks") > 0).select(
+        F.lit("fp").alias("branch"),
+        "doc_id",
+        F.lit(0).cast("int").alias("pos"),
+        F.expr(
+            "aggregate(zip_with(toks, sequence(0, size(toks) - 1),"
+            " (t, i) -> (cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)"
+            " % 1000003) * ((i % 64) + 1)),"
+            " 0L, (acc, x) -> acc + x) % 2147483647"
+        ).alias("val"),
     )
 
     # gram identity only gates duplicate detection — it never reaches the
