@@ -150,23 +150,23 @@ def global_lag(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    size_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(pid, sizes[pid], offsets[pid]) for pid in sorted(sizes)],
-            "__pid int, __cnt long, __offset long",
-        )
-    )
-    # boundary rows: the last row of each partition (one per partition)
+    # ONE broadcast frame carries offsets AND the previous partition's
+    # boundary value (the old shape broadcast-joined two separate frames —
+    # two BroadcastExchanges and two join nodes for O(#partitions) rows)
     boundary = {r["__pid"]: r["last_val"]["v"] for r in stats}
     nonempty = sorted(boundary)
-    prev_rows = [
-        (pid, boundary[prev_pid])
+    prev_of = {
+        pid: boundary[prev_pid]
         for prev_pid, pid in zip(nonempty, nonempty[1:])
-    ]
+    }
     vtype = df.schema[value_col].dataType.simpleString()
-    prev_df = F.broadcast(
+    meta_df = F.broadcast(
         df.sparkSession.createDataFrame(
-            prev_rows or [(None, None)], f"__pid int, __bprev {vtype}"
+            [
+                (pid, offsets[pid], prev_of.get(pid))
+                for pid in sorted(sizes)
+            ],
+            f"__pid int, __offset long, __bprev {vtype}",
         )
     )
     # the boundary value substitutes ONLY on each partition's first row — a
@@ -176,11 +176,10 @@ def global_lag(
         F.col("__local_rn") == 1, F.col("__bprev")
     ).otherwise(F.col("__lag"))
     out = (
-        local.join(size_df, "__pid")
-        .join(prev_df, "__pid", "left")
+        local.join(meta_df, "__pid")
         .withColumn(rn_col, (F.col("__offset") + F.col("__local_rn")).cast("long"))
         .withColumn(lag_col, stitched_lag)
-        .drop("__pid", "__local_rn", "__lag", "__cnt", "__offset", "__bprev")
+        .drop("__pid", "__local_rn", "__lag", "__offset", "__bprev")
     )
     return out
 
