@@ -53,6 +53,11 @@ def main():
         for name in bench_queries
     }
     fns["exstream_explain"] = lambda sp, sf: entrymod._flagship(sp, sf)
+    # any other catalog query named explicitly is capturable too (r12: the
+    # optimization round touches non-bench queries as well)
+    for name in ONLY:
+        if name not in fns and name in QUERIES:
+            fns[name] = QUERIES[name]
 
     for name, fn in fns.items():
         if ONLY and name not in ONLY:
