@@ -455,6 +455,68 @@ def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(batches, schema)
 
 
+def image_payload_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    w: int = IMG_W,
+    h: int = IMG_H,
+    fmt: str = "bmp",
+) -> DataFrame:
+    """``attach_image_payload`` → ``image_stats`` fused into ONE
+    mapInPandas: the encoder and decoder run back-to-back inside the same
+    Python task (the identical real encode→decode byte round-trip — any
+    codec bug still breaks the hash), so the payload bytes never cross the
+    JVM↔Python boundary at all and each branch pays one Python plan node
+    instead of two (guide §4.1: one boundary, only the columns the function
+    needs — here just ``id_col``).  Output and float contract are exactly
+    ``image_stats``'s."""
+    if fmt not in ("bmp", "png", "jpeg", "jpeg_progressive"):
+        raise ValueError(f"unknown image format {fmt!r}")
+    if fmt.startswith("jpeg"):
+        from exstream_implementation_spark.operators.jpeg import encode_jpeg
+
+        prog = fmt == "jpeg_progressive"
+        enc = lambda a: encode_jpeg(a, quality=95, progressive=prog)
+    else:
+        enc = encode_bmp if fmt == "bmp" else encode_png
+    schema = (
+        f"{id_col} long, width int, height int, channel int, "
+        "px_mean double, px_std double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, cs, means, stds = [], [], [], [], [], []
+            for did in pdf[id_col]:
+                img = decode_image(enc(synth_pixels(did, w, h))).astype(
+                    np.int64
+                )
+                ih, iw, _ = img.shape
+                n = float(ih * iw)
+                for c in range(3):
+                    ch = img[:, :, c]
+                    m = float(ch.sum()) / n
+                    var = float((ch * ch).sum()) / n - m * m
+                    ids.append(did)
+                    ws.append(iw)
+                    hs.append(ih)
+                    cs.append(c)
+                    means.append(m)
+                    stds.append(math.sqrt(max(var, 0.0)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channel": pd.Series(cs, dtype="int32"),
+                    "px_mean": pd.Series(means, dtype="float64"),
+                    "px_std": pd.Series(stds, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
 # --- real WAV codec (RIFF — lossless for integer AND float PCM, so the
 #     audio feature path is hash-gateable exactly like the BMP/PNG pixel
 #     paths) ------------------------------------------------------------------
@@ -731,6 +793,48 @@ def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema)
+
+
+def audio_payload_stats(
+    df: DataFrame, id_col: str = "doc_id", n: int = N_AUDIO_SAMPLES
+) -> DataFrame:
+    """``attach_audio_payload`` → ``audio_stats`` fused into ONE
+    mapInPandas — same rationale and same real RIFF/PCM16 encode→decode
+    round-trip as ``image_payload_stats``; output and float contract are
+    exactly ``audio_stats``'s."""
+    schema = (
+        f"{id_col} long, n_samples int, sample_rate int, "
+        "amp_mean double, amp_rms double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ns, rates, means, rmss = [], [], [], [], []
+            for did in pdf[id_col]:
+                samples, rate = decode_wav(
+                    encode_wav(synth_samples(did, n), AUDIO_RATE)
+                )
+                cast = (
+                    np.int64 if samples.dtype == np.int16 else np.float64
+                )
+                s = samples.astype(cast).reshape(-1)
+                cnt = len(s)
+                ids.append(did)
+                ns.append(cnt)
+                rates.append(rate)
+                means.append(float(s.sum()) / cnt)
+                rmss.append(math.sqrt(float((s * s).sum()) / cnt))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "amp_mean": pd.Series(means, dtype="float64"),
+                    "amp_rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema)
 
 
 def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -22,11 +22,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from exstream_implementation_spark.operators.multimodal import (
-    attach_audio_payload,
-    attach_image_payload,
     attach_payload,
-    audio_stats,
-    image_stats,
+    audio_payload_stats,
+    image_payload_stats,
     sample_frames,
     AUDIO_RATE,
     IMG_H,
@@ -36,6 +34,9 @@ from exstream_implementation_spark.operators.multimodal import (
 )
 from exstream_implementation_spark.plans.registry import query
 from exstream_implementation_spark.sources import load_table
+from exstream_implementation_spark.sources.tables import (
+    load_documents_parallel,
+)
 
 
 # --- binary payload + metadata (pure JVM path) -------------------------------
@@ -48,22 +49,38 @@ def mm_binary_meta(spark, sf_dir):
     )
 
 
+# The codec branches run REAL per-file encode/decode in Python workers — the
+# one place in the catalog where per-row CPU, not the plan, is the cost.  Two
+# r12 fixes (guide §2.5, §4.1):
+#   * the testdata corpus is a single parquet file → a single scan partition,
+#     so every decoder ran single-threaded while 31 cores idled;
+#     ``load_documents_parallel`` repartitions ONLY when the scan
+#     under-splits (a no-op on a many-file production corpus);
+#   * each codec branch paid TWO Python plan nodes (encode pandas UDF →
+#     JVM → decode mapInPandas) with the payload bytes crossing the
+#     JVM↔Python boundary twice; the fused ``*_payload_stats`` operators
+#     run the identical encode→decode round-trip inside one task, shipping
+#     only ``doc_id`` in and six stat columns out.
+# attach_image_payload/image_stats (and the audio pair) remain the package
+# API for corpora whose payloads exist as real columns.
+
+
 # --- real BMP/PNG decode → per-channel pixel stats vs SQL oracle -------------
 def mm_image_features(spark, sf_dir, fmt="bmp"):
-    d = attach_image_payload(load_table(spark, sf_dir, "documents"), fmt=fmt)
-    return image_stats(d)
+    return image_payload_stats(
+        load_documents_parallel(spark, sf_dir), fmt=fmt
+    )
 
 
 # --- frame sampling: 1 row in → N_FRAMES rows out through mapInPandas --------
 def mm_frame_sample(spark, sf_dir):
-    d = attach_payload(load_table(spark, sf_dir, "documents"))
+    d = attach_payload(load_documents_parallel(spark, sf_dir))
     return sample_frames(d)
 
 
 # --- real WAV decode → amplitude stats vs SQL oracle --------------------------
 def mm_audio_features(spark, sf_dir):
-    d = attach_audio_payload(load_table(spark, sf_dir, "documents"))
-    return audio_stats(d)
+    return audio_payload_stats(load_documents_parallel(spark, sf_dir))
 
 
 _FRAMES_DUCK = f"""

@@ -528,3 +528,45 @@ def test_audio_stats_full_scale_int32_does_not_overflow(spark):
     row = audio_stats(df).collect()[0]
     assert row["amp_rms"] == pytest.approx(float(2**31 - 1))
     assert row["amp_mean"] == pytest.approx(float(2**31 - 1))
+
+
+@pytest.mark.parametrize("fmt", ["bmp", "png"])
+def test_image_payload_stats_matches_two_op_chain(spark, fmt):
+    """The fused encode→decode→stats operator (r12: one Python plan node,
+    payload never crosses the JVM boundary) must be bitwise identical to
+    the attach_image_payload → image_stats chain it replaces."""
+    from exstream_implementation_spark.operators.multimodal import (
+        image_payload_stats,
+    )
+
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    key = lambda r: (r["doc_id"], r["channel"])
+    chain = {
+        key(r): (r["px_mean"], r["px_std"], r["width"], r["height"])
+        for r in image_stats(attach_image_payload(df, fmt=fmt)).collect()
+    }
+    fused = {
+        key(r): (r["px_mean"], r["px_std"], r["width"], r["height"])
+        for r in image_payload_stats(df, fmt=fmt).collect()
+    }
+    assert fused == chain and len(fused) == 40 * 3
+
+
+def test_audio_payload_stats_matches_two_op_chain(spark):
+    from exstream_implementation_spark.operators.multimodal import (
+        attach_audio_payload,
+        audio_payload_stats,
+        audio_stats,
+    )
+
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    cols = ("n_samples", "sample_rate", "amp_mean", "amp_rms")
+    chain = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in audio_stats(attach_audio_payload(df)).collect()
+    }
+    fused = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in audio_payload_stats(df).collect()
+    }
+    assert fused == chain and len(fused) == 40
