@@ -809,31 +809,36 @@ def corpus_curation(spark, sf_dir):
     # multiplicity (guide §2.4)
     from pyspark.sql import Window
 
+    # ONE persist for the deduped survivors: grams are derived in the same
+    # projection that drops toks, so the keeper output materializes once
+    # (r12: previously ex-with-toks AND grams were two chained corpus-sized
+    # caches — two materialization barriers, with the token arrays pinned
+    # for the whole query even though nothing below the gram build reads
+    # them).  `source` is carried through (one narrow string already in the
+    # scan) so the URL/cap branch below never re-scans documents and
+    # re-joins on doc_id (guide §2.4, §5 caching).
     ex = (
         h.withColumn(
             "keep_id", F.min("doc_id").over(Window.partitionBy("ch"))
         )
         .filter(F.col("doc_id") == F.col("keep_id"))
-        # carry `source` here (one narrow string already in the scan) so the
-        # URL/cap branch below never re-scans documents and re-joins on
-        # doc_id — at 100 TB that join-back was a second full corpus scan
-        # plus a corpus-sized shuffle (guide §2.4)
-        .select("doc_id", "toks", "n_tokens", "source")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "source",
+            F.array_distinct(
+                F.expr(
+                    # < 3 tokens: sequence(0, -1) is descending and ANSI mode
+                    # turns the out-of-range index into a hard error
+                    "CASE WHEN size(toks) < 3 THEN array() ELSE "
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
+                )
+            ).alias("grams"),
+        )
         .transform(tracked_persist)
     )
-    grams = ex.select(
-        "doc_id",
-        "n_tokens",
-        F.array_distinct(
-            F.expr(
-                # < 3 tokens: sequence(0, -1) is descending and ANSI mode
-                # turns the out-of-range index into a hard error
-                "CASE WHEN size(toks) < 3 THEN array() ELSE "
-                "transform(sequence(0, size(toks) - 3),"
-                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
-            )
-        ).alias("grams"),
-    ).transform(tracked_persist)
+    grams = ex.select("doc_id", "n_tokens", "grams")
     e, sized = _capped_gram_edges(grams, scope="query")
     pairs = (
         e.alias("a")
