@@ -38,6 +38,15 @@ def get_spark(
         # the driver-generated events.parquet carries TIMESTAMP(NANOS), which
         # Spark's reader rejects unless nanos are surfaced as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4's call-site capture wraps EVERY DataFrame API call with a
+        # getActiveSession + conf lookup + JVM origin set/clear — 3 extra
+        # py4j round-trips per operation, measured +40% on pure plan
+        # construction (r12: 300 chained selects 4.2 s off vs 6.2 s on; the
+        # flagship builds ~3600 py4j calls per run).  The cost is
+        # driver-side and scale-independent; what it buys (the Python call
+        # site echoed inside error messages) is a debugging nicety, so
+        # production sessions run with it off.  Overridable via extra_conf.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -56,4 +65,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # per-call call-site capture (see get_spark) is a STATIC conf — it can
+    # only be set at session build time, so an externally-provided session
+    # keeps whatever it was built with; nothing to do here.
     return spark
