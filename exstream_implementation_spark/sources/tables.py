@@ -10,9 +10,22 @@ pushes predicates and prunes columns into the parquet reader.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from exstream_implementation_spark.schemas import LABELS_SCHEMA
+
+# Parquet schema memo — METADATA only, never data or results.  A bare
+# ``spark.read.parquet(path)`` infers the schema by listing + reading a
+# footer on the DRIVER at DataFrame-construction time (~0.1 s per call
+# locally); the engine re-builds table scans constantly (every catalog
+# query, every bench pass), so the footer was being re-read hundreds of
+# times per session for a schema that never changes.  Keyed on the file's
+# (path, mtime, size) so an overwritten table is re-inferred; the entry is
+# just a StructType — the data itself is always read from parquet at
+# execution time.
+_SCHEMA_MEMO: dict[tuple[str, float, int], "object"] = {}
 
 TABLES = [
     "region",
@@ -38,7 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so every downstream plan is encoding-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime, st.st_size)
+    except OSError:
+        key = None  # directory-less / remote path — no memo, plain inference
+    schema = _SCHEMA_MEMO.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     if name == "events":
         df = df.withColumn("ts_sec", ts_seconds(df.schema["ts"].dataType))
     return df
@@ -97,7 +122,23 @@ def load_documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op — no gratuitous full-corpus shuffle)."""
     df = load_table(spark, sf_dir, "documents")
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # under-split detection WITHOUT df.rdd (which materializes an RDD
+    # lineage + conversion on the driver per call): a scan splits at
+    # file/row-group granularity, so few-files AND small-bytes means few
+    # tasks.  A many-file production corpus (or one big multi-row-group
+    # file past ~2 GB, which the reader splits by maxPartitionBytes) skips
+    # the repartition — no gratuitous full-corpus shuffle at scale.
+    files = df.inputFiles()
+    if len(files) >= max(2, target // 2):
+        return df
+    total = 0
+    for f in files:
+        local = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            return df  # non-local path — can't size it; trust the layout
+    if total < 128 * 1024 * 1024 * max(2, target // 2):
         df = df.repartition(target, "doc_id")
     return df
 
