@@ -34,7 +34,9 @@ def _flagship(spark: SparkSession, sf_dir: str, instability_runs: int = 5) -> Da
     # trace is cached post-pivot; labels are derived in-plan from its bounds
     # (no driver-side probe), so the whole flagship is one lazy graph
     trace, labels = _two_anomaly_setup(spark, sf_dir)
-    cfg = ExplainConfig(instability_runs=instability_runs)
+    cfg = ExplainConfig(
+        instability_runs=instability_runs, slice_cache_scope="session"
+    )
     out = explain_anomalies(trace, labels, cfg)
     return out.select(
         "trace_id", "ano_id", "ano_key", "explanation", "exp_size",

@@ -25,28 +25,30 @@ def reward_leap_filter(
     rewards: DataFrame, keys: tuple[str, ...] = ("ano_key",)
 ) -> DataFrame:
     """(*keys, feature, feature_order, reward, rank) → kept rows only."""
-    w = Window.partitionBy(*keys).orderBy("rank")
-    w_all = Window.partitionBy(*keys)
+    # SQL-string construction — one py4j round-trip per selectExpr instead
+    # of one per expression node (see operators.rewards); window nesting
+    # rules force three steps: lag → (max, count) over it → min over those
+    pk = ", ".join(f"`{c}`" for c in keys)
     df = (
-        rewards.withColumn("prev_reward", F.lag("reward").over(w))
-        .withColumn("leap", F.col("prev_reward") - F.col("reward"))
-        .withColumn("max_leap", F.max("leap").over(w_all))
-        .withColumn("n_features", F.count(F.lit(1)).over(w_all))
-        .withColumn(
-            "cut_rank",
-            F.min(
-                F.when(
-                    (F.col("leap") == F.col("max_leap"))
-                    & (F.col("prev_reward") != 0),
-                    F.col("rank"),
-                )
-            ).over(w_all),
+        rewards.selectExpr(
+            "*",
+            f"lag(reward) OVER (PARTITION BY {pk} ORDER BY rank)"
+            f" AS prev_reward",
+        )
+        .selectExpr(
+            "*",
+            "prev_reward - reward AS leap",
+            f"max(prev_reward - reward) OVER (PARTITION BY {pk}) AS max_leap",
+            f"count(1) OVER (PARTITION BY {pk}) AS n_features",
+        )
+        .selectExpr(
+            "*",
+            f"min(CASE WHEN leap = max_leap AND prev_reward != 0"
+            f" THEN rank END) OVER (PARTITION BY {pk}) AS cut_rank",
         )
     )
     kept = df.filter(
-        (F.col("n_features") <= 1)
-        | F.col("cut_rank").isNull()
-        | (F.col("rank") < F.col("cut_rank"))
+        "n_features <= 1 OR cut_rank IS NULL OR rank < cut_rank"
     )
     return kept.select(*keys, "feature", "feature_order", "reward", "rank")
 

@@ -100,28 +100,36 @@ def worst_case_labels(
     """
     if duplicate_mode not in ("sorted", "worst_case"):
         raise ValueError(f"unknown duplicate_mode {duplicate_mode!r}")
-    grp = [*keys, "feature", "value"]
-    w_rank = Window.partitionBy(*grp).orderBy("type_data", "timestamp")
-    df = melted.withColumn("r", F.row_number().over(w_rank) - F.lit(1))
+    # SQL-string construction — one py4j round-trip per selectExpr instead
+    # of one per expression node (see segmentation_entropy)
+    gk = ", ".join(f"`{c}`" for c in (*keys, "feature", "value"))
+    df = melted.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY {gk}"
+        f" ORDER BY type_data, timestamp) - 1 AS r",
+    )
     if duplicate_mode == "sorted":
-        return df.withColumn("label", F.col("type_data"))
+        return df.selectExpr("*", "type_data AS label")
 
-    w_grp = Window.partitionBy(*grp)
-    df = (
-        df.withColumn("n1", F.sum("type_data").over(w_grp))
-        .withColumn("cnt", F.count(F.lit(1)).over(w_grp))
-        .withColumn("n0", F.col("cnt") - F.col("n1"))
+    df = df.selectExpr(
+        "*",
+        f"sum(type_data) OVER (PARTITION BY {gk}) AS n1",
+        f"count(1) OVER (PARTITION BY {gk}) AS cnt",
     )
-    r, n0, n1, cnt = F.col("r"), F.col("n0"), F.col("n1"), F.col("cnt")
-    label = (
-        F.when(cnt == 1, F.col("type_data"))
-        .when(n1 == 0, F.lit(0))
-        .when(n0 == 0, F.lit(1))
-        .when(n0 == n1, F.when(r % 2 == 0, F.lit(1)).otherwise(F.lit(2)))
-        .when(n0 < n1, F.when((r % 2 == 1) & (r < 2 * n0), F.lit(0)).otherwise(F.lit(1)))
-        .otherwise(F.when((r % 2 == 0) & (r < 2 * n1), F.lit(1)).otherwise(F.lit(0)))
-    )
-    return df.withColumn("label", label).drop("cnt", "n0", "n1")
+    return df.selectExpr(
+        "*",
+        """CASE WHEN cnt = 1 THEN type_data
+                WHEN n1 = 0 THEN 0
+                WHEN cnt - n1 = 0 THEN 1
+                WHEN cnt - n1 = n1 THEN
+                  CASE WHEN r % 2 = 0 THEN 1 ELSE 2 END
+                WHEN cnt - n1 < n1 THEN
+                  CASE WHEN r % 2 = 1 AND r < 2 * (cnt - n1)
+                       THEN 0 ELSE 1 END
+                ELSE CASE WHEN r % 2 = 0 AND r < 2 * n1
+                          THEN 1 ELSE 0 END
+           END AS label""",
+    ).drop("cnt", "n1")
 
 
 def segmentation_entropy(
@@ -152,21 +160,23 @@ def segmentation_entropy(
     — so reward callers need no second full pass over ``melted`` and no
     seg⋈cls join.
     """
-    w_seq = Window.partitionBy(*keys, "feature").orderBy(
-        *(order_tail if order_tail is not None else ["value", "r"])
-    )
-    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df = (
-        labeled.withColumn("prev_label", F.lag("label").over(w_seq))
-        .withColumn(
-            "boundary",
-            F.when(
-                F.col("prev_label").isNull()
-                | (F.col("prev_label") != F.col("label")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("seg_id", F.sum("boundary").over(w_run))
+    # plan text built as SQL strings: selectExpr is ONE py4j round-trip per
+    # call, where the equivalent Column-object chain paid one per
+    # expression node — the rewards build sits on every explain call's
+    # driver-side critical path (guide §1.2 step 2 applied to plan
+    # construction; round-12/13 profiles put build ≈ 2× execute locally)
+    order_cols = order_tail if order_tail is not None else ["value", "r"]
+    pk = ", ".join(f"`{c}`" for c in (*keys, "feature"))
+    ob = ", ".join(f"`{c}`" for c in order_cols)
+    df = labeled.selectExpr(
+        "*",
+        f"lag(label) OVER (PARTITION BY {pk} ORDER BY {ob}) AS prev_label",
+    ).selectExpr(
+        "*",
+        # the boundary flag folded into the running sum's argument
+        f"sum(CASE WHEN prev_label IS NULL OR prev_label != label"
+        f" THEN 1 ELSE 0 END) OVER (PARTITION BY {pk} ORDER BY {ob}"
+        f" ROWS UNBOUNDED PRECEDING) AS seg_id",
     )
     seg_aggs = [
         F.count(F.lit(1)).alias("seg_len"),
@@ -175,9 +185,10 @@ def segmentation_entropy(
     if class_counts:
         seg_aggs.append(F.sum("type_data").alias("_seg_n1"))
     segs = df.groupBy(*keys, "feature", "seg_id").agg(*seg_aggs)
-    w_feat = Window.partitionBy(*keys, "feature")
-    segs = segs.withColumn("n_total", F.sum("seg_len").over(w_feat)).withColumn(
-        "max_seg", F.max("seg_id").over(w_feat)
+    segs = segs.selectExpr(
+        "*",
+        f"sum(seg_len) OVER (PARTITION BY {pk}) AS n_total",
+        f"max(seg_id) OVER (PARTITION BY {pk}) AS max_seg",
     )
     p = F.col("seg_len") / F.col("n_total")
     term = F.when(F.col("seg_id") < F.col("max_seg"), p * F.log(1.0 / p)).otherwise(
@@ -366,18 +377,29 @@ def single_feature_rewards(
     # class entropy from the SAME aggregates (class_counts=True): every melted
     # row lands in exactly one segment, so the folded n_ref/n_ano equal the
     # old second groupBy over melted — one full pass and the seg⋈cls join
-    # removed (guide §2.3 "aggregate before you shuffle", §1.2 fewer passes)
-    n = F.col("n_ref") + F.col("n_ano")
-    p_r, p_a = F.col("n_ref") / n, F.col("n_ano") / n
-    class_ent = F.when(
-        (F.col("n_ref") > 0) & (F.col("n_ano") > 0),
-        p_a * F.log2(1.0 / p_a) + p_r * F.log2(1.0 / p_r),
+    # removed (guide §2.3 "aggregate before you shuffle", §1.2 fewer passes).
+    # Expression trees written as SQL text, shaped EXACTLY like the former
+    # Column chain (p_a·log2(1/p_a) + p_r·log2(1/p_r) with p recomputed per
+    # term) so float results are bit-identical; selectExpr keeps the build
+    # to one py4j round-trip.
+    class_ent = (
+        "CASE WHEN n_ref > 0 AND n_ano > 0 THEN"
+        " (n_ano / (n_ref + n_ano))"
+        " * log2(1.0 / (n_ano / (n_ref + n_ano)))"
+        " + (n_ref / (n_ref + n_ano))"
+        " * log2(1.0 / (n_ref / (n_ref + n_ano))) END"
     )
-    reward = class_ent / F.col("seg_ent")
+    reward = f"({class_ent}) / seg_ent"
     if reward_round is not None:
-        reward = F.round(reward, reward_round)
-    rewards = seg.withColumn("reward", reward).select(
-        *keys, "feature", "feature_order", "reward"
+        reward = f"round({reward}, {int(reward_round)})"
+    kq = ", ".join(f"`{c}`" for c in keys)
+    return seg.selectExpr(
+        *(f"`{c}`" for c in keys),
+        "feature",
+        "feature_order",
+        f"{reward} AS reward",
+    ).selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY {kq}"
+        f" ORDER BY reward DESC, feature_order ASC) AS rank",
     )
-    w = Window.partitionBy(*keys).orderBy(F.desc("reward"), F.asc("feature_order"))
-    return rewards.withColumn("rank", F.row_number().over(w))

@@ -52,23 +52,21 @@ def slice_intervals(traces: DataFrame, labels: DataFrame) -> DataFrame:
         )
         # one scan, both classes: a row in the ref interval emits 0, in the
         # ano interval 1, in both (overlapping labels) both rows — identical
-        # relation to the two-branch union at half the table reads
-        .withColumn(
-            "type_data",
-            F.explode(
-                F.filter(
-                    F.array(
-                        F.when(in_ref, F.lit(0)), F.when(in_ano, F.lit(1))
-                    ),
-                    lambda x: x.isNotNull(),
-                )
-            ),
+        # relation to the two-branch union at half the table reads.
+        # (selectExpr strings: one py4j round-trip per step — driver build
+        # cost, see operators.rewards)
+        .selectExpr(
+            "*",
+            "explode(filter(array("
+            "CASE WHEN timestamp >= ref_start AND timestamp < ref_end"
+            " THEN 0 END,"
+            "CASE WHEN timestamp >= ano_start AND timestamp <= ano_end"
+            " THEN 1 END), x -> x IS NOT NULL)) AS type_data",
         )
         .drop("l_trace_id", "ref_start", "ref_end", "ano_start", "ano_end")
     )
-    return sliced.withColumn(
-        "ano_key",
-        F.concat_ws("_", F.col("ano_type"), F.col("trace_id"), F.col("label_row")),
+    return sliced.selectExpr(
+        "*", "concat_ws('_', ano_type, trace_id, label_row) AS ano_key"
     ).drop("ano_type", "label_row")
 
 

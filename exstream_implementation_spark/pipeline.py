@@ -83,6 +83,16 @@ class ExplainConfig:
     # 'auto' routing threshold: largest (anomaly, feature) group the window
     # engine may sort in one task
     segmentation_threshold: int = AUTO_GROUP_THRESHOLD
+    # cache scope for the sliced table: "query" (default — released when the
+    # next catalog query starts) or "session" (shared across queries via
+    # CacheManager plan-matching, like the melted-events relation).  The
+    # flagship family passes "session": its slice is O(anomalies × buckets)
+    # — bounded — and identical across exstream_explain/_det/entry/bench, so
+    # a long-lived session slices once instead of once per call.  Leave
+    # "query" for arbitrary user traces, where pinning a full labeled slice
+    # for the session's lifetime is a memory-pressure trade the caller must
+    # opt into.
+    slice_cache_scope: str = "query"
 
 
 def _explanations_for(melted: DataFrame, cfg: ExplainConfig, keys=("ano_key",)) -> DataFrame:
@@ -109,7 +119,9 @@ def explain_anomalies(
     cfg = cfg or ExplainConfig()
     features = feature_columns(traces.columns)
 
-    sliced = slice_intervals(traces, labels).transform(tracked_persist)
+    sliced = slice_intervals(traces, labels).transform(
+        lambda df: tracked_persist(df, scope=cfg.slice_cache_scope)
+    )
 
     # segmentation='auto': pick the engine from the ACTUAL largest anomaly
     # slice, not a docstring.  Each wide row melts to exactly one row per
@@ -140,33 +152,25 @@ def explain_anomalies(
     # instability is only statistically comparable across engines).
     n_runs = cfg.instability_runs
     if cfg.sample_method == "xxhash64":
-        keep = (
-            F.pmod(
-                F.xxhash64("ano_key", "timestamp", F.col("run_id") + F.lit(cfg.seed)),
-                F.lit(1_000_000),
-            )
-            < F.lit(int(cfg.sample_fraction * 1_000_000))
+        keep_sql = (
+            f"pmod(xxhash64(ano_key, timestamp, run_id + {int(cfg.seed)}),"
+            f" 1000000) < {int(cfg.sample_fraction * 1_000_000)}"
         )
     elif cfg.sample_method == "md5":
         # first 6 md5 hex chars of "ano_key:timestamp:(run+seed)" compared to
         # the fixed-width hex cutoff — md5 hex is bit-identical in DuckDB
         # (md5(x || ':' || CAST(bucket AS VARCHAR) || ...)), making every
         # sampled run reproducible by the oracle SQL
-        keep = F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", "ano_key", "timestamp", F.col("run_id") + F.lit(cfg.seed)
-                )
-            ),
-            1,
-            6,
-        ) < F.lit(md5_hex_threshold(cfg.sample_fraction))
+        keep_sql = (
+            f"substring(md5(concat_ws(':', ano_key, timestamp,"
+            f" run_id + {int(cfg.seed)})), 1, 6)"
+            f" < '{md5_hex_threshold(cfg.sample_fraction)}'"
+        )
     else:
         raise ValueError(f"unknown sample_method {cfg.sample_method!r}")
-    all_runs = sliced.select(
-        F.col("*"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_runs))).alias("run_id"),
-    ).filter((F.col("run_id") == 0) | keep)
+    all_runs = sliced.selectExpr(
+        "*", f"explode(sequence(0, {int(n_runs)})) AS run_id"
+    ).filter(f"run_id = 0 OR ({keep_sql})")
 
     # C2 per run (the reference re-clusters on each sample): driver loop over
     # tiny d×d matrices; skipped entirely when cluster=False.
@@ -217,29 +221,41 @@ def explain_anomalies(
         tracked_persist
     )
 
-    main = expl.filter(F.col("run_id") == 0).select(
-        "ano_key",
-        F.col("feature_orders").alias("explanation"),
-        F.size("feature_orders").alias("exp_size"),
+    # main explanation (run 0) + C9 instability in ONE groupBy over the
+    # cached expl relation (one row per (run, anomaly) — tiny).  The older
+    # form ran three plan branches (main filter; explode → two chained
+    # groupBys for the frequency entropy; a main⋈inst join): 2 extra
+    # exchanges + a join stage per explain call for data that fits one
+    # aggregation.  C9 (reference script_1.py:187-205, log base 2):
+    # H = -Σ p·log2 p = log2(T) - (Σ c·log2 c)/T over the per-feature
+    # explanation frequencies c across the sample runs — computed here from
+    # the flattened feature_orders of runs 1..k via array higher-order
+    # functions (counts are per feature_order, a bijection of feature names
+    # within one trace, so the frequencies are identical).
+    fused = expl.groupBy("ano_key").agg(
+        F.first(
+            F.when(F.col("run_id") == 0, F.col("feature_orders")),
+            ignorenulls=True,
+        ).alias("explanation"),
+        F.flatten(
+            F.collect_list(F.when(F.col("run_id") > 0, F.col("feature_orders")))
+        ).alias("_all"),
     )
-
-    # C9 — entropy of feature frequency across the sample runs
-    # (reference script_1.py:187-205, log base 2)
-    # H = -Σ p·log2 p  =  log2(T) - (Σ c·log2 c)/T — two chained groupBys on
-    # already co-partitioned keys, no window pass (the second agg input is one
-    # row per (ano_key, feature), trivially small).
-    inst = (
-        expl.filter(F.col("run_id") > 0)
-        .select("run_id", "ano_key", F.explode("features").alias("feature"))
-        .groupBy("ano_key", "feature")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("ano_key")
-        .agg(
-            (
-                F.log2(F.sum("c"))
-                - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
-            ).alias("exp_instability")
-        )
+    inst_expr = F.expr(
+        """CASE WHEN size(_all) > 0 THEN
+             log2(size(_all)) -
+             aggregate(
+               transform(array_distinct(_all),
+                         f -> cast(size(filter(_all, x -> x = f)) AS DOUBLE)
+                              * log2(size(filter(_all, x -> x = f)))),
+               0D, (a, c) -> a + c) / size(_all)
+           END"""
+    )
+    main = fused.filter(F.col("explanation").isNotNull()).select(
+        "ano_key",
+        "explanation",
+        F.size("explanation").alias("exp_size"),
+        inst_expr.alias("exp_instability"),
     )
 
     lbl = labels.select(
@@ -247,13 +263,9 @@ def explain_anomalies(
         "ano_id",
         F.concat_ws("_", "ano_type", "trace_id", "label_row").alias("ano_key"),
     )
-    return (
-        main.join(inst, "ano_key", "left")
-        .join(F.broadcast(lbl), "ano_key", "inner")
-        .select(
-            "trace_id", "ano_id", "ano_key", "explanation", "exp_size",
-            "exp_instability",
-        )
+    return main.join(F.broadcast(lbl), "ano_key", "inner").select(
+        "trace_id", "ano_id", "ano_key", "explanation", "exp_size",
+        "exp_instability",
     )
 
 

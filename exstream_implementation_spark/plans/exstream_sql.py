@@ -517,43 +517,32 @@ def _two_anomaly_setup(spark, sf_dir):
     from exstream_implementation_spark.sources import events_trace
 
     trace = events_trace(spark, sf_dir, bucket_seconds=3600).transform(session_persist)
-    bounds = trace.agg(
-        F.min("timestamp").alias("tmin"), F.max("timestamp").alias("tmax")
-    ).withColumn("span", F.greatest(F.col("tmax") - F.col("tmin"), F.lit(4)))
     # both label rows exploded from the ONE bounds row, not two unioned
     # single-row aggregates: the labels relation is referenced in several
     # plan branches (the slice join AND the final ano_key↔label join), and
     # the union form embedded the min/max aggregation subtree twice per
-    # reference — this form carries it once (guide §2.4 duplicated subtrees)
-    l0 = F.struct(
-        F.lit(0).alias("label_row"),
-        F.lit(1).alias("ano_id"),
-        F.lit("bursty input").alias("ano_type"),
-        F.col("tmin").alias("ref_start"),
-        F.expr("tmin + span DIV 2").alias("ref_end"),
-        F.expr("tmin + span DIV 2").alias("ano_start"),
-        F.expr("tmin + (span * 3) DIV 4").alias("ano_end"),
-    )
-    l1 = F.struct(
-        F.lit(1).alias("label_row"),
-        F.lit(2).alias("ano_id"),
-        F.lit("stalled input").alias("ano_type"),
-        F.col("tmin").alias("ref_start"),
-        F.expr("tmin + span DIV 3").alias("ref_end"),
-        F.expr("tmax - span DIV 4").alias("ano_start"),
-        F.col("tmax").alias("ano_end"),
-    )
-    labels = bounds.select(
-        F.explode(F.array(l0, l1)).alias("_l")
-    ).select(
-        F.col("_l.label_row").alias("label_row"),
-        F.lit("events").alias("trace_id"),
-        F.col("_l.ano_id").alias("ano_id"),
-        F.col("_l.ano_type").alias("ano_type"),
-        F.col("_l.ref_start").alias("ref_start"),
-        F.col("_l.ref_end").alias("ref_end"),
-        F.col("_l.ano_start").alias("ano_start"),
-        F.col("_l.ano_end").alias("ano_end"),
+    # reference — this form carries it once (guide §2.4 duplicated
+    # subtrees).  Built as three selectExpr strings — one py4j round-trip
+    # each — instead of ~40 Column-object calls (driver build cost).
+    labels = (
+        trace.selectExpr(
+            "min(timestamp) AS tmin", "max(timestamp) AS tmax"
+        )
+        .selectExpr("*", "greatest(tmax - tmin, 4) AS span")
+        .selectExpr(
+            """inline(array(
+              named_struct(
+                'label_row', 0, 'trace_id', 'events', 'ano_id', 1,
+                'ano_type', 'bursty input',
+                'ref_start', tmin, 'ref_end', tmin + span DIV 2,
+                'ano_start', tmin + span DIV 2,
+                'ano_end', tmin + (span * 3) DIV 4),
+              named_struct(
+                'label_row', 1, 'trace_id', 'events', 'ano_id', 2,
+                'ano_type', 'stalled input',
+                'ref_start', tmin, 'ref_end', tmin + span DIV 3,
+                'ano_start', tmax - span DIV 4, 'ano_end', tmax)))"""
+        )
     )
     return trace, labels
 
@@ -569,7 +558,11 @@ def exstream_explain_det(spark, sf_dir):
 
     trace, labels = _two_anomaly_setup(spark, sf_dir)
     out = explain_anomalies(
-        trace, labels, ExplainConfig(instability_runs=0, reward_round=6)
+        trace,
+        labels,
+        ExplainConfig(
+            instability_runs=0, reward_round=6, slice_cache_scope="session"
+        ),
     )
     # the driver's canonicalizer sorts result columns with pandas and cannot
     # hash/sort array cells — project the explanation as a joined string (the
@@ -754,6 +747,7 @@ def exstream_explain(spark, sf_dir):
             seed=_INST_SEED,
             reward_round=6,
             sample_method="md5",
+            slice_cache_scope="session",
         ),
     )
     return out.select(

@@ -191,8 +191,11 @@ def events_trace(spark: SparkSession, sf_dir: str, bucket_seconds: int = 3600) -
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
-    cols = [F.col("timestamp")]
+    cols = ["timestamp"]
     for t in types:
-        cols.append(F.coalesce(F.col(f"{t}_n").cast("double"), F.lit(0.0)).alias(f"{t}_n"))
-        cols.append(F.coalesce(F.col(f"{t}_sum_value"), F.lit(0.0)).alias(f"{t}_value"))
-    return wide.select(*cols).withColumn("trace_id", F.lit("events"))
+        cols.append(
+            f"coalesce(CAST(`{t}_n` AS DOUBLE), 0.0D) AS `{t}_n`"
+        )
+        cols.append(f"coalesce(`{t}_sum_value`, 0.0D) AS `{t}_value`")
+    cols.append("'events' AS trace_id")
+    return wide.selectExpr(*cols)
