@@ -65,6 +65,7 @@ def resolve_segmentation(
     keys: tuple[str, ...] = ("ano_key",),
     threshold: int = AUTO_GROUP_THRESHOLD,
     group_rows: int | None = None,
+    feature_key: str = "feature",
 ) -> str:
     """Pick the segmentation engine from the actual group sizes.
 
@@ -77,7 +78,7 @@ def resolve_segmentation(
     """
     if group_rows is None:
         group_rows = (
-            melted.groupBy(*keys, "feature")
+            melted.groupBy(*keys, feature_key)
             .count()
             .agg(F.max("count"))
             .collect()[0][0]
@@ -90,6 +91,7 @@ def worst_case_labels(
     melted: DataFrame,
     duplicate_mode: str = "sorted",
     keys: tuple[str, ...] = ("ano_key",),
+    feature_key: str = "feature",
 ) -> DataFrame:
     """Assign each row its segmentation label and sequence position.
 
@@ -102,7 +104,7 @@ def worst_case_labels(
         raise ValueError(f"unknown duplicate_mode {duplicate_mode!r}")
     # SQL-string construction — one py4j round-trip per selectExpr instead
     # of one per expression node (see segmentation_entropy)
-    gk = ", ".join(f"`{c}`" for c in (*keys, "feature", "value"))
+    gk = ", ".join(f"`{c}`" for c in (*keys, feature_key, "value"))
     df = melted.selectExpr(
         "*",
         f"row_number() OVER (PARTITION BY {gk}"
@@ -137,6 +139,7 @@ def segmentation_entropy(
     keys: tuple[str, ...] = ("ano_key",),
     order_tail: list | None = None,
     class_counts: bool = False,
+    feature_key: str = "feature",
 ) -> DataFrame:
     """(*keys, feature) → (*keys, feature, feature_order, seg_ent).
 
@@ -166,7 +169,7 @@ def segmentation_entropy(
     # driver-side critical path (guide §1.2 step 2 applied to plan
     # construction; round-12/13 profiles put build ≈ 2× execute locally)
     order_cols = order_tail if order_tail is not None else ["value", "r"]
-    pk = ", ".join(f"`{c}`" for c in (*keys, "feature"))
+    pk = ", ".join(f"`{c}`" for c in (*keys, feature_key))
     ob = ", ".join(f"`{c}`" for c in order_cols)
     df = labeled.selectExpr(
         "*",
@@ -178,13 +181,17 @@ def segmentation_entropy(
         f" THEN 1 ELSE 0 END) OVER (PARTITION BY {pk} ORDER BY {ob}"
         f" ROWS UNBOUNDED PRECEDING) AS seg_id",
     )
-    seg_aggs = [
-        F.count(F.lit(1)).alias("seg_len"),
-        F.first("feature_order").alias("feature_order"),
-    ]
+    seg_aggs = [F.count(F.lit(1)).alias("seg_len")]
+    if feature_key != "feature_order":
+        # keyed on the name: carry the order along.  Keyed on the ORDER
+        # (feature_names callers), feature_order IS the group key and the
+        # name never enters the aggregation — the hot exchanges carry one
+        # int where they carried an int + a string (guide §2.3 narrower
+        # types / shuffle fewer bytes).
+        seg_aggs.append(F.first("feature_order").alias("feature_order"))
     if class_counts:
         seg_aggs.append(F.sum("type_data").alias("_seg_n1"))
-    segs = df.groupBy(*keys, "feature", "seg_id").agg(*seg_aggs)
+    segs = df.groupBy(*keys, feature_key, "seg_id").agg(*seg_aggs)
     segs = segs.selectExpr(
         "*",
         f"sum(seg_len) OVER (PARTITION BY {pk}) AS n_total",
@@ -194,10 +201,9 @@ def segmentation_entropy(
     term = F.when(F.col("seg_id") < F.col("max_seg"), p * F.log(1.0 / p)).otherwise(
         F.lit(0.0)
     )
-    final_aggs = [
-        F.sum(term).alias("seg_ent"),
-        F.first("feature_order").alias("feature_order"),
-    ]
+    final_aggs = [F.sum(term).alias("seg_ent")]
+    if feature_key != "feature_order":
+        final_aggs.append(F.first("feature_order").alias("feature_order"))
     if class_counts:
         final_aggs.extend(
             [
@@ -205,7 +211,7 @@ def segmentation_entropy(
                 (F.first("n_total") - F.sum("_seg_n1")).alias("n_ref"),
             ]
         )
-    return segs.groupBy(*keys, "feature").agg(*final_aggs)
+    return segs.groupBy(*keys, feature_key).agg(*final_aggs)
 
 
 def segmentation_entropy_stitched(
@@ -213,6 +219,7 @@ def segmentation_entropy_stitched(
     duplicate_mode: str = "sorted",
     keys: tuple[str, ...] = ("ano_key",),
     class_counts: bool = False,
+    feature_key: str = "feature",
 ) -> DataFrame:
     """Distributed twin of ``segmentation_entropy`` — same output, no
     per-(key, feature) single-partition window.
@@ -245,9 +252,9 @@ def segmentation_entropy_stitched(
         labeled = melted.withColumn("label", F.col("type_data"))
         order_tail = [F.col("value"), F.col("type_data"), F.col("timestamp")]
     else:
-        labeled = worst_case_labels(melted, duplicate_mode, keys)
+        labeled = worst_case_labels(melted, duplicate_mode, keys, feature_key)
         order_tail = [F.col("value"), F.col("r")]
-    group = [*keys, "feature"]
+    group = [*keys, feature_key]
     order = [*[F.col(c) for c in group], *order_tail]
 
     tagged = labeled.withColumn("__gl", F.struct(*group, "label"))
@@ -268,8 +275,9 @@ def segmentation_entropy_stitched(
     gstat_aggs = [
         F.max("__rn").alias("__gmax"),
         F.count(F.lit(1)).alias("n_total"),
-        F.first("feature_order").alias("feature_order"),
     ]
+    if feature_key != "feature_order":
+        gstat_aggs.append(F.first("feature_order").alias("feature_order"))
     if class_counts:
         gstat_aggs.append(F.sum("type_data").alias("n_ano"))
     gstats = flagged.groupBy(*group).agg(*gstat_aggs)
@@ -299,10 +307,9 @@ def segmentation_entropy_stitched(
     )
     p = F.col("seg_len") / F.col("n_total")
     term = F.when(~F.col("__is_last"), p * F.log(1.0 / p)).otherwise(F.lit(0.0))
-    final_aggs = [
-        F.sum(term).alias("seg_ent"),
-        F.first("feature_order").alias("feature_order"),
-    ]
+    final_aggs = [F.sum(term).alias("seg_ent")]
+    if feature_key != "feature_order":
+        final_aggs.append(F.first("feature_order").alias("feature_order"))
     if class_counts:
         final_aggs.extend(
             [
@@ -321,6 +328,7 @@ def single_feature_rewards(
     segmentation: str = "window",
     auto_threshold: int = AUTO_GROUP_THRESHOLD,
     group_rows: int | None = None,
+    feature_names: list[str] | None = None,
 ) -> DataFrame:
     """C7 — reward(f) = class_ent / seg_ent per (ano_key, feature), ranked.
 
@@ -345,12 +353,30 @@ def single_feature_rewards(
     ``reward_round``: round rewards to N decimals BEFORE ranking — the
     cross-engine determinism boundary (float summation order differs between
     engines, and the downstream leap filter compares rewards for equality).
+
+    ``feature_names``: the trace's feature list in ``feature_order``
+    position order.  When provided, the ``feature`` STRING is dropped
+    before any shuffle — segmentation/aggregation key on the int
+    ``feature_order`` instead — and the name is re-derived from a literal
+    array lookup in the final (tiny, post-aggregation) projection: the hot
+    exchanges of the melted relation carry one int where they carried
+    int + string (guide §2.3 "narrower types" / "shuffle fewer bytes";
+    the name was 10-20% of the melted exchange's bytes on the events
+    trace).  Results are identical — ``feature_order`` is a bijection of
+    the name within one trace.
     """
+    fkey = "feature"
+    if feature_names is not None:
+        fkey = "feature_order"
+        if "feature" in melted.columns:
+            melted = melted.drop("feature")
     if segmentation == "auto":
-        segmentation = resolve_segmentation(melted, keys, auto_threshold, group_rows)
+        segmentation = resolve_segmentation(
+            melted, keys, auto_threshold, group_rows, feature_key=fkey
+        )
     if segmentation == "stitched":
         seg = segmentation_entropy_stitched(
-            melted, duplicate_mode, keys, class_counts=True
+            melted, duplicate_mode, keys, class_counts=True, feature_key=fkey
         )
     elif segmentation == "window":
         if duplicate_mode == "sorted":
@@ -363,12 +389,14 @@ def single_feature_rewards(
                 keys,
                 order_tail=["value", "type_data", "timestamp"],
                 class_counts=True,
+                feature_key=fkey,
             )
         elif duplicate_mode == "worst_case":
             seg = segmentation_entropy(
-                worst_case_labels(melted, duplicate_mode, keys),
+                worst_case_labels(melted, duplicate_mode, keys, fkey),
                 keys,
                 class_counts=True,
+                feature_key=fkey,
             )
         else:
             raise ValueError(f"unknown duplicate_mode {duplicate_mode!r}")
@@ -392,10 +420,20 @@ def single_feature_rewards(
     reward = f"({class_ent}) / seg_ent"
     if reward_round is not None:
         reward = f"round({reward}, {int(reward_round)})"
+    if feature_names is not None:
+        # name re-derived from the 0-based order via a literal array lookup
+        # — this projection sits on the tiny post-aggregation relation
+        # (one row per (*keys, feature)), never on the melted exchange
+        from exstream_implementation_spark.operators.slicing import _sql_str
+
+        arr = ", ".join(_sql_str(n) for n in feature_names)
+        feature_expr = f"array({arr})[feature_order] AS feature"
+    else:
+        feature_expr = "feature"
     kq = ", ".join(f"`{c}`" for c in keys)
     return seg.selectExpr(
         *(f"`{c}`" for c in keys),
-        "feature",
+        feature_expr,
         "feature_order",
         f"{reward} AS reward",
     ).selectExpr(

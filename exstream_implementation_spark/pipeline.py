@@ -95,16 +95,24 @@ class ExplainConfig:
     slice_cache_scope: str = "query"
 
 
-def _explanations_for(melted: DataFrame, cfg: ExplainConfig, keys=("ano_key",)) -> DataFrame:
+def _explanations_for(
+    melted: DataFrame,
+    cfg: ExplainConfig,
+    keys=("ano_key",),
+    feature_names: list[str] | None = None,
+) -> DataFrame:
     """rewards → leap → assembly, all partitioned by *keys (run_id, ano_key):
     the operators take the composite key natively, so the six instability runs
-    ride the same shuffles as the main run."""
+    ride the same shuffles as the main run.  ``feature_names`` (the melt's
+    column list) lets rewards key on the int ``feature_order`` and drop the
+    feature STRING from every melted exchange (guide §2.3)."""
     rewards = single_feature_rewards(
         melted,
         cfg.duplicate_mode,
         cfg.reward_round,
         keys=keys,
         segmentation=cfg.segmentation,
+        feature_names=feature_names,
     )
     kept = reward_leap_filter(rewards, keys=keys)
     return assemble_explanations(kept, keys=keys)
@@ -217,9 +225,9 @@ def explain_anomalies(
             F.broadcast(fp_kept), ["run_id", "ano_key", "feature"], "inner"
         )
 
-    expl = _explanations_for(melted, cfg, keys=("run_id", "ano_key")).transform(
-        tracked_persist
-    )
+    expl = _explanations_for(
+        melted, cfg, keys=("run_id", "ano_key"), feature_names=features
+    ).transform(tracked_persist)
 
     # main explanation (run 0) + C9 instability in ONE groupBy over the
     # cached expl relation (one row per (run, anomaly) — tiny).  The older

@@ -198,9 +198,12 @@ def _events_melted(spark, sf_dir) -> DataFrame:
 )
 def exstream_rewards(spark, sf_dir):
     melted = _events_melted(spark, sf_dir)
+    names = [f"{t}_n" for t in EVENT_TYPES]
     out = None
     for mode in ("sorted", "worst_case"):
-        r = single_feature_rewards(melted, duplicate_mode=mode).select(
+        r = single_feature_rewards(
+            melted, duplicate_mode=mode, feature_names=names
+        ).select(
             F.lit(mode).alias("mode"),
             "feature",
             F.round("reward", 6).alias("reward"),
@@ -312,22 +315,26 @@ def exstream_entropy_profile(spark, sf_dir):
     # timestamp) is the identical total order to (value, r), so the
     # worst_case_labels ranking window (one full Exchange+Sort of melted) is
     # skipped; class_counts folds n_ref/n_ano into the same segment
-    # aggregates, removing the second melted pass and the seg⋈cls join
+    # aggregates, removing the second melted pass and the seg⋈cls join.
+    # feature_key='feature_order': the melted exchange carries the int key
+    # only; the name is re-derived from a literal array in the final
+    # (5-row) projection (guide §2.3)
     seg = segmentation_entropy(
-        melted.withColumn("label", F.col("type_data")),
+        melted.drop("feature").withColumn("label", F.col("type_data")),
         order_tail=["value", "type_data", "timestamp"],
         class_counts=True,
+        feature_key="feature_order",
     )
-    n = F.col("n_ref") + F.col("n_ano")
-    p_r, p_a = F.col("n_ref") / n, F.col("n_ano") / n
-    return seg.select(
-        "feature",
-        F.round("seg_ent", 6).alias("seg_ent"),
+    names = ", ".join(f"'{t}_n'" for t in EVENT_TYPES)
+    return seg.selectExpr(
+        f"array({names})[feature_order] AS feature",
+        "round(seg_ent, 6) AS seg_ent",
         "n_ref",
         "n_ano",
-        F.round(p_a * F.log2(1.0 / p_a) + p_r * F.log2(1.0 / p_r), 6).alias(
-            "class_ent"
-        ),
+        "round((n_ano / (n_ref + n_ano))"
+        " * log2(1.0 / (n_ano / (n_ref + n_ano)))"
+        " + (n_ref / (n_ref + n_ano))"
+        " * log2(1.0 / (n_ref / (n_ref + n_ano))), 6) AS class_ent",
     )
 
 
@@ -353,9 +360,9 @@ def exstream_entropy_profile(spark, sf_dir):
 )
 def exstream_leap_cut(spark, sf_dir):
     melted = _events_melted(spark, sf_dir)
-    r = single_feature_rewards(melted).withColumn(
-        "reward", F.round("reward", 6)
-    )
+    r = single_feature_rewards(
+        melted, feature_names=[f"{t}_n" for t in EVENT_TYPES]
+    ).withColumn("reward", F.round("reward", 6))
     kept = reward_leap_filter(r)
     return kept.select("feature", "reward", "rank")
 
