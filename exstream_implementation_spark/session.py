@@ -47,6 +47,14 @@ def get_spark(
         # site echoed inside error messages) is a debugging nicety, so
         # production sessions run with it off.  Overridable via extra_conf.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # NOT set: a spark.python.daemon.module that pre-imports
+        # numpy/pandas before forking workers (the COW-preload pattern).
+        # Measured r13, interleaved A/B ×3: first Python stage 3.5/4.2/4.3 s
+        # WITH preload vs 2.8/3.5/3.5 s stock — in local[32] the workers
+        # import the numeric stack in parallel across cores, while the
+        # daemon preload serializes that import before the first fork.  The
+        # session's first-Arrow-stage cost is worker bring-up either way;
+        # spark.python.worker.reuse (default on) keeps it one-time.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
