@@ -806,7 +806,12 @@ def corpus_curation(spark, sf_dir):
     # window-min instead of groupBy + join-back: the old shape evaluated the
     # tokenize+md5 subtree twice (h and keep) and joined them; one unordered
     # window over ch reads it once — partition size is bounded by true dup
-    # multiplicity (guide §2.4)
+    # multiplicity (guide §2.4).
+    # MEASURED AND REJECTED (r13, interleaved A/B ×5, sf0.1): carrying raw
+    # `text` through the ch exchange instead of `toks` and re-tokenizing
+    # survivors post-shuffle — 0.884 → 1.114 s median (rows equal).  The
+    # byte shave (text < token array) is smaller than the second
+    # split+lower over every survivor, locally AND per-row at scale.
     from pyspark.sql import Window
 
     # ONE persist for the deduped survivors: grams are derived in the same
