@@ -228,6 +228,18 @@ def main():
     )
 
     total = round(sum(timings.values()), 3)
+    # the COLD headline gated by the same probe canaries as the warm one
+    # (additive, r12 verdict item: cold is the noisiest recorded signal and
+    # was the only one without a normalized/drift-gated reading).  The cold
+    # pass runs adjacent to probe_before; the drift gate still uses both
+    # probes so a host that changed speed mid-suite nulls this field too.
+    # True cold per-query MEDIANS would need N separate JVMs and belong to
+    # the driver's repeat policy, not one bench process.
+    value_normalized, _ = normalize_warm(
+        total,
+        probe_before["spark_range_agg_s"],
+        probe_after["spark_range_agg_s"],
+    )
     print(
         json.dumps(
             {
@@ -236,6 +248,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "value_normalized": value_normalized,
                 "value_warm": value_warm,
                 "queries_warm": warm,
                 "queries_warm_spread": warm_spread,
