@@ -377,6 +377,52 @@ def synth_pixels(doc_id: int, w: int = IMG_W, h: int = IMG_H) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def _image_encoder(fmt: str):
+    """Shared encoder dispatch — ``attach_image_payload`` (chained) and
+    ``image_payload_stats`` (fused) call this ONE implementation so the two
+    paths can never drift."""
+    if fmt not in ("bmp", "png", "jpeg", "jpeg_progressive"):
+        raise ValueError(f"unknown image format {fmt!r}")
+    if fmt.startswith("jpeg"):
+        from exstream_implementation_spark.operators.jpeg import encode_jpeg
+
+        prog = fmt == "jpeg_progressive"
+        return lambda a: encode_jpeg(a, quality=95, progressive=prog)
+    return encode_bmp if fmt == "bmp" else encode_png
+
+
+def _image_stats_frame(id_col: str, items) -> pd.DataFrame:
+    """Per-channel mean/std rows for an iterable of (doc_id, decoded int64
+    image) — the ONE stats loop behind ``image_stats`` and
+    ``image_payload_stats`` (same float contract: exact integer sums S1, S2
+    → mean = S1/n, std = sqrt(max(S2/n − mean², 0)), each op one
+    correctly-rounded IEEE operation, bitwise equal to the SQL oracle)."""
+    ids, ws, hs, cs, means, stds = [], [], [], [], [], []
+    for did, img in items:
+        ih, iw, _ = img.shape
+        n = float(ih * iw)
+        for c in range(3):
+            ch = img[:, :, c]
+            m = float(ch.sum()) / n
+            var = float((ch * ch).sum()) / n - m * m
+            ids.append(did)
+            ws.append(iw)
+            hs.append(ih)
+            cs.append(c)
+            means.append(m)
+            stds.append(math.sqrt(max(var, 0.0)))
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="int64"),
+            "width": pd.Series(ws, dtype="int32"),
+            "height": pd.Series(hs, dtype="int32"),
+            "channel": pd.Series(cs, dtype="int32"),
+            "px_mean": pd.Series(means, dtype="float64"),
+            "px_std": pd.Series(stds, dtype="float64"),
+        }
+    )
+
+
 def attach_image_payload(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -392,15 +438,7 @@ def attach_image_payload(
     by nature, so its decoded stats are tolerance-tested, not hash-gated.
     ``fmt="jpeg_progressive"`` emits SOF2 ten-scan streams (the variant
     large sites serve) through the same decode path."""
-    if fmt not in ("bmp", "png", "jpeg", "jpeg_progressive"):
-        raise ValueError(f"unknown image format {fmt!r}")
-    if fmt.startswith("jpeg"):
-        from exstream_implementation_spark.operators.jpeg import encode_jpeg
-
-        prog = fmt == "jpeg_progressive"
-        enc = lambda a: encode_jpeg(a, quality=95, progressive=prog)
-    else:
-        enc = encode_bmp if fmt == "bmp" else encode_png
+    enc = _image_encoder(fmt)
 
     @F.pandas_udf("binary")
     def blob(ids: pd.Series) -> pd.Series:
@@ -426,30 +464,12 @@ def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, ws, hs, cs, means, stds = [], [], [], [], [], []
-            for did, payload in zip(pdf[id_col], pdf["payload"]):
-                img = decode_image(bytes(payload)).astype(np.int64)
-                h, w, _ = img.shape
-                n = float(h * w)
-                for c in range(3):
-                    ch = img[:, :, c]
-                    m = float(ch.sum()) / n
-                    var = float((ch * ch).sum()) / n - m * m
-                    ids.append(did)
-                    ws.append(w)
-                    hs.append(h)
-                    cs.append(c)
-                    means.append(m)
-                    stds.append(math.sqrt(max(var, 0.0)))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "channel": pd.Series(cs, dtype="int32"),
-                    "px_mean": pd.Series(means, dtype="float64"),
-                    "px_std": pd.Series(stds, dtype="float64"),
-                }
+            yield _image_stats_frame(
+                id_col,
+                (
+                    (did, decode_image(bytes(payload)).astype(np.int64))
+                    for did, payload in zip(pdf[id_col], pdf["payload"])
+                ),
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema)
@@ -470,15 +490,7 @@ def image_payload_stats(
     instead of two (guide §4.1: one boundary, only the columns the function
     needs — here just ``id_col``).  Output and float contract are exactly
     ``image_stats``'s."""
-    if fmt not in ("bmp", "png", "jpeg", "jpeg_progressive"):
-        raise ValueError(f"unknown image format {fmt!r}")
-    if fmt.startswith("jpeg"):
-        from exstream_implementation_spark.operators.jpeg import encode_jpeg
-
-        prog = fmt == "jpeg_progressive"
-        enc = lambda a: encode_jpeg(a, quality=95, progressive=prog)
-    else:
-        enc = encode_bmp if fmt == "bmp" else encode_png
+    enc = _image_encoder(fmt)
     schema = (
         f"{id_col} long, width int, height int, channel int, "
         "px_mean double, px_std double"
@@ -486,32 +498,17 @@ def image_payload_stats(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, ws, hs, cs, means, stds = [], [], [], [], [], []
-            for did in pdf[id_col]:
-                img = decode_image(enc(synth_pixels(did, w, h))).astype(
-                    np.int64
-                )
-                ih, iw, _ = img.shape
-                n = float(ih * iw)
-                for c in range(3):
-                    ch = img[:, :, c]
-                    m = float(ch.sum()) / n
-                    var = float((ch * ch).sum()) / n - m * m
-                    ids.append(did)
-                    ws.append(iw)
-                    hs.append(ih)
-                    cs.append(c)
-                    means.append(m)
-                    stds.append(math.sqrt(max(var, 0.0)))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "channel": pd.Series(cs, dtype="int32"),
-                    "px_mean": pd.Series(means, dtype="float64"),
-                    "px_std": pd.Series(stds, dtype="float64"),
-                }
+            yield _image_stats_frame(
+                id_col,
+                (
+                    (
+                        did,
+                        decode_image(enc(synth_pixels(did, w, h))).astype(
+                            np.int64
+                        ),
+                    )
+                    for did in pdf[id_col]
+                ),
             )
 
     return df.select(id_col).mapInPandas(batches, schema)
@@ -751,6 +748,36 @@ def attach_audio_payload(
     return out.withColumn("n_bytes", F.length("payload"))
 
 
+def _audio_stats_frame(id_col: str, items) -> pd.DataFrame:
+    """Duration + amplitude mean/RMS rows for an iterable of (doc_id,
+    decoded samples, sample_rate) — the ONE stats loop behind
+    ``audio_stats`` and ``audio_payload_stats``."""
+    ids, ns, rates, means, rmss = [], [], [], [], []
+    for did, samples, rate in items:
+        # int16 streams keep the exact-integer-sum contract (the oracle
+        # hash depends on it; squares ≤ 2^30 can never wrap int64).  Wider
+        # integers (24/32-bit PCM) and floats sum in float64: a full-scale
+        # int32 square is ~2^62, so two samples already overflow the int64
+        # sum-of-squares.
+        cast = np.int64 if samples.dtype == np.int16 else np.float64
+        s = samples.astype(cast).reshape(-1)
+        cnt = len(s)
+        ids.append(did)
+        ns.append(cnt)
+        rates.append(rate)
+        means.append(float(s.sum()) / cnt)
+        rmss.append(math.sqrt(float((s * s).sum()) / cnt))
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="int64"),
+            "n_samples": pd.Series(ns, dtype="int32"),
+            "sample_rate": pd.Series(rates, dtype="int32"),
+            "amp_mean": pd.Series(means, dtype="float64"),
+            "amp_rms": pd.Series(rmss, dtype="float64"),
+        }
+    )
+
+
 def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode each payload (REAL RIFF/PCM16 parse) and emit duration and
     per-stream amplitude mean/RMS — the canonical audio feature-extraction
@@ -766,30 +793,12 @@ def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, ns, rates, means, rmss = [], [], [], [], []
-            for did, payload in zip(pdf[id_col], pdf["payload"]):
-                samples, rate = decode_wav(bytes(payload))
-                # int16 streams keep the exact-integer-sum contract (the
-                # oracle hash depends on it; squares ≤ 2^30 can never wrap
-                # int64).  Wider integers (24/32-bit PCM) and floats sum in
-                # float64: a full-scale int32 square is ~2^62, so two
-                # samples already overflow the int64 sum-of-squares.
-                cast = np.int64 if samples.dtype == np.int16 else np.float64
-                s = samples.astype(cast).reshape(-1)
-                n = len(s)
-                ids.append(did)
-                ns.append(n)
-                rates.append(rate)
-                means.append(float(s.sum()) / n)
-                rmss.append(math.sqrt(float((s * s).sum()) / n))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "n_samples": pd.Series(ns, dtype="int32"),
-                    "sample_rate": pd.Series(rates, dtype="int32"),
-                    "amp_mean": pd.Series(means, dtype="float64"),
-                    "amp_rms": pd.Series(rmss, dtype="float64"),
-                }
+            yield _audio_stats_frame(
+                id_col,
+                (
+                    (did, *decode_wav(bytes(payload)))
+                    for did, payload in zip(pdf[id_col], pdf["payload"])
+                ),
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema)
@@ -809,29 +818,17 @@ def audio_payload_stats(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, ns, rates, means, rmss = [], [], [], [], []
-            for did in pdf[id_col]:
-                samples, rate = decode_wav(
-                    encode_wav(synth_samples(did, n), AUDIO_RATE)
-                )
-                cast = (
-                    np.int64 if samples.dtype == np.int16 else np.float64
-                )
-                s = samples.astype(cast).reshape(-1)
-                cnt = len(s)
-                ids.append(did)
-                ns.append(cnt)
-                rates.append(rate)
-                means.append(float(s.sum()) / cnt)
-                rmss.append(math.sqrt(float((s * s).sum()) / cnt))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "n_samples": pd.Series(ns, dtype="int32"),
-                    "sample_rate": pd.Series(rates, dtype="int32"),
-                    "amp_mean": pd.Series(means, dtype="float64"),
-                    "amp_rms": pd.Series(rmss, dtype="float64"),
-                }
+            yield _audio_stats_frame(
+                id_col,
+                (
+                    (
+                        did,
+                        *decode_wav(
+                            encode_wav(synth_samples(did, n), AUDIO_RATE)
+                        ),
+                    )
+                    for did in pdf[id_col]
+                ),
             )
 
     return df.select(id_col).mapInPandas(batches, schema)

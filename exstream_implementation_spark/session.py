@@ -58,7 +58,21 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if "spark.python.sql.dataFrameDebugging.enabled" in (extra_conf or {}):
+        # PySpark caches is_debugging_enabled() in a process-global on the
+        # first DataFrame API call (pyspark/errors/utils.py), so an
+        # extra_conf override in a second session of the same Python
+        # process would otherwise be silently ignored — reset the memo so
+        # the override takes effect.
+        try:
+            from pyspark.errors import utils as _perr_utils
+
+            if hasattr(_perr_utils, "_enable_debugging_cache"):
+                _perr_utils._enable_debugging_cache = None
+        except Exception:  # pragma: no cover — future PySpark renames it
+            pass
+    return spark
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -530,11 +530,14 @@ def test_audio_stats_full_scale_int32_does_not_overflow(spark):
     assert row["amp_mean"] == pytest.approx(float(2**31 - 1))
 
 
-@pytest.mark.parametrize("fmt", ["bmp", "png"])
+@pytest.mark.parametrize("fmt", ["bmp", "png", "jpeg", "jpeg_progressive"])
 def test_image_payload_stats_matches_two_op_chain(spark, fmt):
     """The fused encode→decode→stats operator (r12: one Python plan node,
     payload never crosses the JVM boundary) must be bitwise identical to
-    the attach_image_payload → image_stats chain it replaces."""
+    the attach_image_payload → image_stats chain it replaces — across
+    EVERY encoder the dispatch supports, including the lossy jpeg paths
+    (lossy vs the pixels, but the fused and chained operators decode the
+    same bytes, so their stats must still match exactly)."""
     from exstream_implementation_spark.operators.multimodal import (
         image_payload_stats,
     )
