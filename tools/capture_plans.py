@@ -1,9 +1,9 @@
-"""Capture .explain('formatted') for every bench query → plans/r12/.
+"""Capture .explain('formatted') for every bench query → plans/r13/ (override via SPARK_GRAFT_PLAN_ROUND).
 
 Usage:  PYTHONPATH=/root/repo python tools/capture_plans.py before
         PYTHONPATH=/root/repo python tools/capture_plans.py after [names...]
 
-Writes plans/r12/<query>_<tag>.txt for the 13 bench-suite queries (the
+Writes plans/<round>/<query>_<tag>.txt for the 13 bench-suite queries (the
 flagship included).  Building a DataFrame may run the small eager probes a
 query legitimately embeds (e.g. the flagship's segmentation-auto count);
 the captured text is the final lazy plan the noop sink would execute.
@@ -16,7 +16,7 @@ import sys
 
 TAG = sys.argv[1] if len(sys.argv) > 1 else "before"
 ONLY = set(sys.argv[2:])
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
